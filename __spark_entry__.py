@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Everything is re-exported from the hyperloglog_pyspark_spark package; the
+query registry (hyperloglog_pyspark_spark/registry.py) is the single
+source of truth — each operator module registers its queries plus, when
+SQL-expressible, a DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hyperloglog_pyspark_spark import registry  # noqa: E402
+from hyperloglog_pyspark_spark.sources.catalog import load_table  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: distinct users per day on
+    the events stream — approximate (HLL++) and exact side by side, the
+    engine's form of the reference's estimate_distinct_elements_parallel +
+    calculate_empirical_accuracy pair (HLL/examples.py:56-83)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return registry.oracle_sql()

@@ -1,0 +1,224 @@
+"""Aggregation family: hash aggregates (partial+final), exact distinct,
+CUBE / ROLLUP / GROUPING SETS, and ordered statistics (SURVEY.md §2.2).
+
+The reference's one real operator IS a partial+final aggregation done by
+hand (sketch per partition + associative merge, HLL/examples.py:56-67);
+everything here expresses that same pattern declaratively so Catalyst
+plans map-side combine automatically: HashAggregate(partial) → Exchange →
+HashAggregate(final).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hyperloglog_pyspark_spark.functions.money import (
+    avg_money,
+    charge,
+    dec_price,
+    dec_rate,
+    disc_price,
+    sum_money,
+)
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table, register_views
+
+
+@register(
+    "agg_pricing_summary",
+    category="aggregate",
+    bench=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical wide hash aggregate.
+
+    Scale: 4 grouping cells regardless of input size — partial aggregation
+    reduces 100 TB to a handful of rows before the single tiny shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_money(dec_price("l_quantity"), "sum_qty"),
+        sum_money(dec_price("l_extendedprice"), "sum_base_price"),
+        sum_money(disc_price(), "sum_disc_price"),
+        sum_money(charge(), "sum_charge"),
+        avg_money(dec_price("l_quantity"), "avg_qty"),
+        avg_money(dec_price("l_extendedprice"), "avg_price"),
+        avg_money(dec_rate("l_discount"), "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_stats",
+    category="aggregate",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/count + exact COUNT(DISTINCT) per group.
+
+    Scale: COUNT(DISTINCT) expands to a two-phase aggregate (distinct on
+    (group, key), then count) — exact but shuffle-heavy; the sketch module
+    provides the approx alternative for high-cardinality keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        avg_money(dec_price("o_totalprice"), "avg_price"),
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+    )
+
+
+@register(
+    "agg_distinct_exact",
+    category="aggregate",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-users per event type — the engine's analog of the
+    reference's exact oracle path (RDD.distinct().count(),
+    HLL/examples.py:80)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_cube",
+    category="aggregate",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id disambiguation.
+
+    Scale: CUBE(a,b) expands each row 4× before aggregation; for wide cubes
+    at 100 TB, pre-aggregate on the finest grain first, then cube the tiny
+    intermediate (same trick as the sketch rollup in operators/sketch.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            sum_money(dec_price("l_quantity"), "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    category="aggregate",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(n.n_name, 'ALL') AS nation,
+           GROUPING(r.r_name, n.n_name) AS gid,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP along the region → nation hierarchy (the relational form of
+    the reference's sketch-merge rollup story, HLL/HyperLogLog.py:157-179)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            sum_money(dec_price("c_acctbal"), "total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "gid",
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    category="aggregate",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (by-type, by-day, grand total) via Spark SQL."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(CAST(ts AS DATE) AS STRING), 'ALL') AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+        """
+    )

@@ -1,0 +1,386 @@
+"""Scans, projections, filters and the join family (SURVEY.md §2.2 rows
+"scans/sources", "projections/filters/predicates", "joins", "semi/anti",
+"range/as-of").
+
+The reference has none of these (its only relational op is RDD.distinct in
+HLL/examples.py:80); each query here is the idiomatic Catalyst-planned
+form, with the physical strategy we'd want at 100 TB noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hyperloglog_pyspark_spark.functions.money import disc_price, sum_money
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+
+@register(
+    "scan_project_filter",
+    category="scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-04-01'
+      AND l_returnflag = 'R'
+    """,
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with predicate pushdown + column pruning.
+
+    Scale: the two filters and the 5-column projection reach the parquet
+    reader (`PushedFilters`/`ReadSchema` in explain), so a 100 TB scan
+    touches only matching row groups and 5 columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            disc_price().cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "filter_in_like_between",
+    category="filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#13', 'Brand#25')
+      AND p_type LIKE 'ECO%'
+      AND p_size BETWEEN 5 AND 25
+      AND p_name NOT LIKE '%bolt%'
+    """,
+)
+def filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isin / LIKE / BETWEEN / NOT LIKE predicate coverage; all four are
+    pushdown-eligible (in/like-prefix become parquet filters)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#13", "Brand#25")
+        & F.col("p_type").like("ECO%")
+        & F.col("p_size").between(5, 25)
+        & ~F.col("p_name").like("%bolt%")
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+@register(
+    "expr_case_arith",
+    category="projection",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS price_class,
+           CAST(round(o_totalprice / 1000.0, 2) AS DOUBLE) AS price_k,
+           (o_orderkey % 7) + 1 AS bucket
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def expr_case_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN + arithmetic + modulo in one codegen'd projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+        .alias("price_class"),
+        F.round(F.col("o_totalprice") / 1000.0, 2).cast("double").alias("price_k"),
+        ((F.col("o_orderkey") % 7) + 1).alias("bucket"),
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    category="join",
+    bench=True,
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ three dimension tables, all broadcast.
+
+    Scale: supplier/nation/region are tiny relative to lineitem at any SF —
+    broadcasting them eliminates every shuffle except the final partial+
+    final aggregation on (r_name, n_name).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            sum_money(disc_price(), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_shuffle_agg",
+    category="join",
+    bench=True,
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_shuffle_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join (orders ⋈ lineitem) + aggregation.
+
+    Scale: both sides shuffle on orderkey (sort-merge or shuffled-hash via
+    AQE); the orderdate filter is pushed to the orders scan first, shrinking
+    the build side before the shuffle. With bucketed storage on l_orderkey/
+    o_orderkey this becomes a zero-shuffle co-located join.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            sum_money(disc_price(), "revenue"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    category="join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one open order.
+
+    Scale: semi-join only ships the join key of the right side and
+    short-circuits on first match — far cheaper than join+distinct.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_anti",
+    category="join",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers without pending orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_outer_histogram",
+    category="join",
+    oracle="""
+    SELECT n_items, COUNT(*) AS n_orders
+    FROM (
+        SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_items
+        FROM orders o
+        LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    )
+    GROUP BY n_items
+    """,
+)
+def join_outer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving orders with zero lineitems, then a
+    lineitems-per-order histogram (COUNT(col) skips the null-extended rows,
+    so empty orders count as 0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+    return per_order.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "join_full_outer",
+    category="join",
+    oracle="""
+    SELECT COALESCE(a.c_custkey, b.c_custkey) AS custkey,
+           (a.c_custkey IS NOT NULL) AS in_debt,
+           (b.c_custkey IS NOT NULL) AS in_building
+    FROM (SELECT c_custkey FROM customer WHERE c_acctbal < 0) a
+    FULL OUTER JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') b
+      ON a.c_custkey = b.c_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two overlapping customer subsets."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("a_key"))
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("b_key"))
+    return a.join(b, a.a_key == b.b_key, "full_outer").select(
+        F.coalesce("a_key", "b_key").alias("custkey"),
+        F.col("a_key").isNotNull().alias("in_debt"),
+        F.col("b_key").isNotNull().alias("in_building"),
+    )
+
+
+@register(
+    "join_range",
+    category="join",
+    oracle="""
+    SELECT p.event_id, COUNT(c.event_id) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks in the hour preceding each purchase.
+
+    Scale: the equi-key (user_id) makes this a hash join with a range
+    residual — NOT a nested-loop. For pure range joins without an equi-key,
+    bucketize time into epochs and join on the bucket ± 1 (documented
+    pattern; see streaming_batch for the windowed forms).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (c.c_user == p.p_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts < p.p_ts)
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy(F.col("p_id").alias("event_id"))
+        .agg(F.count("c_id").alias("n_clicks"))
+    )
+
+
+@register(
+    "join_asof",
+    category="join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ), c AS (SELECT user_id, ts, event_id FROM clicks WHERE rn = 1),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: most recent click at-or-before each purchase, per user.
+
+    Spark has no ASOF join operator; the scalable relational form is the
+    union + ordered-window trick: interleave both event sets on (user, ts),
+    carry the last click forward with last(..., ignoreNulls=True), then
+    keep only purchase rows. One shuffle on user_id, no per-row subquery —
+    this holds at 100 TB because the window is partitioned by user.
+    (Oracle uses DuckDB's native ASOF JOIN as an independent check.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    clicks = ev.filter(F.col("event_type") == "click")
+    # Dedupe clicks at identical (user, ts) — keeps the as-of target unique
+    # so both engines pick the same row.
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        clicks.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+        .withColumn("is_purchase", F.lit(0))
+        .withColumn("event_id", F.lit(None).cast("long"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("click_id", F.lit(None).cast("long"))
+        .withColumn("is_purchase", F.lit(1))
+    )
+    merged = clicks.select("user_id", "ts", "event_id", "click_id", "is_purchase").unionByName(
+        purchases.select("user_id", "ts", "event_id", "click_id", "is_purchase")
+    )
+    # clicks sort before purchases at equal ts (is_purchase asc) → inclusive
+    # "at-or-before" semantics, matching ASOF's p.ts >= c.ts.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("last_click", F.last("click_id", ignorenulls=True).over(w)).withColumn(
+        "last_click_ts", F.last(F.when(F.col("is_purchase") == 0, F.col("ts")), ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_purchase") == 1).select(
+        "event_id",
+        F.col("last_click").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+    )
