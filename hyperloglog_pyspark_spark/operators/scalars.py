@@ -1,1 +1,216 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function coverage: string / date / math / array / JSON / map
+(SURVEY.md §2.2 row "scalar functions"). The reference's only scalar ops
+are str() canonicalization + sha1 (HLL/HyperLogLog.py:110-111).
+
+Everything here is a built-in pyspark.sql.functions expression — JVM-side,
+inside whole-stage codegen; no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hyperloglog_pyspark_spark.functions.money import dec_price
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+
+@register(
+    "string_funcs",
+    category="scalar",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substring(p_name, 1, 5) AS name_prefix,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           length(p_name) AS name_len,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, ' ', '_') AS name_snake,
+           reverse(p_brand) AS brand_rev
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substring/concat_ws/length/regexp_extract/regexp_replace/reverse."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@register(
+    "date_funcs",
+    category="scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/quarter/day extraction, date_trunc, last_day, datediff."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@register(
+    "math_funcs",
+    category="scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(sqrt(l_quantity), 6) AS DOUBLE) AS qty_sqrt,
+           CAST(round(ln(l_extendedprice), 6) AS DOUBLE) AS price_ln,
+           CAST(abs(l_discount - 0.05) AS DOUBLE) AS disc_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_returnflag = 'N'
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt/ln/abs/ceil/floor/mod/sign (transcendentals rounded to 6dp —
+    libm implementations may differ in the last ulp across engines)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_returnflag") == "N")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).cast("double").alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).cast("double").alias("price_ln"),
+        F.abs(F.col("l_discount") - 0.05).cast("double").alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_ceil7"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_k_floor"),
+        (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+    )
+
+
+@register(
+    "array_funcs",
+    category="scalar",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3
+    FROM documents
+    WHERE lang = 'en'
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → size/array_distinct/element_at/array_contains/slice/array_join —
+    higher-order array ops, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+    )
+
+
+@register(
+    "json_funcs",
+    category="scalar",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props (get_json_object) + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_bucket", F.get_json_object("props", "$.k").cast("int") % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec_price("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "map_funcs",
+    category="scalar",
+    oracle="""
+    SELECT k AS prop_key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS BIGINT) AS total
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON → MapType via from_json, exploded to (key, value) pairs
+    and aggregated — MapType + generator coverage."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "prop_val"))
+        .groupBy("prop_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("prop_val").alias("total"))
+    )
+
+
+@register(
+    "explode_positional",
+    category="scalar",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(list_slice(string_split(text, ' '), 1, 5)) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= 10
+    """,
+)
+def explode_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over tokenized documents: token frequency within the
+    first five positions, with HAVING."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.posexplode(F.split("text", " ")).alias("pos0", "token"))
+        .filter(F.col("pos0") < 5)  # posexplode is 0-based; oracle's WITH ORDINALITY is 1-based
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+    )

@@ -1,1 +1,158 @@
-"""Placeholder — populated in a later milestone."""
+"""Window functions: ranking, analytic (lag/lead), running frames, top-k
+per group, and global sort/limit (SURVEY.md §2.2 rows "window functions",
+"sorts/limits/top-k"). Absent from the reference entirely.
+
+Determinism discipline: every ORDER BY carries a unique tiebreaker column
+(orderkey / event_id) so ranking and frame contents are identical across
+engines and across partitionings — the same property that makes these
+queries safe to re-run at 100 TB (no nondeterministic output drift between
+cluster runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hyperloglog_pyspark_spark.functions.money import dec_price
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+
+@register(
+    "window_topk_per_group",
+    category="window",
+    bench=True,
+    oracle="""
+    SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer: row_number + filter.
+
+    Scale: this is THE scalable per-group top-k — one shuffle on the
+    partition key, a bounded heap per group under AQE; never a global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_sum",
+    category="window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running customer spend over order history (cumulative frame).
+
+    DECIMAL inside the frame keeps the prefix sums exact and engine-
+    independent; cast to DOUBLE only at the output edge.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec_price("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.row_number().over(w_seq).alias("order_seq"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    category="window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(value - lag(value) OVER w, 2) AS DOUBLE) AS value_delta,
+           lead(event_type) OVER w AS next_type,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over each user's event timeline: value deltas,
+    next event type, inter-event gap."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).cast("double").alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    category="window",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           rank() OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank,
+           ntile(4) OVER w AS price_quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS price_pct_rank
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank in one window."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).cast("double").alias("price_pct_rank"),
+    )
+
+
+@register(
+    "orderby_limit_topk",
+    category="sort",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT — planned as TakeOrderedAndProject (per-
+    partition top-25 heaps merged on the driver), so no full global sort
+    even at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(25)
+    )
