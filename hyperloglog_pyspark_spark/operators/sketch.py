@@ -109,6 +109,39 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll64_parity",
+    category="sketch",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def hll64_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via the clean-room sha1 HLL64 UDAF
+    (functions/hll64_spark.py) — the reference's own estimator run as a
+    two-phase distributed aggregate, tolerance-checked against exact.
+
+    p=12 ⇒ stderr 1.04/√4096 ≈ 1.63%; acceptance 3σ, the envelope the
+    reference itself demonstrates (−1.14% at p=12, BASELINE.md).
+    """
+    from hyperloglog_pyspark_spark.functions.hll64_spark import hll64_estimate_col, hll64_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sketches = hll64_sketch(ev, ["event_type"], "user_id", k=2**12)
+    est = hll64_estimate_col(sketches, alias="approx_users")
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+    stderr = 1.04 / (2**6.0)
+    return exact.join(est.select("event_type", "approx_users"), "event_type").select(
+        "event_type",
+        "n_users",
+        _tol(F.col("approx_users"), F.col("n_users"), stderr).alias("approx_ok"),
+    )
+
+
+@register(
     "hll_merge_compat",
     category="sketch",
     oracle="""

@@ -14,6 +14,8 @@ count sized to cores, Arrow for any Python-side exchange.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -22,8 +24,34 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Spark's Python workers.
+
+    The driver process may run from any cwd (the per-round driver does);
+    Pandas-UDF closures (functions/hll64_spark.py, operators/dedup.py, …)
+    reference this package by name, so ship a zip of it via addPyFile —
+    the same mechanism you'd use to deploy the engine to a real cluster.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_hllps_package_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"hllps_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, repo_root))
+    sc.addPyFile(zpath)
+    sc._hllps_package_shipped = True
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs (safe on someone else's session)."""
+    _ship_package(spark)
     conf = spark.conf
     # The driver-generated events.parquet stores ts as TIMESTAMP(NANOS),
     # which Spark's parquet reader rejects [PARQUET_TYPE_ILLEGAL]; read the

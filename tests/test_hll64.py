@@ -1,0 +1,103 @@
+"""Golden-parity tests for the clean-room HLL64 sketch.
+
+The reference's goldens are deterministic (fixed sha1 hash, SURVEY.md §5);
+inside the linear-counting regime — which covers every golden the
+reference asserts — our estimates must be bit-for-bit equal to the
+documented values (BASELINE.md)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hyperloglog_pyspark_spark.functions import hll64
+from hyperloglog_pyspark_spark.functions.hll64_spark import estimate_distinct, hll64_estimate_col, hll64_sketch
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+
+def _estimate(values, k):
+    p = hll64.p_from_k(k)
+    regs = hll64.empty_registers(p)
+    hll64.update_registers(regs, values, p)
+    return hll64.estimate(regs)
+
+
+class TestGoldens:
+    def test_three_distinct_k_2_17(self):
+        # BASELINE.md: 3.0000343327992325 (HLL64, k=2^17, LC regime)
+        assert _estimate(["abc", "def", "ghi"], 2**17) == pytest.approx(3.0000343327992325, abs=1e-12)
+
+    def test_three_distinct_k_250(self):
+        # BASELINE.md: 3.017716672522796 (k=250 → p=8, m=256)
+        assert _estimate(["abc", "def", "ghi"], 250) == pytest.approx(3.017716672522796, abs=1e-12)
+
+    def test_duplicates_do_not_change_estimate(self):
+        assert _estimate(["abc", "def", "ghi"] * 50, 250) == _estimate(["abc", "def", "ghi"], 250)
+
+    def test_str_canonicalization(self):
+        # HyperLogLog.py:110 semantics: str() before hashing — 11 and "11"
+        # collide; 11 and 11.0 do not.
+        assert _estimate([11, "11"], 2**17) == _estimate([11], 2**17)
+        assert _estimate([11, 11.0], 2**17) == pytest.approx(2.0, abs=0.01)
+
+    def test_lc_formula(self):
+        # With no register collisions, LC = m·ln(m/(m−n)) exactly.
+        m = 2**17
+        assert _estimate(list("abcdefghij"), m) == pytest.approx(m * math.log(m / (m - 10)), abs=1e-9)
+
+
+class TestMergeSemantics:
+    def _regs(self, values, p=12):
+        r = hll64.empty_registers(p)
+        hll64.update_registers(r, values, p)
+        return r
+
+    def test_merge_commutative_associative(self):
+        a, b, c = self._regs(["x", "y"]), self._regs(["y", "z"]), self._regs(["w"])
+        ab = hll64.merge_registers(a, b)
+        ba = hll64.merge_registers(b, a)
+        assert (ab == ba).all()
+        abc1 = hll64.merge_registers(hll64.merge_registers(a, b), c)
+        abc2 = hll64.merge_registers(a, hll64.merge_registers(b, c))
+        assert (abc1 == abc2).all()
+
+    def test_merge_equals_union(self):
+        a, b = self._regs(["x", "y", "z"]), self._regs(["z", "w"])
+        u = self._regs(["x", "y", "z", "w"])
+        assert (hll64.merge_registers(a, b) == u).all()
+
+    def test_p_compat_fix(self):
+        # k=250 and k=256 share p=8 and MUST merge (the reference's raw-k
+        # equality check is a documented latent bug, SURVEY.md §4).
+        a = self._regs(["x"], hll64.p_from_k(250))
+        b = self._regs(["y"], hll64.p_from_k(256))
+        assert hll64.merge_registers(a, b).size == 256
+
+    def test_incompatible_p_raises(self):
+        with pytest.raises(ValueError, match="incompatible"):
+            hll64.merge_registers(self._regs(["x"], 8), self._regs(["x"], 12))
+
+    def test_k_range_validation(self):
+        for bad in (2, 15, 2**18 + 1):
+            with pytest.raises(ValueError):
+                hll64.p_from_k(bad)
+
+
+class TestSparkIntegration:
+    def test_global_estimate_matches_local(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        dist = estimate_distinct(ev, "user_id", 2**12).collect()[0]["estimate"]
+        local_vals = [r["user_id"] for r in ev.select("user_id").collect()]
+        assert dist == pytest.approx(_estimate(local_vals, 2**12), abs=1e-9)
+
+    def test_grouped_sketch_tolerance(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        est = hll64_estimate_col(hll64_sketch(ev, ["event_type"], "user_id", 2**12))
+        exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n"))
+        rows = exact.join(est, "event_type").collect()
+        assert rows
+        for r in rows:
+            assert abs(r["estimate"] - r["n"]) / r["n"] <= 3 * 1.04 / 64.0
