@@ -1,0 +1,34 @@
+"""Vector math over ArrayType embedding columns — higher-order functions
+only (zip_with / aggregate), i.e. JVM-side whole-stage codegen; no Python
+in the hot path.
+
+Floats are cast to double BEFORE any arithmetic so both engines accumulate
+in double precision; cosine outputs are rounded to 4dp wherever they feed
+thresholds or rankings, absorbing last-ulp accumulation-order differences
+between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_rounded(a: Column, b: Column, digits: int = 4) -> Column:
+    return F.round(cosine(a, b), digits).cast("double")

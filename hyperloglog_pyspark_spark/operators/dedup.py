@@ -1,1 +1,346 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH
+near-dup, SimHash near-dup, exact n-gram Jaccard, and embedding-cosine
+near-dup (BASELINE.json north-star set).
+
+Scale designs (the whole point at 100 TB):
+- exact: hash-groupBy on the dedup key — one shuffle, map-side combine;
+- MinHash LSH: shingle → per-seed min-hash signature → band hashes →
+  candidates = equi-join on (band, hash) → verify exact Jaccard on the
+  tiny candidate set. Quadratic work only inside LSH buckets, never
+  globally; this is the published Broder/LSH construction.
+- SimHash: banded fingerprint; pigeonhole guarantees hamming ≤ 3 pairs
+  share one of 4 exact bands, so candidates come from an equi-join too.
+- embedding cosine: label-blocked pair generation (a real pipeline blocks
+  on a cheap partition key — cluster id / shard — before the O(n²) step).
+
+Determinism: every signature is md5-derived, so Spark and DuckDB compute
+identical candidates and identical similarity values (see
+functions/texttools.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hyperloglog_pyspark_spark.functions.texttools import (
+    md5_long,
+    md5_long_sql,
+    shingles_sql,
+    word_shingles,
+)
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+N_SEEDS = 12
+BAND_R = 3  # rows per band → N_SEEDS/BAND_R = 4 bands
+JACCARD_T = 0.8
+
+
+@register(
+    "dedup_exact",
+    category="dedup",
+    bench=True,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_kept, CAST(SUM(n_dups) AS BIGINT) AS n_dropped
+    FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, event_type) - 1 AS n_dups
+        FROM events
+    )
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on (user_id, event_type), keeping the earliest event —
+    a deterministic survivor rule (never dropDuplicates, whose survivor is
+    partition-order dependent), summarized per event type.
+
+    Scale: hash-groupBy on the dedup key — one shuffle; with storage
+    bucketed on the key it is shuffle-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    survivors = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(Window.partitionBy("user_id", "event_type")) - 1)
+        .filter(F.col("rn") == 1)
+    )
+    return survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_dups").alias("n_dropped"),
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", word_shingles("text", 3).alias("sh"))
+    )
+
+
+_SHINGLED_SQL = f"""
+        SELECT doc_id, {shingles_sql(3)} AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    category="dedup",
+    bench=True,
+    oracle=f"""
+    WITH docs AS ({_SHINGLED_SQL}),
+    sig AS (
+        SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '|' || sh_el)) AS sig
+        FROM (SELECT doc_id, unnest(sh) AS sh_el FROM docs)
+        CROSS JOIN (SELECT unnest(range(0, {N_SEEDS})) AS s)
+        GROUP BY doc_id, s
+    ),
+    bands AS (
+        SELECT doc_id, s // {BAND_R} AS band,
+               md5(string_agg(sig, '|' ORDER BY s)) AS band_hash
+        FROM sig GROUP BY doc_id, s // {BAND_R}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 6) AS DOUBLE)
+               AS jaccard
+    FROM cand
+    JOIN docs da ON da.doc_id = cand.doc_a
+    JOIN docs db ON db.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+          / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) >= {JACCARD_T}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs (word 3-gram shingles, 12 md5
+    min-hashes, 4 bands × 3 rows), verified with exact Jaccard ≥ 0.8.
+
+    Candidate generation is an equi-join on (band, band_hash) — the only
+    pairs ever materialized are bucket collisions, which is what keeps
+    near-dup detection feasible on a 100 TB corpus.
+    """
+    docs = _shingled(spark, sf_dir)
+    def min_sig(seed: int):
+        # Single-arg lambda only: F.transform treats two-arg lambdas as
+        # (element, index).
+        return F.array_min(
+            F.transform("sh", lambda x: F.md5(F.concat(F.lit(f"{seed}|"), x)))
+        ).alias(f"sig{seed}")
+
+    sigs = docs.select("doc_id", "sh", *[min_sig(s) for s in range(N_SEEDS)])
+    band_cols = [
+        F.md5(F.concat_ws("|", *[f"sig{s}" for s in range(b * BAND_R, (b + 1) * BAND_R)])).alias(
+            f"band{b}"
+        )
+        for b in range(N_SEEDS // BAND_R)
+    ]
+    bands = sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[f"band{b}" for b in range(N_SEEDS // BAND_R)])).alias(
+            "band", "band_hash"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
+    )
+
+
+LEN_BUCKET = 16
+
+
+@register(
+    "dedup_ngram_jaccard",
+    category="dedup",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, {shingles_sql(3)} AS sh,
+               len(string_split(text, ' ')) // {LEN_BUCKET} AS lb
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS DOUBLE)
+               AS jaccard
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+                           AND b.lb BETWEEN a.lb - 1 AND a.lb + 1
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-blocked exact n-gram Jaccard — the exact baseline the LSH
+    path approximates, with pair generation bounded by a token-length
+    bucket blocker (high-Jaccard pairs have near-equal lengths; blocking
+    on ⌊len/16⌋ ± 1 keeps the join quadratic only within buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            word_shingles("text", 3).alias("sh"),
+            F.floor(F.size(F.split("text", " ")) / LEN_BUCKET).alias("lb"),
+        )
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("lb").alias("lb_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("lb").alias("lb_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        a.join(b, (F.col("doc_a") < F.col("doc_b")) & F.col("lb_b").between(F.col("lb_a") - 1, F.col("lb_a") + 1))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
+    )
+
+
+N_SIM_BITS = 48  # fits the 60-bit md5_long hash
+SIM_BANDS = 3  # 3 bands × 16 bits; hamming ≤ 2 ⇒ ≥ 1 identical band
+SIM_HAMMING = 2
+
+
+@register(
+    "dedup_simhash",
+    category="dedup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    th AS (SELECT doc_id, {md5_long_sql("token")} AS h FROM tok),
+    bits AS (
+        SELECT doc_id, b.b,
+               CASE WHEN SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM th CROSS JOIN (SELECT unnest(range(0, {N_SIM_BITS})) AS b) b
+        GROUP BY doc_id, b.b
+    ),
+    sim AS (
+        SELECT doc_id, CAST(SUM(bit << b) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * {N_SIM_BITS // SIM_BANDS}))
+                   & {(1 << (N_SIM_BITS // SIM_BANDS)) - 1} AS band_val
+        FROM sim CROSS JOIN (SELECT unnest(range(0, {SIM_BANDS})) AS band) bb
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 48-bit md5-vote fingerprint, banded LSH
+    candidates (3 bands x 16 bits: hamming <= 2 always collides in >= 1
+    band by pigeonhole), verified with exact hamming distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+    th = tok.select("doc_id", md5_long(F.col("token")).alias("h"))
+    bit_votes = [
+        F.when(F.sum(F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1)) > 0, 1)
+        .otherwise(0)
+        .alias(f"bit{b}")
+        for b in range(N_SIM_BITS)
+    ]
+    sim = (
+        th.groupBy("doc_id")
+        .agg(*bit_votes)
+        .select(
+            "doc_id",
+            sum(
+                (F.col(f"bit{b}").cast("long") * F.lit(1 << b)) for b in range(N_SIM_BITS)
+            ).alias("simhash"),
+        )
+    )
+    band_w = N_SIM_BITS // SIM_BANDS
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * band_w).bitwiseAND((1 << band_w) - 1)
+                    for b in range(SIM_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= SIM_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    category="dedup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS DOUBLE) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: label-blocked cosine ≥ 0.4.
+
+    Blocking on `label` bounds pair generation to within-block O(n_b²) —
+    the pattern that scales (block key = cluster/shard id at 100 TB; see
+    similarity.py for the LSH-bucketed variant with no given blocks).
+    """
+    from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label", as_double("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), as_double("embedding").alias("eb"))
+    cos = cosine_rounded(F.col("ea"), F.col("eb"), 4)
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
+    )

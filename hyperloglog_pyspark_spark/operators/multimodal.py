@@ -1,1 +1,82 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched Pandas UDFs over mapInPandas.
+
+The container has no image/audio codecs, so the decode step is a clearly
+marked STUB (decode_image below raises NotImplementedError; the query path
+uses a deterministic fake derived from the payload bytes). What IS real
+and tested: the Spark-side plumbing a multimodal pipeline needs — binary
+column construction, mapInPandas batch iteration, explicit output schema,
+and partition-parallel execution with no driver collects.
+
+Scale: binary payloads ride in parquet as byte arrays; mapInPandas
+processes them batch-by-batch per partition (Arrow zero-copy into pandas),
+which is exactly how a real frame-sampler/resizer runs over 100 TB of
+media — per-partition, bounded memory, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real decoder entry point — STUBBED: no codec libraries in this
+    environment. A deployment would decode via PIL/ffmpeg here and return
+    width/height/frames."""
+    raise NotImplementedError("media codecs unavailable in this environment; use fake_decode_meta")
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode: metadata derived from payload
+    bytes only, so the DuckDB oracle can reproduce it."""
+    n = len(payload)
+    return n, n % 640, (n * 7) % 480
+
+
+@register(
+    "multimodal_meta",
+    category="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS frame_w,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS frame_h,
+           'stub' AS codec
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → decoded metadata via mapInPandas (stubbed decode).
+
+    documents.text stands in for a media blob (encode → binary column);
+    the UDF iterates Arrow batches and emits a typed metadata row per
+    payload — the exact shape of a real decode/feature-extract pass.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": meta.map(lambda m: m[0]),
+                    "frame_w": meta.map(lambda m: m[1]),
+                    "frame_h": meta.map(lambda m: m[2]),
+                    "codec": "stub",
+                }
+            )
+
+    return docs.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_bytes long, frame_w long, frame_h long, codec string",
+    )

@@ -1,1 +1,161 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over embedding columns: brute-force cosine top-k (the
+exact baseline) and a random-hyperplane LSH-bucketed ANN variant (the
+scale path). BASELINE.json north-star set.
+
+Plane weights are derived from md5 at *registration* time (deterministic,
+no RNG) and inlined as literals into BOTH the Spark expressions and the
+DuckDB oracle SQL — the two engines compute identical buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded, dot
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+N_QUERIES = 8  # vec_id < 8 act as query vectors
+TOP_K = 10
+EMB_DIM = 64
+N_PLANES = 6  # 2^6 = 64 LSH buckets
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1] from md5 — no RNG, so
+    Spark literals and oracle SQL literals are identical by construction."""
+    h = int(hashlib.md5(f"plane{p}d{d}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+PLANES = [[_plane_weight(p, d) for d in range(EMB_DIM)] for p in range(N_PLANES)]
+
+
+def _bucket_expr_spark(emb_col):
+    """LSH bucket id: bit p = sign(dot(embedding, plane_p))."""
+    acc = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        w = F.array(*[F.lit(x) for x in plane])
+        acc = acc + F.when(dot(emb_col, w) > 0, F.lit(1 << p)).otherwise(0)
+    return acc
+
+
+def _bucket_expr_sql(emb: str) -> str:
+    parts = []
+    for p, plane in enumerate(PLANES):
+        lit = "[" + ",".join(repr(x) for x in plane) + "]"
+        parts.append(f"(CASE WHEN list_dot_product({emb}::DOUBLE[], {lit}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS DOUBLE) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id
+               ) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector: broadcast the (small) query set
+    against the corpus, per-query window top-k.
+
+    Scale: brute force is O(|Q|·N) — fine for small query batches even at
+    large N because the corpus side streams (no shuffle of the corpus;
+    queries broadcast). For large |Q|, switch to similarity_ann_lsh.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe")
+    )
+    c = emb.select("vec_id", as_double("embedding").alias("ce"))
+    cos = cosine_rounded(F.col("qe"), F.col("ce"), 4)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+_PROBE_MASKS = [0] + [1 << p for p in range(N_PLANES)]  # exact bucket + 1-bit flips
+
+
+@register(
+    "similarity_ann_lsh",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_bucket_expr_sql("embedding")} AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, q.embedding AS qe,
+               xor(q.bucket, m.m) AS probe_bucket
+        FROM (SELECT * FROM bucketed WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN (SELECT unnest({_PROBE_MASKS}) AS m) m
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT p.query_id, c.vec_id,
+               CAST(round(list_cosine_similarity(p.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) AS DOUBLE) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round(list_cosine_similarity(p.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id
+               ) AS rank
+        FROM probes p
+        JOIN bucketed c ON c.bucket = p.probe_bucket AND c.vec_id <> p.query_id
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: random-hyperplane LSH buckets with
+    multi-probe (the query's bucket plus every 1-bit-flip neighbor), exact
+    cosine re-ranking over the probed candidates only.
+
+    Scale: candidate generation is an equi-join of (query × probes)
+    against the bucketed corpus — the corpus is scanned once to bucket;
+    only probed-bucket pairs are scored. Multi-probe buys recall without
+    more planes; recall vs the exact baseline is asserted in tests
+    (uniform-random embeddings are LSH's worst case, so the bar there is
+    modest by construction).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", as_double("embedding").alias("e"), _bucket_expr_spark(as_double("embedding")).alias("bucket")
+    )
+    probes = (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(F.array(*[F.col("bucket").bitwiseXOR(m) for m in _PROBE_MASKS])).alias(
+                "probe_bucket"
+            ),
+        )
+    )
+    c = bucketed.select("vec_id", F.col("e").alias("ce"), "bucket")
+    cos = cosine_rounded(F.col("qe"), F.col("ce"), 4)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(probes)
+        .join(c, (F.col("bucket") == F.col("probe_bucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

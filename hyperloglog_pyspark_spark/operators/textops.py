@@ -1,1 +1,153 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis operators: token statistics, quality scoring, language-ID
+heuristic, document fingerprinting (BASELINE.json north-star set).
+
+All built-in column expressions (split / higher-order list functions /
+regexp / md5) — JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hyperloglog_pyspark_spark.functions.texttools import NORMALIZED_SQL, STOPWORDS, normalized_text
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+_STOP_SQL = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "text_stats",
+    category="text",
+    bench=True,
+    oracle=f"""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct_chars,
+           CAST(round(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS DOUBLE) AS stop_ratio,
+           CAST(round(0.5 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+                             / len(string_split(text, ' ')))
+                 + 0.5 * (least(len(string_split(text, ' ')), 100) / 100.0), 6) AS DOUBLE) AS quality
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts, punctuation density, stopword ratio and
+    a deterministic [0,1] quality score (stopword-ratio + length terms) —
+    the filter signal a pretraining pipeline thresholds on."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = 0.5 * stop_ratio + 0.5 * (F.least(n_tokens, F.lit(100)) / 100.0)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("punct_chars"),
+        F.round(stop_ratio, 6).cast("double").alias("stop_ratio"),
+        F.round(quality, 6).cast("double").alias("quality"),
+    )
+
+
+_MARKERS = {"en": ["the", "a", "of"], "de": ["der", "die", "und"], "fr": ["le", "la", "et"]}
+
+
+def _marker_count_sql(lang: str) -> str:
+    lst = "(" + ",".join(f"'{w}'" for w in _MARKERS[lang]) + ")"
+    return f"len(list_filter(string_split(text, ' '), t -> t IN {lst}))"
+
+
+@register(
+    "text_langid",
+    category="text",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_marker_count_sql("en")} >= {_marker_count_sql("de")}
+                 AND {_marker_count_sql("en")} >= {_marker_count_sql("fr")} THEN 'en'
+                WHEN {_marker_count_sql("de")} >= {_marker_count_sql("fr")} THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           (CASE WHEN {_marker_count_sql("en")} >= {_marker_count_sql("de")}
+                 AND {_marker_count_sql("en")} >= {_marker_count_sql("fr")} THEN 'en'
+                WHEN {_marker_count_sql("de")} >= {_marker_count_sql("fr")} THEN 'de'
+                ELSE 'fr' END) = lang AS correct
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (argmax of stopword-list hits,
+    deterministic tie-break en > de > fr).
+
+    The synthetic corpus shares one vocabulary across langs, so accuracy
+    is meaningless here — the operator demonstrates the deterministic
+    classifier plumbing (n-gram/marker scoring, argmax with stable ties)
+    that a real lang-ID pass uses.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def marker_count(ws):
+        # NB: single-arg lambda — F.filter treats a two-arg lambda as
+        # (element, index), so capturing via default arg breaks.
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    counts = {lang: marker_count(ws) for lang, ws in _MARKERS.items()}
+    pred = (
+        F.when((counts["en"] >= counts["de"]) & (counts["en"] >= counts["fr"]), "en")
+        .when(counts["de"] >= counts["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"), (pred == F.col("lang")).alias("correct"))
+
+
+@register(
+    "text_fingerprint",
+    category="text",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5({NORMALIZED_SQL})) AS n_fingerprints
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprints (lowercase, punctuation
+    stripped, whitespace collapsed → md5), counted per source — the
+    near-exact dedup key that survives formatting noise."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5(normalized_text("text"))).alias("n_fingerprints"),
+    )
+
+
+@register(
+    "text_token_freq",
+    category="text",
+    oracle="""
+    SELECT token, n FROM (
+        SELECT token, COUNT(*) AS n,
+               row_number() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ) WHERE rn <= 20
+    """,
+)
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 (explode → count → ranked with a
+    lexicographic tiebreak so the cut is deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+        .select("token", "n")
+    )
