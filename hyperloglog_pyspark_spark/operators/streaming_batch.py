@@ -1,1 +1,143 @@
-"""Placeholder — populated in a later milestone."""
+"""Time-window aggregations — the batch forms of the streaming operators
+(SURVEY.md §2.2 row "streaming"): tumbling, sliding and session windows
+over the events table.
+
+These are the same expressions the Structured Streaming pipelines in
+streaming/pipelines.py run over an unbounded source (readStream +
+withWatermark); batch execution makes them DuckDB-oracle-checkable, and
+Spark guarantees batch/streaming semantic parity for windowed aggs. The
+true-streaming forms (watermarks, late-data drop, stateful HLL) are
+exercised in tests/test_streaming.py.
+
+Output discipline: window starts surfaced as epoch milliseconds
+(unix_millis ↔ epoch_ms both floor), value sums in DECIMAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hyperloglog_pyspark_spark.functions.money import dec_price
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+
+@register(
+    "window_tumbling",
+    category="streaming",
+    bench=True,
+    oracle="""
+    SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count, exact distinct
+    users, value sum.
+
+    Streaming form: identical agg over readStream with
+    withWatermark("ts", ...) — HLL sketch state (bounded) replaces exact
+    distinct for unbounded keyspaces (see streaming/pipelines.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(dec_price("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    category="streaming",
+    oracle="""
+    SELECT CAST(epoch_ms(time_bucket(INTERVAL 30 MINUTES, ts) - o.off * INTERVAL 30 MINUTES) AS BIGINT)
+               AS window_start_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+    GROUP BY 1
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide — every event lands
+    in exactly two overlapping windows (the oracle materializes both
+    window starts per row; Spark's window() generator does the same)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec_price("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "window_session",
+    category="streaming",
+    bench=True,
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTES
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: 15-minute inactivity gap per user.
+
+    Spark's session_window merges events whose gap to the previous event
+    is < 15 min (window extends to last_ts + gap, half-open) — the oracle
+    reproduces this with the classic gaps-and-islands construction
+    (new session when ts − prev ≥ gap).
+
+    Scale: sessionization shuffles once on user_id; state per key is
+    bounded by the gap in streaming mode (state eviction past watermark).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )

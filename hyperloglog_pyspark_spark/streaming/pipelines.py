@@ -1,0 +1,125 @@
+"""Structured Streaming pipelines: the unbounded forms of the window
+operators, plus a custom stateful distinct-count stream backed by the
+clean-room HLL64 sketch.
+
+The reference targets "data streams" conceptually (assignment PDF title;
+README.md:22 discusses sketch memory for streams) but only implements
+batch RDDs — this module is where that intent becomes real: bounded-state
+HLL aggregation is exactly what makes per-window distinct counts safe on
+an unbounded stream.
+
+Sources here are file streams (parquet dirs) so tests can feed
+micro-batches deterministically; swapping in kafka/rate sources changes
+one line. Sinks are left to the caller (tests use memory/foreachBatch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hyperloglog_pyspark_spark.functions import hll64
+from hyperloglog_pyspark_spark.functions.money import dec_price
+from hyperloglog_pyspark_spark.session import configure
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of events-shaped parquet micro-batches."""
+    configure(spark)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling 1h windows with a watermark: late rows beyond the
+    watermark are dropped, window state is evicted once the watermark
+    passes window end — bounded state on an unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec_price("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "15 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Session windows (15-min gap) per user over the stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
+
+
+OUTPUT_SCHEMA = "event_type string, estimate double, n_rows_seen long"
+_HLL_P = 12
+
+
+def _distinct_users_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update: fold this micro-batch's user_ids into
+    the persisted HLL64 register state, emit the refreshed estimate.
+
+    The state value is the serialized register array — the same mergeable
+    sketch the batch layer uses (functions/hll64.py), so streaming and
+    batch estimates agree given the same input.
+    """
+    if state.exists:
+        (blob, seen) = state.get
+        regs = hll64.deserialize(blob)
+    else:
+        regs, seen = hll64.empty_registers(_HLL_P), 0
+    for pdf in pdfs:
+        hll64.update_registers(regs, pdf["user_id"].astype(str).to_numpy(), _HLL_P)
+        seen += len(pdf)
+    state.update((hll64.serialize(regs), seen))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "estimate": [hll64.estimate(regs)], "n_rows_seen": [seen]}
+    )
+
+
+def distinct_users_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running approximate distinct users per
+    event_type, state = one fixed-size HLL64 sketch per key.
+
+    This is the streaming answer to the reference's flagship
+    estimate_distinct_elements_parallel (HLL/examples.py:56-67): the
+    sketch's bounded memory (2^p registers, HyperLogLog.py:83-84) is what
+    makes running distinct counts viable on an unbounded stream.
+    """
+    return (
+        events.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _distinct_users_state_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType="registers binary, n_rows_seen long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,147 @@
+"""True Structured Streaming tests: micro-batch file source → windowed /
+stateful aggregations → memory sink. Covers batch/stream parity,
+late-data drop past the watermark, and cross-batch HLL sketch state."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from hyperloglog_pyspark_spark.functions import hll64
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+from hyperloglog_pyspark_spark.streaming.pipelines import (
+    distinct_users_stream,
+    read_events_stream,
+    tumbling_counts,
+)
+
+pytestmark = pytest.mark.streaming
+
+
+def _write_batch(spark, events_df, path: str) -> None:
+    events_df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def event_batches(spark, sf_dir, tmp_path):
+    """events split into two micro-batch parquet files by event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream_src")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    return ev, first, second, src, str(tmp_path / "ckpt")
+
+
+def test_tumbling_stream_matches_batch(spark, event_batches):
+    ev, first, second, src, ckpt = event_batches
+    _write_batch(spark, first, src)
+    _write_batch(spark, second, src)
+    stream = tumbling_counts(read_events_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_complete")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("tumbling_complete").toPandas()
+    finally:
+        q.stop()
+    want = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start_ms", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_like=True)
+
+
+def test_late_rows_dropped_past_watermark(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    # Batch 1: events at 12:00-12:10 → watermark advances to ~11:40.
+    _write_batch(spark, mk([(base, 1, "click"), (base + datetime.timedelta(minutes=10), 2, "click")]), src)
+    stream = tumbling_counts(read_events_stream(spark, src), watermark="30 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 2: one row 2h late (10:05 — before the 11:40 watermark → must
+        # be DROPPED) and one current row (12:20 — must be aggregated).
+        _write_batch(
+            spark,
+            mk([(base - datetime.timedelta(hours=2), 3, "click"),
+                (base + datetime.timedelta(minutes=20), 4, "click")]),
+            src,
+        )
+        q.processAllAvailable()
+        got = spark.table("late_drop").toPandas()
+    finally:
+        q.stop()
+    late_window_ms = int((base - datetime.timedelta(hours=2)).replace(minute=0).timestamp() * 1000)
+    live_window_ms = int(base.timestamp() * 1000)
+    assert late_window_ms not in set(got.window_start_ms), "late row should be dropped"
+    live = got[got.window_start_ms == live_window_ms].sort_values("n_events")
+    assert list(live.n_events)[-1] == 3  # 12:00 window re-emitted with the 12:20 row
+
+
+def test_stateful_hll_state_survives_batches(spark, event_batches):
+    ev, first, second, src, ckpt = event_batches
+    _write_batch(spark, first, src)
+    stream = distinct_users_stream(read_events_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hll_state")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, second, src)
+        q.processAllAvailable()
+        got = spark.table("hll_state").toPandas()
+    finally:
+        q.stop()
+    # Last emission per key reflects ALL rows — state carried across batches.
+    last = got.sort_values("n_rows_seen").groupby("event_type").last()
+    batch_counts = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for et, row in last.iterrows():
+        assert row["n_rows_seen"] == batch_counts[et]
+        # streaming estimate == local HLL64 over the same values
+        vals = [str(r["user_id"]) for r in ev.filter(F.col("event_type") == et).collect()]
+        regs = hll64.empty_registers(12)
+        hll64.update_registers(regs, vals, 12)
+        assert row["estimate"] == pytest.approx(hll64.estimate(regs), abs=1e-9)
