@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the engine's headline queries at a given scale
+factor and prints ONE JSON line for the per-round driver.
+
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[<n>] cores (default all)
+
+Each query is materialized with the noop sink (full execution, zero
+serialization/collect cost — measures the plan, not the driver pipe).
+One warm-up query runs first so JVM/codegen startup isn't billed to the
+first measured entry; per-query times are the median of ``REPS`` runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hyperloglog_pyspark_spark import registry
+from hyperloglog_pyspark_spark.session import get_spark
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+
+    registry.queries()  # force operator-module import
+    bench_qs = {n: q for n, q in registry.REGISTRY.items() if q.bench}
+
+    # Warm-up: JVM, codegen, parquet footer caches.
+    next(iter(bench_qs.values())).fn(spark, sf_dir).limit(1).collect()
+
+    times: dict[str, float] = {}
+    for name, q in bench_qs.items():
+        samples = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            materialize(q.fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
