@@ -130,7 +130,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs ever materialized are bucket collisions, which is what keeps
     near-dup detection feasible on a 100 TB corpus.
     """
-    docs = _shingled(spark, sf_dir)
+    # The shingled corpus feeds signature generation AND pair verification;
+    # persist it so the expensive shingle+md5 pass runs once, not once per
+    # downstream branch (at warehouse scale this is the checkpointed
+    # signature table every production LSH pipeline materializes).
+    docs = _shingled(spark, sf_dir).persist()
+
     def min_sig(seed: int):
         # Single-arg lambda only: F.transform treats two-arg lambdas as
         # (element, index).
@@ -151,15 +156,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band", "band_hash"
         ),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Candidates by bucket aggregation, not a self-join: one shuffle of
+    # (band, hash, doc_id), pairs emitted only inside buckets. Equivalent
+    # to the join formulation but scans/builds the signature table once —
+    # and bucket size IS the LSH knob that bounds the quadratic work.
+    ids_sorted = F.sort_array(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = (
+        bands.groupBy("band", "band_hash")
+        .agg(ids_sorted.alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
