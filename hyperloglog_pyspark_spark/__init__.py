@@ -35,5 +35,7 @@ def load_all_operators() -> None:
         sketch,
         streaming_batch,
         textops,
+        udtf,
         windows,
     )
+    from hyperloglog_pyspark_spark.sources import formats  # noqa: F401

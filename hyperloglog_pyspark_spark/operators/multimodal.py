@@ -80,3 +80,54 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         schema="doc_id long, n_bytes long, frame_w long, frame_h long, codec string",
     )
+
+
+FRAME_STRIDE = 256
+FRAME_SAMPLE = 64
+
+
+@register(
+    "multimodal_frame_sample",
+    category="multimodal",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+    e AS (
+        SELECT doc_id, n_bytes,
+               unnest(range(0, (n_bytes + {FRAME_STRIDE - 1}) // {FRAME_STRIDE})) AS frame_idx
+        FROM m
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * {FRAME_STRIDE} AS BIGINT) AS byte_offset,
+           CAST(least({FRAME_SAMPLE}, n_bytes - frame_idx * {FRAME_STRIDE}) AS BIGINT) AS frame_len
+    FROM e
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media blobs: every 256-byte "frame"
+    yields a 64-byte sample descriptor — the 1→N mapInPandas shape of a
+    real video frame-sampler (ffmpeg-seek per keyframe), with the decode
+    itself stubbed (see decode_image).
+
+    Scale: expansion happens inside the Arrow batch iterator,
+    partition-parallel, bounded memory; no shuffle, no driver collect.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "byte_offset": [], "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for idx in range((n + FRAME_STRIDE - 1) // FRAME_STRIDE):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["byte_offset"].append(idx * FRAME_STRIDE)
+                    out["frame_len"].append(min(FRAME_SAMPLE, n - idx * FRAME_STRIDE))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        sample_batches,
+        schema="doc_id long, frame_idx long, byte_offset long, frame_len long",
+    )

@@ -1,0 +1,121 @@
+"""Format connectors beyond parquet: CSV and JSON sources, partitioned
+parquet sink (SURVEY.md §2.2 row "scans / sources" — the reference has no
+file connectors at all; its tests load JSON by hand,
+tests/HLL/test_examples.py:35-43).
+
+Each query is a write→read roundtrip against a scratch dir, proving the
+sink produces files the matching source can faithfully re-read, then
+aggregates the re-read data so the DuckDB oracle (over the original
+parquet) checks end-to-end fidelity — types, quoting, nulls.
+
+Scale notes: the partitioned-parquet sink demonstrates the layout choice
+that matters most at 100 TB (partition column → directory pruning on
+read); the read-back query filters on the partition column and Catalyst
+prunes to one directory (PartitionFilters in the scan node). CSV/JSON are
+ingest formats — the pattern is read-with-explicit-schema (never
+inferSchema over 100 TB: it double-scans) then convert to columnar.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+
+def _scratch(kind: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"hllps_io_{kind}_{tag}")
+
+
+CUSTOMER_DDL = "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+
+
+@register(
+    "source_csv_roundtrip",
+    category="source",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           MIN(c_name) AS first_name,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV sink (header) → CSV source with explicit DDL schema
+    → aggregate. Doubles round-trip exactly (Spark writes shortest
+    round-trippable repr); never inferSchema at scale — it double-scans."""
+    customer = load_table(spark, sf_dir, "customer")
+    path = _scratch("csv", sf_dir)
+    customer.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(CUSTOMER_DDL).option("header", True).csv(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_name").alias("first_name"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    category="source",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (open status) → JSON-lines sink → JSON source with explicit
+    schema → aggregate. Dates serialize as ISO strings; the explicit read
+    schema restores DateType without inference."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    path = _scratch("json", sf_dir)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    orders.select(cols).write.mode("overwrite").json(path)
+    ddl = "o_orderkey long, o_orderstatus string, o_totalprice double, o_orderdate date, o_orderpriority string"
+    back = spark.read.schema(ddl).json(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "sink_partitioned_parquet",
+    category="sink",
+    oracle="""
+    SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → parquet sink partitioned by event_type → read back with a
+    partition filter → per-day aggregate.
+
+    The read-back filter on event_type never touches non-click
+    directories (PartitionFilters in the scan, zero data read for pruned
+    partitions) — the single most important layout decision at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = _scratch("part_parquet", sf_dir)
+    (
+        ev.select("event_id", "ts", "user_id", "value", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return back.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
