@@ -59,6 +59,11 @@ def configure(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Deterministic time semantics, aligned with DuckDB's naive timestamps.
     conf.set("spark.sql.session.timeZone", "UTC")
+    # Runtime-settable: size the shuffle to the machine (the driver's bare
+    # session defaults to 200 — 6x task overhead on local[32]); AQE still
+    # coalesces below this. On a real cluster this scales with executors:
+    # ~2-3x total cores, or rely on AQE's initialPartitionNum.
+    conf.set("spark.sql.shuffle.partitions", str(max(8, cpu_count())))
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
