@@ -34,6 +34,7 @@ def load_all_operators() -> None:
         similarity,
         sketch,
         streaming_batch,
+        subqueries,
         textops,
         udtf,
         windows,

@@ -1,0 +1,47 @@
+"""Tolerance tests for sketch-based approximate aggregates that cannot
+hash-match a cross-engine oracle (different hash/sketch internals): the
+approximate result is bounded against its exact counterpart, the
+reference's own accuracy-harness pattern (HLL/examples.py:70-83)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+QS = [0.25, 0.5, 0.75, 0.99]
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", QS, 10000).alias("approx"),
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in QS])).alias("exact"),
+    ).first()
+    for a, e in zip(row.approx, row.exact):
+        assert abs(a - e) / e < 0.05, (a, e)
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+    ).first()
+    # 3 sigma of the configured relative standard deviation
+    assert abs(row.approx - row.exact) / row.exact < 3 * 0.02
+
+
+def test_datasketches_hll_roundtrip_matches_direct_estimate(spark, sf_dir):
+    """Sketch column → union across groups → estimate equals estimating
+    the ungrouped column directly (merge exactness of HLL union)."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()
+        .est
+    )
+    direct = ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("e")).first().e
+    assert merged == direct
