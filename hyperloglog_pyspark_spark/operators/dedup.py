@@ -218,6 +218,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket blocker (high-Jaccard pairs have near-equal lengths; blocking
     on ⌊len/16⌋ ± 1 keeps the join quadratic only within buckets)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Persisted: feeds both sides of the blocked self-join.
     sh = (
         docs.filter(F.size(F.split("text", " ")) >= 3)
         .select(
@@ -225,15 +226,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             word_shingles("text", 3).alias("sh"),
             F.floor(F.size(F.split("text", " ")) / LEN_BUCKET).alias("lb"),
         )
+        .persist()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("lb").alias("lb_a"))
+    # lb_b BETWEEN lb_a−1 AND lb_a+1 is a non-equi predicate (nested-loop
+    # join); exploding the three probe buckets turns it into a hash
+    # equi-join — the form that scales (shuffle on bucket, no O(n²) probe).
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)).alias("lb_probe"),
+    )
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("lb").alias("lb_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        a.join(b, (F.col("doc_a") < F.col("doc_b")) & F.col("lb_b").between(F.col("lb_a") - 1, F.col("lb_a") + 1))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
+        a.join(b, (F.col("lb_probe") == F.col("lb_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .withColumn("jaccard_raw", inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter))
+        .filter(F.col("jaccard_raw") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).cast("double").alias("jaccard"))
     )
 
 
