@@ -222,3 +222,39 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
         """
     )
+
+
+@register(
+    "agg_salted_skew",
+    category="aggregate",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: event_type has a handful of values,
+    so at 100 TB every key is a hot key — a single groupBy(event_type)
+    funnels the table through a few reducers. Salting fans each key across
+    16 partial groups, then a cheap final pass over 16·|keys| rows.
+
+    The salt is hash(user_id) % 16 — NOT random — so COUNT(DISTINCT
+    user_id) stays decomposable (a user never straddles salt groups and
+    distinct counts add exactly). Sums/counts decompose trivially; the
+    same shape with hll_sketch_agg partials gives the approximate variant
+    (sketch.py::hll_sketch_rollup).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("user_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(dec_price("value")).alias("v"),
+        F.count_distinct("user_id").alias("d"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+        F.sum("d").alias("n_users"),
+    )

@@ -145,3 +145,49 @@ def test_stateful_hll_state_survives_batches(spark, event_batches):
         regs = hll64.empty_registers(12)
         hll64.update_registers(regs, vals, 12)
         assert row["estimate"] == pytest.approx(hll64.estimate(regs), abs=1e-9)
+
+
+def test_checkpoint_recovery_resumes_hll_state(spark, event_batches):
+    """Kill the stateful query after batch 1, restart from the same
+    checkpoint, feed batch 2: the restarted query must resume the HLL
+    register state (not recount from zero) — streaming fault tolerance."""
+    ev, first, second, src, ckpt = event_batches
+    _write_batch(spark, first, src)
+
+    emissions: list[pd.DataFrame] = []
+
+    def start():
+        # memory sink can't recover from a checkpoint; foreachBatch can.
+        return (
+            distinct_users_stream(read_events_stream(spark, src))
+            .writeStream.foreachBatch(lambda df, _bid: emissions.append(df.toPandas()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _write_batch(spark, second, src)
+    q = start()  # fresh query object, same checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = pd.concat(emissions, ignore_index=True)
+
+    # The final emission per key must cover batch 1 AND batch 2 rows even
+    # though the second query object never saw batch 1 — i.e. the HLL
+    # register state was restored from the checkpoint, not recounted.
+    last = got.sort_values("n_rows_seen").groupby("event_type").last()
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert len(last) > 0
+    for et, row in last.iterrows():
+        assert row["n_rows_seen"] == totals[et], (et, row["n_rows_seen"], totals[et])
