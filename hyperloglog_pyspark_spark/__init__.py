@@ -26,6 +26,7 @@ def load_all_operators() -> None:
     """Import every operator module so its queries register themselves."""
     from hyperloglog_pyspark_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         dedup,
         multimodal,
         relational,
