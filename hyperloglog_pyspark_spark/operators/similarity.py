@@ -159,3 +159,93 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+N_CENT_MOD = 100  # vec_id % 100 == 0 → deterministic centroid subset
+N_PROBES = 2
+
+
+@register(
+    "similarity_ivf",
+    category="similarity",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+        WHERE vec_id % {N_CENT_MOD} = 0
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding AS ev, c.cent_id,
+               list_dot_product(e.embedding::DOUBLE[], c.ce::DOUBLE[]) AS score
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, ev, cent_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, ev AS qe, cent_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent_id) AS rn
+            FROM scored WHERE vec_id < {N_QUERIES}
+        ) WHERE rn <= {N_PROBES}
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT q.query_id, a.vec_id,
+               CAST(round(list_cosine_similarity(q.qe::DOUBLE[], a.ev::DOUBLE[]), 4) AS DOUBLE) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], a.ev::DOUBLE[]), 4) DESC,
+                            a.vec_id
+               ) AS rank
+        FROM qprobe q JOIN assign a ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroid subset (vec_id % 100 == 0,
+    standing in for k-means — the partition/probe mechanics are identical),
+    every vector assigned to its nearest centroid by dot product, queries
+    probe their 2 nearest centroid lists, exact cosine re-rank inside.
+
+    Scale: assignment is one broadcast pass over the corpus (centroids are
+    tiny); the inverted lists ARE a partitioning of the corpus, so a probe
+    reads |corpus|/n_cent · n_probes vectors instead of all of them. At
+    100 TB the assignment output is written bucketed by cent_id, making
+    each probe a pruned scan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % N_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), as_double("embedding").alias("ce")
+    )
+    scored = (
+        emb.select("vec_id", as_double("embedding").alias("ev"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("score", dot(F.col("ev"), F.col("ce")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "cent_id")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "ev", "cent_id")
+    )
+    qprobe = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("ev").alias("qe"),
+            F.col("cent_id").alias("probe_cent"),
+        )
+    )
+    cos = cosine_rounded(F.col("qe"), F.col("ev"), 4)
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(qprobe)
+        .join(assign, F.col("probe_cent") == F.col("cent_id"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -151,3 +151,35 @@ def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("token", "n")
     )
+
+
+# GPT-2-style coarse pretokenizer classes, restricted to constructs RE2
+# (DuckDB) and Java regex (Spark) interpret identically.
+BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_token_bpe",
+    category="text",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{BPE_PAT}'))) AS BIGINT) AS n_bpe_distinct
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per document: whitespace split vs a BPE-ish
+    regex pretokenizer (letter runs / digit runs / single punctuation —
+    the coarse classes a byte-pair tokenizer merges within). The ratio of
+    the two is the classic tokens-per-word cost estimate for LLM training
+    budgets; all counting stays in JVM regexp, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PAT), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("long").alias("n_bpe_distinct"),
+    )
