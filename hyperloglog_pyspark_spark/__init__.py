@@ -30,6 +30,7 @@ def load_all_operators() -> None:
         dedup,
         multimodal,
         relational,
+        sampling,
         scalars,
         setops,
         similarity,

@@ -1,0 +1,81 @@
+"""Deterministic sampling and dataset splitting — the selection operators
+a training-data pipeline runs constantly, built on content hashes so they
+are reproducible across engines, runs, and cluster sizes (unlike
+df.sample(), whose output depends on partitioning).
+
+Scale: both are stateless row-local predicates/projections over a hash of
+the primary key — embarrassingly parallel, no shuffle except the final
+summary aggregation, and stable under repartitioning (the property that
+matters when the same split must be recomputed months later on different
+hardware).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hyperloglog_pyspark_spark.functions.texttools import md5_long, md5_long_sql
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+SAMPLE_PCT = 5
+
+
+@register(
+    "sample_deterministic",
+    category="sampling",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_sampled,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE {md5_long_sql("CAST(event_id AS VARCHAR)")} % 100 < {SAMPLE_PCT}
+    GROUP BY event_type
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic ~5% sample by hash bucket of the primary key: the same
+    rows are selected on any engine, any partitioning, any run — the
+    reproducible alternative to TABLESAMPLE/df.sample for pipeline
+    debugging and holdout carving."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = md5_long(F.col("event_id").cast("string")) % 100
+    return (
+        ev.filter(bucket < SAMPLE_PCT)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "split_train_val_test",
+    category="sampling",
+    oracle=f"""
+    SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT text, {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+        FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test split by doc_id hash bucket, with token
+    accounting per split. Hash-bucket assignment keeps every document in
+    the same split forever (append-only corpora never leak val→train on
+    re-runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = md5_long(F.col("doc_id").cast("string")) % 100
+    split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    return (
+        docs.select(split.alias("split"), F.size(F.split("text", " ")).alias("toks"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )

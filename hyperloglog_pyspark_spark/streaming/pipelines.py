@@ -123,3 +123,31 @@ def distinct_users_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Sliding 1h/30min windows per event_type over the stream — each event
+    contributes to two overlapping windows (same expression as the batch
+    form in operators/streaming_batch.py::window_sliding)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def enriched_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each event with a (static) per-user
+    dimension. Spark re-plans the static side per micro-batch; with a
+    broadcastable dim this is a map-side hash join on every batch — the
+    standard streaming enrichment pattern (at scale: a compact dim table
+    or a Delta/parquet snapshot, broadcast or bucket-joined)."""
+    return (
+        events.join(F.broadcast(user_dim), "user_id", "left")
+        .select("event_id", "ts", "user_id", "event_type", "value", "user_segment")
+    )

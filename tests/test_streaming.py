@@ -191,3 +191,71 @@ def test_checkpoint_recovery_resumes_hll_state(spark, event_batches):
     assert len(last) > 0
     for et, row in last.iterrows():
         assert row["n_rows_seen"] == totals[et], (et, row["n_rows_seen"], totals[et])
+
+
+def test_sliding_stream_matches_batch(spark, event_batches):
+    ev, first, second, src, ckpt = event_batches
+    _write_batch(spark, first, src)
+    _write_batch(spark, second, src)
+    from hyperloglog_pyspark_spark.streaming.pipelines import sliding_counts
+
+    stream = sliding_counts(read_events_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sliding_complete")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("sliding_complete").toPandas()
+    finally:
+        q.stop()
+    want = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+        )
+        .toPandas()
+    )
+    key = ["window_start_ms", "event_type"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
+
+
+def test_stream_static_join_enriches_every_batch(spark, event_batches):
+    ev, first, second, src, ckpt = event_batches
+    from hyperloglog_pyspark_spark.streaming.pipelines import enriched_stream
+
+    # Static dim derived from the batch table: deterministic user segments.
+    user_dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("user_segment", F.concat(F.lit("seg_"), (F.col("user_id") % 4).cast("string")))
+    )
+    _write_batch(spark, first, src)
+    _write_batch(spark, second, src)
+    stream = enriched_stream(read_events_stream(spark, src), user_dim)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("enriched").toPandas()
+    finally:
+        q.stop()
+    assert len(got) == ev.count()
+    # every event enriched (left join, dim covers all users)
+    assert got["user_segment"].notna().all()
+    assert (got["user_segment"] == "seg_" + (got["user_id"] % 4).astype(str)).all()
