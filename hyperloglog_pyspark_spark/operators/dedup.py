@@ -28,7 +28,7 @@ from hyperloglog_pyspark_spark.functions.texttools import (
     shingles_sql,
     word_shingles,
 )
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import REGISTRY, register
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 N_SEEDS = 12
@@ -369,3 +369,75 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.4)
         .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
     )
+
+
+def _minhash_oracle_cte() -> str:
+    """The dedup_minhash_lsh oracle, reusable as a CTE body (it is a full
+    SELECT returning doc_a, doc_b, jaccard)."""
+    return REGISTRY["dedup_minhash_lsh"].oracle
+
+
+@register(
+    "dedup_cluster_components",
+    category="dedup",
+    # Oracle filled in below after REGISTRY["dedup_minhash_lsh"] exists.
+    oracle=None,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash-LSH
+    pair graph, cluster id = min doc_id in the component — the step that
+    turns pairwise near-dups into keep-one-per-cluster decisions.
+
+    Implementation is min-label propagation iterated to fixpoint; the
+    pair graph is tiny relative to the corpus (that's LSH's output), so
+    each iteration is a join over pairs only, never the corpus. At
+    warehouse scale the same loop runs with the large-star/small-star
+    optimization (Kiveris et al.) — same semantics, fewer rounds.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(20):  # ≥ component diameter at any plausible test scale
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        if (
+            new_labels.agg(F.sum("label").alias("s")).first().s
+            == labels.agg(F.sum("label").alias("s")).first().s
+        ):
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+REGISTRY["dedup_cluster_components"].oracle = """
+    WITH RECURSIVE pairs AS ({minhash}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.doc_id
+    )
+    SELECT doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc_id
+""".format(minhash=REGISTRY["dedup_minhash_lsh"].oracle)

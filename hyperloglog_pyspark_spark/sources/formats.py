@@ -19,6 +19,7 @@ inferSchema over 100 TB: it double-scans) then convert to columnar.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -118,4 +119,56 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    category="join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big join without a shuffle: both tables bucketed on the join
+    key at write time, so the join is a zipped per-bucket hash join —
+    neither side exchanges (bucketing IS the pre-paid shuffle; amortized
+    across every future join on that key, the defining layout decision
+    for fact-fact joins at 100 TB).
+
+    Uses a scratch database (LOCATION /tmp) because bucket metadata lives
+    in the catalog, not the parquet footers.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    db = f"hllps_bucketed_{tag}"
+    loc = os.path.join(tempfile.gettempdir(), f"hllps_warehouse_{tag}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    for name, df, key in [("orders_b", orders, "o_orderkey"), ("lineitem_b", li, "l_orderkey")]:
+        if not spark.catalog.tableExists(f"{db}.{name}"):
+            # The in-memory catalog forgets tables across sessions but the
+            # warehouse files persist; clear any stale location first.
+            stale = os.path.join(loc, name)
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(f"{db}.{name}")
+            )
+    ob = spark.table(f"{db}.orders_b")
+    lb = spark.table(f"{db}.lineitem_b")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+        )
     )

@@ -1,0 +1,76 @@
+"""Physical-layout assertions: the plans the engine claims are the plans
+Catalyst actually produces (pushdown, broadcast, bucket-join co-location)."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+
+from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextmanager
+def conf(spark, **kv):
+    old = {k: spark.conf.get(k.replace("_", "."), None) for k in kv}
+    try:
+        for k, v in kv.items():
+            spark.conf.set(k.replace("_", "."), v)
+        yield
+    finally:
+        for k, v in old.items():
+            key = k.replace("_", ".")
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    queries()
+    plan = plan_of(REGISTRY["scan_project_filter"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    queries()
+    plan = plan_of(REGISTRY["join_broadcast_dim"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
+    """With broadcast disabled, the bucketed-table join must sort-merge
+    (or shuffled-hash) WITHOUT an exchange on either side — bucket layout
+    replaces the shuffle."""
+    queries()
+    with conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        df = REGISTRY["join_bucketed_colocated"].fn(spark, sf_dir)
+        plan = plan_of(df)
+    assert "SelectedBucketsCount" in plan
+    join_kind = "SortMergeJoin" if "SortMergeJoin" in plan else "ShuffledHashJoin"
+    assert join_kind in plan
+    # the only exchange allowed is the one AFTER the join, for the groupBy
+    pre_join = plan.split(join_kind)[-1]  # children are printed after the node
+    assert "Exchange hashpartitioning" not in pre_join, pre_join
+
+
+def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "pruned")
+    ev.select("event_id", "ts", "event_type").write.partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = plan_of(back.groupBy().count())
+    assert "PartitionFilters" in plan
+    assert "click" in plan
