@@ -258,3 +258,60 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("double").alias("total_value"),
         F.sum("d").alias("n_users"),
     )
+
+
+@register(
+    "agg_stats_moments",
+    category="aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(stddev_samp(l_quantity), 4) AS DOUBLE) AS qty_stddev,
+           CAST(round(var_samp(l_quantity), 4) AS DOUBLE) AS qty_var,
+           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS qty_price_corr,
+           CAST(round(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: sample stddev/variance,
+    correlation and covariance (identical sample definitions on both
+    engines; rounded at the edge because moment sums are float-order
+    sensitive). All are single-pass partial+final mergeable aggregates —
+    the moment vector (n, Σx, Σx², Σxy) merges like any combiner."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).cast("double").alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).cast("double").alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).cast("double").alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).cast("double").alias("qty_price_covar"),
+    )
+
+
+@register(
+    "agg_filter_clause",
+    category="aggregate",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE value > 50) AS n_high,
+           CAST(COUNT(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT) AS n_high_users,
+           array_to_string(list_sort(list(DISTINCT CAST(user_id % 10 AS VARCHAR))), ',') AS user_mod_set
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation with the SQL FILTER clause plus a grouped
+    distinct-set build (sorted, joined to a string so the cross-engine
+    hash is order-independent). FILTER aggregates stay single-pass —
+    no self-join per condition."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE value > 50) AS n_high,
+               COUNT(DISTINCT user_id) FILTER (WHERE value > 50) AS n_high_users,
+               array_join(sort_array(collect_set(CAST(user_id % 10 AS STRING))), ',') AS user_mod_set
+        FROM events GROUP BY event_type
+        """
+    )

@@ -156,3 +156,40 @@ def orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
         .limit(25)
     )
+
+
+@register(
+    "window_range_frame",
+    category="window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, day_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY day_no
+                      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS spend_30d
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS day_no
+        FROM orders
+    )
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a value axis (not row counts): per-customer
+    trailing-30-day spend. RANGE frames bound state by the ORDER-BY value
+    distance — rows landing on the same day share one frame, which ROWS
+    frames cannot express."""
+    orders = load_table(spark, sf_dir, "orders")
+    with_day = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("long").alias("day_no"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-29, 0)
+    return with_day.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("spend_30d"),
+    )
