@@ -45,3 +45,23 @@ def test_datasketches_hll_roundtrip_matches_direct_estimate(spark, sf_dir):
     )
     direct = ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("e")).first().e
     assert merged == direct
+
+
+def test_sketch_column_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """HLL sketches are re-aggregatable data at rest: write per-group
+    sketch columns to parquet, read back, union — same estimate as
+    sketching the raw column directly (the city→country→world rollup
+    pattern without re-reading raw data)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "sketches")
+    ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id", 12).alias("sk")).write.parquet(path)
+    merged = (
+        spark.read.parquet(path)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()
+        .est
+    )
+    direct = ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("e")).first().e
+    assert merged == direct

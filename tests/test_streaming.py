@@ -259,3 +259,32 @@ def test_stream_static_join_enriches_every_batch(spark, event_batches):
     # every event enriched (left join, dim covers all users)
     assert got["user_segment"].notna().all()
     assert (got["user_segment"] == "seg_" + (got["user_id"] % 4).astype(str)).all()
+
+
+def test_foreachbatch_idempotent_parquet_sink(spark, event_batches, tmp_path):
+    """foreachBatch + per-batch-id partition overwrite: the standard
+    exactly-once file sink. Re-writing a batch directory (retry) replaces
+    rather than duplicates; the read-back equals the batch table."""
+    ev, first, second, src, ckpt = event_batches
+    out = str(tmp_path / "out")
+    _write_batch(spark, first, src)
+    _write_batch(spark, second, src)
+
+    def write_batch(df, batch_id: int):
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        # simulate a task retry: the same batch written again must replace
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = (
+        read_events_stream(spark, src)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.option("basePath", out).parquet(out)
+    assert back.count() == ev.count()
+    assert back.select("event_id").distinct().count() == ev.count()
