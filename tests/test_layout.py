@@ -74,3 +74,39 @@ def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
     plan = plan_of(back.groupBy().count())
     assert "PartitionFilters" in plan
     assert "click" in plan
+
+
+def test_runtime_bloom_filter_prunes_semi_join(spark, sf_dir):
+    """Spark's runtime bloom-filter injection: with a selective dimension
+    side, the fact scan gets a might_contain predicate — rows that cannot
+    join are dropped before the shuffle (the 100 TB join-pruning story).
+    Result must equal the unpruned join (blooms only prune, never drop
+    true matches)."""
+    from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def semi_count():
+        return (
+            orders.join(customer, orders.o_custkey == customer.c_custkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    baseline = {r.o_orderpriority: r.n for r in semi_count().collect()}
+    with conf(
+        spark,
+        **{
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        df = semi_count()
+        plan = plan_of(df)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        pruned = {r.o_orderpriority: r.n for r in df.collect()}
+    assert pruned == baseline
