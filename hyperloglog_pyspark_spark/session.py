@@ -64,6 +64,13 @@ def configure(spark: SparkSession) -> SparkSession:
     # coalesces below this. On a real cluster this scales with executors:
     # ~2-3x total cores, or rely on AQE's initialPartitionNum.
     conf.set("spark.sql.shuffle.partitions", str(max(8, cpu_count())))
+    # Local testdata files are single small parquet files; the 128 MB
+    # default would scan each on ONE core. 4 MB splits fan the scan out
+    # (~30% on scan-bound queries here). On a real cluster with 100 TB of
+    # properly-sized files, leave this at the 128 MB default — the knob
+    # sizes tasks, not throughput, and tiny tasks at scale mean scheduler
+    # overhead.
+    conf.set("spark.sql.files.maxPartitionBytes", "4m")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
