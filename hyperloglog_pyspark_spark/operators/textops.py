@@ -9,7 +9,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hyperloglog_pyspark_spark.functions.texttools import NORMALIZED_SQL, STOPWORDS, normalized_text
+from hyperloglog_pyspark_spark.functions.texttools import (
+    NORMALIZED_SQL,
+    STOPWORDS,
+    normalized_text,
+    shingles_sql,
+    word_shingles,
+)
 from hyperloglog_pyspark_spark.registry import register
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
@@ -182,4 +188,64 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(bpe)).cast("long").alias("n_bpe_distinct"),
+    )
+
+
+DECON_N = 5
+BENCH_SOURCE = "src0"
+
+
+@register(
+    "text_decontaminate",
+    category="text",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest({shingles_sql(DECON_N)}) AS gram
+        FROM documents
+        WHERE source = '{BENCH_SOURCE}' AND len(string_split(text, ' ')) >= {DECON_N}
+    ),
+    corpus AS (
+        SELECT doc_id, unnest({shingles_sql(DECON_N)}) AS gram,
+               len({shingles_sql(DECON_N)}) AS n_grams
+        FROM documents
+        WHERE source <> '{BENCH_SOURCE}' AND len(string_split(text, ' ')) >= {DECON_N}
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_contaminated_grams,
+           CAST(round(COUNT(*) * 1.0 / ANY_VALUE(c.n_grams), 6) AS DOUBLE) AS contamination
+    FROM corpus c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    5-gram with the held-out benchmark set (source=src0) and score the
+    overlap fraction — the standard n-gram contamination check run before
+    training.
+
+    Scale: the benchmark gram set is small (it's the eval suite) →
+    broadcast hash join against the exploded corpus grams; the corpus side
+    is one pass, no self-join. At 100 TB the gram explosion streams
+    through the scan; nothing but (doc_id, hit) pairs reach the shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(F.size(F.split("text", " ")) >= DECON_N)
+    grams = word_shingles("text", DECON_N)
+    bench = (
+        eligible.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    corpus = eligible.filter(F.col("source") != BENCH_SOURCE).select(
+        "doc_id", F.size(grams).alias("n_grams"), F.explode(grams).alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated_grams"),
+            F.round(F.count(F.lit(1)) / F.any_value("n_grams"), 6)
+            .cast("double")
+            .alias("contamination"),
+        )
     )
