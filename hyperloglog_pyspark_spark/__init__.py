@@ -41,4 +41,4 @@ def load_all_operators() -> None:
         udtf,
         windows,
     )
-    from hyperloglog_pyspark_spark.sources import formats  # noqa: F401
+    from hyperloglog_pyspark_spark.sources import formats, pysource  # noqa: F401
