@@ -384,3 +384,56 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_click").alias("click_id"),
         (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
     )
+
+
+@register(
+    "cdc_upsert_merge",
+    category="join",
+    oracle="""
+    WITH snapshot AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    changes AS (
+        SELECT c_custkey,
+               upper(c_name) AS c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 AS DOUBLE) AS c_acctbal,
+               CASE WHEN c_custkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT COALESCE(s.c_custkey, c.c_custkey) AS c_custkey,
+           COALESCE(c.c_name, s.c_name) AS c_name,
+           COALESCE(c.c_acctbal, s.c_acctbal) AS c_acctbal
+    FROM snapshot s FULL OUTER JOIN changes c USING (c_custkey)
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE without a table format: apply a changeset (upserts +
+    deletes) to a snapshot via one full-outer join — insert when only the
+    change side exists, update when both, delete drops the row.
+
+    Scale: this is exactly what Delta/Iceberg MERGE plans underneath; as a
+    plain join it shuffles both sides on the key once. Derived here from
+    customer (snapshot = keys not divisible by 3; changes = even keys,
+    +100 balance, deletes at multiples of 5) so the oracle is pure SQL.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    snapshot = cust.filter(F.col("c_custkey") % 3 != 0).select("c_custkey", "c_name", "c_acctbal")
+    changes = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        (F.col("c_acctbal").cast("decimal(18,2)") + F.lit(100.00).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 5 == 0, "D").otherwise("U").alias("op"),
+    )
+    s, c = snapshot.alias("s"), changes.alias("c")
+    merged = s.join(c, on="c_custkey", how="full_outer")
+    return (
+        merged.filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("c.c_name"), F.col("s.c_name")).alias("c_name"),
+            F.coalesce(F.col("c.c_acctbal"), F.col("s.c_acctbal")).alias("c_acctbal"),
+        )
+    )

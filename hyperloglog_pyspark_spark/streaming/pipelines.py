@@ -151,3 +151,12 @@ def enriched_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
         events.join(F.broadcast(user_dim), "user_id", "left")
         .select("event_id", "ts", "user_id", "event_type", "value", "user_segment")
     )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps a key only until the watermark
+    passes it, so state never grows unboundedly — the streaming analog of
+    the batch dedup family (operators/dedup.py), and the reason watermarks
+    matter beyond late-data handling."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])

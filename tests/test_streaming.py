@@ -288,3 +288,28 @@ def test_foreachbatch_idempotent_parquet_sink(spark, event_batches, tmp_path):
     back = spark.read.option("basePath", out).parquet(out)
     assert back.count() == ev.count()
     assert back.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_dedup_within_watermark(spark, event_batches):
+    """Feed the same rows twice (two identical micro-batches): the
+    deduped stream must emit each event_id once."""
+    ev, first, second, src, ckpt = event_batches
+    from hyperloglog_pyspark_spark.streaming.pipelines import deduped_stream
+
+    _write_batch(spark, first, src)
+    _write_batch(spark, first, src)  # exact duplicate batch
+    q = (
+        deduped_stream(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("dedup_stream").toPandas()
+    finally:
+        q.stop()
+    assert len(got) == first.count()
+    assert got["event_id"].is_unique
