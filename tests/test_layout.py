@@ -110,3 +110,48 @@ def test_runtime_bloom_filter_prunes_semi_join(spark, sf_dir):
         assert "might_contain" in plan, "runtime bloom filter not injected"
         pruned = {r.o_orderpriority: r.n for r in df.collect()}
     assert pruned == baseline
+
+
+# Shuffle budget per headline query: exchanges are the scale-limiting
+# resource; a regression that adds one is a performance bug even when
+# results stay correct. Counts include broadcast exchanges.
+SHUFFLE_BUDGET = {
+    "scan_project_filter": 0,
+    "agg_pricing_summary": 1,
+    "join_broadcast_dim": 4,       # 3 broadcast exchanges + 1 final agg
+    "join_shuffle_agg": 2,
+    "approx_distinct_users_daily": 2,  # exact+approx distinct in one agg
+    "window_topk_per_group": 1,
+    "window_tumbling": 2,          # windowed agg + exact distinct expand
+    "tpch_q5_local_supplier_volume": 6,  # 5 broadcast dims + 1 agg
+    "dedup_exact": 2,
+    "text_stats": 0,
+}
+
+
+def test_shuffle_budgets_hold(spark, sf_dir):
+    queries()
+    over = {}
+    for name, budget in SHUFFLE_BUDGET.items():
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        n = plan.count("Exchange") - plan.count("ReusedExchange")
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_small_file_compaction_preserves_rows(spark, sf_dir, tmp_path):
+    """Maintenance op: rewrite a many-small-files dataset into few
+    right-sized files (the periodic compaction every file-based 100 TB
+    table needs to keep scan task counts sane)."""
+    import glob
+
+    ev = load_table(spark, sf_dir, "events")
+    small = str(tmp_path / "small")
+    ev.repartition(64).write.parquet(small)
+    assert len(glob.glob(f"{small}/part-*.parquet")) == 64
+    compacted = str(tmp_path / "compacted")
+    spark.read.parquet(small).coalesce(4).write.parquet(compacted)
+    files = glob.glob(f"{compacted}/part-*.parquet")
+    assert len(files) == 4
+    assert spark.read.parquet(compacted).count() == ev.count()
