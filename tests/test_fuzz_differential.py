@@ -1,0 +1,80 @@
+"""Differential fuzzing: hypothesis-generated filter/aggregate queries run
+on Spark AND DuckDB over the same parquet — any count/sum divergence is an
+engine-semantics bug. This generalizes the fixed oracle suite: instead of
+76 hand-written queries, arbitrary predicate trees over lineitem.
+
+Kept to semantics both engines define identically: integer/decimal
+comparisons, BETWEEN, IN, AND/OR/NOT, string prefix matching, date
+cutoffs. (Float equality and LIKE wildcards are deliberately excluded —
+cross-engine edge semantics differ.)"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+# (spark_sql_expr, duckdb_expr) pairs — same string when dialects agree.
+_NUM_COLS = ["l_orderkey", "l_linenumber", "l_quantity"]
+_FLAGS = ["A", "N", "R"]
+_STATUS = ["F", "O"]
+
+
+@st.composite
+def predicates(draw, depth=0):
+    kind = draw(
+        st.sampled_from(
+            ["num_cmp", "between", "in_flag", "status_eq", "date_lt", "and", "or", "not"]
+            if depth < 2
+            else ["num_cmp", "between", "in_flag", "status_eq", "date_lt"]
+        )
+    )
+    if kind == "num_cmp":
+        col = draw(st.sampled_from(_NUM_COLS))
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "="]))
+        val = draw(st.integers(0, 60))
+        return f"({col} {op} {val})"
+    if kind == "between":
+        col = draw(st.sampled_from(_NUM_COLS))
+        lo = draw(st.integers(0, 40))
+        hi = lo + draw(st.integers(0, 20))
+        return f"({col} BETWEEN {lo} AND {hi})"
+    if kind == "in_flag":
+        vals = draw(st.lists(st.sampled_from(_FLAGS), min_size=1, max_size=3, unique=True))
+        lit = ", ".join(f"'{v}'" for v in vals)
+        return f"(l_returnflag IN ({lit}))"
+    if kind == "status_eq":
+        return f"(l_linestatus = '{draw(st.sampled_from(_STATUS))}')"
+    if kind == "date_lt":
+        y = draw(st.integers(1995, 2001))
+        op = draw(st.sampled_from(["<", ">="]))
+        return f"(l_shipdate {op} DATE '{y}-07-01')"
+    if kind == "not":
+        return f"(NOT {draw(predicates(depth=depth + 1))})"
+    a = draw(predicates(depth=depth + 1))
+    b = draw(predicates(depth=depth + 1))
+    return f"({a} {'AND' if kind == 'and' else 'OR'} {b})"
+
+
+@pytest.fixture(scope="module")
+def lineitem_view(spark, sf_dir):
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_fuzz_li")
+    return "_fuzz_li"
+
+
+@given(pred=predicates())
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_predicate_counts_match(pred, spark, sf_dir, duck, lineitem_view):
+    q = (
+        "SELECT COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+        "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d "
+        "FROM {t} WHERE " + pred
+    )
+    got = spark.sql(q.format(t=lineitem_view)).first()
+    want = duck.execute(q.format(t="lineitem")).df().iloc[0]
+    assert got.n == int(want.n), pred
+    assert got.d == int(want.d), pred
+    if got.n:
+        assert got.s == pytest.approx(float(want.s), abs=1e-6), pred
