@@ -315,3 +315,29 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
         """
     )
+
+
+@register(
+    "agg_regression",
+    category="aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE) AS slope,
+           CAST(round(regr_intercept(l_extendedprice, l_quantity), 4) AS DOUBLE) AS intercept,
+           CAST(round(regr_r2(l_extendedprice, l_quantity), 6) AS DOUBLE) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression of price on quantity via the
+    SQL-standard REGR_* aggregates (single-pass, mergeable moment sums on
+    both engines — same partial/final shape as any combiner)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).cast("double").alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).cast("double").alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).cast("double").alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )

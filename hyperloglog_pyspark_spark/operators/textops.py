@@ -7,7 +7,7 @@ regexp / md5) — JVM-side, no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.texttools import (
     NORMALIZED_SQL,
@@ -247,5 +247,54 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(F.lit(1)) / F.any_value("n_grams"), 6)
             .cast("double")
             .alias("contamination"),
+        )
+    )
+
+
+Z_CUT = 1.5
+
+
+@register(
+    "text_outlier_zscore",
+    category="text",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+               AVG(len(string_split(text, ' '))) OVER (PARTITION BY lang) AS mu,
+               stddev_samp(len(string_split(text, ' '))) OVER (PARTITION BY lang) AS sigma
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(round((n_tokens - mu) / sigma, 4) AS DOUBLE) AS z
+    FROM stats
+    WHERE abs((n_tokens - mu) / sigma) > {Z_CUT}
+    """,
+)
+def text_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier documents per language: |z-score| > 2.5 against the
+    per-language token-count distribution — the cheap statistical filter
+    that catches truncated/concatenated documents before training.
+
+    Scale: one window over lang (a handful of partitions — salt if a
+    language dominates); no second scan, the stats ride the same pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    w = Window.partitionBy("lang")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        F.avg(n).over(w).alias("mu"),
+        F.stddev_samp(n).over(w).alias("sigma"),
+    )
+    z = (F.col("n_tokens") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter(F.abs(z) > Z_CUT)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(z, 4).cast("double").alias("z"),
         )
     )
