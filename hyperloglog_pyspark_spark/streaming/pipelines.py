@@ -160,3 +160,37 @@ def deduped_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFram
     the batch dedup family (operators/dedup.py), and the reason watermarks
     matter beyond late-data handling."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def click_purchase_join(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks within the preceding hour. Both sides are watermarked and the
+    join carries a time-range condition, so Spark can bound the buffered
+    state on each side (clicks older than purchase_ts − 1h are evicted) —
+    without the range condition a stream-stream join would buffer forever.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "amount")

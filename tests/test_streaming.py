@@ -313,3 +313,47 @@ def test_streaming_dedup_within_watermark(spark, event_batches):
         q.stop()
     assert len(got) == first.count()
     assert got["event_id"].is_unique
+
+
+def test_stream_stream_join_matches_batch(spark, event_batches):
+    """Stream-stream time-bounded join (purchases × same-user clicks in
+    the trailing hour) equals the batch join over the same data."""
+    ev, first, second, src, ckpt = event_batches
+    from hyperloglog_pyspark_spark.streaming.pipelines import click_purchase_join
+
+    _write_batch(spark, first, src)
+    _write_batch(spark, second, src)
+    q = (
+        click_purchase_join(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("ss_join").toPandas()
+    finally:
+        q.stop()
+    # batch form: same expression over the batch DataFrame (watermark is a
+    # no-op in batch execution)
+    from pyspark.sql import functions as F2
+    clicks = ev.filter(F2.col("event_type") == "click").select(
+        F2.col("user_id").alias("c_user"), F2.col("ts").alias("click_ts"),
+        F2.col("event_id").alias("click_id"))
+    purchases = ev.filter(F2.col("event_type") == "purchase").select(
+        F2.col("user_id").alias("p_user"), F2.col("ts").alias("purchase_ts"),
+        F2.col("event_id").alias("purchase_id"), F2.col("value").alias("amount"))
+    want = purchases.join(
+        clicks,
+        (F2.col("p_user") == F2.col("c_user"))
+        & (F2.col("click_ts") <= F2.col("purchase_ts"))
+        & (F2.col("click_ts") >= F2.col("purchase_ts") - F2.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "amount").toPandas()
+    key = ["purchase_id", "click_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
