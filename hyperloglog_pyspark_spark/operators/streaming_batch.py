@@ -141,3 +141,74 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "timeseries_resample_ffill",
+    category="streaming",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM events
+    ),
+    grid AS (
+        SELECT e.event_type, g.slot
+        FROM (SELECT DISTINCT event_type FROM events) e
+        CROSS JOIN (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot FROM bounds) g
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS slot,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type,
+           CAST(epoch_ms(g.slot) AS BIGINT) AS slot_ms,
+           h.v IS NOT NULL AS observed,
+           last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill
+    FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.slot = g.slot
+    """,
+)
+def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the events series onto a dense hourly grid per event type,
+    forward-filling empty slots from the last observation — the gap-fill
+    step before any window/trend computation on irregular telemetry.
+
+    Scale: the grid is |types| x |slots| (tiny — it's the *output* grid,
+    not the data); the series aggregates once; the fill is one window per
+    type. No cross join ever touches raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("slot")
+    ).agg(F.sum(dec_price("value")).cast("double").alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("slot"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "slot"], "left")
+        .select(
+            "event_type",
+            F.unix_millis("slot").alias("slot_ms"),
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
