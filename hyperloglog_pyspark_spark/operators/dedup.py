@@ -88,15 +88,41 @@ _SHINGLED_SQL = f"""
 """
 
 
+# Universal-hash permutation parameters: sig_s(x) = (A_s·h(x) + B_s) mod P,
+# P = 2^31 − 1 (Mersenne prime). One md5 per shingle (h), then N_SEEDS cheap
+# integer permutations — instead of N_SEEDS md5 calls per shingle. A/B are
+# md5-derived constants inlined as literals into BOTH engines' pipelines.
+_MINHASH_P = (1 << 31) - 1
+
+
+def _perm_const(seed: int, which: str) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"minhash:{which}:{seed}".encode()).hexdigest()[:15], 16)
+    return h % (_MINHASH_P - 1) + 1  # in [1, P-1]
+
+
+_PERM_A = [_perm_const(s, "a") for s in range(N_SEEDS)]
+_PERM_B = [_perm_const(s, "b") for s in range(N_SEEDS)]
+
+# 60-bit md5 of the shingle folded into [0, P-1]; A·h + B < 2^62 fits BIGINT.
+_H_SQL = f"({md5_long_sql('sh_el')} % {_MINHASH_P})"
+
+
 @register(
     "dedup_minhash_lsh",
     category="dedup",
     bench=True,
     oracle=f"""
     WITH docs AS ({_SHINGLED_SQL}),
-    sig AS (
-        SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '|' || sh_el)) AS sig
+    hashes AS (
+        SELECT doc_id, {_H_SQL} AS h
         FROM (SELECT doc_id, unnest(sh) AS sh_el FROM docs)
+    ),
+    sig AS (
+        SELECT doc_id, s,
+               CAST(min(CASE {' '.join(f'WHEN s = {i} THEN ({a} * h + {b}) % {_MINHASH_P}' for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B)))} END) AS VARCHAR) AS sig
+        FROM hashes
         CROSS JOIN (SELECT unnest(range(0, {N_SEEDS})) AS s)
         GROUP BY doc_id, s
     ),
@@ -136,14 +162,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature table every production LSH pipeline materializes).
     docs = _shingled(spark, sf_dir).persist()
 
-    def min_sig(seed: int):
-        # Single-arg lambda only: F.transform treats two-arg lambdas as
-        # (element, index).
-        return F.array_min(
-            F.transform("sh", lambda x: F.md5(F.concat(F.lit(f"{seed}|"), x)))
-        ).alias(f"sig{seed}")
+    # One md5 per shingle, folded to [0, P-1]; each seed is then a cheap
+    # integer permutation of that hash (A·h+B mod P), not another md5.
+    hashed = docs.select(
+        "doc_id", F.transform("sh", lambda x: md5_long(x) % _MINHASH_P).alias("ha")
+    )
 
-    sigs = docs.select("doc_id", "sh", *[min_sig(s) for s in range(N_SEEDS)])
+    def min_sig(seed: int):
+        a, b = _PERM_A[seed], _PERM_B[seed]
+        return (
+            F.array_min(F.transform("ha", lambda h: (h * a + b) % _MINHASH_P))
+            .cast("string")
+            .alias(f"sig{seed}")
+        )
+
+    sigs = hashed.select("doc_id", *[min_sig(s) for s in range(N_SEEDS)])
     band_cols = [
         F.md5(F.concat_ws("|", *[f"sig{s}" for s in range(b * BAND_R, (b + 1) * BAND_R)])).alias(
             f"band{b}"
