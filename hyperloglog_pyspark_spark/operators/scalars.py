@@ -214,3 +214,97 @@ def explode_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 10)
     )
+
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value"]
+
+
+@register(
+    "profile_table",
+    category="scalar",
+    oracle="""
+    SELECT 'event_id' AS col, COUNT(*) AS n, COUNT(*) - COUNT(event_id) AS n_null,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(event_id) AS VARCHAR) AS min_val, CAST(MAX(event_id) AS VARCHAR) AS max_val
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           MIN(event_type), MAX(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR)
+    FROM events
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (count / nulls / distincts / min / max per column,
+    long format) — the data-quality snapshot every ingestion run records.
+
+    Built as ONE wide aggregation then unpivoted — a single scan, not one
+    scan per column (df.summary() does the same trick); at 100 TB replace
+    exact distincts with approx_count_distinct.
+
+    Float-to-string caveat: value min/max are integer-valued doubles here;
+    Spark renders 7.0 and DuckDB 7.0 identically. Arbitrary doubles would
+    need explicit format_number discipline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = ev.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+@register(
+    "array_higher_order",
+    category="scalar",
+    oracle="""
+    SELECT vec_id,
+           CAST(round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS DOUBLE) AS l2_norm,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT) AS n_positive,
+           CAST(round(list_max(embedding::DOUBLE[]), 4) AS DOUBLE) AS max_dim,
+           len(embedding) > 0 AND list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0.45 AS has_large_dim
+    FROM embeddings
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over embeddings: transform/aggregate
+    (L2 norm), filter (positive-dim count), array_max, exists-style
+    predicate — all JVM-side lambda expressions inside codegen, the
+    no-UDF way to do vector math."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sumsq), 4).cast("double").alias("l2_norm"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(F.array_max(e), 4).cast("double").alias("max_dim"),
+        ((F.size(e) > 0) & F.exists(e, lambda x: F.abs(x) > 0.45)).alias("has_large_dim"),
+    )
