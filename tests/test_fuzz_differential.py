@@ -78,3 +78,34 @@ def test_random_predicate_counts_match(pred, spark, sf_dir, duck, lineitem_view)
     assert got.d == int(want.d), pred
     if got.n:
         assert got.s == pytest.approx(float(want.s), abs=1e-6), pred
+
+
+@st.composite
+def join_specs(draw):
+    """Random orders⋈customer joins with random predicates and join type."""
+    how = draw(st.sampled_from(["INNER", "LEFT", "SEMI", "ANTI"]))
+    seg = draw(st.lists(st.sampled_from(
+        ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]),
+        min_size=1, max_size=3, unique=True))
+    status = draw(st.sampled_from(["F", "O", "P"]))
+    seg_lit = ", ".join(f"'{s}'" for s in seg)
+    return how, f"c_mktsegment IN ({seg_lit})", f"o_orderstatus = '{status}'"
+
+
+@pytest.fixture(scope="module")
+def join_views(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_fz_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_fz_cust")
+
+
+@given(spec=join_specs())
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_join_counts_match(spec, spark, sf_dir, duck, join_views):
+    how, cpred, opred = spec
+    q = (
+        "SELECT COUNT(*) AS n FROM (SELECT * FROM {o} WHERE " + opred + ") o "
+        f"{how} JOIN " + "(SELECT * FROM {c} WHERE " + cpred + ") c ON o.o_custkey = c.c_custkey"
+    )
+    got = spark.sql(q.format(o="_fz_orders", c="_fz_cust")).first().n
+    want = int(duck.execute(q.format(o="orders", c="customer")).df().iloc[0].n)
+    assert got == want, (how, cpred, opred)

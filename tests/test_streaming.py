@@ -357,3 +357,40 @@ def test_stream_stream_join_matches_batch(spark, event_batches):
         want.sort_values(key).reset_index(drop=True),
         check_like=True,
     )
+
+
+def test_session_stream_matches_batch(spark, event_batches):
+    ev, first, second, src, ckpt = event_batches
+    from hyperloglog_pyspark_spark.streaming.pipelines import session_counts
+
+    _write_batch(spark, first, src)
+    _write_batch(spark, second, src)
+    q = (
+        session_counts(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("session_complete")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("session_complete").toPandas()
+    finally:
+        q.stop()
+    want = (
+        ev.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    key = ["user_id", "session_start_ms"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
