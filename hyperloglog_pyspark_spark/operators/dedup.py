@@ -149,8 +149,9 @@ _H_SQL = f"({md5_long_sql('sh_el')} % {_MINHASH_P})"
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs (word 3-gram shingles, 12 md5
-    min-hashes, 4 bands × 3 rows), verified with exact Jaccard ≥ 0.8.
+    """MinHash + LSH near-duplicate pairs (word 3-gram shingles, 12
+    universal-hash minhash permutations over one md5 per shingle, 4 bands
+    × 3 rows), verified with exact Jaccard ≥ 0.8.
 
     Candidate generation is an equi-join on (band, band_hash) — the only
     pairs ever materialized are bucket collisions, which is what keeps
@@ -474,3 +475,40 @@ REGISTRY["dedup_cluster_components"].oracle = """
     SELECT doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
     FROM reach GROUP BY doc_id
 """.format(minhash=REGISTRY["dedup_minhash_lsh"].oracle)
+
+
+@register(
+    "dedup_fuzzy_name",
+    category="dedup",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a
+    JOIN customer b ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: near-identical customer names
+    (levenshtein ≤ 1) within a nation block — the record-linkage primitive
+    for catalogs where near-dups are typos, not copies.
+
+    Scale: levenshtein is O(len²) per pair, so the block key does ALL the
+    work — never run edit distance un-blocked; at 100 TB the blocker is a
+    cheap canonical key (soundex/prefix/sorted-token hash) exactly like
+    the length buckets in dedup_ngram_jaccard.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), F.col("c_nationkey").alias("nk")
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), F.col("c_nationkey").alias("nk_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("nk") == F.col("nk_b")) & (F.col("key_a") < F.col("key_b")))
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= 1)
+        .select("key_a", "key_b", F.col("edit_dist").cast("long").alias("edit_dist"))
+    )
