@@ -308,3 +308,37 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(e), 4).cast("double").alias("max_dim"),
         ((F.size(e) > 0) & F.exists(e, lambda x: F.abs(x) > 0.45)).alias("has_large_dim"),
     )
+
+
+@register(
+    "null_safe_arithmetic",
+    category="scalar",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(round(SUM(CASE WHEN user_id % 5 = 0 THEN NULL
+                         ELSE CAST(value AS DECIMAL(12,2)) / (user_id % 5) END), 3) AS DOUBLE)
+               AS safe_ratio_sum,
+           CAST(SUM(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+           CAST(SUM(COALESCE(NULLIF(user_id % 3, 0), -1)) AS BIGINT) AS coalesce_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def null_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe expression semantics: try_divide (NULL on /0 instead of
+    error or ±Inf), NULLIF/COALESCE — three-valued logic behaving
+    identically across engines. Nulls skip aggregation on both; the
+    div-by-zero rows are counted separately to prove they were nulled,
+    not dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    denom = F.col("user_id") % 5
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.try_divide(F.col("value").cast("decimal(12,2)"), F.nullif(denom, F.lit(0)))), 3
+        )
+        .cast("double")
+        .alias("safe_ratio_sum"),
+        F.sum(F.when(denom == 0, 1).otherwise(0)).alias("n_div_zero"),
+        F.sum(F.coalesce(F.nullif(F.col("user_id") % 3, F.lit(0)), F.lit(-1))).alias("coalesce_sum"),
+    )
