@@ -298,3 +298,34 @@ def text_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).cast("double").alias("z"),
         )
     )
+
+
+@register(
+    "corpus_dashboard",
+    category="text",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(round(AVG(len(string_split(text, ' '))), 4) AS DOUBLE) AS avg_tokens,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS BIGINT)
+               AS n_unique_fingerprints
+    FROM documents
+    GROUP BY source
+    """,
+)
+def corpus_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: volume, token budget, language
+    mix, and unique-fingerprint count (n_docs − n_unique_fingerprints =
+    exact-dup rate) — the one-pass summary a data-curation run logs per
+    ingestion source."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+        F.round(F.avg(n_tok), 4).cast("double").alias("avg_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("n_en"),
+        F.count_distinct(F.md5(normalized_text("text"))).alias("n_unique_fingerprints"),
+    )
