@@ -342,3 +342,102 @@ def null_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(denom == 0, 1).otherwise(0)).alias("n_div_zero"),
         F.sum(F.coalesce(F.nullif(F.col("user_id") % 3, F.lit(0)), F.lit(-1))).alias("coalesce_sum"),
     )
+
+
+@register(
+    "bitwise_funcs",
+    category="scalar",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS band,
+           CAST(bit_or(user_id)  AS BIGINT) AS bor,
+           CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+           CAST(SUM(CAST(bit_count(user_id) AS BIGINT)) AS BIGINT) AS popcount_sum,
+           CAST(bit_or(user_id << 3) AS BIGINT) AS bor_shifted,
+           CAST(bit_xor(xor(user_id, 255)) AS BIGINT) AS bxor_masked
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate (BIT_AND/OR/XOR) + scalar (shift, xor, popcount)
+    coverage — the building blocks of bitmap-index and feature-flag
+    analytics. All JVM-side codegen expressions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+        F.sum(F.bit_count("user_id").cast("bigint")).alias("popcount_sum"),
+        F.bit_or(F.shiftleft("user_id", 3).cast("bigint")).alias("bor_shifted"),
+        F.bit_xor(F.col("user_id").bitwiseXOR(F.lit(255))).alias("bxor_masked"),
+    )
+
+
+@register(
+    "map_higher_order",
+    category="scalar",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(round(CAST(count(*) AS DOUBLE) / 100.0, 6) AS DOUBLE) AS rate
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING count(*) > 1
+    """,
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions end-to-end: build a per-user
+    event_type→count map with map_from_entries(collect_list(struct)), scale
+    every value with transform_values, drop rare entries with map_filter,
+    then explode back to rows. The oracle is the equivalent flat GROUP BY —
+    proving the map pipeline is lossless.
+
+    Scale: the map per user is bounded by the event-type vocabulary (tiny),
+    so state never grows with row count; one shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    mapped = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    scaled = mapped.withColumn(
+        "m2",
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda k, v: F.round(v.cast("double") / 100.0, 6)),
+            lambda k, v: v > 0.01,
+        ),
+    )
+    return scaled.select("user_id", F.explode("m2").alias("event_type", "rate"))
+
+
+@register(
+    "lateral_topk",
+    category="join",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+    """,
+)
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: top-3 richest customers per
+    nation, written as the SQL-standard lateral form (Spark ≥3.2 supports
+    JOIN LATERAL with correlated references and LIMIT).
+
+    Scale: Catalyst decorrelates this into a window-rank + filter plan —
+    same shape as window_topk_per_group — so it does NOT execute as a
+    per-nation re-scan of customer.
+    """
+    from hyperloglog_pyspark_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n JOIN LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+    """)

@@ -193,3 +193,44 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_no",
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("spend_30d"),
     )
+
+
+@register(
+    "window_distribution",
+    category="window",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(round(cume_dist()    OVER w, 6) AS DOUBLE) AS cume,
+           first_value(c_custkey) OVER w AS poorest,
+           nth_value(c_custkey, 3) OVER w AS third,
+           last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal, c_custkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING) AS richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution + value window functions: percent_rank, cume_dist,
+    first_value, nth_value, and last_value over an explicit unbounded frame
+    (the default frame stops at CURRENT ROW, which would make last_value a
+    self-reference — the classic frame pitfall, done right here).
+
+    Scale: one shuffle on the partition key; all five functions share a
+    single sort within each partition (same WINDOW spec), so Catalyst plans
+    one Window operator, not five.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        F.first("c_custkey").over(w).alias("poorest"),
+        F.nth_value("c_custkey", 3).over(w).alias("third"),
+        F.last("c_custkey").over(w_full).alias("richest"),
+    )
