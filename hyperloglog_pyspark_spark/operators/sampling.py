@@ -79,3 +79,29 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "sample_stratified",
+    category="sampling",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language sampling rates (10 %
+    for the dominant 'en' stratum, 50 % for the long tail) keyed on a
+    deterministic function of the row id — the downsample-the-head /
+    upsample-the-tail move every corpus-balancing pipeline needs.
+
+    Scale: a pure filter — no shuffle, no state; reproducible across runs
+    and engines because the keep-decision depends only on (doc_id, lang).
+    For rate-by-fraction semantics Spark's sampleBy(col, fractions, seed)
+    is the built-in, but its Bernoulli draw is seed-dependent, not
+    cross-engine checkable — the modulo form is the auditable variant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return docs.filter(F.pmod("doc_id", F.lit(100)) < rate).select("doc_id", "lang", "source")

@@ -249,3 +249,130 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "embedding_norm_quant",
+    category="similarity",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               sqrt(list_aggregate(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2,
+               list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+        FROM embeddings
+    ),
+    q AS (
+        SELECT label, l2,
+               CAST(round(l2, 9) AS DECIMAL(18,9)) AS l2_dec
+        FROM e
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(SUM(l2_dec) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_l2,
+           CAST(round(MIN(l2), 6) AS DOUBLE) AS min_l2,
+           CAST(round(MAX(l2), 6) AS DOUBLE) AS max_l2
+    FROM q
+    GROUP BY label
+    """,
+)
+def embedding_norm_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene profiling per label: L2-norm statistics over the
+    vector column — the pre-flight check before normalization/int8
+    quantization of an embedding corpus (zero-norm vectors, norm outliers,
+    scale drift between labels).
+
+    Scale: per-row norms are higher-order aggregate() expressions (JVM
+    codegen, no Python); the per-label rollup is an ordinary partial+final
+    aggregation. Exact-sum discipline: per-row norms round to DECIMAL(18,9)
+    before SUM so the cross-row average is order-independent — the same
+    trick lets 1000 executors produce bit-identical results.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    l2 = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    per = emb.select("label", l2.alias("l2"), F.round(l2, 9).cast("decimal(18,9)").alias("l2_dec"))
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("l2_dec").cast("double") / F.count(F.lit(1))).alias("avg_l2"),
+        F.round(F.min("l2"), 6).cast("double").alias("min_l2"),
+        F.round(F.max("l2"), 6).cast("double").alias("max_l2"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    category="similarity",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, label, embedding,
+               list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)) AS qvec,
+               maxabs
+        FROM s WHERE maxabs > 0
+    ),
+    err AS (
+        SELECT vec_id, label,
+               list_aggregate(qvec, 'min') AS q_min,
+               list_aggregate(qvec, 'max') AS q_max,
+               list_aggregate(
+                   list_transform(range(1, len(qvec) + 1),
+                        i -> abs(CAST(qvec[i] AS DOUBLE) * maxabs / 127.0
+                                 - CAST(embedding[i] AS DOUBLE))), 'sum') / len(qvec) AS mae
+        FROM q JOIN embeddings USING (vec_id, label)
+    )
+    SELECT label,
+           CAST(MIN(q_min) AS BIGINT) AS q_min,
+           CAST(MAX(q_max) AS BIGINT) AS q_max,
+           CAST(CAST(SUM(CAST(round(mae, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_mae
+    FROM err
+    GROUP BY label
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scaling, the llm.int8/FAISS SQ8 recipe) with reconstruction-
+    error audit: quantized range sanity (must stay in [-127, 127]) and
+    mean absolute dequantization error per label.
+
+    Scale: quantization is transform()/aggregate() higher-order expressions
+    — elementwise, no shuffle; int8 vectors are 4x smaller than float32,
+    which at 100 TB is the difference between spilling and an in-memory
+    ANN probe. The error rollup uses the decimal exact-sum discipline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    s = emb.select(
+        "vec_id", "label", F.col("embedding").alias("orig"),
+        v.alias("vd"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("maxabs"),
+    ).filter(F.col("maxabs") > 0)
+    q = s.withColumn(
+        "qvec", F.transform("vd", lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("bigint"))
+    )
+    err = q.select(
+        "label",
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        (
+            F.aggregate(
+                F.zip_with("qvec", "vd", lambda qi, xi: F.abs(qi.cast("double") * F.col("maxabs") / 127.0 - xi)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size("qvec")
+        ).alias("mae"),
+    )
+    return err.groupBy("label").agg(
+        F.min("q_min").alias("q_min"),
+        F.max("q_max").alias("q_max"),
+        (F.sum(F.round("mae", 9).cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("avg_mae"),
+    )

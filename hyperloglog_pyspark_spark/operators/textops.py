@@ -329,3 +329,90 @@ def corpus_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("n_en"),
         F.count_distinct(F.md5(normalized_text("text"))).alias("n_unique_fingerprints"),
     )
+
+
+@register(
+    "text_repetition",
+    category="text",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(words) AS word FROM w
+    ),
+    top_word AS (
+        SELECT doc_id, MAX(c) AS max_word_cnt, CAST(SUM(c) AS BIGINT) AS n_words
+        FROM (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word)
+        GROUP BY doc_id
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                                     i -> words[i] || ' ' || words[i + 1])) AS bg
+        FROM w WHERE len(words) > 1
+    ),
+    bstats AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct_bigrams
+        FROM big GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_words,
+           CAST(round(CAST(t.max_word_cnt AS DOUBLE) / t.n_words, 6) AS DOUBLE) AS top_word_frac,
+           CAST(round(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6) AS DOUBLE) AS dup_bigram_frac,
+           (CAST(t.max_word_cnt AS DOUBLE) / t.n_words > 0.10
+            OR 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams > 0.50) AS flagged
+    FROM top_word t JOIN bstats b USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    tokens taken by the single most frequent word, and the duplicate-bigram
+    fraction (1 − distinct/total). Docs exceeding either threshold are
+    flagged — the standard pretraining filter for degenerate/repetitive
+    text (cf. Rae et al. 2021 "Gopher" §A.1.1, public).
+
+    Scale: everything derives from one split() per document; the two
+    profiles aggregate on doc_id (explode → count), so state is bounded by
+    per-doc vocabulary. No UDFs — split/explode/sequence/element_at are all
+    codegen expressions. At 100 TB the explode doubles scan width but the
+    per-doc partial aggregation combines map-side before any shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("words"))
+    tok = docs.select("doc_id", F.explode("words").alias("word"))
+    top_word = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_word_cnt"), F.sum("c").alias("n_words"))
+    )
+    big = (
+        docs.filter(F.size("words") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.concat_ws(" ", F.element_at("words", i), F.element_at("words", i + 1)),
+                )
+            ).alias("bg"),
+        )
+    )
+    bstats = big.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_distinct("bg").alias("n_distinct_bigrams"),
+    )
+    top_frac = F.col("max_word_cnt").cast("double") / F.col("n_words")
+    dup_frac = F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    return (
+        top_word.join(bstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(top_frac, 6).cast("double").alias("top_word_frac"),
+            F.round(dup_frac, 6).cast("double").alias("dup_bigram_frac"),
+            ((top_frac > 0.10) | (dup_frac > 0.50)).alias("flagged"),
+        )
+    )
