@@ -341,3 +341,38 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).cast("double").alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@register(
+    "agg_argminmax",
+    category="aggregate",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, CAST(c_acctbal AS DECIMAL(12,2)) * 1000000 + c_custkey) AS richest_name,
+           arg_min(c_name, CAST(c_acctbal AS DECIMAL(12,2)) * 1000000 + c_custkey) AS poorest_name,
+           CAST(arg_max(c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) * 1000000 + c_custkey) AS BIGINT) AS richest_key,
+           CAST(round(MAX(c_acctbal), 2) AS DOUBLE) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN_BY / MAX_BY (argmin/argmax) aggregates: the row attribute at the
+    extremum, without a self-join or window. Ties on balance break
+    deterministically via a composite key; Spark compares a struct
+    (c_acctbal, c_custkey) lexicographically, while the oracle encodes the
+    same ordering as exact decimal arithmetic (DuckDB 1.0 arg_max takes
+    only scalar keys).
+
+    Scale: argmin/argmax carry one candidate row per group through the
+    partial+final aggregation — O(groups) state, vs the window-rank
+    alternative that materializes and sorts every row.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.struct("c_acctbal", "c_custkey")
+    return cust.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", key).alias("richest_name"),
+        F.min_by("c_name", key).alias("poorest_name"),
+        F.max_by("c_custkey", key).alias("richest_key"),
+        F.round(F.max("c_acctbal"), 2).cast("double").alias("max_bal"),
+    )

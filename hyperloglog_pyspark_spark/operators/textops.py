@@ -416,3 +416,66 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_frac > 0.10) | (dup_frac > 0.50)).alias("flagged"),
         )
     )
+
+
+@register(
+    "text_pii_redact",
+    category="text",
+    oracle="""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    || ' ref ' || CAST(doc_id * 7919 AS VARCHAR) AS text
+        FROM documents
+    ),
+    redacted AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                   '\\b555-[0-9]{4}\\b', '<PHONE>', 'g') AS clean
+        FROM enriched
+    )
+    SELECT doc_id,
+           length(clean) AS clean_len,
+           CAST(len(regexp_extract_all(clean, '<EMAIL>')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(clean, '<PHONE>')) AS BIGINT) AS n_phones,
+           NOT regexp_matches(clean, '@') AS email_free
+    FROM redacted
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails and phone numbers with
+    per-document audit counts — a standard pre-training compliance pass.
+    The corpus is synthetic word-soup, so deterministic PII is injected
+    from doc_id first (same expression on both engines), then redacted;
+    the audit asserts zero surviving '@'.
+
+    Scale: pure regexp_replace/regexp_count projections — codegen'd,
+    no shuffle, no UDF; regex patterns are RE2/Java-compatible subset so
+    the pass is portable. At 100 TB this is a map-only stage that
+    pipelines with any downstream filter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" ref "), (F.col("doc_id") * 7919).cast("string"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text", r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+        r"\b555-[0-9]{4}\b",
+        "<PHONE>",
+    )
+    return enriched.select(
+        "doc_id",
+        F.length(clean).alias("clean_len"),
+        F.size(F.regexp_extract_all(clean, F.lit("<EMAIL>"), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(clean, F.lit("<PHONE>"), F.lit(0))).cast("bigint").alias("n_phones"),
+        (~clean.rlike("@")).alias("email_free"),
+    )

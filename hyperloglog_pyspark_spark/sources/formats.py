@@ -172,3 +172,41 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
         )
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    category="source",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+           CAST(MAX(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1998-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem (1998+) → ORC sink → ORC source → aggregate. ORC is the
+    other first-class columnar format in Spark (vectorized reader,
+    predicate pushdown via ORC bloom/min-max stripes); the roundtrip proves
+    type fidelity for decimals-in-double, dates and strings.
+
+    Scale: same layout rules as parquet — stripe-level pruning serves the
+    pushed l_shipdate filter, and the explicit-schema read avoids footer
+    inference over many files.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1998-01-01")
+    path = _scratch("orc", sf_dir)
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate"]
+    li.select(cols).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("l_shipdate") >= "1998-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("total_qty"),
+            F.max("l_shipdate").cast("date").alias("last_ship"),
+        )
+    )
