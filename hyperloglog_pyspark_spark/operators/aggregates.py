@@ -376,3 +376,38 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("c_custkey", key).alias("richest_key"),
         F.round(F.max("c_acctbal"), 2).cast("double").alias("max_bal"),
     )
+
+
+@register(
+    "agg_listagg",
+    category="aggregate",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(c_name, ',' ORDER BY c_custkey) AS members,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 9000
+    GROUP BY n_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with WITHIN GROUP ordering: the SQL:2016
+    ordered string-concatenation aggregate (Spark 4 built-in), with an
+    explicit deterministic order key.
+
+    Scale: ordered listagg buffers the group's elements for the final
+    sort — bounded here by the high-balance filter. For unbounded groups
+    the scalable form is collect_list → array_sort → array_join, or a
+    window + first aggregation; same output, explicit memory story.
+    """
+    from hyperloglog_pyspark_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["customer", "nation"])
+    return spark.sql("""
+        SELECT n_nationkey,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_custkey) AS members,
+               COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 9000
+        GROUP BY n_nationkey
+    """)

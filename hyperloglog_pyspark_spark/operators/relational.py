@@ -437,3 +437,88 @@ def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c.c_acctbal"), F.col("s.c_acctbal")).alias("c_acctbal"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    category="join",
+    oracle="""
+    WITH a AS (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp FROM customer WHERE c_custkey % 7 = 0),
+         b AS (SELECT s_suppkey, NULLIF(s_nationkey % 5, 0) AS grp FROM supplier)
+    SELECT a.grp AS grp, COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT a.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT b.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    GROUP BY a.grp
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension tables
+    with unknown members need.
+
+    Scale: <=> is still an equi-join condition (hash-joinable: NULL hashes
+    to its own bucket), not a degenerate theta join; but a hot NULL key is
+    the canonical skew cell — salt it or split NULLs into a separate union
+    branch when the null fraction is large.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    sup = load_table(spark, sf_dir, "supplier")
+    a = cust.select("c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("a_grp"))
+    b = sup.select("s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("b_grp"))
+    return (
+        a.join(b, a.a_grp.eqNullSafe(b.b_grp))
+        .groupBy(F.col("a_grp").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "recursive_cte_spine",
+    category="analytics",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < date_trunc('month', (SELECT MAX(o_orderdate) FROM orders))
+    )
+    SELECT CAST(m AS DATE) AS month,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    """,
+)
+def recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): generate a gap-free monthly calendar spine
+    from the data's own min/max bounds, then left-join order totals so
+    empty months surface as zero rows — the gap-filling pattern behind
+    every time-series report.
+
+    Scale: the recursion materializes one row per month (trivial); the
+    left join broadcasts the spine against the fact table. sequence() +
+    explode is the non-recursive equivalent (used in
+    timeseries_resample_ffill); this form exercises the recursive-union
+    operator itself.
+    """
+    from hyperloglog_pyspark_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+            SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < date_trunc('month', (SELECT MAX(o_orderdate) FROM orders))
+        )
+        SELECT CAST(m AS DATE) AS month,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m
+    """)

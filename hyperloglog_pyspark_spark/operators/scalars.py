@@ -441,3 +441,36 @@ def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_nationkey = n.n_nationkey
         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
     """)
+
+
+@register(
+    "json_variant",
+    category="scalar",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+    GROUP BY 1
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    VARIANT column, then typed variant_get extraction — the engine-native
+    way to query ragged JSON without a fixed schema.
+
+    Scale: VARIANT stores a parsed binary form, so repeated path reads skip
+    re-tokenizing the JSON text (vs get_json_object which re-parses per
+    call) — at 100 TB parse-once beats parse-per-expression. The predicate
+    on the extracted field still prunes before the aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("pv"))
+    k = F.expr("variant_get(pv, '$.k', 'bigint')")
+    return (
+        v.select("event_id", k.alias("k"))
+        .filter(F.col("k") >= 90)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_event"))
+    )
