@@ -29,6 +29,7 @@ def load_all_operators() -> None:
         analytics,
         dedup,
         multimodal,
+        pipeline,
         relational,
         sampling,
         scalars,

@@ -126,6 +126,18 @@ SHUFFLE_BUDGET = {
     "tpch_q5_local_supplier_volume": 6,  # 5 broadcast dims + 1 agg
     "dedup_exact": 2,
     "text_stats": 0,
+    "tpch_q6_forecast_revenue": 1,
+    "tpch_q7_volume_shipping": 6,   # 5 broadcast dims + 1 agg
+    "tpch_q8_market_share": 8,      # 7 broadcast dims (nation twice) + 1 agg
+    "tpch_q10_returned_items": 4,   # 3 broadcast dims + TakeOrdered agg
+    "tpch_q14_promo_revenue": 2,
+    "tpch_q18_large_orders": 5,
+    "window_distribution": 1,
+    "agg_argminmax": 1,
+    "sample_stratified": 0,
+    "text_pii_redact": 0,
+    "json_variant": 1,
+    "embedding_quantize_int8": 1,
 }
 
 
@@ -155,3 +167,31 @@ def test_small_file_compaction_preserves_rows(spark, sf_dir, tmp_path):
     files = glob.glob(f"{compacted}/part-*.parquet")
     assert len(files) == 4
     assert spark.read.parquet(compacted).count() == ev.count()
+
+
+def test_q6_is_single_pass_pushdown_scan(spark, sf_dir):
+    """TPC-H Q6 must stay a one-exchange scan+agg with all three predicates
+    pushed to parquet — the canonical 100 TB scan shape."""
+    queries()
+    plan = plan_of(REGISTRY["tpch_q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    assert "Join" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL LIMIT subquery must decorrelate into a
+    window-rank plan, never a per-row nested-loop re-scan."""
+    queries()
+    plan = plan_of(REGISTRY["lateral_topk"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_distribution_shares_one_window_operator(spark, sf_dir):
+    """Five window functions over the same spec must collapse into a single
+    Window operator (one sort, one pass) plus the unbounded-frame variant."""
+    queries()
+    plan = plan_of(REGISTRY["window_distribution"].fn(spark, sf_dir))
+    # two specs (default frame + unbounded frame) -> at most 2 Window nodes
+    assert plan.count("Window [") <= 2
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
