@@ -522,3 +522,69 @@ def recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
         GROUP BY m
     """)
+
+
+@register(
+    "cross_join_dense_matrix",
+    category="join",
+    oracle="""
+    WITH grid AS (
+        SELECT r_name, seg FROM region
+        CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    ),
+    actual AS (
+        SELECT r.r_name, c.c_mktsegment AS seg,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY r.r_name, c.c_mktsegment
+    )
+    SELECT g.r_name, g.seg,
+           CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(a.revenue, 0.0) AS DOUBLE) AS revenue
+    FROM grid g LEFT JOIN actual a ON g.r_name = a.r_name AND g.seg = a.seg
+    """,
+)
+def cross_join_dense_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN: build the dense (region × market-segment) grid,
+    then left-join actual revenue so empty cells report zero — the
+    dense-matrix report pattern (a GROUP BY alone silently drops empty
+    combinations).
+
+    Scale: the cartesian product is dimension × dimension (25 rows) — never
+    fact × anything; both sides of the final join broadcast. Cross joins of
+    two large inputs are the one shape that cannot scale; the engine's
+    near-dup and similarity operators use LSH bucketing precisely to avoid
+    them.
+    """
+    reg = load_table(spark, sf_dir, "region").select("r_name")
+    segs = load_table(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("seg")).distinct()
+    grid = reg.crossJoin(segs)
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    actual = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(region), nat.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("a_rname"), F.col("c_mktsegment").alias("a_seg"))
+        .agg(
+            F.count(F.lit(1)).alias("a_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("a_rev"),
+        )
+    )
+    return grid.join(
+        F.broadcast(actual),
+        (grid.r_name == actual.a_rname) & (grid.seg == actual.a_seg),
+        "left",
+    ).select(
+        "r_name",
+        "seg",
+        F.coalesce("a_n", F.lit(0)).alias("n_orders"),
+        F.coalesce("a_rev", F.lit(0.0)).alias("revenue"),
+    )

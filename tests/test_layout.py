@@ -195,3 +195,38 @@ def test_window_distribution_shares_one_window_operator(spark, sf_dir):
     # two specs (default frame + unbounded frame) -> at most 2 Window nodes
     assert plan.count("Window [") <= 2
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
+
+
+def test_join_strategy_hints_are_respected(spark, sf_dir):
+    """df.hint('merge') / df.hint('shuffle_hash') must override the
+    planner's default choice — the manual escape hatch when statistics
+    mislead at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    with conf(spark, spark_sql_autoBroadcastJoinThreshold="-1"):
+        merged = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        assert "SortMergeJoin" in plan_of(merged)
+        hashed = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        p = plan_of(hashed)
+        assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """With AQE on, a shuffle whose output is tiny must coalesce its read
+    partitions at runtime (AQEShuffleRead) instead of launching one task
+    per static shuffle partition — the local proof of the runtime-replan
+    behavior that matters at 1000 executors."""
+    with conf(
+        spark,
+        spark_sql_adaptive_enabled="true",
+        spark_sql_adaptive_coalescePartitions_enabled="true",
+        spark_sql_shuffle_partitions="64",
+    ):
+        df = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        df.collect()  # AQE finalizes the plan only after execution
+        plan = plan_of(df)
+    assert "AQEShuffleRead coalesced" in plan
