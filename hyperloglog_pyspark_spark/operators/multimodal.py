@@ -131,3 +131,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_batches,
         schema="doc_id long, frame_idx long, byte_offset long, frame_len long",
     )
+
+
+@register(
+    "multimodal_dedup_digest",
+    category="multimodal",
+    oracle="""
+    WITH digests AS (
+        SELECT doc_id, sha256(text) AS digest,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    groups AS (
+        SELECT digest,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MIN(n_bytes) AS BIGINT) AS n_bytes
+        FROM digests GROUP BY digest
+    )
+    SELECT digest, canonical_doc, n_copies, n_bytes
+    FROM groups WHERE n_copies > 1
+    """,
+)
+def multimodal_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by cryptographic digest of the binary payload:
+    sha2-256 each blob (JVM-side, no UDF), group by digest, keep the lowest
+    doc_id as the canonical copy and report replica groups — byte-identical
+    dedup, the first pass of every multimodal curation pipeline (digests
+    also serve as stable content-addressed media IDs downstream).
+
+    Scale: the shuffle key is the 32-byte digest, never the payload —
+    at 100 TB the exchange carries hashes + ids while blobs stay in place;
+    uniform digest distribution also makes the shuffle skew-proof.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    digests = docs.select(
+        "doc_id",
+        F.sha2("payload", 256).alias("digest"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+    )
+    return (
+        digests.groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
