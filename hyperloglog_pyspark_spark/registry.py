@@ -57,15 +57,65 @@ def register(
     return deco
 
 
+# Queries that already have a green driver CORRECTNESS row (round 1, 50/50).
+# The per-round correctness sweep samples a prefix of queries() in order, so
+# we surface not-yet-driver-verified queries FIRST — round-robin across
+# categories so any prefix the sweep takes still covers every category.
+DRIVER_VERIFIED: frozenset[str] = frozenset({
+    "agg_pricing_summary", "agg_stats", "agg_distinct_exact", "agg_cube",
+    "agg_rollup", "agg_grouping_sets", "agg_salted_skew", "agg_stats_moments",
+    "agg_filter_clause", "agg_regression", "agg_argminmax", "agg_listagg",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_embedding_cosine", "dedup_cluster_components",
+    "dedup_fuzzy_name",
+    "multimodal_meta", "multimodal_frame_sample", "multimodal_dedup_digest",
+    "pipeline_corpus_curation",
+    "scan_project_filter", "filter_in_like_between", "expr_case_arith",
+    "join_broadcast_dim", "join_shuffle_agg", "join_semi", "join_anti",
+    "join_outer_histogram", "join_full_outer", "join_range", "join_asof",
+    "cdc_upsert_merge", "join_null_safe", "recursive_cte_spine",
+    "cross_join_dense_matrix",
+    "sample_deterministic", "split_train_val_test", "sample_stratified",
+    "string_funcs",
+})
+
+
+def ordered_names() -> list[str]:
+    """Registry names with driver-unverified queries first.
+
+    Unverified names are interleaved round-robin by category (so a sweep
+    prefix of any length touches the widest category spread), followed by
+    the names already proven in CORRECTNESS_r01.
+    """
+    from itertools import zip_longest
+
+    by_cat: dict[str, list[str]] = {}
+    for name, q in REGISTRY.items():
+        if name not in DRIVER_VERIFIED:
+            by_cat.setdefault(q.category, []).append(name)
+    interleaved = [
+        n for batch in zip_longest(*by_cat.values()) for n in batch if n is not None
+    ]
+    return interleaved + [n for n in REGISTRY if n in DRIVER_VERIFIED]
+
+
 def queries() -> dict[str, QueryFn]:
     import hyperloglog_pyspark_spark as pkg
 
     pkg.load_all_operators()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     import hyperloglog_pyspark_spark as pkg
 
     pkg.load_all_operators()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
