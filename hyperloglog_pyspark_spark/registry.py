@@ -37,6 +37,45 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# ---------------------------------------------------------------------------
+# Tracked persists. Operators persist intermediates (e.g. the LSH signature
+# table) that must stay cached across re-invocations of the SAME query
+# (bench reps, warm reruns) but must NOT accumulate across a 108-query
+# sweep — that is a session-long memory leak. Invoking a registered query
+# releases every cache owned by a DIFFERENT query, so at most one query's
+# caches are live at a time; release_caches() frees the rest (tests call it
+# after a sweep and assert sc.getPersistentRDDs is empty).
+# ---------------------------------------------------------------------------
+
+_current_query: str | None = None
+_live_caches: list[tuple[str, DataFrame]] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() with session-scoped bookkeeping (see note above)."""
+    df.persist()
+    _live_caches.append((_current_query or "<adhoc>", df))
+    return df
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Track an already-cached DataFrame (e.g. localCheckpoint output) so
+    release_caches() frees its blocks without re-persisting it."""
+    _live_caches.append((_current_query or "<adhoc>", df))
+    return df
+
+
+def release_caches(keep: str | None = None) -> None:
+    """Unpersist tracked caches, except those owned by query ``keep``."""
+    global _live_caches
+    kept: list[tuple[str, DataFrame]] = []
+    for owner, df in _live_caches:
+        if keep is not None and owner == keep:
+            kept.append((owner, df))
+        else:
+            df.unpersist()
+    _live_caches = kept
+
 
 def register(
     name: str,
@@ -48,8 +87,23 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Free caches left behind by other queries (keep our own so
+            # bench reps / warm reruns still hit the persisted plan).
+            global _current_query
+            release_caches(keep=name)
+            prev, _current_query = _current_query, name
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _current_query = prev
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
         REGISTRY[name] = Query(
-            name=name, fn=fn, oracle=oracle, category=category,
+            name=name, fn=wrapped, oracle=oracle, category=category,
             doc=(fn.__doc__ or "").strip(), bench=bench, tags=tags,
         )
         return fn

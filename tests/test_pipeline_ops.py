@@ -67,3 +67,95 @@ def test_multimodal_stub_contract():
 def test_dedup_exact_drops_something(spark, sf_dir):
     out = ALL["dedup_exact"](spark, sf_dir).toPandas()
     assert out.n_dropped.sum() > 0, "events fixture should contain (user,type) dups"
+
+
+# --- connected components (large-star/small-star) -------------------------
+
+
+def _brute_components(edges):
+    """Driver-side union-find oracle for small graphs."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_long_path_beyond_label_prop_cap(spark):
+    """A 60-node path (diameter 59) — plain min-label propagation capped at
+    20 rounds would mislabel it; large-star/small-star converges in
+    O(log^2 n) rounds and must get every node's component min."""
+    from hyperloglog_pyspark_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(100, 160)]
+    df = spark.createDataFrame(edges, "u: long, v: long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {n: 100 for n in range(100, 161)}
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "u: long, v: long")
+    got = {r.node: r.component for r in connected_components_import()(df).collect()}
+    assert got == _brute_components(edges)
+
+
+def connected_components_import():
+    from hyperloglog_pyspark_spark.operators.dedup import connected_components
+
+    return connected_components
+
+
+def test_cc_empty_graph(spark):
+    df = spark.createDataFrame([], "u: long, v: long")
+    assert connected_components_import()(df).count() == 0
+
+
+def test_no_leaked_caches_after_query_switch(spark, sf_dir):
+    """Tracked persists are scoped to the invoking query: running a second
+    query releases the first query's caches, and release_caches() frees
+    the remainder — no RDD accumulates across a long multi-query session."""
+    from hyperloglog_pyspark_spark import registry
+
+    ALL["dedup_minhash_lsh"](spark, sf_dir).count()
+    assert len(registry._live_caches) > 0
+    ALL["dedup_ngram_jaccard"](spark, sf_dir).count()
+    owners = {o for o, _ in registry._live_caches}
+    assert owners == {"dedup_ngram_jaccard"}
+    registry.release_caches()
+    assert registry._live_caches == []
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 0, "leaked persisted RDDs"
+
+
+def test_embedding_cosine_bucket_recall(spark, sf_dir, duck):
+    """The (label, LSH-bucket) blocked query must keep a recall floor vs
+    the unblocked label-only scan it replaced (multi-probe hamming <= 2;
+    at the fixture's loose tau=0.4 some distant-bucket pairs are missed by
+    design — at production thresholds ~0.9 the same probes catch >=95%)."""
+    blocked = ALL["dedup_embedding_cosine"](spark, sf_dir).toPandas()
+    unblocked = duck.execute("""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+    """).df()
+    want = set(zip(unblocked.vec_a, unblocked.vec_b))
+    got = set(zip(blocked.vec_a, blocked.vec_b))
+    assert got <= want, "blocked query must not invent pairs"
+    if want:
+        recall = len(got & want) / len(want)
+        assert recall >= 0.5, f"bucket-blocked recall collapsed: {recall}"
