@@ -153,3 +153,83 @@ class TestReferenceDataGoldens:
         exact = len({str(x) for x in data})
         assert exact == 638
         assert (exact - est) / exact * 100 == pytest.approx(-1.1376, abs=1e-3)
+
+
+class TestBiasCorrection:
+    """HLL++ bias-correction stage (Heule et al. appendix tables) and the
+    32-bit variant — the two reference-parity gaps closed in round 2."""
+
+    def test_bias_interpolates_published_tables(self):
+        # At an interior curve point the 6-NN window surrounds it, so the
+        # interpolated bias must sit within the local bias neighborhood.
+        from hyperloglog_pyspark_spark.functions.hllpp_bias_tables import (
+            bias_data,
+            raw_estimate_data,
+        )
+
+        for p in range(4, 19):
+            curve, biases = raw_estimate_data(p), bias_data(p)
+            i = len(curve) // 2
+            got = hll64.estimate_bias(curve[i], p)
+            window = biases[i - 6 : i + 6]
+            assert min(window) - 1e-9 <= got <= max(window) + 1e-9
+
+    def test_bias_nonzero_below_curve_start(self):
+        # Reference divergence pin: below the curve's start the reference's
+        # negative-start slice returns bias 0 (HyperLogLog.py:224); the
+        # correct clamped window interpolates the head of the table.
+        from hyperloglog_pyspark_spark.functions.hllpp_bias_tables import bias_data
+
+        got = hll64.estimate_bias(1.0, 4)
+        head = bias_data(4)[:6]
+        assert got == pytest.approx(sum(head) / 6, abs=1e-12)
+        assert got > 0
+
+    def test_midrange_bias_corrected_accuracy(self):
+        # n between the LC threshold and 5m: the regime the bias stage
+        # exists for. p=14: sigma = 1.04/128 ~ 0.8%; assert 3 sigma-ish.
+        p, n = 14, 40000
+        regs = hll64.empty_registers(p)
+        hll64.update_registers(regs, [f"mid{i}" for i in range(n)], p)
+        est = hll64.estimate(regs)
+        m = 1 << p
+        harm = sum(2.0 ** -int(r) for r in regs)
+        raw = hll64.alpha(m) * m * m / harm
+        assert 5 * m >= raw > hll64.threshold(p), "fixture must hit the bias regime"
+        assert abs(est - n) / n < 0.03
+        assert abs(est - n) <= abs(raw - n), "bias correction should not hurt"
+
+
+class TestHLL32:
+    def test_golden_lc(self):
+        # reference golden (tests/HLL/test_HyperLogLog.py:169): k=250,
+        # data ['abc','def','ghi'] -> 3.017716672522796.
+        regs = hll64.empty_registers(hll64.p_from_k(250, hash_bits=32))
+        hll64.update_registers(regs, ["abc", "def", "ghi"], 8, hash_bits=32)
+        assert hll64.estimate32(regs) == pytest.approx(3.017716672522796, abs=1e-12)
+
+    def test_duplicates_invariant(self):
+        a = hll64.empty_registers(8)
+        hll64.update_registers(a, ["abc", "def", "ghi"] * 40, 8, hash_bits=32)
+        b = hll64.empty_registers(8)
+        hll64.update_registers(b, ["abc", "def", "ghi"], 8, hash_bits=32)
+        assert hll64.estimate32(a) == hll64.estimate32(b)
+
+    def test_high_range_correction_formula(self):
+        # Saturated registers push E past 2^32/30; the corrected estimate
+        # must follow -2^32 ln(1 - E/2^32) (the reference's branch raises
+        # NameError on a bare `log`, HyperLogLog.py:153 — fixed here).
+        import numpy as np
+
+        regs = np.full(16, 28, dtype=np.uint8)
+        m = 16
+        harm = m * 2.0**-28
+        e = hll64.alpha(m) * m * m / harm
+        assert e > 2**32 / 30.0
+        want = -(2**32) * math.log(1 - e / 2**32)
+        assert hll64.estimate32(regs) == pytest.approx(want, rel=1e-12)
+
+    def test_k_range_32(self):
+        with pytest.raises(ValueError):
+            hll64.p_from_k(2**17, hash_bits=32)
+        assert hll64.p_from_k(2**16, hash_bits=32) == 16
