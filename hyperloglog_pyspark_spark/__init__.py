@@ -36,6 +36,7 @@ def load_all_operators() -> None:
         setops,
         similarity,
         sketch,
+        sqlapi,
         streaming_batch,
         subqueries,
         textops,

@@ -231,6 +231,7 @@ LEN_BUCKET = 16
 @register(
     "dedup_ngram_jaccard",
     category="dedup",
+    bench=True,
     oracle=f"""
     WITH docs AS (
         SELECT doc_id, {shingles_sql(3)} AS sh,
@@ -248,33 +249,49 @@ LEN_BUCKET = 16
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-blocked exact n-gram Jaccard — the exact baseline the LSH
-    path approximates, with pair generation bounded by a token-length
-    bucket blocker (high-Jaccard pairs have near-equal lengths; blocking
-    on ⌊len/16⌋ ± 1 keeps the join quadratic only within buckets)."""
+    """Exact n-gram Jaccard via an inverted-index count join — the exact
+    baseline the LSH path approximates. Instead of enumerating every pair
+    inside a length block and intersecting shingle arrays (block² array
+    intersections), explode to (doc, shingle) postings and equi-join on
+    the shingle: only pairs that actually share a shingle materialize, and
+    a groupBy count IS |intersection| (shingles are distinct per doc).
+    Work is Σ_g df(g)² — bounded by shared-content structure, not block
+    size² — and the shuffle key is the shingle (high cardinality, low
+    skew; AQE skew-join covers pathological grams). The length-bucket
+    predicate (⌊len/16⌋ ± 1) is kept as a join filter for oracle parity."""
     docs = load_table(spark, sf_dir, "documents")
-    # Persisted (tracked): feeds both sides of the blocked self-join.
-    sh = tracked_persist(
-        docs.filter(F.size(F.split("text", " ")) >= 3)
-        .select(
-            "doc_id",
-            word_shingles("text", 3).alias("sh"),
-            F.floor(F.size(F.split("text", " ")) / LEN_BUCKET).alias("lb"),
-        )
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id",
+        word_shingles("text", 3).alias("sh"),
+        F.floor(F.size(F.split("text", " ")) / LEN_BUCKET).alias("lb"),
     )
-    # lb_b BETWEEN lb_a−1 AND lb_a+1 is a non-equi predicate (nested-loop
-    # join); exploding the three probe buckets turns it into a hash
-    # equi-join — the form that scales (shuffle on bucket, no O(n²) probe).
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)).alias("lb_probe"),
+    # Persisted (tracked): postings feed both sides of the shingle join.
+    # n is computed below the explode (staged select) so the Generate
+    # carries two ints, not the shingle array, through every posting row.
+    ex = tracked_persist(
+        sh.select("doc_id", "lb", F.size("sh").alias("n"), "sh")
+        .select("doc_id", "lb", "n", F.explode("sh").alias("g"))
     )
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("lb").alias("lb_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("lb").alias("lb_a"), F.col("n").alias("n_a"), "g"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("lb").alias("lb_b"), F.col("n").alias("n_b"), "g"
+    )
+    inter = F.count(F.lit(1))
     return (
-        a.join(b, (F.col("lb_probe") == F.col("lb_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .withColumn("jaccard_raw", inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter))
+        a.join(
+            b,
+            (a["g"] == b["g"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            & F.col("lb_b").between(F.col("lb_a") - 1, F.col("lb_a") + 1),
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(inter.alias("inter"))
+        .withColumn(
+            "jaccard_raw",
+            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
         .filter(F.col("jaccard_raw") >= 0.5)
         .select("doc_a", "doc_b", F.round("jaccard_raw", 6).cast("double").alias("jaccard"))
     )
@@ -288,6 +305,7 @@ SIM_HAMMING = 2
 @register(
     "dedup_simhash",
     category="dedup",
+    bench=True,
     oracle=f"""
     WITH tok AS (
         SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token

@@ -168,6 +168,7 @@ N_PROBES = 2
 @register(
     "similarity_ivf",
     category="similarity",
+    bench=True,
     oracle=f"""
     WITH cent AS (
         SELECT vec_id AS cent_id, embedding AS ce FROM embeddings

@@ -65,6 +65,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_sliding",
     category="streaming",
+    bench=True,
     oracle="""
     SELECT CAST(epoch_ms(time_bucket(INTERVAL 30 MINUTES, ts) - o.off * INTERVAL 30 MINUTES) AS BIGINT)
                AS window_start_ms,

@@ -198,6 +198,7 @@ BENCH_SOURCE = "src0"
 @register(
     "text_decontaminate",
     category="text",
+    bench=True,
     oracle=f"""
     WITH bench AS (
         SELECT DISTINCT unnest({shingles_sql(DECON_N)}) AS gram
@@ -236,8 +237,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(grams).alias("gram"))
         .distinct()
     )
-    corpus = eligible.filter(F.col("source") != BENCH_SOURCE).select(
-        "doc_id", F.size(grams).alias("n_grams"), F.explode(grams).alias("gram")
+    # The gram array is staged as a column and n_grams computed from it in
+    # a select BELOW the explode: putting size(grams) as a sibling of
+    # F.explode(grams) plants it in the Project ABOVE the Generate, where
+    # the whole shingle expression is re-evaluated from `text` once per
+    # exploded gram — O(len²) per doc, a ~40× slowdown at sf0.1.
+    corpus = (
+        eligible.filter(F.col("source") != BENCH_SOURCE)
+        .select("doc_id", grams.alias("gs"))
+        .select("doc_id", F.size("gs").alias("n_grams"), "gs")
+        .select("doc_id", "n_grams", F.explode("gs").alias("gram"))
     )
     return (
         corpus.join(F.broadcast(bench), "gram")

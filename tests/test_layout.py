@@ -230,3 +230,32 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
         df.collect()  # AQE finalizes the plan only after execution
         plan = plan_of(df)
     assert "AQEShuffleRead coalesced" in plan
+
+
+def _op_shape(plan: str) -> list[str]:
+    """Physical operator sequence, stripped of ids/exprs — plan 'shape'."""
+    import re
+
+    ops = []
+    for line in plan.splitlines():
+        m = re.match(r"^[\s:+*\-()0-9]*([A-Za-z]+)", line)
+        if m and m.group(1) not in ("Arguments", "Input", "Output", "ReadSchema"):
+            ops.append(m.group(1))
+    return ops
+
+
+def test_sql_entry_path_plans_match_dataframe_forms(spark, sf_dir):
+    """The spark.sql text form of Q3/Q1 must produce the same physical
+    operator sequence as the DataFrame form — the SQL surface is the same
+    engine, not a second slower path."""
+    queries()
+    for sql_name, df_name in [
+        ("sql_q3", "tpch_q3_shipping_priority"),
+        ("sql_pricing", "agg_pricing_summary"),
+    ]:
+        sql_plan = plan_of(REGISTRY[sql_name].fn(spark, sf_dir))
+        df_plan = plan_of(REGISTRY[df_name].fn(spark, sf_dir))
+        assert _op_shape(sql_plan) == _op_shape(df_plan), (
+            f"{sql_name} plan shape diverged from {df_name}:\n"
+            f"SQL: {_op_shape(sql_plan)}\nDF:  {_op_shape(df_plan)}"
+        )

@@ -1,0 +1,95 @@
+"""Scale-linearity smoke: the bounded dedup paths (MinHash LSH, SimHash,
+cluster components, and the inverted-index exact n-gram Jaccard) must
+scale ~linearly in corpus size — the LSH/band/postings bounds holding is
+exactly what makes them viable at 100 TB.
+
+Method: inflate the sf0.1 documents table Rx by unioning word-salted
+replicas (every token of replica k gets a _k suffix, so replicas share no
+shingles and the near-dup pair structure stays linear — unsalted copies
+would create R-sized near-dup cliques and a legitimately quadratic
+output). Wall-time ratio t(Rx)/t(1x) must stay far below the quadratic
+R² signature.
+
+dedup_ngram_jaccard qualifies because it generates pairs from a shingle
+postings join (work ∝ Σ_g df(g)², bounded by shared-content structure),
+not by enumerating length-block pairs — salted replicas add postings but
+no cross-replica matches, so its work grows R×. Its output is also
+exactly R× the base (salting is injective on shingle sets), giving a
+row-exactness check the hash-based paths can't make.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+BASE_DIR = "/root/testdata/sf0.1"
+R = 6  # inflation factor for the linear paths
+# Linear scaling would be ~R, quadratic ~R²(=36); the bar splits them with
+# generous local-mode noise slack (scheduling overhead, JIT, GC).
+MAX_RATIO = 15.0
+
+LINEAR_OPS = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster_components",
+    "dedup_ngram_jaccard",
+]
+
+
+def _salted(docs, k: int):
+    words = F.split("text", " ")
+    return docs.select(
+        (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(words, lambda w: F.concat(w, F.lit(f"_{k}")))
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _write_corpus(docs, path, replicas: int) -> None:
+    base = _salted(docs, 0)
+    for k in range(1, replicas):
+        base = base.union(_salted(docs, k))
+    base.repartition(8).write.parquet(str(path / "documents.parquet"))
+
+
+@pytest.mark.slow
+def test_bounded_dedup_paths_scale_linearly(spark, tmp_path):
+    queries()
+    docs = load_table(spark, BASE_DIR, "documents")
+    one, big = tmp_path / "x1", tmp_path / f"x{R}"
+    _write_corpus(docs, one, 1)
+    _write_corpus(docs, big, R)
+
+    for name in LINEAR_OPS:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        n1 = fn(spark, str(one)).count()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nr = fn(spark, str(big)).count()
+        tr = time.perf_counter() - t0
+        # Salting precludes cross-replica near-dups, so output is ~R× the
+        # base — exactly R× for the deterministic ngram path; hash-based
+        # paths can move boundary pairs (minhash band recall, coincidental
+        # simhash closeness on short docs), so order is what matters there.
+        if name == "dedup_ngram_jaccard":
+            lo, hi = 1.0, 1.0
+        elif name == "dedup_simhash":
+            lo, hi = 0.5, 1.5
+        else:
+            lo, hi = 0.9, 1.1
+        assert lo * R * n1 <= nr <= hi * R * n1, (
+            f"{name}: rows {n1} -> {nr}, expected ~{R}x"
+        )
+        ratio = tr / max(t1, 0.2)  # floor guards divide-by-scheduler-noise
+        assert ratio < MAX_RATIO, f"{name}: {t1:.2f}s -> {tr:.2f}s ({ratio:.1f}x at {R}x data)"
