@@ -40,6 +40,7 @@ def load_all_operators() -> None:
         streaming_batch,
         subqueries,
         textops,
+        trainprep,
         udtf,
         windows,
     )

@@ -1,0 +1,204 @@
+"""Training-run preparation operators: sequence packing, domain-mixture
+rebalancing, and cross-corpus overlap auditing — the steps between "curated
+corpus" and "tokens on the training cluster".
+
+These extend the LLM-pipeline surface (SURVEY.md §2.2 north-star extras;
+the reference at /root/reference/ has no counterpart — it is an HLL sketch
+library, examples.py:16-83). Everything here is deterministic (md5-anchored
+or order-anchored) so results are reproducible across engines, runs, and
+cluster layouts, and every query is built from JVM-side expressions only.
+
+Scale posture (100 TB):
+- Packing windows are partitioned by source — packs never span a partition
+  key, so the sort is per-group, not global. For a pathologically large
+  single source, sub-partition the pack space by a hash bucket of doc_id
+  (each bucket packs independently; budget waste is one tail pack per
+  bucket) — same expression shape, noted below.
+- Mixture rates are computed on a #sources-row aggregate (an all-rows
+  window over that tiny frame is a driver-sized operation, not a data-sized
+  one) and broadcast back; the scan side is a stateless hash predicate.
+- Overlap joins are keyed on the n-gram (high cardinality, low skew) over
+  DISTINCT (source, gram) postings — work is bounded by vocabulary size
+  per source, never by document pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hyperloglog_pyspark_spark.functions.texttools import (
+    md5_long,
+    md5_long_sql,
+    shingles_sql,
+    word_shingles,
+)
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+PACK_BUDGET = 2048  # tokens per pack (context-window accounting unit)
+
+
+@register(
+    "pack_sequences_greedy",
+    category="trainprep",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS toks
+        FROM documents
+    ), packed AS (
+        SELECT source, toks,
+               CAST(FLOOR((SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - toks)
+                          / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT source, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS pack_tokens,
+           ROUND(SUM(toks) / {PACK_BUDGET}.0, 6) AS fill_ratio
+    FROM packed
+    GROUP BY source, pack_id
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents in deterministic
+    doc_id order within each source and cut a new pack every PACK_BUDGET
+    tokens (a document whose start offset lies in pack k belongs to pack
+    k, so packs can overflow by one tail document — concat-then-chunk
+    accounting). pack_id = floor(preceding_cumsum / budget) needs only a
+    per-source ordered running sum: one window, partitioned by source, no
+    global sort. Output is per-pack fill accounting — the input to
+    choosing a packing budget that minimizes padding waste."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("toks").over(w)
+    return (
+        docs.select("source", "doc_id", toks.alias("toks"))
+        .withColumn("pack_id", F.floor((cum - F.col("toks")) / float(PACK_BUDGET)).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("pack_tokens"),
+            F.round(F.sum("toks") / float(PACK_BUDGET), 6).alias("fill_ratio"),
+        )
+    )
+
+
+@register(
+    "mixture_downsample_temperature",
+    category="trainprep",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_orig FROM documents GROUP BY source
+    ), rates AS (
+        SELECT source, n_orig,
+               sqrt((SELECT MIN(n_orig) FROM counts) * 1.0 / n_orig) AS rate
+        FROM counts
+    )
+    SELECT r.source,
+           CAST(r.n_orig AS BIGINT) AS n_orig,
+           CAST(COUNT(d.doc_id) AS BIGINT) AS n_kept,
+           ROUND(r.rate, 6) AS rate
+    FROM rates r
+    LEFT JOIN documents d
+      ON d.source = r.source
+     AND {md5_long_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000
+         < CAST(FLOOR(r.rate * 1000000) AS BIGINT)
+    GROUP BY r.source, r.n_orig, r.rate
+    """,
+)
+def mixture_downsample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture by downsampling: keep rate
+    r_s = (n_min / n_s)^0.5 per source (tau = 0.5 flattening — the
+    smallest domain is kept whole, larger domains are square-root
+    compressed toward it). The exponent is exactly 0.5 on purpose: sqrt
+    and IEEE division are correctly-rounded in both Spark and DuckDB, so
+    the per-source threshold floor(r*1e6) is bit-identical cross-engine
+    (a generic pow() would not be). Row selection is the md5 hash
+    predicate — stateless, partition-independent, reproducible. The
+    rates frame has #sources rows, so the all-rows window over it is
+    trivially small; it broadcasts back onto the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
+    rates = counts.withColumn(
+        "rate",
+        F.sqrt(F.min("n_orig").over(Window.partitionBy()).cast("double") / F.col("n_orig")),
+    ).withColumn("thr", F.floor(F.col("rate") * 1000000).cast("long"))
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(md5_long(F.col("doc_id").cast("string")) % 1000000 < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_orig").cast("long").alias("n_orig"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round("rate", 6).alias("rate"),
+        )
+    )
+
+
+OVERLAP_N = 3
+
+
+@register(
+    "corpus_overlap_grams",
+    category="trainprep",
+    oracle=f"""
+    WITH sg AS (
+        SELECT DISTINCT source, unnest({shingles_sql(OVERLAP_N)}) AS gram
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {OVERLAP_N}
+    ), tot AS (
+        SELECT source, COUNT(*) AS n FROM sg GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams,
+           ROUND(COUNT(*) * 1.0 / (ta.n + tb.n - COUNT(*)), 6) AS jaccard
+    FROM sg a
+    JOIN sg b ON a.gram = b.gram AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source, ta.n, tb.n
+    """,
+)
+def corpus_overlap_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: for every pair of sources, the
+    number of distinct word 3-grams they share and the gram-level Jaccard
+    similarity — the corpus-to-corpus generalization of
+    text_decontaminate's corpus-to-benchmark check. Built as an
+    inverted-index count join over DISTINCT (source, gram) postings: the
+    join key is the gram (high cardinality), each shared gram contributes
+    exactly one row per source pair, and no gram array is ever pairwise
+    intersected. Work is Sum_g df(g)^2 with df bounded by #sources —
+    linear in vocabulary, independent of document count."""
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        docs.filter(F.size(F.split("text", " ")) >= OVERLAP_N)
+        .select("source", F.explode(word_shingles("text", OVERLAP_N)).alias("gram"))
+        .distinct()
+    )
+    tot = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.select(F.col("source").alias("source_a"), "gram")
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    shared = F.count(F.lit(1))
+    return (
+        a.join(b, (a["gram"] == b["gram"]) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(shared.alias("shared_grams"))
+        .join(F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))), "source_a")
+        .join(F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            F.round(
+                F.col("shared_grams") / (F.col("n_a") + F.col("n_b") - F.col("shared_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
