@@ -141,6 +141,181 @@ def hll64_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MG_K = 256  # Misra-Gries counters per partition summary
+TOP_N = 20
+
+
+@register(
+    "heavy_hitters_mg",
+    category="sketch",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+    )
+    SELECT token, CAST(freq AS BIGINT) AS freq, TRUE AS sketch_ok
+    FROM counts ORDER BY freq DESC, token LIMIT {TOP_N}
+    """,
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token frequencies with the Misra-Gries mergeable-summary
+    contract checked in-plan: the sketch (functions/mgsketch.py — compressed
+    per-partition counters, additive merge) must contain every token whose
+    true frequency exceeds n/(k+1), with weight within [freq − n/(k+1),
+    freq]. Output rows are the EXACT top-{TOP_N} (deterministic tie-break),
+    so the DuckDB oracle hash-verifies the accuracy contract itself — the
+    same pattern as the HLL tolerance queries above.
+
+    Scale: the sketch shuffle carries ≤ k rows per partition; the exact
+    side is one token aggregate + TakeOrdered — at 100 TB you keep the
+    sketch and drop the exact side, which exists here as the oracle."""
+    from hyperloglog_pyspark_spark.functions.mgsketch import mg_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = exact.orderBy(F.col("freq").desc(), "token").limit(TOP_N)
+    n_total = toks.agg(F.count(F.lit(1)).alias("n"))
+    mg = mg_summary(toks, "token", MG_K).withColumnRenamed("item", "token")
+    err = F.col("n") / (MG_K + 1.0)
+    ok = (F.col("freq") <= err) | (
+        F.col("weight").isNotNull()
+        & (F.col("weight") <= F.col("freq"))
+        & (F.col("weight") >= F.col("freq") - err)
+    )
+    return (
+        top.join(mg, "token", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select("token", F.col("freq").cast("long").alias("freq"), ok.alias("sketch_ok"))
+    )
+
+
+PRICE_CUT = 450000.0
+YEAR_B = 1997
+
+
+@register(
+    "hll_set_intersection",
+    category="sketch",
+    oracle=f"""
+    WITH flags AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN o_totalprice > {PRICE_CUT} THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN year(o_orderdate) = {YEAR_B} THEN 1 ELSE 0 END) AS in_b
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+           CAST(SUM(in_b) AS BIGINT) AS n_b,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter_exact,
+           TRUE AS approx_ok
+    FROM flags
+    """,
+)
+def hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on HLL sketches: estimate |A ∩ B| by inclusion-exclusion
+    (est(A) + est(B) − est(A ∪ B)), where the union estimate comes from
+    merging the two sketches — the register-max merge that is the
+    reference's only composition operator (HLL/HyperLogLog.py:157-179)
+    used to answer a question HLL cannot answer directly.
+
+    A = customers with an order over {PRICE_CUT}; B = customers ordering in
+    {YEAR_B}. The error of the differenced estimate is bounded by the sum
+    of the three absolute errors, so acceptance is
+    |est − exact| ≤ 3·stderr·(|A| + |B| + |A∪B|) — the 3-sigma envelope
+    propagated through the subtraction (exact sizes from the same scan).
+
+    Scale: flags collapse orders to one row per customer (one shuffle);
+    the three sketches + three exact counts are a single global aggregate
+    over that deduped frame — constant-size state regardless of input.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    flags = od.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_totalprice") > PRICE_CUT, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.year("o_orderdate") == YEAR_B, 1).otherwise(0)).alias("in_b"),
+    )
+    key = F.col("o_custkey").cast("string")
+    agg = flags.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter_exact"),
+        F.hll_sketch_agg(F.when(F.col("in_a") == 1, key), F.lit(LG_K)).alias("sk_a"),
+        F.hll_sketch_agg(F.when(F.col("in_b") == 1, key), F.lit(LG_K)).alias("sk_b"),
+    )
+    stderr = 1.04 / (2 ** (LG_K / 2.0))
+    est = agg.select(
+        "n_a",
+        "n_b",
+        "n_inter_exact",
+        F.hll_sketch_estimate("sk_a").alias("ea"),
+        F.hll_sketch_estimate("sk_b").alias("eb"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk_a", "sk_b")
+        ).alias("eu"),
+    )
+    est_inter = F.col("ea") + F.col("eb") - F.col("eu")
+    bound = 3 * stderr * (F.col("ea") + F.col("eb") + F.col("eu"))
+    return est.select(
+        "n_a",
+        "n_b",
+        "n_inter_exact",
+        (F.abs(est_inter - F.col("n_inter_exact")) <= bound).alias("approx_ok"),
+    )
+
+
+QUANTILE_ACC = 1000  # percentile_approx accuracy: rank error ≤ n/accuracy
+
+
+@register(
+    "approx_quantile_check",
+    category="sketch",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch with its accuracy contract checked in-plan: exact
+    median (interpolated, = DuckDB quantile_cont) next to percentile_approx
+    (Greenwald-Khanna style mergeable sketch), accepted iff the approx
+    value's true fractional rank is within the sketch's guarantee
+    (rank error ≤ n/accuracy, plus one row of discreteness slack).
+
+    The check is rank-space, not value-space — GK bounds rank, and value
+    error is unbounded for skewed data, so comparing values would test the
+    wrong contract. Ranking the approx answer costs a second broadcast
+    pass over the group (3 rows broadcast back to the scan).
+
+    Scale: both aggregates are single partial+final passes; sketch state
+    is O(accuracy·log n) per group, mergeable across partitions — the
+    same re-aggregation story as the HLL family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
+        F.percentile_approx("l_extendedprice", 0.5, QUANTILE_ACC).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = (
+        li.join(F.broadcast(agg), "l_returnflag")
+        .groupBy("l_returnflag", "p50_exact", "p50_approx", "n")
+        .agg(
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("p50_approx"), 1).otherwise(0)).alias(
+                "rank_le"
+            )
+        )
+    )
+    frac_err = F.abs(F.col("rank_le") / F.col("n") - 0.5)
+    slack = 2.0 / QUANTILE_ACC + 1.0 / F.col("n")
+    return ranked.select(
+        "l_returnflag",
+        F.round("p50_exact", 4).alias("p50_exact"),
+        (frac_err <= slack).alias("approx_ok"),
+    )
+
+
 @register(
     "hll_merge_compat",
     category="sketch",
