@@ -27,6 +27,7 @@ def load_all_operators() -> None:
     from hyperloglog_pyspark_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        cogrouped,
         dedup,
         multimodal,
         pipeline,

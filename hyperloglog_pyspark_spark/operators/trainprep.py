@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.texttools import (
+    STOPWORDS,
     md5_long,
     md5_long_sql,
     shingles_sql,
@@ -138,6 +139,118 @@ def mixture_downsample_temperature(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("n_orig").cast("long").alias("n_orig"),
             F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_kept"),
             F.round("rate", 6).alias("rate"),
+        )
+    )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "shard_manifest_balanced",
+    category="trainprep",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS toks FROM documents
+    ), ranked AS (
+        SELECT doc_id, toks,
+               (ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) - 1) % {N_SHARDS} AS shard_id
+        FROM toks
+    ), shards AS (
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS shard_tokens
+        FROM ranked GROUP BY shard_id
+    )
+    SELECT shard_id, n_docs, shard_tokens,
+           ROUND(shard_tokens / (SUM(shard_tokens) OVER () / {N_SHARDS}.0), 6) AS balance
+    FROM shards
+    """,
+)
+def shard_manifest_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard manifest: stripe documents across N_SHARDS by
+    descending token count (rank mod N — the striped cousin of LPT greedy
+    packing: each shard gets one doc from every size tier, so shard token
+    totals are near-equal without any driver-side bin state). Output is
+    the manifest accounting — per-shard doc/token totals and the balance
+    ratio vs the ideal equal split, the number an operator alerts on.
+
+    Scale note: the global size rank is a total sort (rangepartitioned,
+    fine at TB scale but it IS a full shuffle); when rank precision is
+    not needed, stripe within (source, hash-bucket) instead — same
+    expression with a partitionBy added, no global exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    w = Window.orderBy(F.col("toks").desc(), "doc_id")
+    shards = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("shard_id", (F.row_number().over(w) - 1) % N_SHARDS)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("shard_tokens"),
+        )
+    )
+    ideal = F.sum("shard_tokens").over(Window.partitionBy()) / float(N_SHARDS)
+    return shards.select(
+        "shard_id",
+        "n_docs",
+        "shard_tokens",
+        F.round(F.col("shard_tokens") / ideal, 6).alias("balance"),
+    )
+
+
+N_BINS = 4
+_STOP_SQL = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "curriculum_quality_bins",
+    category="trainprep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               0.5 * (CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+               + 0.5 * (least(len(string_split(text, ' ')), 100) / 100.0) AS quality
+        FROM documents
+    ), binned AS (
+        SELECT lang, quality,
+               NTILE({N_BINS}) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS bin
+        FROM scored
+    )
+    SELECT lang, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(quality), 6) AS avg_quality,
+           ROUND(MIN(quality), 6) AS min_quality,
+           ROUND(MAX(quality), 6) AS max_quality
+    FROM binned GROUP BY lang, bin
+    """,
+)
+def curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: NTILE quality quartiles per language (the same
+    deterministic quality score text_stats emits), with per-bin size and
+    score envelope — the schedule table a curriculum sampler consumes
+    (feed bin 1 early epochs, bin 4 late, or reverse). doc_id tiebreak
+    makes bin assignment total-order deterministic cross-engine.
+
+    Scale: one window partitioned by lang (bounded partitions), one
+    grouped aggregate — no global sort, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
+    quality = 0.5 * stop_ratio + 0.5 * (F.least(n_tokens, F.lit(100)) / 100.0)
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        docs.select("doc_id", "lang", quality.alias("quality"))
+        .withColumn("bin", F.ntile(N_BINS).over(w))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
         )
     )
 

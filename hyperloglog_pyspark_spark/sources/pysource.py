@@ -17,7 +17,13 @@ it — which is what makes the DuckDB oracle possible.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from hyperloglog_pyspark_spark.registry import register
 
@@ -91,4 +97,108 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("score").cast("double").alias("total_score"),
         F.count_distinct("user").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sink side: a custom Python DataSink (Spark 4 DataSource writer API) with a
+# two-phase commit — executors write task-temp files and return commit
+# messages; the DRIVER renames them into place only in commit(), so a failed
+# or speculative task leaves no partial output (abort() removes temps).
+# Same protocol shape as Hadoop FileOutputCommitter v1 / object-store staged
+# commits — the part of a sink that actually matters at 1000 executors.
+# ---------------------------------------------------------------------------
+
+
+class _SinkCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, final: str):
+        self.tmp = tmp
+        self.final = final
+
+
+class TsvSinkWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.tsv")
+        final = os.path.join(self.path, f"part-{pid:05d}.tsv")
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write("\t".join("" if v is None else str(v) for v in row) + "\n")
+        return _SinkCommit(tmp, final)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp, m.final)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+class TsvSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tsv_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return TsvSinkWriter(self.options, overwrite)
+
+
+@register(
+    "sink_python_datasink",
+    category="source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def sink_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip through the custom Python DataSink: write (doc_id, source,
+    n_chars) as task-committed TSV part files, read them back with the
+    schema-on-read CSV reader, and aggregate — proving the executor-side
+    write path, the commit protocol, and the re-scan agree with the source
+    of truth."""
+    import os
+    import shutil
+
+    from hyperloglog_pyspark_spark.session import configure
+    from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+    configure(spark)  # package zip on executor PYTHONPATH (pickle-by-reference)
+    spark.dataSource.register(TsvSink)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/hllps_pysink_{sf_tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    docs.repartition(8, "doc_id").write.format("tsv_sink").mode("append").option(
+        "path", path
+    ).save()
+    back = (
+        spark.read.schema("doc_id long, source string, n_chars long")
+        .option("sep", "\t")
+        .csv(path)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
     )
