@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 # 3-sigma acceptance per the reference's observed envelope (BASELINE.md):
@@ -174,9 +174,12 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # Exact counts serve double duty: the top-k rows AND the total token
+    # count n (sum of freqs over the vocab-sized frame) — two token-table
+    # scans total (exact + sketch), not three.
+    exact = tracked_persist(toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
     top = exact.orderBy(F.col("freq").desc(), "token").limit(TOP_N)
-    n_total = toks.agg(F.count(F.lit(1)).alias("n"))
+    n_total = exact.agg(F.sum("freq").alias("n"))
     mg = mg_summary(toks, "token", MG_K).withColumnRenamed("item", "token")
     err = F.col("n") / (MG_K + 1.0)
     ok = (F.col("freq") <= err) | (

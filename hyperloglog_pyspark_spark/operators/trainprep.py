@@ -33,7 +33,7 @@ from hyperloglog_pyspark_spark.functions.texttools import (
     shingles_sql,
     word_shingles,
 )
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 PACK_BUDGET = 2048  # tokens per pack (context-window accounting unit)
@@ -290,7 +290,9 @@ def corpus_overlap_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersected. Work is Sum_g df(g)^2 with df bounded by #sources —
     linear in vocabulary, independent of document count."""
     docs = load_table(spark, sf_dir, "documents")
-    sg = (
+    # Persisted (tracked): the distinct postings feed both join sides and
+    # the per-source totals — one explode+dedup instead of three.
+    sg = tracked_persist(
         docs.filter(F.size(F.split("text", " ")) >= OVERLAP_N)
         .select("source", F.explode(word_shingles("text", OVERLAP_N)).alias("gram"))
         .distinct()

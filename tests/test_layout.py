@@ -138,6 +138,12 @@ SHUFFLE_BUDGET = {
     "text_pii_redact": 0,
     "json_variant": 1,
     "embedding_quantize_int8": 1,
+    "pack_sequences_greedy": 1,       # one per-source window+agg
+    "shard_manifest_balanced": 1,     # one global rank (rangepartition)
+    "curriculum_quality_bins": 1,     # one per-lang window+agg
+    "hll_set_intersection": 2,        # custkey dedup + global sketch agg
+    "cogroup_asof_attribution": 2,    # one exchange per cogroup side
+    "approx_quantile_check": 3,       # agg + broadcast-back rank pass
 }
 
 
