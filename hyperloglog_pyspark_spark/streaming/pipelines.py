@@ -194,3 +194,75 @@ def click_purchase_join(events: DataFrame, watermark: str = "30 minutes") -> Dat
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "amount")
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra-Gries summaries as keyed stream state.
+# ---------------------------------------------------------------------------
+
+MG_STREAM_K = 64
+MG_SHARDS = 8
+_MG_OUT_SCHEMA = "shard int, item string, weight long, n_seen long"
+
+
+def _heavy_users_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's items into the shard's MG summary.
+
+    State per shard = ≤ MG_STREAM_K (item, weight) counters + rows seen,
+    serialized as two pickled arrays. Shards partition the item domain
+    (shard = hash(item) % MG_SHARDS), so summaries are disjoint and the
+    union of shard outputs is itself a valid MG summary of the whole
+    stream: per-shard error ≤ n_shard/(k+1) ≤ n/(k+1).
+    """
+    import pickle
+
+    from hyperloglog_pyspark_spark.functions.mgsketch import mg_compress
+
+    if state.exists:
+        (blob, n_seen) = state.get
+        acc = pd.Series(**pickle.loads(blob))
+    else:
+        acc, n_seen = pd.Series(dtype="int64"), 0
+    for pdf in pdfs:
+        counts = pdf["item"].value_counts(sort=False)
+        acc = counts.astype("int64") if acc.empty else acc.add(counts, fill_value=0).astype("int64")
+        n_seen += len(pdf)
+    acc = mg_compress(acc, MG_STREAM_K)
+    state.update(
+        (pickle.dumps({"data": acc.to_numpy(), "index": acc.index.to_numpy()}), n_seen)
+    )
+    yield pd.DataFrame(
+        {
+            "shard": key[0],
+            "item": acc.index.astype("object"),
+            "weight": acc.to_numpy(),
+            "n_seen": n_seen,
+        }
+    )
+
+
+def heavy_users_stream(events: DataFrame) -> DataFrame:
+    """Running heavy-user detection over an unbounded event stream: the
+    streaming form of heavy_hitters_mg (operators/sketch.py), with the
+    Misra-Gries summary as applyInPandasWithState state.
+
+    Items are sharded by a stable hash so state per key stays ≤ k counters
+    no matter how many distinct users the stream ever sees — the
+    frequency-sketch twin of the HLL state in distinct_users_stream, and
+    the property that makes "who is hot right now" answerable without
+    unbounded memory. Output mode is update: each micro-batch emits the
+    refreshed summaries of the shards it touched.
+    """
+    items = events.select(
+        F.col("user_id").cast("string").alias("item"),
+        (F.crc32(F.col("user_id").cast("string")) % MG_SHARDS).cast("int").alias("shard"),
+    )
+    return items.groupBy("shard").applyInPandasWithState(
+        _heavy_users_state_fn,
+        outputStructType=_MG_OUT_SCHEMA,
+        stateStructType="summary binary, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -394,3 +394,50 @@ def test_session_stream_matches_batch(spark, event_batches):
         want.sort_values(key).reset_index(drop=True),
         check_like=True,
     )
+
+
+def test_streaming_heavy_hitters_mg_contract(spark, event_batches):
+    """Sharded Misra-Gries stream state: after two micro-batches, the
+    union of the final per-shard summaries must satisfy the MG contract
+    against exact batch counts — every user with freq > n/(k+1) captured,
+    weight within [freq − n_shard/(k+1), freq] — and state must have
+    carried across batches (n_seen sums to the full event count)."""
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        MG_STREAM_K,
+        heavy_users_stream,
+    )
+
+    ev, first, second, src, ckpt = event_batches
+    _write_batch(spark, first, src)
+    stream = heavy_users_stream(read_events_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mg_state")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, second, src)
+        q.processAllAvailable()
+        got = spark.table("mg_state").toPandas()
+    finally:
+        q.stop()
+    # Keep each shard's FINAL emission (largest n_seen).
+    final = got.merge(
+        got.groupby("shard")["n_seen"].max().rename("n_max"), on="shard"
+    ).query("n_seen == n_max")
+    exact = {
+        str(r["user_id"]): r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    assert final["n_seen"].groupby(final["shard"]).max().sum() == n_total
+    weights = dict(zip(final["item"], final["weight"]))
+    err = n_total / (MG_STREAM_K + 1.0)
+    for user, freq in exact.items():
+        if freq > err:
+            assert user in weights, f"heavy user {user} missing from summary"
+            assert weights[user] <= freq
+            assert weights[user] >= freq - err
