@@ -29,6 +29,8 @@ def load_all_operators() -> None:
         analytics,
         cogrouped,
         dedup,
+        eventflow,
+        graph,
         multimodal,
         pipeline,
         relational,

@@ -1,0 +1,232 @@
+"""Event-flow analytics over the events stream table: ordered funnels,
+retention cohorts, and transition matrices — the session/user-journey
+workloads every event warehouse runs (and the batch twins of the
+streaming window operators in streaming_batch.py).
+
+The reference has no event semantics at all (HLL over opaque elements,
+HLL/HyperLogLog.py); these extend the engine's analytics surface. All
+deterministic integer/date arithmetic — no floats except final rounded
+ratios — so DuckDB oracles hash-match exactly.
+
+Scale posture (100 TB of events):
+- Every operator is one or two keyed aggregations over user_id — the
+  natural partition key of an event store; no self-joins on the raw
+  stream, no windows wider than one user's history.
+- The funnel's stage chain re-scans events once per stage with the
+  event_type filter pushed to the scan (at 100 TB: partition-prune by
+  type or feed from a type-bucketed table); each stage's per-user frame
+  is broadcast back, so the big side never shuffles.
+- Transition counting shuffles once on user_id for the lag window, then
+  aggregates a #types² matrix — constant-size output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+
+@register(
+    "funnel_conversion",
+    category="analytics",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS tc
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.tv
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.tc
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+           ROUND((SELECT COUNT(*) FROM c) * 1.0 / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0 / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → click → purchase): a user counts
+    at each stage only if the stage event happens at-or-after their entry
+    into the previous stage (first-touch semantics). Each stage is a
+    type-filtered scan aggregated per user, joined back broadcast — the
+    per-user frames are tiny next to the event stream and shrink at every
+    stage."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(df: DataFrame, etype: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
+        s = df.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(F.broadcast(prev), "user_id").filter(F.col("ts") >= F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("ts").alias(t))
+
+    v = stage(ev, "view", None, "", "tv")
+    c = stage(ev, "click", v, "tv", "tc")
+    p = stage(ev, "purchase", c, "tc", "tp")
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    return counts.select(
+        F.col("n_view").cast("long").alias("n_view"),
+        F.col("n_click").cast("long").alias("n_click"),
+        F.col("n_purchase").cast("long").alias("n_purchase"),
+        F.round(F.col("n_click") / F.col("n_view"), 6).alias("view_to_click"),
+        F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("click_to_purchase"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    category="analytics",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               CAST(FLOOR(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN firstday f ON f.user_id = e.user_id
+    )
+    SELECT cohort_day, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY cohort_day, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-seen day, counted
+    once per (cohort, week-offset) they were active in — the table behind
+    every retention curve. Two aggregations on user_id (first-seen, then
+    distinct activity), cohort frame broadcast back onto the stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / 7.0).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    category="analytics",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    ((ts, event_id) total order, so ties are deterministic): transition
+    counts and row-normalized probabilities — the journey-model input for
+    next-action prediction and bot detection. One user_id shuffle for the
+    lag window, then a #types² aggregate; the normalizing window runs on
+    the matrix, not the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+MAD_SCALE = 1.4826  # consistency constant: MAD ≈ sigma for normal data
+MAD_K = 3.0
+
+
+@register(
+    "timeseries_anomaly_mad",
+    category="analytics",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY user_id
+    ), scored AS (
+        SELECT e.user_id, m.med, abs(e.value - m.med) AS dev
+        FROM events e JOIN m ON m.user_id = e.user_id
+    ), mads AS (
+        SELECT user_id, ANY_VALUE(med) AS med, quantile_cont(dev, 0.5) AS mad,
+               COUNT(*) AS n_events
+        FROM scored GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(ANY_VALUE(d.n_events) AS BIGINT) AS n_events,
+           ROUND(ANY_VALUE(d.med), 4) AS med,
+           ROUND(ANY_VALUE(d.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN d.mad > 0
+                          AND s.dev > {MAD_K} * {MAD_SCALE} * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM scored s JOIN mads d ON d.user_id = s.user_id
+    GROUP BY d.user_id
+    """,
+)
+def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly counts: an event is anomalous when its
+    deviation from the user's median exceeds K·1.4826·MAD (the
+    median-absolute-deviation robust z-score — outlier detection that a
+    single spike cannot poison, unlike mean/stddev). Both engines compute
+    interpolated medians with bit-identical IEEE arithmetic, verified
+    exact cross-engine, so even the threshold comparison hash-matches.
+
+    Two keyed aggregations (median, then MAD over deviations) with the
+    per-user frames broadcast back — the event stream shuffles on user_id
+    once per pass and never self-joins."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
+    scored = ev.join(F.broadcast(med), "user_id").select(
+        "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mads = scored.groupBy("user_id").agg(
+        F.first("med").alias("med"),
+        F.percentile("dev", 0.5).alias("mad"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    flagged = scored.join(F.broadcast(mads.select("user_id", "mad")), "user_id").groupBy(
+        "user_id"
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("mad") > 0) & (F.col("dev") > MAD_K * MAD_SCALE * F.col("mad")), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_anomalies")
+    )
+    return mads.join(flagged, "user_id").select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "n_anomalies",
+    )
