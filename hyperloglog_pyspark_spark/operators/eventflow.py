@@ -230,3 +230,99 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 4).alias("mad"),
         "n_anomalies",
     )
+
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "sessionize_gap_ids",
+    category="analytics",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_GAP_MIN} MINUTES
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+           CAST(epoch_ms(MAX(ts)) AS BIGINT) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_gap_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-rule sessionization with explicit session ids: a session breaks
+    after {SESSION_GAP_MIN} minutes of inactivity; session_id is the
+    running count of breaks (lag → flag → running sum — the standard
+    islands construction, assignment-level output that session_window's
+    aggregate form doesn't give you). One user_id shuffle serves both
+    windows and the final per-session rollup."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > SESSION_GAP_MIN * 60),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        (F.min("ts").cast("double") * 1000).cast("long").alias("session_start_ms"),
+        (F.max("ts").cast("double") * 1000).cast("long").alias("session_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "scd2_status_history",
+    category="analytics",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), starts AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_ms(valid_from) AS BIGINT) AS valid_from_ms,
+           CAST(epoch_ms(valid_to) AS BIGINT) AS valid_to_ms,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM starts
+    """,
+)
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from an event log:
+    collapse consecutive same-type events per user into validity intervals
+    [valid_from, valid_to), open-ended on the current state — the
+    lag-filter-lead construction every warehouse uses to turn change
+    events into point-in-time-queryable dimension history. Two windows
+    over one user_id shuffle; interval count is bounded by the number of
+    actual state changes, not events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    starts = changes.withColumn("valid_to", F.lead("ts").over(w))
+    return starts.select(
+        "user_id",
+        "event_type",
+        (F.col("ts").cast("double") * 1000).cast("long").alias("valid_from_ms"),
+        (F.col("valid_to").cast("double") * 1000).cast("long").alias("valid_to_ms"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
