@@ -85,6 +85,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "retention_cohorts",
     category="analytics",
+    bench=True,
     oracle="""
     WITH firstday AS (
         SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
@@ -238,6 +239,7 @@ SESSION_GAP_MIN = 30
 @register(
     "sessionize_gap_ids",
     category="analytics",
+    bench=True,
     oracle=f"""
     WITH marked AS (
         SELECT user_id, ts, event_id,

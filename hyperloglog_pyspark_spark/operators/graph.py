@@ -71,7 +71,7 @@ def _pagerank_oracle() -> str:
     return sql
 
 
-@register("graph_pagerank_nations", category="analytics", oracle=_pagerank_oracle())
+@register("graph_pagerank_nations", category="analytics", bench=True, oracle=_pagerank_oracle())
 def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three damped PageRank iterations (d = 0.85, teleport mass uniform)
     over the distinct customer-nation → supplier-nation trade edges, in

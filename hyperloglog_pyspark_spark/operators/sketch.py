@@ -148,6 +148,7 @@ TOP_N = 20
 @register(
     "heavy_hitters_mg",
     category="sketch",
+    bench=True,
     oracle=f"""
     WITH tok AS (
         SELECT unnest(string_split(text, ' ')) AS token FROM documents

@@ -39,6 +39,12 @@ LINEAR_OPS = [
     "dedup_simhash",
     "dedup_cluster_components",
     "dedup_ngram_jaccard",
+    # Inverted-index / sketch paths over documents: salted replicas add
+    # postings and vocabulary but no cross-replica matches, so work grows
+    # R× while output row counts stay structural (source-pair matrix /
+    # top-k) — only the time ratio is asserted for these.
+    "corpus_overlap_grams",
+    "heavy_hitters_mg",
 ]
 
 
@@ -82,14 +88,17 @@ def test_bounded_dedup_paths_scale_linearly(spark, tmp_path):
         # base — exactly R× for the deterministic ngram path; hash-based
         # paths can move boundary pairs (minhash band recall, coincidental
         # simhash closeness on short docs), so order is what matters there.
-        if name == "dedup_ngram_jaccard":
-            lo, hi = 1.0, 1.0
-        elif name == "dedup_simhash":
-            lo, hi = 0.5, 1.5
+        if name in ("corpus_overlap_grams", "heavy_hitters_mg"):
+            assert nr == n1, f"{name}: structural output changed {n1} -> {nr}"
         else:
-            lo, hi = 0.9, 1.1
-        assert lo * R * n1 <= nr <= hi * R * n1, (
-            f"{name}: rows {n1} -> {nr}, expected ~{R}x"
-        )
+            if name == "dedup_ngram_jaccard":
+                lo, hi = 1.0, 1.0
+            elif name == "dedup_simhash":
+                lo, hi = 0.5, 1.5
+            else:
+                lo, hi = 0.9, 1.1
+            assert lo * R * n1 <= nr <= hi * R * n1, (
+                f"{name}: rows {n1} -> {nr}, expected ~{R}x"
+            )
         ratio = tr / max(t1, 0.2)  # floor guards divide-by-scheduler-noise
         assert ratio < MAX_RATIO, f"{name}: {t1:.2f}s -> {tr:.2f}s ({ratio:.1f}x at {R}x data)"
