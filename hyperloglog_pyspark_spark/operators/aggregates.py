@@ -411,3 +411,57 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > 9000
         GROUP BY n_nationkey
     """)
+
+
+@register(
+    "ivm_incremental_agg",
+    category="aggregate",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the running aggregate table is stored
+    as MERGEABLE PARTIAL STATE (count, decimal sum, user_id HLL sketch +
+    exact user set per partial here), and a new data increment is folded in
+    by unioning state rows and re-aggregating — never rescanning the base.
+    Simulated by splitting events into a base batch (event_id % 5 != 0)
+    and a delta batch, aggregating each independently, then merging.
+
+    This is the pattern that keeps a 100 TB rollup fresh: states are
+    associative (SUM of sums, SUM of counts, register-max of sketches), so
+    every refresh costs O(delta) + O(state), not O(base). Distinct counts
+    are kept exact here via a two-level (group, user) aggregation whose
+    first level is itself incremental — the sketch-based alternative (KB
+    state, approximate) is hll_sketch_rollup's merge path.
+
+    Decimal sums make the merge order-independent bit-for-bit; the final
+    cast to DOUBLE happens once at the edge."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "event_id", "value")
+
+    def partial(df: DataFrame) -> DataFrame:
+        # Level 1: per (event_type, user) partial — incremental unit.
+        return df.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 5 != 0))
+    delta = partial(ev.filter(F.col("event_id") % 5 == 0))
+    # Merge = union of state rows + same aggregation re-applied (associative).
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_value").cast("double").alias("sum_value"),
+        (F.sum("sum_value").cast("double") / F.sum("n")).alias("avg_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
