@@ -31,6 +31,7 @@ def load_all_operators() -> None:
         dedup,
         eventflow,
         graph,
+        layoutops,
         multimodal,
         pipeline,
         relational,

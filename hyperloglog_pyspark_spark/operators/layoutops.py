@@ -1,0 +1,127 @@
+"""Physical-layout operations: the diagnostics a team actually runs before
+re-partitioning, re-clustering, or salting a 100 TB table — key-skew
+audits and multi-dimensional (Z-order) clustering previews.
+
+These are first-class queries (not tests) because layout work is part of
+operating an engine at scale: you measure skew BEFORE a job dies at 3am,
+and you preview Z-order bucket locality BEFORE rewriting petabytes. The
+reference has no storage layer at all (in-memory RDDs only,
+HLL/examples.py); Spark-side, both operators are single aggregation
+passes whose outputs are key-space-sized, not data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+SKEW_TOP = 5
+
+
+@register(
+    "skew_key_audit",
+    category="analytics",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT l_suppkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+    ), stats AS (
+        SELECT COUNT(*) AS n_keys, SUM(n_rows) AS total, AVG(n_rows) AS mean_rows
+        FROM per_key
+    )
+    SELECT p.key, CAST(p.n_rows AS BIGINT) AS n_rows,
+           ROUND(p.n_rows * 1.0 / s.total, 6) AS pct_of_total,
+           ROUND(p.n_rows / s.mean_rows, 4) AS skew_factor,
+           CAST(s.n_keys AS BIGINT) AS n_keys
+    FROM per_key p CROSS JOIN stats s
+    ORDER BY p.n_rows DESC, p.key LIMIT {SKEW_TOP}
+    """,
+)
+def skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the {SKEW_TOP} hottest l_suppkey values with
+    their share of rows and skew factor (rows / mean-rows-per-key) — the
+    number that decides between a plain shuffle join, AQE skew splitting,
+    and explicit salting (operators/aggregates.py::agg_salted_skew is the
+    remedy this measures the need for). One groupBy on the key, then a
+    TakeOrdered over the key-space-sized frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total"),
+        F.avg("n_rows").alias("mean_rows"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("pct_of_total"),
+            F.round(F.col("n_rows") / F.col("mean_rows"), 4).alias("skew_factor"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(SKEW_TOP)
+    )
+
+
+Z_BITS = 8  # bits per dimension interleaved into the Morton code
+Z_BUCKET_SHIFT = 10  # keep the top 2*Z_BITS-10 = 6 bits → 64 buckets
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_morton_buckets",
+    category="analytics",
+    oracle=f"""
+    WITH coded AS (
+        SELECT l_partkey % {1 << Z_BITS} AS px, l_suppkey % {1 << Z_BITS} AS sx,
+               ({_morton_sql(f"(l_partkey % {1 << Z_BITS})", f"(l_suppkey % {1 << Z_BITS})")})
+                   >> {Z_BUCKET_SHIFT} AS bucket
+        FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(px) AS BIGINT) AS min_px, CAST(MAX(px) AS BIGINT) AS max_px,
+           CAST(MIN(sx) AS BIGINT) AS min_sx, CAST(MAX(sx) AS BIGINT) AS max_sx
+    FROM coded GROUP BY bucket
+    """,
+)
+def zorder_morton_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering preview: interleave the low {Z_BITS} bits of
+    (l_partkey, l_suppkey) into a Morton code, bucket by its high bits,
+    and report each bucket's rectangle in key space. Tight per-bucket
+    min/max ranges on BOTH dimensions are exactly what lets min/max file
+    statistics skip data for predicates on either key after a Z-order
+    rewrite — this query measures that benefit before paying for the
+    rewrite. Pure integer bit arithmetic (bit-identical cross-engine);
+    one aggregation, bucket-count-sized output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mask = (1 << Z_BITS) - 1
+    px = F.col("l_partkey").bitwiseAND(mask)
+    sx = F.col("l_suppkey").bitwiseAND(mask)
+    morton = None
+    for i in range(Z_BITS):
+        tx = F.shiftleft(F.shiftright(px, i).bitwiseAND(1), 2 * i)
+        ty = F.shiftleft(F.shiftright(sx, i).bitwiseAND(1), 2 * i + 1)
+        morton = tx + ty if morton is None else morton + tx + ty
+    coded = li.select(
+        px.alias("px"), sx.alias("sx"), F.shiftright(morton, Z_BUCKET_SHIFT).alias("bucket")
+    )
+    return coded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("px").cast("long").alias("min_px"),
+        F.max("px").cast("long").alias("max_px"),
+        F.min("sx").cast("long").alias("min_sx"),
+        F.max("sx").cast("long").alias("max_sx"),
+    )
