@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 
@@ -207,8 +207,12 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per pass and never self-joins."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     med = ev.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
-    scored = ev.join(F.broadcast(med), "user_id").select(
-        "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    # Persisted (tracked): deviations feed both the MAD aggregate and the
+    # threshold count — one events pass for scoring, not two.
+    scored = tracked_persist(
+        ev.join(F.broadcast(med), "user_id").select(
+            "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+        )
     )
     mads = scored.groupBy("user_id").agg(
         F.first("med").alias("med"),

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 PR_SCALE = 10**12  # integer rank scale
@@ -97,6 +97,9 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # Persisted (tracked): the fact-table edge extraction feeds every
+    # iteration — without it each round replays the lineitem⋈orders join.
+    edges = tracked_persist(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = na.select(F.col("n_name").alias("node"))
     base = PR_SCALE // PR_N

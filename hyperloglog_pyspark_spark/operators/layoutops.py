@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 SKEW_TOP = 5
@@ -46,8 +46,10 @@ def skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     remedy this measures the need for). One groupBy on the key, then a
     TakeOrdered over the key-space-sized frame."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    # Persisted (tracked): key-space-sized, feeds both the stats aggregate
+    # and the output rows — one fact-table aggregation, not two.
+    per_key = tracked_persist(
+        li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count(F.lit(1)).alias("n_rows"))
     )
     stats = per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),

@@ -144,6 +144,11 @@ SHUFFLE_BUDGET = {
     "hll_set_intersection": 2,        # custkey dedup + global sketch agg
     "cogroup_asof_attribution": 2,    # one exchange per cogroup side
     "approx_quantile_check": 3,       # agg + broadcast-back rank pass
+    "zorder_morton_buckets": 1,       # one bucket aggregation
+    "sessionize_gap_ids": 1,          # one user_id shuffle serves all windows
+    "scd2_status_history": 1,         # same single-shuffle window chain
+    "ivm_incremental_agg": 3,         # base partial + delta partial + merge
+    "event_transition_matrix": 3,     # lag window + pair agg + matrix window
 }
 
 
