@@ -69,16 +69,24 @@ def test_duplicates_do_not_change_state(xs):
 @given(values)
 @settings(max_examples=30, deadline=None)
 def test_estimate_accuracy_envelope(xs):
-    """|relative error| within 3·1.04/√m of the true distinct count
-    (str-canonicalized equality, the reference's semantics) — plus
-    exact-zero estimate for the empty sketch."""
+    """|error| within 3·1.04/√m relative PLUS a 3-register absolute
+    allowance (str-canonicalized equality, the reference's semantics),
+    and exact-zero estimate for the empty sketch.
+
+    The absolute term is load-bearing: linear counting corrects for the
+    EXPECTED number of register-index collisions, so a per-instance bound
+    must tolerate the actual ones — with 2 distinct values hypothesis can
+    (and did) find a pair landing in one register (probability ~1/m),
+    where the estimate is ~1.002 and no purely relative envelope holds.
+    At scale the additive 3 is negligible next to the 3σ term."""
     distinct = len({str(v) for v in xs})
     est = hll64.estimate(sketch(xs))
     if distinct == 0:
         assert est == 0.0
     else:
         m = 1 << P
-        assert abs(est - distinct) / distinct <= 3 * 1.04 / (m**0.5) + 0.02
+        slack = (3 * 1.04 / (m**0.5) + 0.02) * distinct + 3.0
+        assert abs(est - distinct) <= slack
 
 
 @given(values)
