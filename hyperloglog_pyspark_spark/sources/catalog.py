@@ -43,6 +43,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # divide to micros — same truncation DuckDB applies at micro
         # granularity, keeping oracle comparisons exact.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ,
+    # which unix_millis/unix_micros and interval casts reject. The session
+    # timezone is pinned to UTC (session.py), so casting NTZ→TIMESTAMP is a
+    # pure type relabel of the same wall-clock — identical to how DuckDB
+    # reads the file as a naive TIMESTAMP. Normalize every table generically
+    # so a future testdata regeneration can't reintroduce the mismatch.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
