@@ -75,7 +75,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     return (
         docs.filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", word_shingles("text", 3).alias("sh"))
@@ -259,7 +259,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     size² — and the shuffle key is the shingle (high cardinality, low
     skew; AQE skew-join covers pathological grams). The length-bucket
     predicate (⌊len/16⌋ ± 1) is kept as a join filter for oracle parity."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
         "doc_id",
         word_shingles("text", 3).alias("sh"),
@@ -341,7 +341,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 48-bit md5-vote fingerprint, banded LSH
     candidates (3 bands x 16 bits: hamming <= 2 always collides in >= 1
     band by pigeonhole), verified with exact hamming distance."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     tok = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
     th = tok.select("doc_id", md5_long(F.col("token")).alias("h"))
     bit_votes = [
@@ -360,6 +360,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simhash"),
         )
     )
+    # The banded self-join consumes the fingerprint table twice; without a
+    # persist each side re-runs the token explode + 48-vote aggregation
+    # (the expensive part). One fingerprint row per doc — tiny state.
+    sim = tracked_persist(sim)
     band_w = N_SIM_BITS // SIM_BANDS
     bands = sim.select(
         "doc_id",

@@ -93,7 +93,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier plumbing (n-gram/marker scoring, argmax with stable ties)
     that a real lang-ID pass uses.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     toks = F.split("text", " ")
     def marker_count(ws):
         # NB: single-arg lambda — F.filter treats a two-arg lambda as
@@ -124,7 +124,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form document fingerprints (lowercase, punctuation
     stripped, whitespace collapsed → md5), counted per source — the
     near-exact dedup key that survives formatting noise."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct(F.md5(normalized_text("text"))).alias("n_fingerprints"),
@@ -181,7 +181,7 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coarse classes a byte-pair tokenizer merges within). The ratio of
     the two is the classic tokens-per-word cost estimate for LLM training
     budgets; all counting stays in JVM regexp, no UDF."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     bpe = F.regexp_extract_all("text", F.lit(BPE_PAT), F.lit(0))
     return docs.select(
         "doc_id",
@@ -226,34 +226,40 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the benchmark gram set is small (it's the eval suite) →
     broadcast hash join against the exploded corpus grams; the corpus side
-    is one pass, no self-join. At 100 TB the gram explosion streams
-    through the scan; nothing but (doc_id, hit) pairs reach the shuffle.
+    is ONE pass — the shingles are already distinct per doc, so a LEFT
+    broadcast join + one groupBy yields both the per-doc gram total and
+    the hit count without carrying anything through the Generate. (An
+    earlier staged-n_grams form was collapsed by CollapseProject into a
+    per-exploded-row re-evaluation of the whole shingle expression —
+    O(len²) per doc; counting after the explode sidesteps the trap.)
+    At 100 TB the gram explosion streams through the scan; only
+    (doc_id, hit) pairs reach the single doc_id shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     eligible = docs.filter(F.size(F.split("text", " ")) >= DECON_N)
     grams = word_shingles("text", DECON_N)
     bench = (
         eligible.filter(F.col("source") == BENCH_SOURCE)
         .select(F.explode(grams).alias("gram"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    # The gram array is staged as a column and n_grams computed from it in
-    # a select BELOW the explode: putting size(grams) as a sibling of
-    # F.explode(grams) plants it in the Project ABOVE the Generate, where
-    # the whole shingle expression is re-evaluated from `text` once per
-    # exploded gram — O(len²) per doc, a ~40× slowdown at sf0.1.
     corpus = (
         eligible.filter(F.col("source") != BENCH_SOURCE)
-        .select("doc_id", grams.alias("gs"))
-        .select("doc_id", F.size("gs").alias("n_grams"), "gs")
-        .select("doc_id", "n_grams", F.explode("gs").alias("gram"))
+        .select("doc_id", F.explode(grams).alias("gram"))
     )
     return (
-        corpus.join(F.broadcast(bench), "gram")
+        corpus.join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_contaminated_grams"),
-            F.round(F.count(F.lit(1)) / F.any_value("n_grams"), 6)
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contaminated_grams"),
+        )
+        .filter(F.col("n_contaminated_grams") > 0)
+        .select(
+            "doc_id",
+            "n_contaminated_grams",
+            F.round(F.col("n_contaminated_grams") / F.col("n_grams"), 6)
             .cast("double")
             .alias("contamination"),
         )
@@ -329,7 +335,7 @@ def corpus_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix, and unique-fingerprint count (n_docs − n_unique_fingerprints =
     exact-dup rate) — the one-pass summary a data-curation run logs per
     ingestion source."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     n_tok = F.size(F.split("text", " "))
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -389,7 +395,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen expressions. At 100 TB the explode doubles scan width but the
     per-doc partial aggregation combines map-side before any shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("words"))
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select("doc_id", F.split("text", " ").alias("words"))
     tok = docs.select("doc_id", F.explode("words").alias("word"))
     top_word = (
         tok.groupBy("doc_id", "word")
@@ -465,7 +471,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pass is portable. At 100 TB this is a map-only stage that
     pipelines with any downstream filter.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     enriched = docs.select(
         "doc_id",
         F.concat(

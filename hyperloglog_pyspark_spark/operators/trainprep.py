@@ -289,7 +289,7 @@ def corpus_overlap_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one row per source pair, and no gram array is ever pairwise
     intersected. Work is Sum_g df(g)^2 with df bounded by #sources —
     linear in vocabulary, independent of document count."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     # Persisted (tracked): the distinct postings feed both join sides and
     # the per-source totals — one explode+dedup instead of three.
     sg = tracked_persist(

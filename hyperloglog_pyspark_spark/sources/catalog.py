@@ -16,7 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hyperloglog_pyspark_spark.session import configure
+from hyperloglog_pyspark_spark.session import configure, cpu_count
 
 TABLES = [
     "region",
@@ -34,8 +34,55 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table, normalizing physical quirks of the testdata files."""
+def _scan_splits(path: str) -> int:
+    """Max parallelism the parquet reader can extract from ``path``.
+
+    Spark splits parquet by byte ranges but a task only produces rows for
+    row groups whose midpoint lands in its range — so effective scan
+    parallelism is bounded by total row-group count, read cheaply from the
+    footers driver-side (the reader planning does the same metadata pass).
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        return sum(pq.read_metadata(f).num_row_groups for f in files)
+    except Exception:
+        return cpu_count()  # unknown layout: assume splittable, don't shuffle
+
+
+def spread(df: DataFrame, splits: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan that cannot feed every core.
+
+    The testdata files are single-row-group parquet, so every scan is ONE
+    task no matter what maxPartitionBytes says; expression-heavy map work
+    (shingling, regex extraction, per-row hashing) then runs serially.
+    Exchanging the few raw megabytes round-robin buys full-width
+    parallelism for the expensive projection above it. Call sites pass the
+    footer-derived split count so this is a NO-OP whenever the files
+    already carry enough row groups — i.e. at real warehouse scale, where
+    writers emit 128 MB row groups and the scan parallelizes natively.
+    """
+    n = cpu_count()
+    if splits is not None and splits >= n:
+        return df
+    return df.repartition(n)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread_scan: bool = False
+) -> DataFrame:
+    """Load one table, normalizing physical quirks of the testdata files.
+
+    ``spread_scan=True`` is the opt-in for operators whose pre-shuffle map
+    work is expensive (word shingling, multi-hash signatures): it fans the
+    scan out to all cores when the file's row-group count can't (see
+    ``spread``).
+    """
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -52,6 +99,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    if spread_scan:
+        df = spread(df, _scan_splits(os.path.join(sf_dir, f"{name}.parquet")))
     return df
 
 

@@ -135,7 +135,7 @@ SHUFFLE_BUDGET = {
     "window_distribution": 1,
     "agg_argminmax": 1,
     "sample_stratified": 0,
-    "text_pii_redact": 0,
+    "text_pii_redact": 1,  # spread_scan fan-out (single-row-group input)
     "json_variant": 1,
     "embedding_quantize_int8": 1,
     "pack_sequences_greedy": 1,       # one per-source window+agg
