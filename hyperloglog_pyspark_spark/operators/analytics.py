@@ -399,3 +399,355 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes Q4/Q12/Q13/Q15/Q17/Q19/Q21/Q22, adapted to the testdata
+# schema (no l_commitdate/l_receiptdate/l_shipmode/p_container/c_phone and
+# no partsupp table — lateness predicates use l_shipdate vs o_orderdate,
+# categorical splits use the columns that exist). With Q1 (=
+# agg_pricing_summary), Q3, Q5, Q6, Q7, Q8, Q10, Q14 and Q18 above, this
+# covers all 17 of the 22 TPC-H queries expressible without partsupp
+# (Q2/Q9/Q11/Q16/Q20 need ps_supplycost/ps_availqty).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_priority_count",
+    category="analytics",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority in one quarter having at least
+    one late line (shipped > 60 days after order date; the schema has no
+    commit/receipt dates, so lateness is ship-vs-order).
+
+    Scale: EXISTS decorrelates to a left-semi join on the order key with
+    the non-equi lateness predicate attached; the quarter filter prunes
+    the orders scan before the join, and only qualifying keys reach the
+    small final aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@register(
+    "tpch_q12_priority_lines",
+    category="analytics",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: one year of shipped lines split by line status
+    (standing in for ship mode), counting critical- vs normal-priority
+    orders with conditional sums.
+
+    Scale: the year filter pushes to the lineitem scan; the join shuffles
+    on the order key once, and the CASE sums fold into a two-row partial
+    aggregate — no second pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    category="analytics",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer — a
+    left outer join (keeping zero-order customers) with a join-side
+    filter, then a two-level aggregation.
+
+    Scale: the first aggregation shuffles on the customer key the join
+    already hashed on, so AQE plans them in one exchange; the histogram
+    re-aggregation is over at most |distinct counts| rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+_Q15_REV = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))))"
+)
+
+
+@register(
+    "tpch_q15_top_supplier",
+    category="analytics",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_Q15_REV} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    a derived revenue view consumed twice (once for the max, once for the
+    equality filter).
+
+    Scale: revenue is one partial+final aggregate over the quarter's
+    lines; the scalar max is a single-row broadcast back over the tiny
+    per-supplier view, and the decimal comparison (exact, not double)
+    keeps the tie semantics identical on every engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price()).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_rev == F.col("mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    category="analytics",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand — a correlated scalar average per part, decorrelated into a
+    per-part aggregate joined back to the fact rows.
+
+    Scale: the per-part average aggregates the full lineitem once on
+    l_partkey; the brand filter broadcast-prunes both sides. l_quantity
+    holds integer values, so avg = exact-integer-sum / count is
+    bit-identical across engines despite the double column type.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("avg_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    category="analytics",
+    oracle=f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides — the disjunctive-pushdown stress test.
+
+    Scale: Catalyst extracts the common join key and pushes the
+    single-side conjuncts (brand/size to the part scan, quantity to the
+    lineitem scan as a range union) below the broadcast join; the residual
+    disjunction evaluates on joined rows only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cases = (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cases)
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    category="analytics",
+    oracle="""
+    WITH flagged AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+               MIN(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+        FROM flagged GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_order
+    JOIN supplier ON late_supp = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_supp >= 2 AND n_late = 1
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+    completed multi-supplier order (lateness = shipped > 30 days after
+    the order date). The classic EXISTS / NOT-EXISTS pair collapses into
+    one grouped pass: per order, count distinct suppliers, distinct late
+    suppliers, and pick the unique late one when there is exactly one.
+
+    Scale: a single l_orderkey shuffle replaces the textbook double
+    self-join of lineitem (each side of which would shuffle the fact
+    table); supplier/nation stay broadcast. MIN over the one late
+    supplier is deterministic precisely because n_late = 1.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*[f"NATION_{i}" for i in range(1, 6)])
+    )
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+        F.col("l_suppkey"),
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(late_supp).alias("n_late"),
+            F.min(late_supp).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(supplier), F.col("late_supp") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_idle_balances",
+    category="analytics",
+    oracle="""
+    SELECT c_nationkey AS market,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.00)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no recent orders,
+    grouped by nation (standing in for the phone country code) — scalar
+    average subquery + anti join.
+
+    Scale: the positive-balance average is a one-row broadcast; the NOT
+    EXISTS is a left-anti join against date-pruned orders. The average is
+    computed as exact-decimal-sum / count on both engines so the
+    cut-point is bit-identical (money.py discipline).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1)))
+        .alias("cut")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), cust.c_acctbal > F.col("cut"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("market"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
+        )
+    )

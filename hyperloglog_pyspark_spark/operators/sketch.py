@@ -353,3 +353,178 @@ def hll_merge_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(merged).select(
         "n_users_all", _tol(F.col("approx"), F.col("n_users_all"), stderr).alias("approx_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch and Bloom filter — the other two classic mergeable
+# stream summaries, built RELATIONALLY so every cell/bit is a row and the
+# construction is verifiable cross-engine (md5-anchored hashing, like the
+# MinHash/SimHash family). Merging two sketches is SUM over cells (CMS) /
+# OR over bits (Bloom) — plain re-aggregation, the same monoid story as
+# the reference's register-max merge (HLL/HyperLogLog.py:157-179).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+@register(
+    "cms_frequency",
+    category="sketch",
+    oracle=f"""
+    WITH cells AS (
+        SELECT d.d, CAST('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % {CMS_WIDTH} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cell
+        FROM events CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS d) d
+        GROUP BY d.d, bucket
+    ),
+    probes AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY user_id
+        ORDER BY n_exact DESC, user_id LIMIT 20
+    )
+    SELECT p.user_id, p.n_exact, CAST(MIN(c.cell) AS BIGINT) AS n_cms,
+           MIN(c.cell) >= p.n_exact AS cms_ok
+    FROM probes p
+    CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS d) d
+    JOIN cells c
+      ON c.d = d.d
+     AND c.bucket = CAST('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)), 1, 15) AS BIGINT) % {CMS_WIDTH}
+    GROUP BY p.user_id, p.n_exact
+    """,
+)
+def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over event user traffic: a d×w cell table built in
+    one grouped pass, probed for the 20 hottest users; emits the exact
+    count, the CMS estimate, and the one-sided guarantee est ≥ exact.
+
+    Relational CMS: each (depth, md5(depth:key) mod w) pair is a row, so
+    the sketch IS a 1,024-row DataFrame — mergeable across shards or days
+    by summing cells, the count-analog of the reference's register-max
+    merge. md5-anchored bucketing makes the construction bit-identical in
+    DuckDB, so the driver hash-checks the whole sketch contract.
+
+    Scale: the build is one shuffle of (depth, bucket) partial counts —
+    d×w cells regardless of input size (the whole point of a sketch); the
+    probe side broadcasts the 1,024-cell table against the top-k keys.
+    """
+    from hyperloglog_pyspark_spark.functions.texttools import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    depths = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+
+    def bucket(d: F.Column, key: F.Column) -> F.Column:
+        return F.pmod(
+            md5_long(F.concat(d.cast("string"), F.lit(":"), key.cast("string"))),
+            F.lit(CMS_WIDTH),
+        )
+
+    cells = (
+        ev.crossJoin(F.broadcast(depths))
+        .groupBy("d", bucket(F.col("d"), F.col("user_id")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+    )
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "user_id")
+        .limit(20)
+    )
+    p = probes.crossJoin(F.broadcast(depths)).alias("p")
+    c = cells.alias("c")
+    return (
+        p.join(
+            F.broadcast(c),
+            (F.col("c.d") == F.col("p.d"))
+            & (F.col("c.bucket") == bucket(F.col("p.d"), F.col("p.user_id"))),
+        )
+        .groupBy("p.user_id", "p.n_exact")
+        .agg(F.min("c.cell").cast("long").alias("n_cms"))
+        .select(
+            "user_id", "n_exact", "n_cms",
+            (F.col("n_cms") >= F.col("n_exact")).alias("cms_ok"),
+        )
+    )
+
+
+@register(
+    "bloom_membership",
+    category="sketch",
+    oracle=f"""
+    WITH bits AS (
+        SELECT DISTINCT CAST('0x' || substring(md5(CAST(k.k AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % {BLOOM_BITS} AS bit
+        FROM orders CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS k) k
+        WHERE o_orderdate >= DATE '2000-06-01'
+    ),
+    probe AS (
+        SELECT c_custkey,
+               CAST('0x' || substring(md5(CAST(k.k AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % {BLOOM_BITS} AS bit
+        FROM customer CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS k) k
+    ),
+    verdict AS (
+        SELECT p.c_custkey,
+               COUNT(b.bit) = {BLOOM_K} AS in_bloom,
+               EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                       AND o.o_orderdate >= DATE '2000-06-01') AS in_exact
+        FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+        GROUP BY p.c_custkey
+    )
+    SELECT in_exact, in_bloom, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM verdict GROUP BY in_exact, in_bloom
+    """,
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership: the set of customers with recent orders is
+    summarized into a 64 Ki-bit filter (k=4 md5 hashes); every customer is
+    probed and the confusion matrix (exact membership × bloom verdict) is
+    emitted — no false negatives by construction, false positives counted.
+
+    Relational Bloom: the filter is a DataFrame of set bit positions —
+    mergeable across shards by DISTINCT union (bitwise OR), broadcastable
+    to any probe site. This is the join-pruning sidecar pattern: at 100 TB
+    you'd broadcast these bits to prune a fact scan before the real join
+    (Spark's runtime bloom-filter join does exactly this inside Catalyst;
+    see tests/test_layout.py's might_contain assertion).
+
+    Scale: build = one DISTINCT over ≤ k·|keys| ints, bounded by the bit
+    width; probe = broadcast join, no shuffle of the probed table.
+    """
+    from hyperloglog_pyspark_spark.functions.texttools import md5_long
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-06-01")
+    cust = load_table(spark, sf_dir, "customer")
+    ks = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("k"))
+
+    def bit(k: F.Column, key: F.Column) -> F.Column:
+        return F.pmod(
+            md5_long(F.concat(k.cast("string"), F.lit(":"), key.cast("string"))),
+            F.lit(BLOOM_BITS),
+        )
+
+    bits = (
+        orders.crossJoin(F.broadcast(ks))
+        .select(bit(F.col("k"), F.col("o_custkey")).alias("bit"))
+        .distinct()
+        .withColumn("set_bit", F.lit(1))
+    )
+    probe = cust.crossJoin(F.broadcast(ks)).select(
+        "c_custkey", bit(F.col("k"), F.col("c_custkey")).alias("bit")
+    )
+    verdict = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("c_custkey")
+        .agg((F.count("set_bit") == BLOOM_K).alias("in_bloom"))
+    )
+    exact = orders.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn(
+        "in_exact_flag", F.lit(1)
+    )
+    return (
+        verdict.join(F.broadcast(exact), "c_custkey", "left")
+        .select(
+            F.col("in_exact_flag").isNotNull().alias("in_exact"), "in_bloom"
+        )
+        .groupBy("in_exact", "in_bloom")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
