@@ -99,16 +99,19 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Persisted (tracked): the fact-table edge extraction feeds every
     # iteration — without it each round replays the lineitem⋈orders join.
-    edges = tracked_persist(edges)
+    # The out-degree is folded into the persisted edge rows up front so the
+    # per-iteration plan is ONE broadcast join (current ranks) + one
+    # node-sized aggregation, not two joins — at 25 nodes the iterations
+    # are scheduler-bound, so fewer stages is the whole game.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = tracked_persist(edges.join(deg, "src"))
     nodes = na.select(F.col("n_name").alias("node"))
     base = PR_SCALE // PR_N
     teleport = (PR_SCALE * 15) // (100 * PR_N)
     ranks = nodes.withColumn("rank", F.lit(base).cast("long"))
     for _ in range(PR_ITERS):
         contrib = (
-            edges.join(F.broadcast(deg), "src")
-            .join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
             .select("dst", F.expr("rank div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))

@@ -266,3 +266,71 @@ def heavy_users_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4's arbitrary-state API — the successor to
+# applyInPandasWithState): typed named state cells per key, optional TTL,
+# timers. The processor below is the minimal production shape: one
+# ValueState holding exact integer-cent totals.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+SPEND_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+class SpendTracker(StatefulProcessor):
+    """Per-user running spend: ValueState = (event count, total in integer
+    cents). Cents keep the cross-batch accumulation exact — the same
+    decimal-not-double discipline as the batch layer (functions/money.py),
+    folded to int64 because state round-trips through Arrow.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._stats = handle.getValueState("stats", "n_events long, total_cents long")
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: N802
+        prev = self._stats.get()
+        n, cents = prev if prev else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["value"].fillna(0.0).mul(100).round().astype("int64").sum())
+        self._stats.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_spend_stream(events: DataFrame) -> DataFrame:
+    """Running per-user spend via transformWithStateInPandas.
+
+    State is one fixed-width tuple per user — bounded by the user
+    population, not the stream length; RocksDB state store shards it by
+    the grouping key across executors at scale (set
+    spark.sql.streaming.stateStore.providerClass to
+    RocksDBStateStoreProvider — transformWithState requires it). TTL on
+    the state cell (getValueState's ttlDurationMs) is the idiomatic
+    eviction story for inactive keys on an unbounded keyspace.
+
+    Environment note: the API's state-server protocol needs
+    google.protobuf, which this container does not ship — the paired test
+    (tests/test_streaming.py::test_transform_with_state_running_spend)
+    importorskips on it; on a standard Spark cluster image it runs as-is.
+    """
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SpendTracker(),
+            outputStructType=SPEND_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

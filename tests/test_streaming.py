@@ -441,3 +441,59 @@ def test_streaming_heavy_hitters_mg_contract(spark, event_batches):
             assert user in weights, f"heavy user {user} missing from summary"
             assert weights[user] <= freq
             assert weights[user] >= freq - err
+
+
+def test_transform_with_state_running_spend(spark, event_batches):
+    """transformWithState parity: after both micro-batches, each user's
+    latest emitted running total equals the batch aggregate over the full
+    input (exact, via integer-cent state).
+
+    Environment gate: transformWithStateInPandas speaks a protobuf-based
+    state-server protocol (pyspark/sql/streaming/transform_with_state_
+    driver_worker.py imports google.protobuf); this container ships no
+    protobuf, so the processor is exercised only where the dependency
+    exists — the pipeline itself (streaming/pipelines.py::user_spend_stream)
+    is the real, documented API path."""
+    pytest.importorskip("google.protobuf")
+    from hyperloglog_pyspark_spark.streaming.pipelines import user_spend_stream
+
+    # transformWithState requires the RocksDB state store.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev, first, second, src, ckpt = event_batches
+    _write_batch(spark, first, src)
+    _write_batch(spark, second, src)
+    stream = user_spend_stream(read_events_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("running_spend")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("running_spend").toPandas()
+    finally:
+        q.stop()
+    # update-mode sink appends one row per key per micro-batch: the LAST
+    # row per user is the running total after all batches.
+    got_last = got.groupby("user_id").tail(1).reset_index(drop=True)
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")) / 100.0
+            ).alias("total_value"),
+        )
+        .toPandas()
+    )
+    key = ["user_id"]
+    pd.testing.assert_frame_equal(
+        got_last.sort_values(key).reset_index(drop=True)[["user_id", "n_events", "total_value"]],
+        want.sort_values(key).reset_index(drop=True)[["user_id", "n_events", "total_value"]],
+        check_like=True,
+    )
