@@ -267,6 +267,7 @@ def hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THETA_LG_K = 14  # Theta nominal entries knob, matched to LG_K
 QUANTILE_ACC = 1000  # percentile_approx accuracy: rank error ≤ n/accuracy
 
 
@@ -527,4 +528,125 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("in_exact", "in_bloom")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+@register(
+    "bitmap_distinct_rollup",
+    category="sketch",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY CAST(ts AS DATE)
+    UNION ALL
+    SELECT 'ALL' AS day, COUNT(DISTINCT user_id) AS n_users FROM events
+    """,
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap aggregates: per-day user
+    bitmaps (bucket number + bit position split the 64-bit key space into
+    32 Ki-bit RoaringBitmap-style segments), rolled up to the full-period
+    count by OR-merging the day bitmaps — never rescanning raw events.
+
+    This completes the sketch-family spectrum: HLL/Theta give approximate
+    mergeable distinct in O(KB), bitmaps give EXACT mergeable distinct in
+    O(|universe|/8) bits — the trade the reference's README discusses
+    (sparse-representation caveat, README.md:22). Because it is exact,
+    the DuckDB oracle is plain COUNT(DISTINCT): the hash check covers the
+    whole bucket/bit/merge pipeline.
+
+    Scale: one shuffle keyed (day, bucket) builds the segments; the rollup
+    aggregates segment bitmaps, not rows — re-aggregation cost is
+    proportional to the bitmap count, the same store-once-roll-up-anywhere
+    pattern as hll_sketch_rollup but lossless.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # Grain surfaced as a string so the rollup row is 'ALL', not a NULL
+    # date (NULL dates canonicalize differently across pandas bridges).
+    day = F.col("ts").cast("date").cast("string").alias("day")
+    segments = (
+        ev.select(day, "user_id")
+        .groupBy("day", F.bitmap_bucket_number("user_id").alias("bkt"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    )
+    segments = tracked_persist(segments)
+    per_day = segments.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_users")
+    )
+    total = (
+        segments.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_users"))
+        .select(F.lit("ALL").alias("day"), "n_users")
+    )
+    return per_day.select("day", "n_users").unionAll(total)
+
+
+@register(
+    "theta_set_algebra",
+    category="sketch",
+    oracle=f"""
+    WITH flags AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN o_totalprice > {PRICE_CUT} THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN year(o_orderdate) = {YEAR_B} THEN 1 ELSE 0 END) AS in_b
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+           CAST(SUM(in_b) AS BIGINT) AS n_b,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter_exact,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff_exact,
+           TRUE AS inter_ok, TRUE AS diff_ok
+    FROM flags
+    """,
+)
+def theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on Theta sketches: |A ∩ B| and |A \\ B| estimated by
+    NATIVE sketch intersection/difference (DataSketches Theta) — the
+    operation HLL cannot do directly. The companion hll_set_intersection
+    answers the same question by inclusion-exclusion with an error bound
+    that grows with |A| + |B| + |A∪B|; Theta's intersection error scales
+    with the result size instead, which is why warehouses keep BOTH sketch
+    families. Same A/B definitions and exact oracle as the HLL variant so
+    the two contracts are directly comparable.
+
+    Scale: identical single-pass shape — one customer-grain shuffle, then
+    a constant-size global aggregate carrying two KB-scale sketches.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    flags = od.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_totalprice") > PRICE_CUT, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.year("o_orderdate") == YEAR_B, 1).otherwise(0)).alias("in_b"),
+    )
+    key = F.col("o_custkey").cast("string")
+    agg = flags.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter_exact"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_diff_exact"),
+        F.theta_sketch_agg(F.when(F.col("in_a") == 1, key), THETA_LG_K).alias("sk_a"),
+        F.theta_sketch_agg(F.when(F.col("in_b") == 1, key), THETA_LG_K).alias("sk_b"),
+    )
+    est = agg.select(
+        "n_a",
+        "n_b",
+        "n_inter_exact",
+        "n_diff_exact",
+        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias("ei"),
+        F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b")).alias("ed"),
+    )
+    # Theta at lgK=14 over |A|,|B| ~ 1e3 keys retains every hash (exact
+    # regime, theta = 1) — still accept a 3-sigma band on the larger
+    # operand to stay valid when sf scales the sets past 2^14.
+    stderr = 1.04 / (2 ** (THETA_LG_K / 2.0))
+    bound_i = 3 * stderr * (F.col("n_a") + F.col("n_b"))
+    bound_d = 3 * stderr * (F.col("n_a") + F.col("n_b"))
+    return est.select(
+        "n_a",
+        "n_b",
+        "n_inter_exact",
+        "n_diff_exact",
+        (F.abs(F.col("ei") - F.col("n_inter_exact")) <= bound_i).alias("inter_ok"),
+        (F.abs(F.col("ed") - F.col("n_diff_exact")) <= bound_d).alias("diff_ok"),
     )
