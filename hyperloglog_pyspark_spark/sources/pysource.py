@@ -202,3 +202,57 @@ def sink_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming side: the same synthetic generator as an UNBOUNDED source via
+# the Python DataSource streaming API (simpleStreamReader). Offsets are
+# row indices; each micro-batch serves a bounded row range, and
+# readBetweenOffsets replays any committed range bit-identically after a
+# restart — the contract that makes a custom source exactly-once-capable
+# under checkpoint recovery (same role as Kafka offset ranges).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+TICKS_BATCH = 1_000
+TICKS_CAP = 5_000
+
+
+def _tick_row(k: int) -> tuple:
+    # Same deterministic arithmetic family as SyntheticEventsReader.
+    return (k, k % 7, float(k * 13 % 101), f"u{k % 997}")
+
+
+class SyntheticTicksStreamReader(SimpleDataSourceStreamReader):
+    """Row-index offsets: batch n serves [start, min(start+batch, cap))."""
+
+    def __init__(self, options):
+        self.batch = int(options.get("batch", TICKS_BATCH))
+        self.cap = int(options.get("cap", TICKS_CAP))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        lo = start["idx"]
+        hi = min(lo + self.batch, self.cap)
+        # iter(list): the runner needs a true iterator (it next()s empty
+        # batches) that is ALSO picklable for prefetch-cache replay — a
+        # list_iterator is both; a generator pickles not at all.
+        return (iter([_tick_row(k) for k in range(lo, hi)]), {"idx": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_tick_row(k) for k in range(start["idx"], end["idx"])])
+
+
+class SyntheticTicksSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticks"
+
+    def schema(self) -> str:
+        return "id long, bucket int, score double, user string"
+
+    def simpleStreamReader(self, schema):
+        return SyntheticTicksStreamReader(self.options)

@@ -497,3 +497,34 @@ def test_transform_with_state_running_spend(spark, event_batches):
         want.sort_values(key).reset_index(drop=True)[["user_id", "n_events", "total_value"]],
         check_like=True,
     )
+
+
+def test_python_streaming_datasource_exact_drain(spark, tmp_path):
+    """Custom Python streaming source (simpleStreamReader): draining the
+    capped tick stream yields exactly rows [0, cap) with the deterministic
+    generator fields — offsets are row ranges, so micro-batch boundaries
+    cannot duplicate or drop rows."""
+    from hyperloglog_pyspark_spark.sources.pysource import SyntheticTicksSource
+
+    spark.dataSource.register(SyntheticTicksSource)
+    q = (
+        spark.readStream.format("synthetic_ticks")
+        .option("batch", 700)
+        .option("cap", 3000)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ticks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("ticks").toPandas().sort_values("id").reset_index(drop=True)
+    finally:
+        q.stop()
+    assert len(got) == 3000
+    assert got["id"].tolist() == list(range(3000))
+    # spot-check the generator arithmetic end-to-end
+    row = got.iloc[1234]
+    assert (row["bucket"], row["score"], row["user"]) == (1234 % 7, float(1234 * 13 % 101), f"u{1234 % 997}")
