@@ -159,3 +159,34 @@ def test_embedding_cosine_bucket_recall(spark, sf_dir, duck):
     if want:
         recall = len(got & want) / len(want)
         assert recall >= 0.5, f"bucket-blocked recall collapsed: {recall}"
+
+
+def test_observation_metrics_ride_the_curation_pass(spark, sf_dir):
+    """Pipeline observability via df.observe(Observation): corpus-level
+    accounting metrics (row count, char volume, per-pass min quality)
+    are collected DURING the curation scan — no second job, which at
+    100 TB is the difference between free telemetry and a rescan."""
+    from pyspark.sql import Observation, functions as F
+
+    from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("curation_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_text_chars"),
+        F.min("n_chars").alias("min_chars"),
+    )
+    kept = observed.filter(F.col("n_chars") > 100)
+    n_kept = kept.count()  # one job: filter + metrics in the same pass
+    metrics = obs.get
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("c"),
+        F.min("n_chars").alias("q"),
+    ).first()
+    assert metrics["n_docs"] == want["n"]
+    assert metrics["n_text_chars"] == want["c"]
+    assert metrics["min_chars"] == want["q"]
+    assert n_kept <= metrics["n_docs"]
