@@ -650,3 +650,54 @@ def theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("ei") - F.col("n_inter_exact")) <= bound_i).alias("inter_ok"),
         (F.abs(F.col("ed") - F.col("n_diff_exact")) <= bound_d).alias("diff_ok"),
     )
+
+
+ACC_RSDS = [0.065, 0.026, 0.0065]  # ≈ p=8, 12, 16: rsd = 1.04/√2^p
+
+
+@register(
+    "hll_accuracy_report",
+    category="sketch",
+    oracle="""
+    SELECT CAST(0.065 AS DOUBLE) AS rsd, COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+    FROM events
+    UNION ALL
+    SELECT CAST(0.026 AS DOUBLE) AS rsd, COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+    FROM events
+    UNION ALL
+    SELECT CAST(0.0065 AS DOUBLE) AS rsd, COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+    FROM events
+    """,
+)
+def hll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's calculate_empirical_accuracy (HLL/examples.py:70-83)
+    as one relational pass, swept across three accuracy knobs: estimate
+    distinct users at rsd ≈ 1.04/√2^p for p ∈ {8, 12, 16} next to the
+    exact count, asserting each estimate inside its own 3-sigma envelope
+    (the BASELINE.md acceptance band — the reference observed −1.14% at
+    p=12 on its fixture).
+
+    Scale: all three sketches and the exact count are partial aggregates
+    of a single scan — the accuracy/space trade-off (reference
+    HyperLogLog.py:73-86) surfaced as a query, not a config.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        *[
+            F.approx_count_distinct("user_id", rsd).alias(f"est_{i}")
+            for i, rsd in enumerate(ACC_RSDS)
+        ],
+    )
+    rows = [
+        agg.select(
+            F.lit(rsd).cast("double").alias("rsd"),
+            "n_exact",
+            _tol(F.col(f"est_{i}"), F.col("n_exact"), rsd).alias("approx_ok"),
+        )
+        for i, rsd in enumerate(ACC_RSDS)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

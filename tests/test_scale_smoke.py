@@ -45,6 +45,10 @@ LINEAR_OPS = [
     # top-k) — only the time ratio is asserted for these.
     "corpus_overlap_grams",
     "heavy_hitters_mg",
+    # Broadcast-join contamination check: replica k's corpus grams can
+    # only hit replica k's bench grams (suffixes differ), so hits — and
+    # output rows — are exactly R× the base, work R×.
+    "text_decontaminate",
 ]
 
 
@@ -91,7 +95,7 @@ def test_bounded_dedup_paths_scale_linearly(spark, tmp_path):
         if name in ("corpus_overlap_grams", "heavy_hitters_mg"):
             assert nr == n1, f"{name}: structural output changed {n1} -> {nr}"
         else:
-            if name == "dedup_ngram_jaccard":
+            if name in ("dedup_ngram_jaccard", "text_decontaminate"):
                 lo, hi = 1.0, 1.0
             elif name == "dedup_simhash":
                 lo, hi = 0.5, 1.5
