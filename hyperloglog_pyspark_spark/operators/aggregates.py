@@ -51,6 +51,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: 4 grouping cells regardless of input size — partial aggregation
     reduces 100 TB to a handful of rows before the single tiny shuffle.
+    (No spread_scan here although the single-row-group testdata serializes
+    the partial aggregate: the query is the plan-identity twin of
+    sql_pricing, and the SQL-view path must stay byte-identical —
+    tests/test_layout.py::test_sql_entry_path_plans_match_dataframe_forms.)
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")

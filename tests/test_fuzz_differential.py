@@ -139,3 +139,48 @@ def test_random_join_counts_match(spec, spark, sf_dir, join_views):
     if want is None:  # oracle bug, engine already answered — vacuous pass
         return
     assert got == int(want.n), (how, cpred, opred)
+
+
+# ROWS frames are only cross-engine deterministic under a TOTAL order. The
+# synthetic lineitem duplicates (l_orderkey, l_linenumber) (~12k groups at
+# sf0.01), so the fuzz order adds every input the window reads: remaining
+# ties then have identical quantity AND identical checksum weight (same
+# l_orderkey), making every frame aggregate tie-invariant.
+_WIN_ORDER = "l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_suppkey, l_partkey"
+
+
+@st.composite
+def window_specs(draw):
+    """Random ROWS-frame window aggregates over a tie-invariant total order
+    — semantics both engines define identically. l_quantity is
+    integer-valued, so every windowed sum/checksum is exact in doubles
+    (no order-dependent rounding)."""
+    fn = draw(st.sampled_from(["SUM", "COUNT", "MIN", "MAX"]))
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey % 10"]))
+    lo = draw(st.sampled_from(["UNBOUNDED PRECEDING", "3 PRECEDING", "1 PRECEDING", "CURRENT ROW"]))
+    hi = draw(st.sampled_from(["CURRENT ROW", "1 FOLLOWING", "4 FOLLOWING"]))
+    if lo == "CURRENT ROW" and hi == "CURRENT ROW":
+        lo = "1 PRECEDING"
+    return (
+        f"{fn}(l_quantity) OVER (PARTITION BY {part} "
+        f"ORDER BY {_WIN_ORDER} ROWS BETWEEN {lo} AND {hi})"
+    )
+
+
+@given(wexpr=window_specs())
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_window_frames_match(wexpr, spark, sf_dir, lineitem_view):
+    """Checksum the full windowed column (weighted by a row key) so any
+    per-row frame-boundary divergence shows up, without shipping 60k rows
+    across the comparison."""
+    q = (
+        "SELECT CAST(SUM(w * (l_orderkey % 97)) AS BIGINT) AS chk, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        f"SELECT l_orderkey, {wexpr} AS w FROM {{t}})"
+    )
+    got = spark.sql(q.format(t=lineitem_view)).first()
+    want = _oracle_row(sf_dir, q.format(t="lineitem"))
+    if want is None:  # oracle bug, engine already answered — vacuous pass
+        return
+    assert got.n == int(want.n), wexpr
+    assert got.chk == int(want.chk), wexpr
