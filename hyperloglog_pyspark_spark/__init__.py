@@ -33,6 +33,7 @@ def load_all_operators() -> None:
         graph,
         layoutops,
         multimodal,
+        partsupp,
         pipeline,
         relational,
         sampling,
