@@ -362,8 +362,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The banded self-join consumes the fingerprint table twice; without a
     # persist each side re-runs the token explode + 48-vote aggregation
-    # (the expensive part). One fingerprint row per doc — tiny state.
+    # (the expensive part). One fingerprint row per doc — tiny state. The
+    # count() materializes the cache EAGERLY: letting the self-join's two
+    # branches race to build it concurrently measured ~5x slower than
+    # building once and joining cached data.
     sim = tracked_persist(sim)
+    sim.count()
     band_w = N_SIM_BITS // SIM_BANDS
     bands = sim.select(
         "doc_id",
