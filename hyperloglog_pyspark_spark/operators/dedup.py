@@ -344,21 +344,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     tok = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
     th = tok.select("doc_id", md5_long(F.col("token")).alias("h"))
-    bit_votes = [
-        F.when(F.sum(F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1)) > 0, 1)
-        .otherwise(0)
-        .alias(f"bit{b}")
-        for b in range(N_SIM_BITS)
+    # Packed-lane bit voting: instead of 48 conditional SUM buffers per
+    # group (the naive form — 384 B of aggregate state per doc in the
+    # shuffle), pack 4 bit-counters into 16-bit lanes of one long and keep
+    # 12 packed sums + COUNT(*). The majority vote for bit b is then
+    # 2·cnt_b > n with cnt_b extracted by shift/mask. Lane-overflow bound:
+    # exact while distinct tokens per doc < 2^16 (enforced upstream by any
+    # sane document-length filter; the oracle's per-bit formulation would
+    # hash-mismatch loudly if it ever tripped).
+    lanes = N_SIM_BITS // 4  # 12 packed sums, 4 counters each
+    packed = [
+        F.sum(
+            sum(
+                F.shiftleft(
+                    F.shiftright("h", 4 * g + j).bitwiseAND(1).cast("long"), 16 * j
+                )
+                for j in range(4)
+            )
+        ).alias(f"s{g}")
+        for g in range(lanes)
     ]
+    cnt = F.count(F.lit(1)).alias("n_tok")
+
+    def vote(b: int) -> F.Column:
+        cnt_b = F.shiftright(F.col(f"s{b // 4}"), 16 * (b % 4)).bitwiseAND(0xFFFF)
+        return F.when(cnt_b * 2 > F.col("n_tok"), F.lit(1 << b).cast("long")).otherwise(0)
+
     sim = (
         th.groupBy("doc_id")
-        .agg(*bit_votes)
-        .select(
-            "doc_id",
-            sum(
-                (F.col(f"bit{b}").cast("long") * F.lit(1 << b)) for b in range(N_SIM_BITS)
-            ).alias("simhash"),
-        )
+        .agg(cnt, *packed)
+        .select("doc_id", sum(vote(b) for b in range(N_SIM_BITS)).alias("simhash"))
     )
     # The banded self-join consumes the fingerprint table twice; without a
     # persist each side re-runs the token explode + 48-vote aggregation
