@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hyperloglog_pyspark_spark.functions.money import disc_price
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 PS_FANOUT = 4
@@ -96,7 +96,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 12)
     ps = derived_partsupp(spark, sf_dir)
-    europe = (
+    # Consumed twice (per-part minimum + equality join-back): persist the
+    # dimension-sized Europe subset so the partsupp derivation and its
+    # broadcast chain run once.
+    europe = tracked_persist(
         ps.join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -205,7 +208,8 @@ def tpch_q11_inventory_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     value = F.sum(
         F.col("ps_supplycost") * F.col("ps_availqty").cast("decimal(12,0)")
     )
-    in_group = (
+    # Consumed twice (per-part values + the group total): one persisted pass.
+    in_group = tracked_persist(
         ps.join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("ps_partkey", "ps_supplycost", "ps_availqty")

@@ -149,6 +149,25 @@ SHUFFLE_BUDGET = {
     "scd2_status_history": 1,         # same single-shuffle window chain
     "ivm_incremental_agg": 3,         # base partial + delta partial + merge
     "event_transition_matrix": 3,     # lag window + pair agg + matrix window
+    # Round-3 TPC-H additions (persisted queries — q2/q11/bitmap — are
+    # excluded: InMemoryRelation reprints its child exchanges at every
+    # scan site, inflating text counts; see .claude verify notes).
+    "tpch_q4_priority_count": 2,      # semi-join + final agg
+    "tpch_q12_priority_lines": 2,     # orderkey join + 2-row agg
+    "tpch_q13_custdist": 3,           # outer join + custkey agg + histogram
+    "tpch_q15_top_supplier": 5,       # revenue agg + max broadcast-back
+    "tpch_q17_small_quantity": 4,     # per-part avg + brand broadcast + agg
+    "tpch_q19_disjunctive_revenue": 2,  # broadcast join + global agg
+    "tpch_q21_waiting_supplier": 6,   # one orderkey shuffle + dims + agg
+    "tpch_q22_idle_balances": 4,      # avg broadcast + anti join + agg
+    "tpch_q9_product_profit": 9,      # orderkey shuffle + 4 broadcast dims
+    "tpch_q16_supplier_cnt": 7,       # partsupp derive + anti + distinct agg
+    "tpch_q20_excess_stock": 9,       # shipment agg + semi chains
+    # Round-3 sketch additions
+    "cms_frequency": 5,               # cells agg + top-k + probe join
+    "bloom_membership": 8,            # bit distinct + probe + verdict + matrix
+    "theta_set_algebra": 2,           # custkey dedup + global sketch agg
+    "hll_accuracy_report": 6,         # one scan, three-knob agg, 3-way union
 }
 
 
