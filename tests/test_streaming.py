@@ -528,3 +528,48 @@ def test_python_streaming_datasource_exact_drain(spark, tmp_path):
     # spot-check the generator arithmetic end-to-end
     row = got.iloc[1234]
     assert (row["bucket"], row["score"], row["user"]) == (1234 % 7, float(1234 * 13 % 101), f"u{1234 % 997}")
+
+
+def test_python_streaming_datasource_recovers_from_checkpoint(spark, tmp_path):
+    """Kill the tick stream mid-drain, restart from the same checkpoint:
+    the restarted query must replay uncommitted ranges via
+    readBetweenOffsets and finish with exactly rows [0, cap) — the
+    exactly-once contract of offset-range sources under recovery."""
+    from hyperloglog_pyspark_spark.sources.pysource import SyntheticTicksSource
+
+    spark.dataSource.register(SyntheticTicksSource)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def start():
+        return (
+            spark.readStream.format("synthetic_ticks")
+            .option("batch", 400)
+            .option("cap", 2000)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        # let at least one micro-batch commit, then stop mid-stream
+        while not q.recentProgress:
+            q.awaitTermination(0.2)
+    finally:
+        q.stop()
+
+    q = start()  # fresh query object, same checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(sink).toPandas().sort_values("id").reset_index(drop=True)
+    assert got["id"].tolist() == list(range(2000)), (
+        f"recovery broke exactly-once: {len(got)} rows, "
+        f"dupes={got['id'].duplicated().sum()}"
+    )
