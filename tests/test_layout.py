@@ -289,3 +289,42 @@ def test_sql_entry_path_plans_match_dataframe_forms(spark, sf_dir):
             f"{sql_name} plan shape diverged from {df_name}:\n"
             f"SQL: {_op_shape(sql_plan)}\nDF:  {_op_shape(df_plan)}"
         )
+
+
+# Python-boundary discipline: row-at-a-time Python UDFs (BatchEvalPython)
+# are banned outright — ~10-100x slower than Arrow-batched forms and the
+# classic 100 TB hot-path mistake. Arrow-batched Python operators are
+# allowed ONLY where the semantics require Python at all, each one a
+# documented, deliberate boundary.
+ARROW_PYTHON_ALLOWED = {
+    "hll64_parity",              # bit-parity sha1 HLL64 port (two-phase UDAF)
+    "multimodal_meta",           # mapInPandas payload decode plumbing
+    "multimodal_frame_sample",   # mapInPandas frame sampling
+    "heavy_hitters_mg",          # Misra-Gries partial summaries (mapInPandas)
+    "cogroup_asof_attribution",  # cogrouped per-key as-of alignment
+    "udtf_bigrams",              # Python UDTF surface
+}
+_PY_ARROW_NODES = [
+    "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas", "PythonMapInArrow", "AggregateInPandas",
+]
+
+
+def test_no_row_at_a_time_python_and_arrow_only_where_declared(spark, sf_dir):
+    queries()
+    rowwise, undeclared = [], []
+    for name, q in REGISTRY.items():
+        plan = plan_of(q.fn(spark, sf_dir))
+        if "BatchEvalPythonUDTF" in plan:
+            # UDTF eval is its own (batched) node, distinct from scalar
+            # BatchEvalPython; allowed only for the declared UDTF query.
+            if name not in ARROW_PYTHON_ALLOWED:
+                undeclared.append((name, "BatchEvalPythonUDTF"))
+            plan = plan.replace("BatchEvalPythonUDTF", "")
+        if "BatchEvalPython" in plan:
+            rowwise.append(name)
+        hits = [m for m in _PY_ARROW_NODES if m in plan]
+        if hits and name not in ARROW_PYTHON_ALLOWED:
+            undeclared.append((name, ",".join(hits)))
+    assert not rowwise, f"row-at-a-time Python UDF in hot path: {rowwise}"
+    assert not undeclared, f"undeclared Python boundary: {undeclared}"
