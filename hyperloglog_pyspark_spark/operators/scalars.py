@@ -474,3 +474,36 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_event"))
     )
+
+
+@register(
+    "scalar_serde_roundtrip",
+    category="scalar",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS name_json, c_name AS name_csv, c_name AS name_xml,
+           c_acctbal AS bal_json
+    FROM customer
+    """,
+)
+def scalar_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row serde functions as lossless roundtrips: each customer row goes
+    through to_json→from_json, to_csv→from_csv, and (Spark-4 native XML)
+    to_xml→from_xml, and the recovered fields are emitted directly — the
+    identity oracle hash-checks that every encoder/decoder pair preserves
+    strings AND doubles bit-for-bit (Spark prints doubles with
+    shortest-roundtrip precision).
+
+    Scale: pure JVM expressions inside one whole-stage-codegen projection
+    — the serde cost rides the scan, no shuffle at all.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    s = F.struct("c_custkey", "c_name", "c_acctbal")
+    ddl = "c_custkey bigint, c_name string, c_acctbal double"
+    return cust.select(
+        "c_custkey",
+        F.from_json(F.to_json(s), ddl).getField("c_name").alias("name_json"),
+        F.from_csv(F.to_csv(s), ddl).getField("c_name").alias("name_csv"),
+        F.from_xml(F.to_xml(s), ddl).getField("c_name").alias("name_xml"),
+        F.from_json(F.to_json(s), ddl).getField("c_acctbal").alias("bal_json"),
+    )
