@@ -328,3 +328,37 @@ def test_no_row_at_a_time_python_and_arrow_only_where_declared(spark, sf_dir):
             undeclared.append((name, ",".join(hits)))
     assert not rowwise, f"row-at-a-time Python UDF in hot path: {rowwise}"
     assert not undeclared, f"undeclared Python boundary: {undeclared}"
+
+
+def test_spread_is_noop_when_scan_already_parallel(spark, sf_dir):
+    """spread() must fan out ONLY when the file's row groups can't feed
+    the cores — on a properly split layout it adds no exchange (the
+    100 TB no-op guarantee), and on single-row-group testdata it
+    repartitions to the core count."""
+    from hyperloglog_pyspark_spark.session import cpu_count
+    from hyperloglog_pyspark_spark.sources.catalog import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in plan_of(spread(docs, splits=cpu_count()))
+    fanned = spread(docs, splits=1)
+    assert "RoundRobinPartitioning" in plan_of(fanned)
+    assert fanned.rdd.getNumPartitions() == cpu_count()
+
+
+def test_derived_partsupp_matches_oracle_derivation(spark, sf_dir, duck):
+    """The Spark partsupp derivation and the oracle CTE must produce the
+    IDENTICAL table — checked directly, not just through the five TPC-H
+    queries that consume it."""
+    from hyperloglog_pyspark_spark.operators.partsupp import (
+        PARTSUPP_SQL,
+        derived_partsupp,
+    )
+    from tests.helpers import canon_rows
+
+    spark_ps = derived_partsupp(spark, sf_dir).toPandas()
+    duck_ps = duck.execute(
+        f"WITH {PARTSUPP_SQL.strip()} SELECT ps_partkey, ps_suppkey, "
+        "ps_availqty, CAST(ps_supplycost AS DOUBLE) AS ps_supplycost FROM partsupp"
+    ).df()
+    spark_ps["ps_supplycost"] = spark_ps["ps_supplycost"].astype(float)
+    assert canon_rows(spark_ps) == canon_rows(duck_ps)
