@@ -33,6 +33,14 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Timestamp-typed columns per table — the set a regeneration might store
+# as TIMESTAMP(NANOS) (read back as bigint under nanosAsLong).
+_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 
 def _scan_splits(path: str) -> int:
     """Max parallelism the parquet reader can extract from ``path``.
@@ -85,11 +93,14 @@ def load_table(
     """
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as raw int64 (nanosAsLong); floor-
-        # divide to micros — same truncation DuckDB applies at micro
-        # granularity, keeping oracle comparisons exact.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP(NANOS) parquet surfaces as raw int64 under nanosAsLong;
+    # floor-divide to micros — the truncation DuckDB applies at micro
+    # granularity, keeping oracle comparisons exact. Checked for every
+    # known timestamp column, not just events.ts: which columns a testdata
+    # regeneration stores as nanos has changed between rounds.
+    for col in _TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     # Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ,
     # which unix_millis/unix_micros and interval casts reject. The session
     # timezone is pinned to UTC (session.py), so casting NTZ→TIMESTAMP is a
