@@ -210,3 +210,31 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_shipdate").cast("date").alias("last_ship"),
         )
     )
+
+
+@register(
+    "source_text_roundtrip",
+    category="source",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct,
+           MIN(c_name) AS first_line, MAX(c_name) AS last_line
+    FROM customer
+    """,
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer names → line-oriented text sink → text source → line
+    stats. Completes the core format matrix (parquet/csv/json/orc/text);
+    the text connector is the raw-corpus entry path of every LLM data
+    pipeline (one document per line, no schema, splittable by newline).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    path = _scratch("text", sf_dir)
+    customer.select(F.col("c_name").alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count_distinct("value").alias("n_distinct"),
+        F.min("value").alias("first_line"),
+        F.max("value").alias("last_line"),
+    )
