@@ -332,3 +332,55 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_to").cast("double") * 1000).cast("long").alias("valid_to_ms"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "event_path_mining",
+    category="eventflow",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n_paths DESC, path
+    LIMIT 20
+    """,
+)
+def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, the length-3 extension of the transition
+    matrix: the 20 most common consecutive event-type paths (A>B>C) across
+    all user timelines, with the distinct-user support count — the
+    journey-analysis shape behind funnel discovery.
+
+    Scale: one user_id shuffle powers both lead() windows (same spec);
+    paths aggregate with map-side combine on at most |types|³ keys. The
+    (ts, event_id) tiebreak makes every user timeline a total order, so
+    path counts are deterministic cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(20)
+    )

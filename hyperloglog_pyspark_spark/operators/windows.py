@@ -234,3 +234,42 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("c_custkey", 3).over(w).alias("third"),
         F.last("c_custkey").over(w_full).alias("richest"),
     )
+
+
+@register(
+    "window_range_interval",
+    category="window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the trailing-one-hour event
+    count and spend at every event — the sliding-aggregate shape that ROWS
+    frames cannot express and tumbling windows approximate. Deterministic
+    under timestamp ties by RANGE semantics (equal ORDER BY values share
+    one frame), so no tiebreaker column is needed.
+
+    Scale: one user_id shuffle; frame state is bounded by events-per-hour
+    per user, not history length."""
+    ev = load_table(spark, sf_dir, "events")
+    # Interval-typed RANGE bounds exist only in the SQL window syntax
+    # (DataFrame rangeBetween takes numeric offsets), so the frame is an
+    # expression — still one Catalyst Window operator.
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr(f"count(*) {over}").cast("long").alias("n_last_hour"),
+        F.expr(f"CAST(sum(CAST(value AS DECIMAL(12,2))) {over} AS DOUBLE)").alias(
+            "value_last_hour"
+        ),
+    )
