@@ -337,6 +337,7 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_path_mining",
     category="eventflow",
+    bench=True,
     oracle="""
     WITH seq AS (
         SELECT user_id, event_type,

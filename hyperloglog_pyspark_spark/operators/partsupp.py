@@ -126,6 +126,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_product_profit",
     category="analytics",
+    bench=True,
     oracle=f"""
     WITH {PARTSUPP_SQL.strip()}
     SELECT n_name AS nation, year(o_orderdate) AS o_year,

@@ -453,6 +453,7 @@ def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bloom_membership",
     category="sketch",
+    bench=True,
     oracle=f"""
     WITH bits AS (
         SELECT DISTINCT CAST('0x' || substring(md5(CAST(k.k AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % {BLOOM_BITS} AS bit
@@ -534,6 +535,7 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bitmap_distinct_rollup",
     category="sketch",
+    bench=True,
     oracle="""
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY CAST(ts AS DATE)
