@@ -105,3 +105,60 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rate = F.when(F.col("lang") == "en", 10).otherwise(50)
     return docs.filter(F.pmod("doc_id", F.lit(100)) < rate).select("doc_id", "lang", "source")
+
+
+SYS_TARGET = 500  # target sample size for the systematic weighted draw
+
+
+@register(
+    "sample_weighted_systematic",
+    category="sampling",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi,
+               (SELECT SUM(n_chars) FROM documents) // {SYS_TARGET} AS step
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM w
+    WHERE step > 0 AND cum_hi // step > (cum_hi - n_chars) // step
+    """,
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic sampling: documents are laid end to
+    end on the character-mass axis (deterministic doc_id order) and one is
+    taken at every stride of total_mass/target — longer documents are
+    proportionally likelier, and the sample is uniform in TOKEN MASS
+    rather than document count (the budget-correct way to subsample a
+    pretraining corpus). All arithmetic is exact BIGINT (cumulative sums,
+    integer division), so the draw is reproducible on any engine — no
+    seed, no float, no transcendental.
+
+    Scale: one global running sum — at 100 TB replace the single ordered
+    window with per-partition mass offsets (two passes: per-partition
+    totals, then prefix offsets broadcast back), the standard distributed
+    prefix-sum; selection stays a map-side predicate.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars").alias("total"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("cum_hi", F.sum("n_chars").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn("step", F.expr(f"total div {SYS_TARGET}"))
+    )
+    return (
+        cum.filter(
+            (F.col("step") > 0)
+            & (
+                F.expr("cum_hi div step")
+                > F.expr("(cum_hi - n_chars) div step")
+            )
+        )
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )
