@@ -349,9 +349,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle), pack 4 bit-counters into 16-bit lanes of one long and keep
     # 12 packed sums + COUNT(*). The majority vote for bit b is then
     # 2·cnt_b > n with cnt_b extracted by shift/mask. Lane-overflow bound:
-    # exact while distinct tokens per doc < 2^16 (enforced upstream by any
-    # sane document-length filter; the oracle's per-bit formulation would
-    # hash-mismatch loudly if it ever tripped).
+    # exact while distinct tokens per doc < 2^15 — the top lane shifts by
+    # 48, so its counter must stay below 2^15 to keep the signed-int64 SUM
+    # in range (ANSI mode raises ARITHMETIC_OVERFLOW past that, a loud
+    # failure, not silent corruption; enforce a document-length cap
+    # upstream when corpora can exceed ~32k distinct tokens per doc).
     lanes = N_SIM_BITS // 4  # 12 packed sums, 4 counters each
     packed = [
         F.sum(

@@ -27,14 +27,14 @@ from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 PS_FANOUT = 4
 
-PARTSUPP_SQL = """
+PARTSUPP_SQL = f"""
 partsupp AS (
   SELECT p_partkey AS ps_partkey,
          (p_partkey*131 + i.i*2971) % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
          1 + (p_partkey*7 + i.i*13) % 999 AS ps_availqty,
          CAST(1000 + (p_partkey*31 + i.i*17) % 90000 AS DECIMAL(14,0))
              * CAST(0.01 AS DECIMAL(4,2)) AS ps_supplycost
-  FROM part CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+  FROM part CROSS JOIN (SELECT unnest(range(0, {PS_FANOUT})) AS i) i
 )
 """
 

@@ -654,22 +654,20 @@ def theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ACC_RSDS = [0.065, 0.026, 0.0065]  # ≈ p=8, 12, 16: rsd = 1.04/√2^p
+# rsd = 1.04/√2^p exactly, for p = 8, 12, 16 (the reference's stderr
+# formula, HLL/HyperLogLog.py:86) — the earlier rounded values 0.026 /
+# 0.0065 mapped to different precisions than the labels claimed.
+ACC_RSDS = [1.04 / 2 ** (p / 2.0) for p in (8, 12, 16)]
 
 
 @register(
     "hll_accuracy_report",
     category="sketch",
-    oracle="""
-    SELECT CAST(0.065 AS DOUBLE) AS rsd, COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
-    FROM events
-    UNION ALL
-    SELECT CAST(0.026 AS DOUBLE) AS rsd, COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
-    FROM events
-    UNION ALL
-    SELECT CAST(0.0065 AS DOUBLE) AS rsd, COUNT(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
-    FROM events
-    """,
+    oracle=" UNION ALL ".join(
+        f"SELECT CAST({rsd!r} AS DOUBLE) AS rsd, COUNT(DISTINCT user_id) AS n_exact, "
+        "TRUE AS approx_ok FROM events"
+        for rsd in ACC_RSDS
+    ),
 )
 def hll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's calculate_empirical_accuracy (HLL/examples.py:70-83)

@@ -298,7 +298,14 @@ class SpendTracker(StatefulProcessor):
         n, cents = prev if prev else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            cents += int(pdf["value"].fillna(0.0).mul(100).round().astype("int64").sum())
+            # Half-up cent rounding (floor(x*100 + 0.5) on non-negative
+            # values) — pandas .round() is banker's (half-even), which
+            # would diverge from Spark's F.round/HALF_UP on exact .5 cents.
+            cents += int(
+                (pdf["value"].fillna(0.0).mul(100).add(0.5))
+                .astype("int64")
+                .sum()
+            )
         self._stats.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
