@@ -14,7 +14,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded, dot
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import REGISTRY, register
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 N_QUERIES = 8  # vec_id < 8 act as query vectors
@@ -376,4 +376,48 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("q_min").alias("q_min"),
         F.max("q_max").alias("q_max"),
         (F.sum(F.round("mae", 9).cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("avg_mae"),
+    )
+
+
+@register(
+    "similarity_recall_report",
+    category="similarity",
+    oracle=f"""
+    WITH bf AS (
+        SELECT * FROM ({REGISTRY["similarity_topk_bruteforce"].oracle}) t
+    ),
+    ann AS (
+        SELECT * FROM ({REGISTRY["similarity_ann_lsh"].oracle}) t
+    )
+    SELECT bf.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(ann.vec_id) AS BIGINT) AS n_hits,
+           CAST(round(COUNT(ann.vec_id) * 1.0 / COUNT(*), 4) AS DOUBLE) AS recall
+    FROM bf LEFT JOIN ann ON bf.query_id = ann.query_id AND bf.vec_id = ann.vec_id
+    GROUP BY bf.query_id
+    """,
+)
+def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class operator: recall@k of the
+    multi-probe LSH path against the exact brute-force top-k, per query
+    vector — the monitoring query every production ANN deployment runs on
+    a sampled query set to catch index drift.
+
+    Scale: both sides reuse the registered constructions (broadcast
+    queries, bucketed candidates); the comparison itself is a join on
+    (query, candidate) over two k-row-per-query sets — negligible next to
+    the searches it audits.
+    """
+    bf = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    ann = similarity_ann_lsh(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).cast("double").alias("recall"),
+        )
     )
