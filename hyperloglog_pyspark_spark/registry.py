@@ -112,12 +112,33 @@ def register(
 
 
 # Queries that already have a green driver CORRECTNESS row (round 1: 50/50;
-# round 2: 46/50 — the four window/NTZ failures were fixed in round 3 and
-# stay in the unverified-first prefix until re-proven).
+# round 2: 46/50; round 3: 50/50 including the four re-proven window/NTZ
+# queries). Cumulative: 146/154 — only the eight never-sampled queries
+# (the five partsupp TPC-H shapes, PageRank, skew audit, Z-order) remain
+# in the unverified-first prefix.
 # The per-round correctness sweep samples a prefix of queries() in order, so
 # we surface not-yet-driver-verified queries FIRST — round-robin across
 # categories so any prefix the sweep takes still covers every category.
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 3 greens (CORRECTNESS_r03.json)
+    "approx_quantile_check", "array_higher_order", "bitmap_distinct_rollup",
+    "bitwise_funcs", "bloom_membership", "cms_frequency", "corpus_dashboard",
+    "corpus_overlap_grams", "curriculum_quality_bins",
+    "embedding_quantize_int8", "event_path_mining", "explode_positional",
+    "hll_accuracy_report", "hll_merge_compat", "hll_set_intersection",
+    "json_variant", "map_funcs", "map_higher_order", "null_safe_arithmetic",
+    "profile_table", "sample_weighted_systematic", "scalar_serde_roundtrip",
+    "scd2_status_history", "sessionize_gap_ids", "similarity_recall_report",
+    "sink_python_datasink", "source_python_datasource",
+    "source_text_roundtrip", "text_decontaminate", "text_outlier_zscore",
+    "text_pii_redact", "text_repetition", "text_token_bpe",
+    "theta_set_algebra", "tpch_q12_priority_lines", "tpch_q13_custdist",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_balances", "tpch_q4_priority_count",
+    "window_distribution", "window_lag_lead", "window_range_frame",
+    "window_range_interval", "window_rank_dense_ntile", "window_session",
+    "window_sliding", "window_tumbling",
     # round 2 greens (CORRECTNESS_r02.json)
     "ivm_incremental_agg", "cogroup_asof_attribution",
     "similarity_topk_bruteforce", "funnel_conversion", "date_funcs",
