@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hyperloglog_pyspark_spark.functions.texttools import md5_long, md5_long_sql
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 SAMPLE_PCT = 5
@@ -108,6 +108,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SYS_TARGET = 500  # target sample size for the systematic weighted draw
+N_MASS_BUCKETS = 32  # prefix-sum fan-out; raise with cluster size at scale
 
 
 @register(
@@ -136,19 +137,56 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division), so the draw is reproducible on any engine — no
     seed, no float, no transcendental.
 
-    Scale: one global running sum — at 100 TB replace the single ordered
-    window with per-partition mass offsets (two passes: per-partition
-    totals, then prefix offsets broadcast back), the standard distributed
-    prefix-sum; selection stays a map-side predicate.
+    Scale: DISTRIBUTED two-pass prefix sum, never a global ordered window.
+    Rows map to ``N_MASS_BUCKETS`` contiguous doc_id ranges (bucket id is
+    pure arithmetic on doc_id — deterministic, order-preserving, no
+    sampling-based range partitioner). Pass 1 computes per-bucket running
+    sums (window PARTITIONED by bucket — parallel across buckets); pass 2
+    folds the tiny per-bucket totals (≤N_MASS_BUCKETS rows) into prefix
+    offsets via a broadcast triangular self-join and broadcasts them back.
+    The global cumulative position is then local_cumsum + bucket_offset,
+    a map-side add; selection stays a map-side predicate. No Window node
+    in the plan has an empty partition spec (locked by
+    tests/test_layout.py::test_systematic_sampler_has_no_global_window).
     """
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    total = docs.agg(F.sum("n_chars").alias("total"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = (
+    bounds = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    bucketed = (
         docs.select("doc_id", "source", "n_chars")
-        .withColumn("cum_hi", F.sum("n_chars").over(w))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.floor(
+                (F.col("doc_id") - F.col("lo")) * N_MASS_BUCKETS
+                / (F.col("hi") - F.col("lo") + 1)
+            ),
+        )
+        .drop("lo", "hi")
+    )
+    wloc = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = tracked_persist(
+        bucketed.withColumn("cum_local", F.sum("n_chars").over(wloc))
+    )
+    ptot = local.groupBy("bucket").agg(F.max("cum_local").alias("ptotal"))
+    # Prefix offsets over ≤N_MASS_BUCKETS rows: triangular broadcast
+    # self-join (sum of strictly-earlier bucket totals), deliberately not
+    # an empty-partition window so NO operator in the plan is a global sort.
+    earlier = ptot.select(
+        F.col("bucket").alias("e_bucket"), F.col("ptotal").alias("e_total")
+    )
+    offsets = (
+        ptot.join(F.broadcast(earlier), F.col("e_bucket") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("e_total"), F.lit(0)).alias("offset"))
+    )
+    total = ptot.agg(F.sum("ptotal").alias("total"))
+    cum = (
+        local.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_hi", F.col("cum_local") + F.col("offset"))
         .crossJoin(F.broadcast(total))
         .withColumn("step", F.expr(f"total div {SYS_TARGET}"))
     )

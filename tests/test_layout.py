@@ -217,6 +217,23 @@ def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_systematic_sampler_has_no_global_window(spark, sf_dir):
+    """The weighted systematic draw must run as the distributed two-pass
+    prefix sum: every Window node partitions by the mass bucket, and no
+    single-partition global sort of the fact table survives in the plan.
+    (Empty partition spec prints as `Window [...], [], [ord]` — zero of
+    those allowed; the tiny offset fold is a broadcast triangular join.)"""
+    import re
+
+    queries()
+    plan = plan_of(REGISTRY["sample_weighted_systematic"].fn(spark, sf_dir))
+    assert "Window" in plan  # the per-bucket running sum is still a window
+    assert not re.findall(r"Window \[[^\]]*\], \[\]", plan), (
+        "global (empty-partition) window found in systematic sampler plan"
+    )
+    assert "BroadcastHashJoin" in plan  # offsets broadcast back, never shuffled
+
+
 def test_window_distribution_shares_one_window_operator(spark, sf_dir):
     """Five window functions over the same spec must collapse into a single
     Window operator (one sort, one pass) plus the unbounded-frame variant."""
