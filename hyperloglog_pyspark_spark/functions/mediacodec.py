@@ -1,0 +1,117 @@
+"""Codec-free media containers: BMP and WAV synthesis + header decode in
+pure Python (struct only — no PIL/ffmpeg, which this environment lacks).
+
+These are the two mainstream container formats whose metadata lives in a
+fixed uncompressed header, so a real decode path — magic-byte sniffing,
+field extraction, integrity checks against the byte stream — is possible
+without codec libraries. Compressed codecs (JPEG/MP4/FLAC) would slot in
+behind the same ``decode_media`` dispatcher via PIL/ffmpeg in a real
+deployment; see ``operators/multimodal.py``.
+
+Layouts implemented (public file-format specifications):
+- BMP: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER (BI_RGB,
+  24bpp), rows padded to 4 bytes.
+- WAV: RIFF header + PCM ``fmt `` chunk (16 bytes) + ``data`` chunk.
+"""
+
+from __future__ import annotations
+
+import struct
+
+BMP_HEADER_LEN = 54  # 14 file header + 40 info header
+WAV_HEADER_LEN = 44  # RIFF(12) + fmt(24) + data header(8)
+
+
+def bmp_row_stride(width: int) -> int:
+    """Bytes per pixel row: 3 bytes/px (24bpp) padded up to 4 bytes."""
+    return (3 * width + 3) // 4 * 4
+
+
+def synth_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A valid 24bpp uncompressed BMP with deterministic pixel bytes."""
+    stride = bmp_row_stride(width)
+    size = BMP_HEADER_LEN + stride * height
+    file_header = struct.pack("<2sIHHI", b"BM", size, 0, 0, BMP_HEADER_LEN)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, stride * height, 2835, 2835, 0, 0,
+    )
+    pixels = bytes((seed + i) % 256 for i in range(stride * height))
+    return file_header + info_header + pixels
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse + validate a BMP header; raises ValueError on a lying header."""
+    if len(payload) < BMP_HEADER_LEN:
+        raise ValueError("BMP truncated before header end")
+    magic, size, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    (bisize, width, height, planes, bpp, compression, img_size,
+     _, _, _, _) = struct.unpack_from("<IiiHHIIiiII", payload, 14)
+    if bisize != 40 or planes != 1 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    if size != len(payload):
+        raise ValueError(f"BMP header size {size} != payload {len(payload)}")
+    if offset + bmp_row_stride(width) * abs(height) > len(payload):
+        raise ValueError("BMP pixel array exceeds payload")
+    return {
+        "media_type": "bmp",
+        "width": width,
+        "height": abs(height),  # negative height = top-down row order
+        "bpp": bpp,
+        "n_bytes": len(payload),
+    }
+
+
+def synth_wav(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
+    """A valid 16-bit PCM WAV with deterministic sample bytes."""
+    data_len = n_samples * channels * 2
+    byte_rate = sample_rate * channels * 2
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + data_len, b"WAVE",
+        b"fmt ", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16,
+        b"data", data_len,
+    )
+    samples = bytes(i % 256 for i in range(data_len))
+    return header + samples
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse + validate a PCM WAV header; raises ValueError on mismatch."""
+    if len(payload) < WAV_HEADER_LEN:
+        raise ValueError("WAV truncated before header end")
+    (riff, riff_len, wave, fmt, fmt_len, audio_fmt, channels, sample_rate,
+     _, _, bits, data, data_len) = struct.unpack_from("<4sI4s4sIHHIIHH4sI", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE" or fmt != b"fmt ":
+        raise ValueError("not a RIFF/WAVE payload")
+    if audio_fmt != 1 or fmt_len != 16:
+        raise ValueError("unsupported WAV encoding (non-PCM)")
+    if riff_len + 8 != len(payload) or data != b"data":
+        raise ValueError("WAV chunk sizes disagree with payload")
+    if WAV_HEADER_LEN + data_len > len(payload):
+        raise ValueError("WAV data chunk exceeds payload")
+    n_samples = data_len // (channels * 2)
+    return {
+        "media_type": "wav",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "duration_ms": n_samples * 1000 // sample_rate,
+        "n_bytes": len(payload),
+    }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Dispatch on magic bytes — the real decode entry point.
+
+    Uncompressed containers (BMP, WAV) decode here in pure Python; a
+    compressed codec (JPEG/PNG/MP4) raises, since this environment has no
+    codec libraries — a deployment would route those to PIL/ffmpeg.
+    """
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise ValueError("unsupported container (compressed codecs need PIL/ffmpeg)")

@@ -1,10 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched Pandas UDFs over mapInPandas.
 
-The container has no image/audio codecs, so the decode step is a clearly
-marked STUB (decode_image below raises NotImplementedError; the query path
-uses a deterministic fake derived from the payload bytes). What IS real
-and tested: the Spark-side plumbing a multimodal pipeline needs — binary
+The decode path IS real for codec-free containers: ``multimodal_decode``
+synthesizes valid BMP/WAV byte streams and parses their headers back
+(magic sniffing, struct field extraction, size-integrity checks) via
+``functions/mediacodec.py`` — pure Python, no PIL/ffmpeg. Compressed
+codecs (JPEG/MP4) stay out of reach in this environment; they would
+plug into the same ``decode_media`` dispatcher. The remaining queries
+exercise the rest of the plumbing a multimodal pipeline needs — binary
 column construction, mapInPandas batch iteration, explicit output schema,
 and partition-parallel execution with no driver collects.
 
@@ -22,20 +25,19 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from hyperloglog_pyspark_spark.functions.mediacodec import (
+    decode_media,
+    synth_bmp,
+    synth_wav,
+)
 from hyperloglog_pyspark_spark.registry import register
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 
-def decode_image(payload: bytes) -> dict:
-    """Real decoder entry point — STUBBED: no codec libraries in this
-    environment. A deployment would decode via PIL/ffmpeg here and return
-    width/height/frames."""
-    raise NotImplementedError("media codecs unavailable in this environment; use fake_decode_meta")
-
-
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for decode: metadata derived from payload
-    bytes only, so the DuckDB oracle can reproduce it."""
+    """Deterministic payload-length metadata (NOT a decode — see
+    ``decode_media`` for the real header parser); kept because the
+    ``multimodal_meta`` oracle reproduces exactly this arithmetic."""
     n = len(payload)
     return n, n % 640, (n * 7) % 480
 
@@ -53,7 +55,8 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
     """,
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload → decoded metadata via mapInPandas (stubbed decode).
+    """Binary payload → metadata via mapInPandas (payload-length fake;
+    the REAL header decode lives in ``multimodal_decode``).
 
     documents.text stands in for a media blob (encode → binary column);
     the UDF iterates Arrow batches and emits a typed metadata row per
@@ -105,8 +108,8 @@ FRAME_SAMPLE = 64
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over opaque media blobs: every 256-byte "frame"
     yields a 64-byte sample descriptor — the 1→N mapInPandas shape of a
-    real video frame-sampler (ffmpeg-seek per keyframe), with the decode
-    itself stubbed (see decode_image).
+    real video frame-sampler (ffmpeg-seek per keyframe); the real header
+    decode path is exercised by ``multimodal_decode``.
 
     Scale: expansion happens inside the Arrow batch iterator,
     partition-parallel, bounded memory; no shuffle, no driver collect.
@@ -180,4 +183,84 @@ def multimodal_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_bytes").alias("n_bytes"),
         )
         .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "multimodal_decode",
+    category="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 64 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 48 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 * (1 + doc_id % 3) AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST((1 + n_chars % 4000) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+           END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(54 + (1 + doc_id % 48) * ((3 * (1 + doc_id % 64) + 3) // 4 * 4) AS BIGINT)
+                ELSE CAST(44 + (1 + n_chars % 4000) * 2 AS BIGINT)
+           END AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode over codec-free containers: synthesize a valid
+    BMP (even doc_id) or 16-bit PCM WAV (odd doc_id) byte stream per
+    document, then parse the container headers back with the
+    ``decode_media`` dispatcher — magic-byte sniffing, struct field
+    extraction, and size-integrity validation against the actual payload.
+    The oracle recomputes the same dimensions/rates arithmetically, so a
+    parser that misreads any header field hash-mismatches.
+
+    Two chained mapInPandas stages (encode → binary column → decode) —
+    the write-side and read-side of a media lakehouse in one plan.
+
+    Scale: both stages are map-side Arrow batch iterators; payload bytes
+    never shuffle, memory is bounded by the batch size, and partition
+    parallelism comes from the scan (spread to cores — single-row-group
+    testdata would otherwise plan one task).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                if doc_id % 2 == 0:
+                    payloads.append(
+                        synth_bmp(1 + doc_id % 64, 1 + doc_id % 48, seed=int(doc_id))
+                    )
+                else:
+                    payloads.append(
+                        synth_wav(8000 * (1 + doc_id % 3), 1 + n_chars % 4000)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_media(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in metas],
+                    "width": [m.get("width") for m in metas],
+                    "height": [m.get("height") for m in metas],
+                    "sample_rate": [m.get("sample_rate") for m in metas],
+                    "duration_ms": [m.get("duration_ms") for m in metas],
+                    "n_bytes": [m["n_bytes"] for m in metas],
+                }
+            )
+
+    return blobs.mapInPandas(
+        decode_batches,
+        schema=(
+            "doc_id long, media_type string, width long, height long, "
+            "sample_rate long, duration_ms long, n_bytes long"
+        ),
     )

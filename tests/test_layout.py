@@ -317,6 +317,7 @@ ARROW_PYTHON_ALLOWED = {
     "hll64_parity",              # bit-parity sha1 HLL64 port (two-phase UDAF)
     "multimodal_meta",           # mapInPandas payload decode plumbing
     "multimodal_frame_sample",   # mapInPandas frame sampling
+    "multimodal_decode",         # mapInPandas BMP/WAV synth + header parse
     "heavy_hitters_mg",          # Misra-Gries partial summaries (mapInPandas)
     "cogroup_asof_attribution",  # cogrouped per-key as-of alignment
     "udtf_bigrams",              # Python UDTF surface

@@ -1,13 +1,21 @@
 """Semantic tests for the LLM-pipeline operators (beyond oracle equality):
 does LSH actually find the planted near-dups, does ANN recall clear a
-floor, does the multimodal stub behave."""
+floor, does the BMP/WAV decode path round-trip and reject lying headers."""
 
 from __future__ import annotations
 
 import pytest
 
+from hyperloglog_pyspark_spark.functions.mediacodec import (
+    bmp_row_stride,
+    decode_bmp,
+    decode_media,
+    decode_wav,
+    synth_bmp,
+    synth_wav,
+)
+from hyperloglog_pyspark_spark.operators.multimodal import fake_decode_meta
 from hyperloglog_pyspark_spark.registry import queries
-from hyperloglog_pyspark_spark.operators.multimodal import decode_image, fake_decode_meta
 
 ALL = queries()
 
@@ -58,10 +66,42 @@ def test_simhash_enriches_for_near_dups(spark, sf_dir):
     assert hit_rate >= 3 * base_rate, f"no enrichment: hit={hit_rate:.3f} base={base_rate:.3f}"
 
 
-def test_multimodal_stub_contract():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+def test_multimodal_meta_contract():
     assert fake_decode_meta(b"abc") == (3, 3, 21)
+
+
+# --- real media decode (codec-free containers) ----------------------------
+
+
+def test_bmp_roundtrip_and_integrity():
+    payload = synth_bmp(33, 17, seed=9)
+    meta = decode_bmp(payload)
+    assert meta["width"] == 33 and meta["height"] == 17 and meta["bpp"] == 24
+    assert meta["n_bytes"] == 54 + 17 * bmp_row_stride(33) == len(payload)
+    # a lying header (truncated payload) must fail loudly, not mis-decode
+    with pytest.raises(ValueError):
+        decode_bmp(payload[:-1])
+    # 1x1 edge: stride pads 3 bytes to 4
+    assert decode_bmp(synth_bmp(1, 1))["n_bytes"] == 54 + 4
+
+
+def test_wav_roundtrip_and_integrity():
+    payload = synth_wav(16000, 1234)
+    meta = decode_wav(payload)
+    assert meta["sample_rate"] == 16000 and meta["channels"] == 1
+    assert meta["duration_ms"] == 1234 * 1000 // 16000
+    assert meta["n_bytes"] == 44 + 1234 * 2 == len(payload)
+    with pytest.raises(ValueError):
+        decode_wav(payload[:-2])
+    stereo = decode_wav(synth_wav(8000, 100, channels=2))
+    assert stereo["channels"] == 2 and stereo["duration_ms"] == 100 * 1000 // 8000
+
+
+def test_decode_media_dispatches_on_magic():
+    assert decode_media(synth_bmp(2, 2))["media_type"] == "bmp"
+    assert decode_media(synth_wav(8000, 8))["media_type"] == "wav"
+    with pytest.raises(ValueError):  # compressed codecs stay out of scope
+        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
 
 
 def test_dedup_exact_drops_something(spark, sf_dir):
