@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -298,13 +299,14 @@ class SpendTracker(StatefulProcessor):
         n, cents = prev if prev else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            # Half-up cent rounding (floor(x*100 + 0.5) on non-negative
-            # values) — pandas .round() is banker's (half-even), which
-            # would diverge from Spark's F.round/HALF_UP on exact .5 cents.
+            # Half-away-from-zero cent rounding, sign-aware — matches
+            # Spark's F.round (HALF_UP) for refunds (negative values) too;
+            # pandas .round() is banker's (half-even), which would diverge
+            # on exact .5 cents, and astype('int64') alone truncates
+            # toward zero, which would diverge on negatives.
+            v = pdf["value"].fillna(0.0).to_numpy()
             cents += int(
-                (pdf["value"].fillna(0.0).mul(100).add(0.5))
-                .astype("int64")
-                .sum()
+                (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64").sum()
             )
         self._stats.update((n, cents))
         yield pd.DataFrame(
@@ -327,9 +329,11 @@ def user_spend_stream(events: DataFrame) -> DataFrame:
     eviction story for inactive keys on an unbounded keyspace.
 
     Environment note: the API's state-server protocol needs
-    google.protobuf, which this container does not ship — the paired test
-    (tests/test_streaming.py::test_transform_with_state_running_spend)
-    importorskips on it; on a standard Spark cluster image it runs as-is.
+    google.protobuf, which this container does not ship — the end-to-end
+    test collects only where protobuf exists, while the processor's
+    semantics (cent-exact accumulation, HALF_UP refund rounding) run
+    everywhere via tests/test_streaming.py::
+    test_spend_tracker_processor_contract driving a fake state handle.
     """
     return (
         events.select("user_id", "value")

