@@ -11,9 +11,12 @@ DuckDB — the oracle unrolls the same three iterations as CTE stages.
 
 Scale posture: one iteration = ranks ⋈ edges (broadcast the rank frame —
 node-sized, not edge-sized) + one groupBy(dst) sum — the standard
-edge-partitioned PageRank step. Iterations chain the DAG; at real depth/
-scale, localCheckpoint each round to cut lineage (as
-dedup_cluster_components does) and handle dangling mass explicitly.
+edge-partitioned PageRank step. Dangling mass (rank parked on nodes with
+no out-edges) is redistributed uniformly each round — dropping it leaks
+total mass and under-ranks everything downstream of sinks. Every
+``PR_CHECKPOINT_EVERY`` rounds the rank frame is localCheckpoint-ed to
+cut lineage (same move as dedup_cluster_components) so deep iteration
+counts can't stack an unbounded DAG.
 The reference has no graph surface (HLL sketch library only).
 """
 
@@ -21,12 +24,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hyperloglog_pyspark_spark.registry import register, tracked_persist
+from hyperloglog_pyspark_spark.registry import register, track_cache, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 PR_SCALE = 10**12  # integer rank scale
 PR_ITERS = 3
 PR_N = 25  # nations
+PR_CHECKPOINT_EVERY = 2  # localCheckpoint cadence (rounds); 0 disables
 
 
 _EDGES_SQL = """
@@ -51,10 +55,17 @@ def _pagerank_oracle() -> str:
     """
     prev = "it0"
     for i in range(1, PR_ITERS + 1):
+        # Dangling mass: rank parked on nodes with no out-edges, split
+        # uniformly (floor) — the same integer term the Spark side adds.
         sql += f""",
+    dang{i} AS (
+        SELECT COALESCE(SUM(rank), 0) // {PR_N} AS dm
+        FROM {prev} WHERE node NOT IN (SELECT src FROM deg)
+    ),
     it{i} AS (
         SELECT n.n_name AS node,
-               CAST({teleport} + (85 * COALESCE(SUM(r.rank // d.outdeg), 0)) // 100
+               CAST({teleport} + (85 * (COALESCE(SUM(r.rank // d.outdeg), 0)
+                    + (SELECT dm FROM dang{i}))) // 100
                     AS BIGINT) AS rank
         FROM nation n
         LEFT JOIN edges e ON e.dst = n.n_name
@@ -71,13 +82,70 @@ def _pagerank_oracle() -> str:
     return sql
 
 
+def pagerank_scaled(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int = PR_ITERS,
+    checkpoint_every: int = PR_CHECKPOINT_EVERY,
+) -> DataFrame:
+    """Damped (d=0.85) integer-scaled PageRank with explicit dangling-mass
+    redistribution.
+
+    ``nodes``: one ``node`` column. ``edges``: ``src``/``dst`` pairs
+    (deduplicated). ``n_nodes`` is passed in, never counted here — no
+    driver-side actions inside operators.
+
+    Per iteration: (1) dangling mass = Σ rank over nodes absent from
+    ``src`` (left-anti against the node-sized src set), floor-split
+    uniformly; (2) contributions = one broadcast join of the node-sized
+    rank frame into the edge list + a groupBy(dst) sum; (3) new rank =
+    teleport + 85%·(contrib + dangling share), all floor arithmetic.
+    Every ``checkpoint_every`` rounds the node-sized rank frame is
+    localCheckpoint-ed (eager) — lineage stays O(checkpoint_every), not
+    O(iters), which is what makes 50-round runs plannable.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = tracked_persist(edges.join(deg, "src"))
+    srcs = edges.select("src").distinct()
+    base = PR_SCALE // n_nodes
+    teleport = (PR_SCALE * 15) // (100 * n_nodes)
+    ranks = nodes.withColumn("rank", F.lit(base).cast("long"))
+    for i in range(iters):
+        dangling = (
+            ranks.join(srcs, ranks["node"] == srcs["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang_total"))
+            .select(F.expr(f"dang_total div {n_nodes}").alias("dm"))
+        )
+        contrib = (
+            edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contrib.withColumnRenamed("dst", "node")), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr("(85 * (COALESCE(contrib, 0L) + dm)) div 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = track_cache(ranks.localCheckpoint(eager=True))
+    return ranks
+
+
 @register("graph_pagerank_nations", category="analytics", bench=True, oracle=_pagerank_oracle())
 def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three damped PageRank iterations (d = 0.85, teleport mass uniform)
-    over the distinct customer-nation → supplier-nation trade edges, in
-    scaled integer arithmetic so the result is bit-exact cross-engine.
-    Rank frames stay node-sized and broadcast; only the edge extraction
-    touches fact-table scale."""
+    """Three damped PageRank iterations (d = 0.85, teleport mass uniform,
+    dangling mass redistributed) over the distinct customer-nation →
+    supplier-nation trade edges, in scaled integer arithmetic so the
+    result is bit-exact cross-engine. Rank frames stay node-sized and
+    broadcast; only the edge extraction touches fact-table scale."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -97,35 +165,8 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    # Persisted (tracked): the fact-table edge extraction feeds every
-    # iteration — without it each round replays the lineitem⋈orders join.
-    # The out-degree is folded into the persisted edge rows up front so the
-    # per-iteration plan is ONE broadcast join (current ranks) + one
-    # node-sized aggregation, not two joins — at 25 nodes the iterations
-    # are scheduler-bound, so fewer stages is the whole game.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges = tracked_persist(edges.join(deg, "src"))
     nodes = na.select(F.col("n_name").alias("node"))
-    base = PR_SCALE // PR_N
-    teleport = (PR_SCALE * 15) // (100 * PR_N)
-    ranks = nodes.withColumn("rank", F.lit(base).cast("long"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
-            .select("dst", F.expr("rank div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(F.broadcast(contrib.withColumnRenamed("dst", "node")), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(f"(85 * COALESCE(contrib, 0L)) div 100")
-                ).cast("long").alias("rank"),
-            )
-        )
+    ranks = pagerank_scaled(nodes, edges, n_nodes=PR_N)
     return ranks.select(
         "node",
         F.col("rank").alias("rank_scaled"),

@@ -164,6 +164,61 @@ def test_cc_empty_graph(spark):
     assert connected_components_import()(df).count() == 0
 
 
+# --- PageRank: dangling mass + checkpoint cadence -------------------------
+
+
+def _pr_mirror(nodes, edges, iters, n, scale=10**12):
+    """Driver-side integer PageRank mirror (same floor arithmetic)."""
+    from collections import Counter, defaultdict
+
+    outdeg = Counter(s for s, _ in edges)
+    base, tel = scale // n, scale * 15 // (100 * n)
+    rank = {v: base for v in nodes}
+    for _ in range(iters):
+        dm = sum(r for v, r in rank.items() if outdeg[v] == 0) // n
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += rank[s] // outdeg[s]
+        rank = {v: tel + 85 * (contrib[v] + dm) // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_redistributes_dangling_mass(spark):
+    """A sink node (D: no out-edges) must not swallow rank mass: its rank
+    feeds back into every node's next round. Exercised at iters=3 with
+    checkpoint cadence 2 so the localCheckpoint path actually runs."""
+    from hyperloglog_pyspark_spark.operators.graph import pagerank_scaled
+
+    nodes_l = ["A", "B", "C", "D"]
+    edges_l = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")]
+    nodes = spark.createDataFrame([(v,) for v in nodes_l], "node: string")
+    edges = spark.createDataFrame(edges_l, "src: string, dst: string")
+    got = {
+        r.node: r.rank
+        for r in pagerank_scaled(nodes, edges, n_nodes=4, iters=3, checkpoint_every=2).collect()
+    }
+    want = _pr_mirror(nodes_l, edges_l, iters=3, n=4)
+    assert got == want
+    # the dangling term must be non-zero somewhere in this topology —
+    # i.e. the test would catch an engine that silently drops sink mass
+    dropped = _pr_mirror_no_dangling(nodes_l, edges_l, iters=3, n=4)
+    assert want != dropped, "fixture failed to exercise the dangling term"
+
+
+def _pr_mirror_no_dangling(nodes, edges, iters, n, scale=10**12):
+    from collections import Counter, defaultdict
+
+    outdeg = Counter(s for s, _ in edges)
+    base, tel = scale // n, scale * 15 // (100 * n)
+    rank = {v: base for v in nodes}
+    for _ in range(iters):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += rank[s] // outdeg[s]
+        rank = {v: tel + 85 * contrib[v] // 100 for v in nodes}
+    return rank
+
+
 def test_no_leaked_caches_after_query_switch(spark, sf_dir):
     """Tracked persists are scoped to the invoking query: running a second
     query releases the first query's caches, and release_caches() frees
