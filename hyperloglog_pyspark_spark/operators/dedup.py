@@ -28,6 +28,7 @@ from hyperloglog_pyspark_spark.functions.texttools import (
     shingles_sql,
     word_shingles,
 )
+from hyperloglog_pyspark_spark import registry as registry_mod
 from hyperloglog_pyspark_spark.registry import REGISTRY, register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
@@ -382,9 +383,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the expensive part). One fingerprint row per doc — tiny state. The
     # count() materializes the cache EAGERLY: letting the self-join's two
     # branches race to build it concurrently measured ~5x slower than
-    # building once and joining cached data.
+    # building once and joining cached data. Plan-only consumers suppress
+    # the build via registry.lazy_caches() — the persist alone still
+    # prevents the double-compute when they do execute.
     sim = tracked_persist(sim)
-    sim.count()
+    if registry_mod.EAGER_CACHES:
+        sim.count()
     band_w = N_SIM_BITS // SIM_BANDS
     bands = sim.select(
         "doc_id",

@@ -50,6 +50,30 @@ REGISTRY: dict[str, Query] = {}
 _current_query: str | None = None
 _live_caches: list[tuple[str, DataFrame]] = []
 
+# Eager cache materialization: operators that persist an intermediate
+# consumed by both sides of a self-join (dedup_simhash's fingerprint
+# table) build the cache with an explicit count() before joining —
+# measured ~5x faster than letting the join's branches race to fill it.
+# Plan-only consumers (layout tests, boundary sweeps, registry
+# enumeration) flip this off so obtaining a plan never runs a job.
+EAGER_CACHES = True
+
+
+def lazy_caches():
+    """Context manager: suppress eager cache builds (plan inspection)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        global EAGER_CACHES
+        prev, EAGER_CACHES = EAGER_CACHES, False
+        try:
+            yield
+        finally:
+            EAGER_CACHES = prev
+
+    return _ctx()
+
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() with session-scoped bookkeeping (see note above)."""

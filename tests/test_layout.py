@@ -329,10 +329,13 @@ _PY_ARROW_NODES = [
 
 
 def test_no_row_at_a_time_python_and_arrow_only_where_declared(spark, sf_dir):
+    from hyperloglog_pyspark_spark.registry import lazy_caches
+
     queries()
     rowwise, undeclared = [], []
-    for name, q in REGISTRY.items():
-        plan = plan_of(q.fn(spark, sf_dir))
+    with lazy_caches():
+        plans = {name: plan_of(q.fn(spark, sf_dir)) for name, q in REGISTRY.items()}
+    for name, plan in plans.items():
         if "BatchEvalPythonUDTF" in plan:
             # UDTF eval is its own (batched) node, distinct from scalar
             # BatchEvalPython; allowed only for the declared UDTF query.
@@ -346,6 +349,32 @@ def test_no_row_at_a_time_python_and_arrow_only_where_declared(spark, sf_dir):
             undeclared.append((name, ",".join(hits)))
     assert not rowwise, f"row-at-a-time Python UDF in hot path: {rowwise}"
     assert not undeclared, f"undeclared Python boundary: {undeclared}"
+
+
+def test_simhash_plan_is_free_under_lazy_caches(spark, sf_dir):
+    """Obtaining dedup_simhash's plan must not run Spark jobs: the eager
+    fingerprint-cache build (a real job) is execution-path-only, gated on
+    registry.EAGER_CACHES so plan sweeps and enumeration stay free."""
+    from hyperloglog_pyspark_spark.registry import lazy_caches, release_caches
+
+    queries()
+    st = spark.sparkContext.statusTracker()
+    with lazy_caches():
+        before = set(st.getJobIdsForGroup(None))
+        plan = plan_of(REGISTRY["dedup_simhash"].fn(spark, sf_dir))
+        new = set(st.getJobIdsForGroup(None)) - before
+    release_caches()
+    assert "InMemoryRelation" in plan  # the persist is still in the plan
+    # parquet file-listing/schema metadata jobs are single-task; the
+    # fingerprint cache build (token explode + 32-partition vote shuffle)
+    # is not — no multi-task job may run during plan inspection.
+    multi = [
+        jid
+        for jid in new
+        for sid in (st.getJobInfo(jid).stageIds if st.getJobInfo(jid) else [])
+        if (si := st.getStageInfo(sid)) and si.numTasks > 1
+    ]
+    assert not multi, f"plan-only inspection launched compute jobs: {multi}"
 
 
 def test_spread_is_noop_when_scan_already_parallel(spark, sf_dir):
