@@ -238,13 +238,9 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSION_GAP_MIN = 30
+SESSION_SLICE_SEC = 6 * 3600  # salt granularity; any value > the gap works
 
-
-@register(
-    "sessionize_gap_ids",
-    category="analytics",
-    bench=True,
-    oracle=f"""
+_SESSIONIZE_ORACLE = f"""
     WITH marked AS (
         SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -263,7 +259,14 @@ SESSION_GAP_MIN = 30
            CAST(epoch_ms(MAX(ts)) AS BIGINT) AS session_end_ms,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM sessions GROUP BY user_id, session_id
-    """,
+    """
+
+
+@register(
+    "sessionize_gap_ids",
+    category="analytics",
+    bench=True,
+    oracle=_SESSIONIZE_ORACLE,
 )
 def sessionize_gap_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-rule sessionization with explicit session ids: a session breaks
@@ -287,6 +290,74 @@ def sessionize_gap_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("ts").cast("double") * 1000).cast("long").alias("session_start_ms"),
         (F.max("ts").cast("double") * 1000).cast("long").alias("session_end_ms"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "sessionize_salted_stitch",
+    category="analytics",
+    oracle=_SESSIONIZE_ORACLE,
+)
+def sessionize_salted_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe sessionization — identical output (and oracle) to
+    sessionize_gap_ids, but no single task ever holds one user's full
+    history.
+
+    `sessionize_gap_ids` partitions the window by user_id alone: correct,
+    one shuffle, but a whale user (bot, ingestion replay) at 100 TB lands
+    an entire timeline in one task. Salt-and-stitch bounds that:
+
+    1. SALT: slice the timeline into fixed {SESSION_SLICE_SEC//3600}-hour
+       blocks (slice = epoch div slice_len — pure arithmetic, any width
+       strictly greater than the session gap works). The islands window
+       runs per (user_id, slice), so per-task state is one user-slice,
+       not one user-lifetime.
+    2. LOCAL SESSIONS: reduce each (user, slice, local_id) run to a
+       summary row — from here on, data volume is sessions, not events
+       (map-side partial aggregation keeps the exchange session-sized).
+    3. STITCH: re-run the SAME gap rule over the per-user session
+       summaries ordered by start (start − lag(end) > gap): slice-border
+       sessions whose inter-slice gap is within the threshold fuse, and
+       chains spanning many slices fuse transitively — the window state
+       here is bounded by sessions-per-user, orders of magnitude below
+       events-per-user (a 6-hour slice emits at most a handful).
+    """
+    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("ts").cast("double") * 1000).cast("long").alias("ts_ms"),
+        F.expr(f"cast(ts as long) div {SESSION_SLICE_SEC}").alias("slice"),
+    )
+    w_salt = Window.partitionBy("user_id", "slice").orderBy("ts_ms", "event_id")
+    prev = F.lag("ts_ms").over(w_salt)
+    local_new = F.when(prev.isNull() | (F.col("ts_ms") - prev > gap_ms), 1).otherwise(0)
+    local = (
+        ev.withColumn("is_new", local_new)
+        .withColumn(
+            "local_sid",
+            F.sum("is_new").over(w_salt.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "slice", "local_sid")
+        .agg(
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_user = Window.partitionBy("user_id").orderBy("start_ms", "end_ms")
+    prev_end = F.lag("end_ms").over(w_user)
+    stitched_new = F.when(
+        prev_end.isNull() | (F.col("start_ms") - prev_end > gap_ms), 1
+    ).otherwise(0)
+    stitched = local.withColumn("is_new", stitched_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return stitched.groupBy("user_id", "session_id").agg(
+        F.min("start_ms").alias("session_start_ms"),
+        F.max("end_ms").alias("session_end_ms"),
+        F.sum("n_events").cast("long").alias("n_events"),
     )
 
 

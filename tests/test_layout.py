@@ -146,6 +146,7 @@ SHUFFLE_BUDGET = {
     "approx_quantile_check": 3,       # agg + broadcast-back rank pass
     "zorder_morton_buckets": 1,       # one bucket aggregation
     "sessionize_gap_ids": 1,          # one user_id shuffle serves all windows
+    "sessionize_salted_stitch": 2,    # (user,slice) event shuffle + session-scale user shuffle
     "scd2_status_history": 1,         # same single-shuffle window chain
     "ivm_incremental_agg": 3,         # base partial + delta partial + merge
     "event_transition_matrix": 3,     # lag window + pair agg + matrix window
@@ -349,6 +350,22 @@ def test_no_row_at_a_time_python_and_arrow_only_where_declared(spark, sf_dir):
             undeclared.append((name, ",".join(hits)))
     assert not rowwise, f"row-at-a-time Python UDF in hot path: {rowwise}"
     assert not undeclared, f"undeclared Python boundary: {undeclared}"
+
+
+def test_salted_sessionize_windows_by_slice_not_whole_user(spark, sf_dir):
+    """The skew-safe sessionizer must run its event-scale window
+    partitioned by (user_id, slice) — never by user_id alone — so a whale
+    user's timeline spreads across tasks; only the session-scale stitch
+    window partitions by bare user_id. Both groupBys must piggyback on
+    the windows' distributions (2 exchanges total, one event-scale)."""
+    import re
+
+    queries()
+    plan = plan_of(REGISTRY["sessionize_salted_stitch"].fn(spark, sf_dir))
+    assert re.search(r"Window \[[^\]]*\], \[user_id#\d+L?, slice#\d+L?\]", plan), (
+        "event-scale window is not salted by slice"
+    )
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2
 
 
 def test_simhash_plan_is_free_under_lazy_caches(spark, sf_dir):
