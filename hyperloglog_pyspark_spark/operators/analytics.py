@@ -645,6 +645,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q21_waiting_supplier",
     category="analytics",
+    bench=True,
     oracle="""
     WITH flagged AS (
         SELECT l_orderkey, l_suppkey,

@@ -364,6 +364,7 @@ def sessionize_salted_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scd2_status_history",
     category="analytics",
+    bench=True,
     oracle="""
     WITH changes AS (
         SELECT user_id, event_type, ts, event_id,

@@ -261,6 +261,7 @@ OVERLAP_N = 3
 @register(
     "corpus_overlap_grams",
     category="trainprep",
+    bench=True,
     oracle=f"""
     WITH sg AS (
         SELECT DISTINCT source, unnest({shingles_sql(OVERLAP_N)}) AS gram
