@@ -200,3 +200,54 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+STRATUM_K = 40  # exact per-stratum sample size
+
+
+@register(
+    "sample_exact_k_stratified",
+    category="sampling",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS pick
+        FROM documents
+    )
+    SELECT lang, CAST(pick AS BIGINT) AS pick, doc_id
+    FROM ranked WHERE pick <= {STRATUM_K}
+    """,
+)
+def sample_exact_k_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k documents per stratum (language), reproducibly: rank each
+    stratum by md5(doc_id) — a deterministic uniform draw, engine- and
+    partitioning-independent — and keep the first {STRATUM_K}. The
+    "give me exactly 100 per language, the same 100 forever" operator
+    that fraction-based sampling (sample_stratified) can't express.
+
+    Scale: strata are FEW and huge (languages over 100 TB), so a single
+    window per stratum is a hot-partition trap. This runs the two-phase
+    exact top-k instead: phase 1 ranks within (stratum, scan partition)
+    — any local keep of its top k is a superset of the stratum's global
+    top k, REGARDLESS of how rows land in partitions, so determinism
+    survives repartitioning — and filters to ≤k rows per task; phase 2
+    ranks the ≤ k·n_partitions survivors per stratum. The global window
+    therefore sees k-scale data, never corpus-scale (the same
+    local-prune-then-merge shape as TakeOrderedAndProject).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
+        "doc_id", "lang", md5_long(F.col("doc_id").cast("string")).alias("h")
+    )
+    w_local = Window.partitionBy("lang", F.spark_partition_id()).orderBy("h", "doc_id")
+    survivors = docs.withColumn("lpick", F.row_number().over(w_local)).filter(
+        F.col("lpick") <= STRATUM_K
+    )
+    w_global = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("pick", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("pick") <= STRATUM_K)
+        .select("lang", "pick", "doc_id")
+    )

@@ -16,7 +16,7 @@ from hyperloglog_pyspark_spark.functions.texttools import (
     shingles_sql,
     word_shingles,
 )
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 _STOP_SQL = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -493,4 +493,114 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(clean, F.lit("<EMAIL>"), F.lit(0))).cast("bigint").alias("n_emails"),
         F.size(F.regexp_extract_all(clean, F.lit("<PHONE>"), F.lit(0))).cast("bigint").alias("n_phones"),
         (~clean.rlike("@")).alias("email_free"),
+    )
+
+
+# --- BM25 retrieval -------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# (query_id, term) pairs — terms drawn from the corpus vocabulary.
+BM25_QUERIES = [
+    (0, "hash"), (0, "join"), (0, "merge"),
+    (1, "scan"), (1, "filter"), (1, "column"),
+    (2, "stream"), (2, "window"), (2, "batch"),
+]
+
+_BM25_Q_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+
+
+@register(
+    "text_bm25_topk",
+    category="text",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tfq AS (
+        SELECT q.query_id, q.term, tf.doc_id, tf.tf
+        FROM q JOIN tf ON tf.token = q.term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tfq GROUP BY term),
+    scored AS (
+        SELECT tfq.query_id, tfq.doc_id,
+               SUM(
+                   ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * tfq.tf * {BM25_K1 + 1}
+                   / (tfq.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+               ) AS score
+        FROM tfq
+        JOIN dfq ON dfq.term = tfq.term
+        JOIN dl ON dl.doc_id = tfq.doc_id
+        CROSS JOIN stats
+        GROUP BY tfq.query_id, tfq.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY round(score, 4) DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+           doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+    FROM ranked WHERE rank <= {BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (k1={BM25_K1}, b={BM25_B}, Lucene idf form
+    ln(1+(N−df+0.5)/(df+0.5))) for a fixed query set over the documents
+    corpus — the lexical-retrieval half of every RAG / data-curation
+    search stack, built purely from JVM relational ops.
+
+    Construction order is the scale story: term frequencies reduce once
+    per (doc, token); the QUERY-TERM semi-restriction happens before any
+    doc-level join, so everything downstream of the broadcast query join
+    is bounded by docs-containing-query-terms, not corpus size. Document
+    lengths fold from the tf table (one extra reduction of tf-scale
+    rows); N/avgdl ride a broadcast scalar; df per query term comes from
+    the restricted table. Ties and float-sum order are pinned
+    cross-engine by ranking on (round(score,4), doc_id). The final
+    per-query top-k is a window over query-id partitions — at production
+    scale swap in a two-phase TakeOrdered (per-partition local top-k,
+    then merge) if the candidate sets stop fitting a partition.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tracked_persist(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    tfq = tf.join(F.broadcast(qterms), tf["token"] == qterms["term"]).select(
+        "query_id", "term", "doc_id", "tf"
+    )
+    dfq = tfq.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
     )
