@@ -469,3 +469,58 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("sum_value").cast("double") / F.sum("n")).alias("avg_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "ivm_delta_join",
+    category="aggregate",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the revenue-per-nation
+    rollup over orders ⋈ customer ⋈ nation is kept fresh by joining ONLY
+    the delta batch of orders against the dimensions (ΔV = ΔO ⋈ C ⋈ N)
+    and folding the resulting partial states into the stored view — the
+    base fact table is never rescanned. Simulated by splitting orders on
+    o_orderkey % 7: the big remainder plays the stored view, the small
+    slice plays the incoming delta.
+
+    This is the join analog of ivm_incremental_agg: at 100 TB the delta
+    batch is MB-to-GB sized, so its dimension joins broadcast and the
+    refresh costs O(delta) + O(state). Decimal sums make the state merge
+    order-independent, so incremental == full-recompute bit-for-bit (the
+    oracle computes the full join)."""
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def view_partial(orders: DataFrame) -> DataFrame:
+        # ΔV = ΔO ⋈ C ⋈ N, pre-aggregated to mergeable per-nation state.
+        return (
+            orders.join(F.broadcast(cu), orders["o_custkey"] == cu["c_custkey"])
+            .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            )
+        )
+
+    stored = view_partial(od.filter(F.col("o_orderkey") % 7 != 0))
+    delta = view_partial(od.filter(F.col("o_orderkey") % 7 == 0))
+    return (
+        stored.unionByName(delta)
+        .groupBy("nation")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue").cast("double").alias("revenue"),
+        )
+    )

@@ -457,3 +457,90 @@ def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "event_cooccurrence_lift",
+    category="eventflow",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    n_baskets AS (
+        SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, day FROM baskets)
+    ),
+    supports AS (
+        SELECT event_type, COUNT(*) AS supp FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               COUNT(*) AS supp_ab
+        FROM baskets a
+        JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                      AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.supp_ab AS BIGINT) AS supp_ab,
+           CAST(sa.supp AS BIGINT) AS supp_a,
+           CAST(sb.supp AS BIGINT) AS supp_b,
+           ROUND(p.supp_ab * 1.0 / nb.n, 6) AS support,
+           ROUND(p.supp_ab * 1.0 / sa.supp, 6) AS confidence_a_b,
+           ROUND((p.supp_ab * 1.0 * nb.n) / (sa.supp * 1.0 * sb.supp), 6) AS lift
+    FROM pairs p
+    JOIN supports sa ON sa.event_type = p.item_a
+    JOIN supports sb ON sb.event_type = p.item_b
+    CROSS JOIN n_baskets nb
+    """,
+)
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence of event types inside a (user, day)
+    basket: pair support, confidence, and lift — the association-rule
+    table behind "users who X also Y" analyses.
+
+    Scale posture: baskets come from one distinct over (user, day, type)
+    — a single shuffle on the stream's natural keys. The pair join is a
+    SELF-JOIN ON THE BASKET KEY, so each basket expands to at most
+    |vocab|² pairs locally (vocab is the event-type alphabet, a constant
+    ~dozens), never a cross-corpus product. Per-item supports and the
+    basket total are item-alphabet-sized frames, broadcast back onto the
+    pair aggregate. All counting in BIGINT; ratios rounded once at the
+    edge, so the oracle hash-matches."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = tracked_persist(
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "event_type").distinct()
+    )
+    n_baskets = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    supports = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("supp"))
+    b = baskets.select(
+        "user_id", "day", F.col("event_type").alias("item_b")
+    )
+    pairs = (
+        baskets.withColumnRenamed("event_type", "item_a")
+        .join(b, ["user_id", "day"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+    )
+    sa = supports.select(F.col("event_type").alias("item_a"), F.col("supp").alias("supp_a"))
+    sb = supports.select(F.col("event_type").alias("item_b"), F.col("supp").alias("supp_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("supp_ab").cast("long").alias("supp_ab"),
+            F.col("supp_a").cast("long").alias("supp_a"),
+            F.col("supp_b").cast("long").alias("supp_b"),
+            F.round(F.col("supp_ab") / F.col("n"), 6).alias("support"),
+            F.round(F.col("supp_ab") / F.col("supp_a"), 6).alias("confidence_a_b"),
+            F.round(
+                (F.col("supp_ab") * F.col("n")) / (F.col("supp_a") * F.col("supp_b")), 6
+            ).alias("lift"),
+        )
+    )

@@ -139,19 +139,16 @@ def pagerank_scaled(
     return ranks
 
 
-@register("graph_pagerank_nations", category="analytics", bench=True, oracle=_pagerank_oracle())
-def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three damped PageRank iterations (d = 0.85, teleport mass uniform,
-    dangling mass redistributed) over the distinct customer-nation →
-    supplier-nation trade edges, in scaled integer arithmetic so the
-    result is bit-exact cross-engine. Rank frames stay node-sized and
-    broadcast; only the edge extraction touches fact-table scale."""
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer-nation → supplier-nation trade edges mined from
+    the fact tables (the one fact-scale stage of every graph query here):
+    one orderkey join plus four broadcast dims, then a src/dst distinct."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    edges = (
+    return (
         li.join(od, li["l_orderkey"] == od["o_orderkey"])
         .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
         .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
@@ -165,10 +162,117 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+
+
+@register("graph_pagerank_nations", category="analytics", bench=True, oracle=_pagerank_oracle())
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three damped PageRank iterations (d = 0.85, teleport mass uniform,
+    dangling mass redistributed) over the distinct customer-nation →
+    supplier-nation trade edges, in scaled integer arithmetic so the
+    result is bit-exact cross-engine. Rank frames stay node-sized and
+    broadcast; only the edge extraction touches fact-table scale."""
+    edges = _trade_edges(spark, sf_dir)
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nodes = na.select(F.col("n_name").alias("node"))
     ranks = pagerank_scaled(nodes, edges, n_nodes=PR_N)
     return ranks.select(
         "node",
         F.col("rank").alias("rank_scaled"),
         F.round(F.col("rank") / float(PR_SCALE), 8).alias("rank_norm"),
+    )
+
+
+_UEDGES_SQL = f"""
+        SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM ({_EDGES_SQL}) d
+        GROUP BY 1, 2
+"""
+
+
+@register(
+    "graph_triangle_count",
+    category="analytics",
+    oracle=f"""
+    WITH uedges AS ({_UEDGES_SQL}),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM uedges e1
+        JOIN uedges e2 ON e2.u = e1.v
+        JOIN uedges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pernode AS (
+        SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT u AS node FROM uedges UNION ALL SELECT v FROM uedges
+        ) GROUP BY node
+    )
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(COALESCE(p.n_triangles, 0) * 2.0
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+    FROM deg d LEFT JOIN pernode p ON p.node = d.node
+    WHERE d.degree >= 2
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients over the
+    undirected nation trade graph (edges canonicalized LEAST/GREATEST and
+    deduplicated from the same customer→supplier extraction PageRank uses).
+
+    The count uses the oriented wedge join: with every edge stored once as
+    (u < v), a triangle a<b<c is found exactly once as e1=(a,b), e2=(b,c),
+    e3=(a,c) — no double counting, no symmetric blow-up. Scale posture:
+    this is the standard distributed triangle enumeration — wedge
+    generation shuffles on the pivot vertex, closure check is an equi-join
+    back to the edge list; at real graph scale the orientation is by
+    (degree, id) instead of id so high-degree hubs don't own all wedges
+    (documented, id-orientation kept here because the oracle must replay
+    it exactly). Only the edge extraction touches fact-table scale; the
+    triangle joins run on the deduplicated edge list."""
+    directed = _trade_edges(spark, sf_dir)
+    uedges = tracked_persist(
+        directed.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        ).distinct()
+    )
+    e2 = uedges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = uedges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tris = (
+        uedges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    pernode = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        uedges.select(F.col("u").alias("node"))
+        .unionAll(uedges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(F.broadcast(pernode), "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.coalesce("n_triangles", F.lit(0)) * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
     )

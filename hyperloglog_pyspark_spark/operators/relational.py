@@ -588,3 +588,61 @@ def cross_join_dense_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("a_n", F.lit(0)).alias("n_orders"),
         F.coalesce("a_rev", F.lit(0.0)).alias("revenue"),
     )
+
+
+SKEW_SALT_N = 16
+
+
+@register(
+    "join_salted_skew",
+    category="join",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6)) * d.type_n) AS DOUBLE)
+               AS weighted_value
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated shuffle join on a pathologically skewed key: the
+    events stream joins a per-type rate table on event_type — an alphabet
+    of a handful of values, so a plain shuffle join lands each key's
+    entire volume in ONE task. The fix demonstrated here: the fact side
+    adds salt = hash(row id) mod S, the dim side replicates each row S
+    times (explode of a sequence), and the join key becomes
+    (event_type, salt) — spreading every hot key across S tasks while
+    keeping the join exact.
+
+    The shuffle_hash hint pins the shuffle path (the S×|alphabet| dim
+    would otherwise broadcast, which at this size is the even better plan
+    — salting is the technique for when BOTH sides are too big to
+    broadcast but one key dominates; AQE skew-join handles moderate skew,
+    salting handles the single-key-dominates-everything case). Decimal
+    weighting keeps the merged result bit-equal to the unsalted oracle
+    join."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    salted_dim = dim.select(
+        "event_type",
+        "type_n",
+        F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT_N - 1))).alias("salt"),
+    )
+    salted_fact = ev.select(
+        "event_type",
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(SKEW_SALT_N)).cast("int").alias("salt"),
+    )
+    joined = salted_fact.join(
+        salted_dim.hint("shuffle_hash"), ["event_type", "salt"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)") * F.col("type_n"))
+        .cast("double")
+        .alias("weighted_value"),
+    )

@@ -169,6 +169,10 @@ SHUFFLE_BUDGET = {
     "bloom_membership": 8,            # bit distinct + probe + verdict + matrix
     "theta_set_algebra": 2,           # custkey dedup + global sketch agg
     "hll_accuracy_report": 6,         # one scan, three-knob agg, 3-way union
+    # Round-4 additions (persisted queries — cooccurrence/triangles — are
+    # excluded for the same InMemoryRelation text-inflation reason).
+    "ivm_delta_join": 6,              # 2×(dims + partial agg) + state merge
+    "join_salted_skew": 4,            # dim agg + 2 salted-key sides + final agg
 }
 
 
@@ -426,3 +430,18 @@ def test_derived_partsupp_matches_oracle_derivation(spark, sf_dir, duck):
     ).df()
     spark_ps["ps_supplycost"] = spark_ps["ps_supplycost"].astype(float)
     assert canon_rows(spark_ps) == canon_rows(duck_ps)
+
+
+def test_salted_skew_join_spreads_hot_keys(spark, sf_dir):
+    """The salted skew join must (a) actually take the shuffle-hash path
+    (not a broadcast, which would hide the technique) and (b) partition
+    the join exchange by BOTH the natural key and the salt — that pair
+    key is what spreads a hot event_type across SKEW_SALT_N tasks."""
+    import re
+
+    queries()
+    plan = plan_of(REGISTRY["join_salted_skew"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, "salted join lost its shuffle-hash pin"
+    assert re.search(r"hashpartitioning\(event_type#\d+, salt#\d+", plan), (
+        "join exchange is not partitioned by (event_type, salt)"
+    )
