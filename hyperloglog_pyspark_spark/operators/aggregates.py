@@ -474,6 +474,7 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivm_delta_join",
     category="aggregate",
+    bench=True,
     oracle="""
     SELECT n.n_name AS nation,
            CAST(COUNT(*) AS BIGINT) AS n_orders,

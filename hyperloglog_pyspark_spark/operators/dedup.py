@@ -110,6 +110,64 @@ _PERM_B = [_perm_const(s, "b") for s in range(N_SEEDS)]
 _H_SQL = f"({md5_long_sql('sh_el')} % {_MINHASH_P})"
 
 
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """Per-doc minhash signature columns sig0..sig{N_SEEDS-1}: one md5 per
+    shingle folded to [0, P-1], then each seed a cheap integer permutation
+    of that hash (A·h+B mod P), not another md5."""
+    hashed = docs.select(
+        "doc_id", F.transform("sh", lambda x: md5_long(x) % _MINHASH_P).alias("ha")
+    )
+
+    def min_sig(seed: int):
+        a, b = _PERM_A[seed], _PERM_B[seed]
+        return (
+            F.array_min(F.transform("ha", lambda h: (h * a + b) % _MINHASH_P))
+            .cast("string")
+            .alias(f"sig{seed}")
+        )
+
+    return hashed.select("doc_id", *[min_sig(s) for s in range(N_SEEDS)])
+
+
+def _lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) from band-hash bucket collisions.
+
+    Candidates by bucket aggregation, not a self-join: one shuffle of
+    (band, hash, doc_id), pairs emitted only inside buckets. Equivalent
+    to the join formulation but scans/builds the signature table once —
+    and bucket size IS the LSH knob that bounds the quadratic work."""
+    band_cols = [
+        F.md5(F.concat_ws("|", *[f"sig{s}" for s in range(b * BAND_R, (b + 1) * BAND_R)])).alias(
+            f"band{b}"
+        )
+        for b in range(N_SEEDS // BAND_R)
+    ]
+    bands = sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[f"band{b}" for b in range(N_SEEDS // BAND_R)])).alias(
+            "band", "band_hash"
+        ),
+    )
+    ids_sorted = F.sort_array(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        bands.groupBy("band", "band_hash")
+        .agg(ids_sorted.alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     category="dedup",
@@ -164,56 +222,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature table every production LSH pipeline materializes). Tracked:
     # released when a different query runs (registry.release_caches).
     docs = tracked_persist(_shingled(spark, sf_dir))
-
-    # One md5 per shingle, folded to [0, P-1]; each seed is then a cheap
-    # integer permutation of that hash (A·h+B mod P), not another md5.
-    hashed = docs.select(
-        "doc_id", F.transform("sh", lambda x: md5_long(x) % _MINHASH_P).alias("ha")
-    )
-
-    def min_sig(seed: int):
-        a, b = _PERM_A[seed], _PERM_B[seed]
-        return (
-            F.array_min(F.transform("ha", lambda h: (h * a + b) % _MINHASH_P))
-            .cast("string")
-            .alias(f"sig{seed}")
-        )
-
-    sigs = hashed.select("doc_id", *[min_sig(s) for s in range(N_SEEDS)])
-    band_cols = [
-        F.md5(F.concat_ws("|", *[f"sig{s}" for s in range(b * BAND_R, (b + 1) * BAND_R)])).alias(
-            f"band{b}"
-        )
-        for b in range(N_SEEDS // BAND_R)
-    ]
-    bands = sigs.select("doc_id", *band_cols).select(
-        "doc_id",
-        F.posexplode(F.array(*[f"band{b}" for b in range(N_SEEDS // BAND_R)])).alias(
-            "band", "band_hash"
-        ),
-    )
-    # Candidates by bucket aggregation, not a self-join: one shuffle of
-    # (band, hash, doc_id), pairs emitted only inside buckets. Equivalent
-    # to the join formulation but scans/builds the signature table once —
-    # and bucket size IS the LSH knob that bounds the quadratic work.
-    ids_sorted = F.sort_array(F.collect_list("doc_id"))
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    cand = (
-        bands.groupBy("band", "band_hash")
-        .agg(ids_sorted.alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = _lsh_candidates(_minhash_sigs(docs))
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -223,6 +232,123 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, "doc_b")
         .filter(jac >= JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_accuracy",
+    category="dedup",
+    bench=True,
+    oracle=f"""
+    WITH docs AS ({_SHINGLED_SQL}),
+    hashes AS (
+        SELECT doc_id, {_H_SQL} AS h
+        FROM (SELECT doc_id, unnest(sh) AS sh_el FROM docs)
+    ),
+    sig AS (
+        SELECT doc_id, s,
+               CAST(min(CASE {' '.join(f'WHEN s = {i} THEN ({a} * h + {b}) % {_MINHASH_P}' for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B)))} END) AS VARCHAR) AS sig
+        FROM hashes
+        CROSS JOIN (SELECT unnest(range(0, {N_SEEDS})) AS s)
+        GROUP BY doc_id, s
+    ),
+    bands AS (
+        SELECT doc_id, s // {BAND_R} AS band,
+               md5(string_agg(sig, '|' ORDER BY s)) AS band_hash
+        FROM sig GROUP BY doc_id, s // {BAND_R}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    ),
+    m AS (
+        SELECT c.doc_a, c.doc_b,
+               COUNT(*) FILTER (WHERE sa.sig = sb.sig) AS matches
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    j AS (
+        SELECT m.matches,
+               CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                 / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+                 AS exact_j
+        FROM m
+        JOIN docs da ON da.doc_id = m.doc_a
+        JOIN docs db ON db.doc_id = m.doc_b
+    )
+    SELECT LEAST(CAST(FLOOR(exact_j * 10) AS INT), 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(matches) AS DOUBLE) / ({N_SEEDS}.0 * COUNT(*)), 6) AS est_mean,
+           ROUND(CAST(SUM(CAST(ROUND(exact_j, 6) AS DECIMAL(10,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS exact_mean,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(matches / {N_SEEDS}.0 - exact_j), 6)
+                               AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS mae
+    FROM j
+    GROUP BY bin
+    """,
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration report: for every LSH candidate pair
+    (no verification threshold), compare the signature-agreement Jaccard
+    estimate (matching components / N_SEEDS) against the exact shingle
+    Jaccard, binned by exact similarity decile — the drift monitor that
+    tells you whether the configured (seeds, bands, rows) still delivers
+    the accuracy the dedup threshold assumes (the MinHash twin of
+    similarity_recall_report for ANN).
+
+    Scale: identical candidate-bounded shape as dedup_minhash_lsh — the
+    estimate needs only the signature table (already built), and the
+    exact side joins shingle arrays for candidate pairs only, never
+    all-pairs. Per-pair doubles are computed in the same operation order
+    on both engines and rounded to decimals BEFORE the bin sums, so the
+    aggregate means are order-independent and hash-match."""
+    docs = tracked_persist(_shingled(spark, sf_dir))
+    sigs = tracked_persist(_minhash_sigs(docs))
+    cand = _lsh_candidates(sigs)
+    sig_arr = F.array(*[f"sig{s}" for s in range(N_SEEDS)])
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sb"))
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact_j = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    matches = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)
+    )
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(matches.alias("matches"), exact_j.alias("exact_j"))
+    )
+    n = F.count(F.lit(1))
+    return (
+        pairs.groupBy(
+            F.least(F.floor(F.col("exact_j") * 10).cast("int"), F.lit(9)).alias("bin")
+        )
+        .agg(
+            n.cast("long").alias("n_pairs"),
+            F.round(F.sum("matches").cast("double") / (float(N_SEEDS) * n), 6).alias(
+                "est_mean"
+            ),
+            F.round(
+                F.sum(F.round("exact_j", 6).cast("decimal(10,6)")).cast("double") / n, 6
+            ).alias("exact_mean"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.abs(F.col("matches") / float(N_SEEDS) - F.col("exact_j")), 6
+                    ).cast("decimal(10,6)")
+                ).cast("double")
+                / n,
+                6,
+            ).alias("mae"),
+        )
     )
 
 

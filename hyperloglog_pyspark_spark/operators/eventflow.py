@@ -462,6 +462,7 @@ def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_cooccurrence_lift",
     category="eventflow",
+    bench=True,
     oracle="""
     WITH baskets AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type

@@ -192,6 +192,7 @@ _UEDGES_SQL = f"""
 @register(
     "graph_triangle_count",
     category="analytics",
+    bench=True,
     oracle=f"""
     WITH uedges AS ({_UEDGES_SQL}),
     tris AS (

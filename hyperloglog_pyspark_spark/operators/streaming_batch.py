@@ -213,3 +213,116 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         )
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    category="streaming",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM events
+    ),
+    grid AS (
+        SELECT e.event_type, g.slot
+        FROM (SELECT DISTINCT event_type FROM events) e
+        CROSS JOIN (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot FROM bounds) g
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS slot,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    filled AS (
+        SELECT g.event_type, g.slot, h.v,
+               CAST(epoch_ms(g.slot) AS BIGINT) AS slot_ms,
+               last_value(h.v IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN h.v IS NOT NULL THEN CAST(epoch_ms(g.slot) AS BIGINT) END
+                          IGNORE NULLS) OVER wp AS prev_ms,
+               first_value(h.v IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN h.v IS NOT NULL THEN CAST(epoch_ms(g.slot) AS BIGINT) END
+                           IGNORE NULLS) OVER wf AS next_ms
+        FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.slot = g.slot
+        WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.slot
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY g.event_type ORDER BY g.slot
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, slot_ms,
+           v IS NOT NULL AS observed,
+           CASE WHEN v IS NOT NULL THEN ROUND(v, 6)
+                WHEN prev_v IS NULL THEN ROUND(next_v, 6)
+                WHEN next_v IS NULL THEN ROUND(prev_v, 6)
+                ELSE ROUND(prev_v + (next_v - prev_v)
+                     * (CAST(slot_ms - prev_ms AS DOUBLE) / CAST(next_ms - prev_ms AS DOUBLE)), 6)
+           END AS value_interp
+    FROM filled
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly grid: empty slots take
+    the time-weighted blend of the previous and next observations (edges
+    degrade to nearest-neighbor fill) — the gap-fill used when a
+    forward-fill's step function would bias trend/derivative features.
+
+    Scale posture mirrors timeseries_resample_ffill: the series
+    aggregates once at fact scale, and both direction-fills are windows
+    over the |types| x |slots| OUTPUT grid (two window specs, one
+    ascending one descending frame, same single partitioning). The
+    interpolation arithmetic is written in the exact same operation
+    order on both engines (double ratio of BIGINT epoch-ms deltas), so
+    the rounded result hash-matches."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("slot")
+    ).agg(F.sum(dec_price("value")).cast("double").alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("slot"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    slot_ms = F.unix_millis("slot")
+    obs_ms = F.when(F.col("v").isNotNull(), slot_ms)
+    filled = grid.join(hourly, ["event_type", "slot"], "left").select(
+        "event_type",
+        slot_ms.alias("slot_ms"),
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_ms, ignorenulls=True).over(wp).alias("prev_ms"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_ms, ignorenulls=True).over(wf).alias("next_ms"),
+    )
+    ratio = (F.col("slot_ms") - F.col("prev_ms")).cast("double") / (
+        F.col("next_ms") - F.col("prev_ms")
+    ).cast("double")
+    return filled.select(
+        "event_type",
+        "slot_ms",
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.round("v", 6))
+        .when(F.col("prev_v").isNull(), F.round("next_v", 6))
+        .when(F.col("next_v").isNull(), F.round("prev_v", 6))
+        .otherwise(
+            F.round(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * ratio, 6)
+        )
+        .alias("value_interp"),
+    )

@@ -604,3 +604,92 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOPK)
         .select("query_id", "rank", "doc_id", F.round("score", 4).alias("score"))
     )
+
+
+PMI_MIN_SUPPORT = 5
+
+
+@register(
+    "text_pmi_collocations",
+    category="text",
+    bench=True,
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+    bi AS (
+        SELECT toks[pos + 1] AS w1, toks[pos + 2] AS w2
+        FROM (SELECT toks, unnest(range(0, greatest(len(toks) - 1, 0))) AS pos FROM t)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY w1, w2),
+    nb AS (SELECT COUNT(*) AS n_bi FROM bi)
+    SELECT w1, w2,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(u1.c AS BIGINT) AS c_a,
+           CAST(u2.c AS BIGINT) AS c_b,
+           ROUND(LN((CAST(c_ab AS DOUBLE) * n_uni * n_uni)
+                    / (CAST(n_bi AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+    FROM bc
+    JOIN uc u1 ON u1.w = w1
+    JOIN uc u2 ON u2.w = w2
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE c_ab >= {PMI_MIN_SUPPORT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top-20
+    adjacent word pairs whose co-occurrence most exceeds chance
+    (PMI = ln(p(ab) / (p(a)·p(b)))), with a minimum-support cut so rare
+    accidental pairs don't dominate — the classic phrase-discovery signal
+    feeding tokenizer vocab curation and stopword-phrase lists.
+
+    Scale: unigram and bigram counts are two explode+groupBy passes over
+    the corpus (all JVM split/slice/zip_with — no Python); the scalar
+    corpus totals broadcast. The unigram table is VOCABULARY-sized (can
+    be 100M+ rows over web text), so its join onto the min-support-cut
+    pair table is left to AQE — broadcast at small vocab, shuffle on the
+    token key at web vocab; the support cut runs before the join either
+    way. The PMI expression is evaluated in the same IEEE double
+    operation order on both engines and rounded once, so the ranked cut
+    hash-matches."""
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    toks = docs.select(F.split("text", " ").alias("toks"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                "         slice(toks, 2, size(toks) - 1),"
+                "         (x, y) -> named_struct('w1', x, 'w2', y))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    nb = bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bc.filter(F.col("c_ab") >= PMI_MIN_SUPPORT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.expr(
+                "round(ln((cast(c_ab as double) * n_uni * n_uni)"
+                "        / (cast(n_bi as double) * c_a * c_b)), 6)"
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
