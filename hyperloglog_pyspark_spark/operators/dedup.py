@@ -34,6 +34,7 @@ from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 N_SEEDS = 12
 BAND_R = 3  # rows per band → N_SEEDS/BAND_R = 4 bands
+ACC_BAND_R2 = 2  # looser banding (6 bands × 2 rows) for the accuracy report
 JACCARD_T = 0.8
 
 
@@ -129,22 +130,24 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     return hashed.select("doc_id", *[min_sig(s) for s in range(N_SEEDS)])
 
 
-def _lsh_candidates(sigs: DataFrame) -> DataFrame:
+def _lsh_candidates(sigs: DataFrame, band_r: int = BAND_R) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) from band-hash bucket collisions.
 
     Candidates by bucket aggregation, not a self-join: one shuffle of
     (band, hash, doc_id), pairs emitted only inside buckets. Equivalent
     to the join formulation but scans/builds the signature table once —
-    and bucket size IS the LSH knob that bounds the quadratic work."""
+    and bucket size IS the LSH knob that bounds the quadratic work.
+    ``band_r`` = signature rows per band: fewer rows → looser buckets →
+    higher recall at lower similarity (the (b, r) S-curve knob)."""
     band_cols = [
-        F.md5(F.concat_ws("|", *[f"sig{s}" for s in range(b * BAND_R, (b + 1) * BAND_R)])).alias(
+        F.md5(F.concat_ws("|", *[f"sig{s}" for s in range(b * band_r, (b + 1) * band_r)])).alias(
             f"band{b}"
         )
-        for b in range(N_SEEDS // BAND_R)
+        for b in range(N_SEEDS // band_r)
     ]
     bands = sigs.select("doc_id", *band_cols).select(
         "doc_id",
-        F.posexplode(F.array(*[f"band{b}" for b in range(N_SEEDS // BAND_R)])).alias(
+        F.posexplode(F.array(*[f"band{b}" for b in range(N_SEEDS // band_r)])).alias(
             "band", "band_hash"
         ),
     )
@@ -257,11 +260,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(string_agg(sig, '|' ORDER BY s)) AS band_hash
         FROM sig GROUP BY doc_id, s // {BAND_R}
     ),
+    bands2 AS (
+        SELECT doc_id, s // {ACC_BAND_R2} AS band,
+               md5(string_agg(sig, '|' ORDER BY s)) AS band_hash
+        FROM sig GROUP BY doc_id, s // {ACC_BAND_R2}
+    ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-                    AND a.doc_id < b.doc_id
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands2 a
+            JOIN bands2 b ON a.band = b.band AND a.band_hash = b.band_hash
+                         AND a.doc_id < b.doc_id
+        )
     ),
     m AS (
         SELECT c.doc_a, c.doc_b,
@@ -308,7 +323,14 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate means are order-independent and hash-match."""
     docs = tracked_persist(_shingled(spark, sf_dir))
     sigs = tracked_persist(_minhash_sigs(docs))
-    cand = _lsh_candidates(sigs)
+    # Dual banding: the production (4×3) bands plus a looser (6×2) pass so
+    # the report also samples pairs below the dedup threshold's S-curve
+    # knee — calibration needs points on both sides of the threshold.
+    cand = (
+        _lsh_candidates(sigs)
+        .unionByName(_lsh_candidates(sigs, band_r=ACC_BAND_R2))
+        .distinct()
+    )
     sig_arr = F.array(*[f"sig{s}" for s in range(N_SEEDS)])
     sa = sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sa"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sb"))

@@ -421,3 +421,105 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.count(F.lit(1)), 4).cast("double").alias("recall"),
         )
     )
+
+
+PQ_M = 4                      # product-quantization subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M   # dims per subspace
+PQ_K = 8                      # centroids per subspace
+
+
+@register(
+    "similarity_pq_codebook",
+    category="similarity",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seeds AS (
+        SELECT vec_id AS seed_vec_id, e AS ce
+        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
+    ),
+    ms AS (SELECT CAST(unnest(range(0, {PQ_M})) AS INT) AS m),
+    cent AS (
+        SELECT seed_vec_id, m,
+               list_slice(ce, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS cv
+        FROM seeds CROSS JOIN ms
+    ),
+    vecs AS (
+        SELECT vec_id, m,
+               list_slice(e, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+        FROM e CROSS JOIN ms
+    ),
+    d AS (
+        SELECT v.vec_id, v.m, c.seed_vec_id,
+               ROUND(list_sum(list_transform(list_zip(v.sv, c.cv),
+                                             p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS d2
+        FROM vecs v JOIN cent c ON c.m = v.m
+    ),
+    a AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, seed_vec_id) AS rn
+        FROM d
+    )
+    SELECT m, seed_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           ROUND(CAST(SUM(CAST(d2 AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_qerr
+    FROM a WHERE rn = 1
+    GROUP BY m, seed_vec_id
+    """,
+)
+def similarity_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook assignment: split each embedding into
+    4 subspaces of 16 dims, assign every subvector to its
+    nearest of 8 per-subspace centroids (L2, deterministic md5-seeded
+    centroid choice, seed id as tie-break), and report cluster occupancy +
+    mean quantization error per (subspace, centroid) — the codebook-health
+    table behind an IVF-PQ index (a real index k-means-refines the seeds;
+    the assignment/ADC machinery is identical).
+
+    Scale: assignment is a broadcast join of the (M × K) centroid table
+    onto N × M subvector rows — linear in the corpus, the standard PQ
+    encode pass; the argmin is a row_number over a K-row group. Distances
+    are rounded to 4dp before ranking (absorbing engine accumulation-order
+    ulps, same discipline as cosine_rounded) and error means use decimal
+    sums, so the report hash-matches the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("seed_vec_id"), F.col("e").alias("ce"))
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    cent = seeds.select("seed_vec_id", "ce", ms).select(
+        "seed_vec_id",
+        F.col("m").cast("int").alias("m"),
+        F.expr(f"slice(ce, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("cv"),
+    )
+    vecs = emb.select("vec_id", "e", ms).select(
+        "vec_id",
+        F.col("m").cast("int").alias("m"),
+        F.expr(f"slice(e, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "seed_vec_id")
+    assigned = (
+        vecs.join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "seed_vec_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    n = F.count(F.lit(1))
+    return assigned.groupBy("m", "seed_vec_id").agg(
+        n.cast("long").alias("n_assigned"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(14,4)")).cast("double") / n, 6
+        ).alias("mean_qerr"),
+    )

@@ -701,3 +701,77 @@ def hll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+SLIDE_DAYS = 7  # trailing window width (days)
+
+
+@register(
+    "hll_sliding_distinct",
+    category="sketch",
+    oracle=f"""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    win AS (
+        SELECT d.day,
+               COUNT(DISTINCT CAST(e.ts AS DATE)) AS n_days_merged,
+               COUNT(DISTINCT e.user_id) AS n_users_exact
+        FROM days d
+        JOIN events e ON CAST(e.ts AS DATE) BETWEEN d.day - {SLIDE_DAYS - 1} AND d.day
+        GROUP BY d.day
+    )
+    SELECT day,
+           CAST(n_days_merged AS BIGINT) AS n_days_merged,
+           CAST(n_users_exact AS BIGINT) AS n_users_exact,
+           TRUE AS approx_ok
+    FROM win
+    """,
+)
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day by MERGING DAILY SKETCHES,
+    never recounting raw data: one fact-scale pass builds a sketch per
+    day, then each output day unions its trailing window of day-sketches
+    (register-max merge — the reference's HyperLogLog.py:157-179 applied
+    across overlapping windows). This is the sliding-distinct shape that
+    is quadratic if recounted raw (every event rescanned ~7×) but
+    day-granular with sketches: at 100 TB the re-merge runs on a
+    |days|-sized KB-per-row sketch table.
+
+    The exact recount (the thing the sketch path avoids) is computed here
+    only as the acceptance oracle, with each estimate asserted inside its
+    3-sigma envelope; the day-to-window expansion joins the tiny distinct
+    day frame, broadcast, never a fact-to-fact join."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    daily = ev.groupBy(day.alias("sday")).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(LG_K)).alias("sketch")
+    )
+    days = daily.select(F.col("sday").alias("day"))
+    merged = (
+        days.join(
+            F.broadcast(daily),
+            (F.col("sday") >= F.date_sub(F.col("day"), SLIDE_DAYS - 1))
+            & (F.col("sday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_merged"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        )
+    )
+    exact = (
+        ev.select(day.alias("eday"), "user_id")
+        .join(
+            F.broadcast(days),
+            (F.col("eday") >= F.date_sub(F.col("day"), SLIDE_DAYS - 1))
+            & (F.col("eday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n_users_exact"))
+    )
+    stderr = 1.04 / (2 ** (LG_K / 2.0))
+    return exact.join(merged, "day").select(
+        "day",
+        F.col("n_days_merged").cast("long").alias("n_days_merged"),
+        "n_users_exact",
+        _tol(F.col("approx_users"), F.col("n_users_exact"), stderr).alias("approx_ok"),
+    )

@@ -175,6 +175,7 @@ SHUFFLE_BUDGET = {
     "join_salted_skew": 4,            # dim agg + 2 salted-key sides + final agg
     "timeseries_interpolate_linear": 5,  # series agg + grid + one window shuffle
     "text_pmi_collocations": 14,      # 2 count passes + vocab joins + scalar totals
+    "hll_sliding_distinct": 8,        # daily sketch agg + 2 tiny-day BNL joins + merges
 }
 
 
