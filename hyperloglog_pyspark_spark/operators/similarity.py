@@ -427,12 +427,11 @@ PQ_M = 4                      # product-quantization subspaces
 PQ_SUBDIM = EMB_DIM // PQ_M   # dims per subspace
 PQ_K = 8                      # centroids per subspace
 
-
-@register(
-    "similarity_pq_codebook",
-    category="similarity",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+# Shared oracle CTE chain: deterministic md5-seeded centroids, subvector
+# explode, L2 distances (rounded 4dp before ranking), nearest-centroid
+# assignment. Both PQ queries' oracles build on this so the two engines —
+# and the two queries — share one codebook definition.
+_PQ_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     seeds AS (
         SELECT vec_id AS seed_vec_id, e AS ce
         FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}
@@ -458,7 +457,69 @@ PQ_K = 8                      # centroids per subspace
         SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                      ORDER BY d2, seed_vec_id) AS rn
         FROM d
+    )"""
+
+
+def _pq_centroids(emb: DataFrame) -> DataFrame:
+    """(seed_vec_id, m, cv): md5-seeded deterministic codebook — PQ_K seed
+    vectors (TakeOrdered, no global sort materialized) sliced into PQ_M
+    subspace centroids. A production index k-means-refines these seeds;
+    the encode/search machinery is unchanged by refinement."""
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("seed_vec_id"), F.col("e").alias("ce"))
     )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    return seeds.select("seed_vec_id", "ce", ms).select(
+        "seed_vec_id",
+        F.col("m").cast("int").alias("m"),
+        F.expr(f"slice(ce, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("cv"),
+    )
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): every embedding exploded into its PQ_M subvectors."""
+    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+    return emb.select("vec_id", "e", ms).select(
+        "vec_id",
+        F.col("m").cast("int").alias("m"),
+        F.expr(f"slice(e, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
+    )
+
+
+def _pq_d2(sub_col: str, cent_col: str):
+    """Rounded (4dp) squared-L2 between two subvector columns — rounding
+    before any ranking absorbs engine accumulation-order ulps."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(sub_col, cent_col, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+
+
+def _pq_codes(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, m, seed_vec_id, d2): nearest-centroid assignment — the PQ
+    encode pass. Broadcast the M×K centroid table onto N×M subvector rows
+    (linear in the corpus); argmin is a row_number over a K-row group."""
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "seed_vec_id")
+    return (
+        vecs.join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "seed_vec_id", _pq_d2("sv", "cv").alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "similarity_pq_codebook",
+    category="similarity",
+    oracle=f"""
+    WITH {_PQ_CTES}
     SELECT m, seed_vec_id,
            CAST(COUNT(*) AS BIGINT) AS n_assigned,
            ROUND(CAST(SUM(CAST(d2 AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*), 6)
@@ -469,57 +530,93 @@ PQ_K = 8                      # centroids per subspace
 )
 def similarity_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codebook assignment: split each embedding into
-    4 subspaces of 16 dims, assign every subvector to its
-    nearest of 8 per-subspace centroids (L2, deterministic md5-seeded
-    centroid choice, seed id as tie-break), and report cluster occupancy +
-    mean quantization error per (subspace, centroid) — the codebook-health
-    table behind an IVF-PQ index (a real index k-means-refines the seeds;
-    the assignment/ADC machinery is identical).
+    4 subspaces of 16 dims, assign every subvector to its nearest of 8
+    per-subspace centroids (L2, deterministic md5-seeded centroid choice,
+    seed id as tie-break), and report cluster occupancy + mean
+    quantization error per (subspace, centroid) — the codebook-health
+    table behind an IVF-PQ index.
 
-    Scale: assignment is a broadcast join of the (M × K) centroid table
-    onto N × M subvector rows — linear in the corpus, the standard PQ
-    encode pass; the argmin is a row_number over a K-row group. Distances
-    are rounded to 4dp before ranking (absorbing engine accumulation-order
-    ulps, same discipline as cosine_rounded) and error means use decimal
-    sums, so the report hash-matches the oracle."""
+    Scale: the encode pass is a broadcast join of the (M × K) centroid
+    table onto N × M subvector rows — linear in the corpus; error means
+    use decimal sums so the report hash-matches the oracle."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    seeds = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(PQ_K)
-        .select(F.col("vec_id").alias("seed_vec_id"), F.col("e").alias("ce"))
-    )
-    ms = F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
-    cent = seeds.select("seed_vec_id", "ce", ms).select(
-        "seed_vec_id",
-        F.col("m").cast("int").alias("m"),
-        F.expr(f"slice(ce, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("cv"),
-    )
-    vecs = emb.select("vec_id", "e", ms).select(
-        "vec_id",
-        F.col("m").cast("int").alias("m"),
-        F.expr(f"slice(e, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        4,
-    )
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "seed_vec_id")
-    assigned = (
-        vecs.join(F.broadcast(cent), "m")
-        .select("vec_id", "m", "seed_vec_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    codes = _pq_codes(_pq_subvectors(emb), _pq_centroids(emb))
     n = F.count(F.lit(1))
-    return assigned.groupBy("m", "seed_vec_id").agg(
+    return codes.groupBy("m", "seed_vec_id").agg(
         n.cast("long").alias("n_assigned"),
         F.round(
             F.sum(F.col("d2").cast("decimal(14,4)")).cast("double") / n, 6
         ).alias("mean_qerr"),
+    )
+
+
+@register(
+    "similarity_pq_adc_topk",
+    category="similarity",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    codes AS (SELECT vec_id, m, seed_vec_id FROM a WHERE rn = 1),
+    qsub AS (
+        SELECT vec_id AS query_id, m, sv FROM vecs WHERE vec_id < {N_QUERIES}
+    ),
+    lut AS (
+        SELECT q.query_id, c.m, c.seed_vec_id,
+               ROUND(list_sum(list_transform(list_zip(q.sv, c.cv),
+                                             p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS qd2
+        FROM qsub q JOIN cent c ON c.m = q.m
+    ),
+    scored AS (
+        SELECT l.query_id, k.vec_id,
+               SUM(CAST(l.qd2 AS DECIMAL(14,4))) AS adc
+        FROM codes k
+        JOIN lut l ON l.m = k.m AND l.seed_vec_id = k.seed_vec_id
+        GROUP BY l.query_id, k.vec_id
+    )
+    SELECT query_id, vec_id, CAST(adc AS DOUBLE) AS adc_d2, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc, vec_id) AS rank
+        FROM scored WHERE vec_id <> query_id
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ codes: each query
+    precomputes a (subspace × centroid) lookup table of exact
+    query-to-centroid distances, and a corpus vector's approximate
+    distance is just the SUM of M table lookups selected by its stored
+    code — no corpus embedding is ever touched at query time. This is the
+    search half of an IVF-PQ index (similarity_pq_codebook is the encode
+    half); same query/corpus conventions as similarity_topk_bruteforce.
+
+    Scale: the corpus side carries only its M small codes (bytes per
+    vector instead of the raw embedding); the per-query LUT is |Q|·M·K
+    rows, broadcast; scoring is one aggregation over N·M lookup rows and
+    the top-k is a per-query window. Lookup components are rounded 4dp
+    and summed as decimals, so the ranking is order-independent and
+    hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    cent = _pq_centroids(emb)
+    vecs = _pq_subvectors(emb)
+    codes = _pq_codes(vecs, cent).select("vec_id", "m", "seed_vec_id")
+    qsub = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
+    )
+    lut = qsub.join(F.broadcast(cent), "m").select(
+        "query_id", "m", "seed_vec_id", _pq_d2("qv", "cv").alias("qd2")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "seed_vec_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qd2").cast("decimal(14,4)")).alias("adc"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.col("adc").cast("double").alias("adc_d2"), "rank")
     )
