@@ -727,12 +727,12 @@ def _cc_materialize(df: DataFrame) -> DataFrame:
     is the fallback on sessions with no checkpoint dir, tracked so the
     cache registry releases the blocks when the next query runs.
     """
-    from hyperloglog_pyspark_spark.registry import track_cache
+    from hyperloglog_pyspark_spark.registry import checkpoint_tracked
 
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
         return df.checkpoint(eager=True)
-    return track_cache(df.localCheckpoint(eager=True))
+    return checkpoint_tracked(df)
 
 
 def _cc_stats(e: DataFrame) -> tuple:

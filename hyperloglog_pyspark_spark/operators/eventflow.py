@@ -540,8 +540,13 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supp_b").cast("long").alias("supp_b"),
             F.round(F.col("supp_ab") / F.col("n"), 6).alias("support"),
             F.round(F.col("supp_ab") / F.col("supp_a"), 6).alias("confidence_a_b"),
+            # Stepwise double products, mirroring the oracle's
+            # supp_ab*1.0*n / (supp_a*1.0*supp_b): a BIGINT product here
+            # would round differently past 2^53 and wrap past 2^63.
             F.round(
-                (F.col("supp_ab") * F.col("n")) / (F.col("supp_a") * F.col("supp_b")), 6
+                (F.col("supp_ab").cast("double") * F.col("n"))
+                / (F.col("supp_a").cast("double") * F.col("supp_b")),
+                6,
             ).alias("lift"),
         )
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hyperloglog_pyspark_spark.registry import register, track_cache, tracked_persist
+from hyperloglog_pyspark_spark.registry import checkpoint_tracked, register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 PR_SCALE = 10**12  # integer rank scale
@@ -135,7 +135,7 @@ def pagerank_scaled(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = track_cache(ranks.localCheckpoint(eager=True))
+            ranks = checkpoint_tracked(ranks)
     return ranks
 
 

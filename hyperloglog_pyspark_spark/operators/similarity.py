@@ -14,7 +14,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded, dot
-from hyperloglog_pyspark_spark.registry import REGISTRY, register
+from hyperloglog_pyspark_spark.registry import REGISTRY, register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 N_QUERIES = 8  # vec_id < 8 act as query vectors
@@ -599,10 +599,13 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    cent = _pq_centroids(emb)
-    vecs = _pq_subvectors(emb)
-    codes = _pq_codes(vecs, cent).select("vec_id", "m", "seed_vec_id")
-    qsub = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+    # cent (M x K rows, but a TakeOrdered over the corpus to build) feeds
+    # both the encode pass and the query LUT — persist so the seed scan
+    # runs once. The query subvectors come from a vec_id-pruned scan
+    # (pushdown filter), not a second full corpus explode.
+    cent = tracked_persist(_pq_centroids(emb))
+    codes = _pq_codes(_pq_subvectors(emb), cent).select("vec_id", "m", "seed_vec_id")
+    qsub = _pq_subvectors(emb.filter(F.col("vec_id") < N_QUERIES)).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
     )
     lut = qsub.join(F.broadcast(cent), "m").select(

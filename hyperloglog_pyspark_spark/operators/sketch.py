@@ -742,8 +742,13 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     day frame, broadcast, never a fact-to-fact join."""
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
-    daily = ev.groupBy(day.alias("sday")).agg(
-        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(LG_K)).alias("sketch")
+    # The |days|-sized sketch table feeds three plan branches (day frame,
+    # merge side, exact-side day frame) — persist so the fact-scale
+    # aggregation runs once; only the exact recount rescans raw events.
+    daily = tracked_persist(
+        ev.groupBy(day.alias("sday")).agg(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(LG_K)).alias("sketch")
+        )
     )
     days = daily.select(F.col("sday").alias("day"))
     merged = (

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hyperloglog_pyspark_spark.functions.money import dec_price
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 
@@ -143,24 +143,53 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# Shared hourly-series scaffold for the gap-fill queries: ONE fact scan
+# builds the (event_type, hour) decimal series; the dense output grid and
+# its bounds derive from that |types| x |slots| frame, never from raw
+# events again. The oracle mirrors with the same CTE chain.
+_HOURLY_GRID_CTES = """hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS slot,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(slot) AS t0, MAX(slot) AS t1 FROM hourly),
+    grid AS (
+        SELECT e.event_type, g.slot
+        FROM (SELECT DISTINCT event_type FROM hourly) e
+        CROSS JOIN (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+                    FROM bounds) g
+    )"""
+
+
+def _hourly_grid(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(hourly, grid): the aggregated hourly series (persisted — it feeds
+    the grid derivation, the bounds, and the fill join) and the dense
+    per-type hourly grid. MIN/MAX of the truncated slots equal the
+    truncated MIN/MAX of raw ts, so bounds need no second fact scan."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = tracked_persist(
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("slot")).agg(
+            F.sum(dec_price("value")).cast("double").alias("v")
+        )
+    )
+    bounds = hourly.agg(F.min("slot").alias("t0"), F.max("slot").alias("t1"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("slot"),
+        )
+    )
+    return hourly, grid
+
 
 @register(
     "timeseries_resample_ffill",
     category="streaming",
-    oracle="""
-    WITH bounds AS (
-        SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM events
-    ),
-    grid AS (
-        SELECT e.event_type, g.slot
-        FROM (SELECT DISTINCT event_type FROM events) e
-        CROSS JOIN (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot FROM bounds) g
-    ),
-    hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS slot,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
-        FROM events GROUP BY 1, 2
-    )
+    oracle=f"""
+    WITH {_HOURLY_GRID_CTES}
     SELECT g.event_type,
            CAST(epoch_ms(g.slot) AS BIGINT) AS slot_ms,
            h.v IS NOT NULL AS observed,
@@ -176,27 +205,12 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward-filling empty slots from the last observation — the gap-fill
     step before any window/trend computation on irregular telemetry.
 
-    Scale: the grid is |types| x |slots| (tiny — it's the *output* grid,
-    not the data); the series aggregates once; the fill is one window per
+    Scale: one fact scan builds the hourly series (persisted); the grid is
+    |types| x |slots| (tiny — it's the *output* grid, not the data) and
+    derives from the series, as do its bounds; the fill is one window per
     type. No cross join ever touches raw events.
     """
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("slot")
-    ).agg(F.sum(dec_price("value")).cast("double").alias("v"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"),
-    )
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("slot"),
-        )
-    )
+    hourly, grid = _hourly_grid(spark, sf_dir)
     from pyspark.sql import Window
 
     w = (
@@ -218,20 +232,8 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "timeseries_interpolate_linear",
     category="streaming",
-    oracle="""
-    WITH bounds AS (
-        SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM events
-    ),
-    grid AS (
-        SELECT e.event_type, g.slot
-        FROM (SELECT DISTINCT event_type FROM events) e
-        CROSS JOIN (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot FROM bounds) g
-    ),
-    hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS slot,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
-        FROM events GROUP BY 1, 2
-    ),
+    oracle=f"""
+    WITH {_HOURLY_GRID_CTES},
     filled AS (
         SELECT g.event_type, g.slot, h.v,
                CAST(epoch_ms(g.slot) AS BIGINT) AS slot_ms,
@@ -264,30 +266,14 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     degrade to nearest-neighbor fill) — the gap-fill used when a
     forward-fill's step function would bias trend/derivative features.
 
-    Scale posture mirrors timeseries_resample_ffill: the series
-    aggregates once at fact scale, and both direction-fills are windows
-    over the |types| x |slots| OUTPUT grid (two window specs, one
-    ascending one descending frame, same single partitioning). The
-    interpolation arithmetic is written in the exact same operation
-    order on both engines (double ratio of BIGINT epoch-ms deltas), so
-    the rounded result hash-matches."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("slot")
-    ).agg(F.sum(dec_price("value")).cast("double").alias("v"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"),
-    )
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("slot"),
-        )
-    )
+    Scale posture mirrors timeseries_resample_ffill (shared _hourly_grid
+    scaffold, one fact scan): both direction-fills are windows over the
+    |types| x |slots| OUTPUT grid (two window specs, one ascending one
+    descending frame, same single partitioning). The interpolation
+    arithmetic is written in the exact same operation order on both
+    engines (double ratio of BIGINT epoch-ms deltas), so the rounded
+    result hash-matches."""
+    hourly, grid = _hourly_grid(spark, sf_dir)
     from pyspark.sql import Window
 
     wp = (

@@ -48,7 +48,12 @@ REGISTRY: dict[str, Query] = {}
 # ---------------------------------------------------------------------------
 
 _current_query: str | None = None
-_live_caches: list[tuple[str, DataFrame]] = []
+# (owner query, dataframe handle, RDD-level cache ids). The ids are only
+# non-empty for localCheckpoint entries: df.unpersist() removes
+# cacheManager entries but NOT a checkpoint's RDD-level blocks (those are
+# invisible to the cache manager and otherwise linger until GC/
+# ContextCleaner) — release_caches unpersists them by id explicitly.
+_live_caches: list[tuple[str, DataFrame, tuple[int, ...]]] = []
 
 # Eager cache materialization: operators that persist an intermediate
 # consumed by both sides of a self-join (dedup_simhash's fingerprint
@@ -78,26 +83,49 @@ def lazy_caches():
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() with session-scoped bookkeeping (see note above)."""
     df.persist()
-    _live_caches.append((_current_query or "<adhoc>", df))
+    _live_caches.append((_current_query or "<adhoc>", df, ()))
     return df
 
 
+def checkpoint_tracked(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with full release bookkeeping.
+
+    The checkpoint's storage lives at the RDD level, which
+    ``DataFrame.unpersist`` cannot reach — so the persistent-RDD ids that
+    appear during the (eager, synchronous) checkpoint are recorded and
+    released by id in release_caches()."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    new_ids = tuple(
+        k for k in jsc.getPersistentRDDs().keySet().toArray() if k not in before
+    )
+    _live_caches.append((_current_query or "<adhoc>", out, new_ids))
+    return out
+
+
 def track_cache(df: DataFrame) -> DataFrame:
-    """Track an already-cached DataFrame (e.g. localCheckpoint output) so
-    release_caches() frees its blocks without re-persisting it."""
-    _live_caches.append((_current_query or "<adhoc>", df))
+    """Track an already-cached DataFrame so release_caches() frees what
+    df.unpersist() can reach. For localCheckpoint output prefer
+    checkpoint_tracked, which also releases the RDD-level blocks."""
+    _live_caches.append((_current_query or "<adhoc>", df, ()))
     return df
 
 
 def release_caches(keep: str | None = None) -> None:
     """Unpersist tracked caches, except those owned by query ``keep``."""
     global _live_caches
-    kept: list[tuple[str, DataFrame]] = []
-    for owner, df in _live_caches:
+    kept: list[tuple[str, DataFrame, tuple[int, ...]]] = []
+    for owner, df, rdd_ids in _live_caches:
         if keep is not None and owner == keep:
-            kept.append((owner, df))
-        else:
-            df.unpersist()
+            kept.append((owner, df, rdd_ids))
+            continue
+        df.unpersist()
+        if rdd_ids:
+            jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+            for rid in rdd_ids:
+                if jmap.containsKey(rid):
+                    jmap.get(rid).unpersist()
     _live_caches = kept
 
 

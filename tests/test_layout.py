@@ -173,9 +173,9 @@ SHUFFLE_BUDGET = {
     # excluded for the same InMemoryRelation text-inflation reason).
     "ivm_delta_join": 6,              # 2×(dims + partial agg) + state merge
     "join_salted_skew": 4,            # dim agg + 2 salted-key sides + final agg
-    "timeseries_interpolate_linear": 5,  # series agg + grid + one window shuffle
     "text_pmi_collocations": 14,      # 2 count passes + vocab joins + scalar totals
-    "hll_sliding_distinct": 8,        # daily sketch agg + 2 tiny-day BNL joins + merges
+    # timeseries_interpolate_linear / hll_sliding_distinct persist their
+    # series frames — excluded like the other persisted queries above.
 }
 
 

@@ -228,7 +228,7 @@ def test_no_leaked_caches_after_query_switch(spark, sf_dir):
     ALL["dedup_minhash_lsh"](spark, sf_dir).count()
     assert len(registry._live_caches) > 0
     ALL["dedup_ngram_jaccard"](spark, sf_dir).count()
-    owners = {o for o, _ in registry._live_caches}
+    owners = {o for o, _, _ in registry._live_caches}
     assert owners == {"dedup_ngram_jaccard"}
     registry.release_caches()
     assert registry._live_caches == []
