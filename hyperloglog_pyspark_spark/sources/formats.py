@@ -238,3 +238,110 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("first_line"),
         F.max("value").alias("last_line"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    category="source",
+    oracle="""
+    WITH unified AS (
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM unified
+    GROUP BY priority
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an early batch written
+    WITHOUT a column, a later batch WITH it, read back as one dataset via
+    mergeSchema — rows from the old batch surface the new column as NULL
+    (backfilled to a sentinel here so the report is total). This is the
+    append-only lakehouse reality at 100 TB: columns arrive mid-stream
+    and historical files are never rewritten.
+
+    Scale note: mergeSchema reconciles footers at planning time — cheap
+    next to the scan, but O(#files) on the driver; production tables pin
+    the merged schema in a catalog and read with an EXPLICIT schema
+    (the read path below demonstrates the merge; the aggregate is the
+    usual partial+final pair)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _scratch("evolve", sf_dir)
+    orders.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority").write.mode(
+        "overwrite"
+    ).parquet(path + "/batch=old")
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.mode("overwrite").parquet(
+        path + "/batch=new"
+    )
+    back = spark.read.option("mergeSchema", True).parquet(
+        path + "/batch=old", path + "/batch=new"
+    )
+    return back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    category="sink",
+    oracle="""
+    WITH d AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events)
+    SELECT CAST(e.ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = d.d0
+                         THEN CAST(e.value AS DECIMAL(12,2)) * 2
+                         ELSE CAST(e.value AS DECIMAL(12,2)) END) AS DOUBLE)
+               AS total_value
+    FROM events e CROSS JOIN d
+    GROUP BY day
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill: the full day-partitioned table is
+    written once, then ONE day's partition is rewritten with corrected
+    values (doubled) under partitionOverwriteMode=dynamic — only the
+    partitions present in the incoming frame are replaced, every other
+    day's files are untouched. This is the nightly-restatement pattern:
+    at 100 TB you re-run one day, not the table (static overwrite mode
+    would silently DROP all other partitions).
+
+    The read-back aggregate proves both halves: the corrected day carries
+    doubled sums, the remaining days are byte-identical to the original
+    write."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    path = _scratch("dynpart", sf_dir)
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    d0 = ev.agg(F.min("day").alias("d0"))
+    # Double via the same decimal the oracle uses (round-then-double ==
+    # what the readback's decimal cast sees), not raw double arithmetic.
+    corrected = (
+        ev.join(F.broadcast(d0), ev["day"] == F.col("d0"))
+        .select(
+            "event_id",
+            "day",
+            (F.col("value").cast("decimal(12,2)") * 2).cast("double").alias("value"),
+        )
+    )
+    corrected.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).select(
+        F.col("day").cast("date").alias("day"), "value"
+    )
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
