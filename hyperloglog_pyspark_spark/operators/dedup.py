@@ -446,6 +446,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_T = 0.8  # containment threshold: |A ∩ B| / |A|
+
+
+@register(
+    "dedup_containment",
+    category="dedup",
+    oracle=f"""
+    WITH docs AS ({_SHINGLED_SQL})
+    SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+           CAST(len(a.sh) AS BIGINT) AS n_contained,
+           CAST(len(b.sh) AS BIGINT) AS n_container,
+           CAST(round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(a.sh), 6) AS DOUBLE) AS containment
+    FROM docs a JOIN docs b
+      ON a.doc_id <> b.doc_id
+     AND (len(a.sh) < len(b.sh) OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= {CONTAIN_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-subset detection: containment(A→B) = |A∩B| / |A|
+    flags documents that are mostly QUOTED INSIDE a larger document —
+    boilerplate, header/footer wrap, excerpt reposts — which symmetric
+    Jaccard misses entirely (a small doc inside a big one has low Jaccard
+    but containment ≈ 1). The shorter doc is reported as the contained
+    side (doc-id tie-break at equal length).
+
+    Scale: the same inverted-index postings join as dedup_ngram_jaccard —
+    pairs materialize only when they share a shingle, work is Σ_g df(g)²
+    — but WITHOUT the length-block predicate, precisely because
+    containment pairs have very different lengths. The oracle's pairwise
+    formulation is quadratic on the DuckDB side only."""
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    )
+    ex = tracked_persist(
+        sh.select("doc_id", F.size("sh").alias("n"), "sh")
+        .select("doc_id", "n", F.explode("sh").alias("g"))
+    )
+    a = ex.select(F.col("doc_id").alias("doc_contained"), F.col("n").alias("n_contained"), "g")
+    b = ex.select(F.col("doc_id").alias("doc_container"), F.col("n").alias("n_container"), "g")
+    shorter_first = (F.col("n_contained") < F.col("n_container")) | (
+        (F.col("n_contained") == F.col("n_container"))
+        & (F.col("doc_contained") < F.col("doc_container"))
+    )
+    return (
+        a.join(
+            b,
+            (a["g"] == b["g"]) & (F.col("doc_contained") != F.col("doc_container")),
+        )
+        .filter(shorter_first)
+        .groupBy("doc_contained", "doc_container", "n_contained", "n_container")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "containment_raw", F.col("inter").cast("double") / F.col("n_contained")
+        )
+        .filter(F.col("containment_raw") >= CONTAIN_T)
+        .select(
+            "doc_contained",
+            "doc_container",
+            F.col("n_contained").cast("long").alias("n_contained"),
+            F.col("n_container").cast("long").alias("n_container"),
+            F.round("containment_raw", 6).cast("double").alias("containment"),
+        )
+    )
+
+
 N_SIM_BITS = 48  # fits the 60-bit md5_long hash
 SIM_BANDS = 3  # 3 bands × 16 bits; hamming ≤ 2 ⇒ ≥ 1 identical band
 SIM_HAMMING = 2

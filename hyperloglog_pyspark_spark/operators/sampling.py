@@ -251,3 +251,57 @@ def sample_exact_k_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") <= STRATUM_K)
         .select("lang", "pick", "doc_id")
     )
+
+
+ARES_K = 200  # weighted-reservoir sample size
+_ARES_P = 1000000007  # fold md5 into (0,1) uniform: (h % P + 1)/(P + 1)
+
+
+@register(
+    "sample_weighted_reservoir",
+    category="sampling",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               ROUND(LN(({md5_long_sql("CAST(doc_id AS VARCHAR)")} % {_ARES_P} + 1.0)
+                        / {_ARES_P + 1}.0) / n_chars, 9) AS k
+        FROM documents
+    ),
+    pick AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM keyed
+        ) WHERE rn <= {ARES_K}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM pick GROUP BY lang
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement by the
+    Efraimidis-Spirakis A-RES scheme: every doc draws a deterministic
+    md5-uniform u and competes on key = ln(u)/weight (weight = n_chars);
+    the k LARGEST keys are the sample — heavier docs win proportionally
+    more often, no global pass over cumulative mass needed (the
+    complementary design to sample_weighted_systematic's prefix-sum).
+
+    Scale: the key is map-side arithmetic and the selection is a global
+    TOP-K (TakeOrderedAndProject — per-partition heaps merged on the
+    driver, never a total sort). Keys are rounded to 9dp before ranking
+    with a doc_id tie-break, so the cross-engine cut is deterministic.
+    The md5-uniform makes the draw reproducible run-to-run and
+    engine-to-engine — the property every training-data subsample audit
+    needs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    u = (md5_long(F.col("doc_id").cast("string")) % _ARES_P + 1.0) / float(_ARES_P + 1)
+    keyed = docs.select(
+        "doc_id", "lang", "n_chars", F.round(F.log(u) / F.col("n_chars"), 9).alias("k")
+    )
+    pick = keyed.orderBy(F.col("k").desc(), "doc_id").limit(ARES_K)
+    return pick.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )

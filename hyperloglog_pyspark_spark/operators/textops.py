@@ -693,3 +693,56 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "text_lang_confusion",
+    category="text",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang,
+               CASE WHEN {_marker_count_sql("en")} >= {_marker_count_sql("de")}
+                     AND {_marker_count_sql("en")} >= {_marker_count_sql("fr")} THEN 'en'
+                    WHEN {_marker_count_sql("de")} >= {_marker_count_sql("fr")} THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM documents
+    )
+    SELECT lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+               AS row_share
+    FROM pred
+    GROUP BY lang, pred_lang
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared corpus language vs the
+    marker-word classifier's prediction, with per-true-language row
+    shares — the QA report that catches mislabeled corpora and classifier
+    drift before a language-filtered training mix is built on bad labels.
+
+    Scale: one fact pass scores each document (JVM token filters), then a
+    |langs|² aggregate; the normalizing window runs on the matrix, not
+    the corpus (same shape as event_transition_matrix)."""
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    toks = F.split("text", " ")
+
+    def marker_count(ws):
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    counts = {lang: marker_count(ws) for lang, ws in _MARKERS.items()}
+    pred = (
+        F.when((counts["en"] >= counts["de"]) & (counts["en"] >= counts["fr"]), "en")
+        .when(counts["de"] >= counts["fr"], "de")
+        .otherwise("fr")
+    )
+    cells = docs.select("lang", pred.alias("pred_lang")).groupBy(
+        "lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wl = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wl), 6).alias("row_share"),
+    )

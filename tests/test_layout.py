@@ -174,8 +174,11 @@ SHUFFLE_BUDGET = {
     "ivm_delta_join": 6,              # 2×(dims + partial agg) + state merge
     "join_salted_skew": 4,            # dim agg + 2 salted-key sides + final agg
     "text_pmi_collocations": 14,      # 2 count passes + vocab joins + scalar totals
-    # timeseries_interpolate_linear / hll_sliding_distinct persist their
-    # series frames — excluded like the other persisted queries above.
+    "text_lang_confusion": 3,         # matrix agg + row-share window
+    "sample_weighted_reservoir": 2,   # TakeOrdered heaps + lang agg
+    # timeseries_interpolate_linear / hll_sliding_distinct /
+    # dedup_containment persist their series/postings frames — excluded
+    # like the other persisted queries above.
 }
 
 
