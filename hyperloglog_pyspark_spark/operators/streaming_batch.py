@@ -312,3 +312,105 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .alias("value_interp"),
     )
+
+
+CUSUM_SLACK = 25.0   # drift allowance per hour (absorbs mean noise)
+CUSUM_H = 200.0      # alert threshold on the accumulated statistic
+
+
+@register(
+    "timeseries_drift_cusum",
+    category="streaming",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS slot,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    mu AS (
+        SELECT event_type,
+               CAST(SUM(CAST(v AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*) AS mu
+        FROM hourly GROUP BY event_type
+    ),
+    d AS (
+        SELECT h.event_type, h.slot,
+               CAST(ROUND((h.v - m.mu - {CUSUM_SLACK}) * 1000000, 0) AS BIGINT) AS d
+        FROM hourly h JOIN mu m ON m.event_type = h.event_type
+    ),
+    pfx AS (
+        SELECT event_type, slot,
+               CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY slot
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS prefix
+        FROM d
+    ),
+    c AS (
+        SELECT event_type, slot,
+               prefix - LEAST(CAST(0 AS BIGINT),
+                              CAST(MIN(prefix) OVER (PARTITION BY event_type ORDER BY slot
+                                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND CURRENT ROW) AS BIGINT))
+                   AS cusum
+        FROM pfx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(MAX(cusum) / 1000000.0, 6) AS max_cusum,
+           CAST(COUNT(*) FILTER (WHERE cusum > {int(CUSUM_H * 1000000)}) AS BIGINT)
+               AS n_alert_hours,
+           CAST(epoch_ms(MIN(CASE WHEN cusum > {int(CUSUM_H * 1000000)} THEN slot END))
+               AS BIGINT) AS first_alert_ms
+    FROM c GROUP BY event_type
+    """,
+)
+def timeseries_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per event type: the classic
+    change-point statistic s_t = max(0, s_(t-1) + (x_t − μ − slack)),
+    computed WITHOUT recursion via the prefix identity
+    s_t = prefix_t − min(0, min_(j≤t) prefix_j) — a running sum and a
+    running min over the same window spec, both plain Catalyst windows.
+    Reports hours above threshold and the first alert time per series.
+
+    Scale: the statistic runs on the |types| × |slots| hourly series (one
+    fact-scale aggregation), one partition-key shuffle serves the nested
+    windows; deviations are scaled to exact BIGINT micro-units before
+    accumulation (DuckDB's windowed decimal sums are float-backed), so
+    the running sums are order-independent and the oracle hash-matches.
+    (A true-streaming twin would carry (prefix, running-min) as two
+    values in transformWithState — same bounded state as the stateful-HLL
+    pipeline.)"""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("slot")
+    ).agg(F.sum(dec_price("value")).cast("double").alias("v"))
+    mu = hourly.groupBy("event_type").agg(
+        (F.sum(F.col("v").cast("decimal(16,6)")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    d = hourly.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "slot",
+        # Exact BIGINT micro-units: windowed DECIMAL sums are float-backed
+        # in DuckDB's segment trees, so integer units are the one
+        # representation BOTH engines accumulate exactly.
+        F.round((F.col("v") - F.col("mu") - CUSUM_SLACK) * 1000000, 0)
+        .cast("long")
+        .alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pfx = d.select("event_type", "slot", F.sum("d").over(w).cast("long").alias("prefix"))
+    runmin = F.least(F.lit(0).cast("long"), F.min("prefix").over(w).cast("long"))
+    c = pfx.select("event_type", "slot", (F.col("prefix") - runmin).alias("cusum"))
+    h_units = int(CUSUM_H * 1000000)
+    alert = F.when(F.col("cusum") > h_units, F.col("slot"))
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.max("cusum") / 1000000.0, 6).alias("max_cusum"),
+        F.count(alert).alias("n_alert_hours"),
+        F.unix_millis(F.min(alert)).alias("first_alert_ms"),
+    )

@@ -285,3 +285,35 @@ def test_observation_metrics_ride_the_curation_pass(spark, sf_dir):
     assert metrics["n_text_chars"] == want["c"]
     assert metrics["min_chars"] == want["q"]
     assert n_kept <= metrics["n_docs"]
+
+
+def test_cusum_identity_matches_recursive_reference(spark, sf_dir, duck):
+    """The windowed prefix-minus-running-min formulation must equal the
+    textbook recursion s_t = max(0, s_(t-1) + d_t) replayed driver-side
+    on the same hourly series — guards the identity (and the BIGINT
+    micro-unit discipline) independently of the DuckDB oracle."""
+    from collections import defaultdict
+
+    from hyperloglog_pyspark_spark.operators.streaming_batch import (
+        CUSUM_H,
+        CUSUM_SLACK,
+    )
+
+    got = {r.event_type: r for r in ALL["timeseries_drift_cusum"](spark, sf_dir).collect()}
+    hourly = duck.execute("""
+        SELECT event_type, date_trunc('hour', ts) AS slot,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    series = defaultdict(list)
+    for t, _, v in hourly:
+        series[t].append(v)
+    for t, vs in series.items():
+        mu = sum(vs) / len(vs)
+        s = mx = n_alert = 0
+        for v in vs:
+            s = max(0, s + round((v - mu - CUSUM_SLACK) * 1e6))
+            mx = max(mx, s)
+            n_alert += s > CUSUM_H * 1e6
+        assert got[t].max_cusum == round(mx / 1e6, 6), t
+        assert got[t].n_alert_hours == n_alert, t
