@@ -345,3 +345,74 @@ def user_spend_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, cusum double, max_cusum double, n_alerts long, alarm boolean"
+)
+CUSUM_STREAM_TARGET = 150.0  # per-event reference level (mu + slack of the batch twin)
+CUSUM_STREAM_H = 500.0       # alert threshold on the accumulated statistic
+
+
+class CusumMonitor(StatefulProcessor):
+    """Streaming one-sided CUSUM per key: the textbook recursion
+    s = max(0, s + (x − target)) run imperatively over arriving rows —
+    the streaming twin of the batch operator timeseries_drift_cusum
+    (which computes the same statistic as two Catalyst windows via the
+    prefix identity). State = (s, running max, alert count) in exact
+    integer micro-units, one fixed-width tuple per key — bounded by the
+    key population, not stream length, the same state discipline as
+    SpendTracker."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState(
+            "cusum", "s_units long, max_units long, n_alerts long"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: N802
+        prev = self._st.get()
+        s, mx, n_alerts = prev if prev else (0, 0, 0)
+        h_units = int(CUSUM_STREAM_H * 1_000_000)
+        for pdf in rows:
+            v = pdf["value"].fillna(0.0).to_numpy()
+            # Same sign-aware HALF_UP unit rounding as SpendTracker, at
+            # micro-unit resolution (matches the batch twin's discipline).
+            d = (
+                np.sign(v - CUSUM_STREAM_TARGET)
+                * np.floor(np.abs(v - CUSUM_STREAM_TARGET) * 1_000_000 + 0.5)
+            ).astype("int64")
+            for du in d:
+                s = max(0, s + int(du))
+                if s > mx:
+                    mx = s
+                if s > h_units:
+                    n_alerts += 1
+        self._st.update((s, mx, n_alerts))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "cusum": [s / 1e6],
+                "max_cusum": [mx / 1e6],
+                "n_alerts": [n_alerts],
+                "alarm": [s > h_units],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def cusum_stream(events: DataFrame) -> DataFrame:
+    """Per-event-type streaming drift monitor via transformWithStateInPandas
+    (same environment note as user_spend_stream: the end-to-end form needs
+    google.protobuf; semantics are pinned by the fake-handle contract test)."""
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            CusumMonitor(),
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -645,3 +645,47 @@ def test_python_streaming_datasource_recovers_from_checkpoint(spark, tmp_path):
         f"recovery broke exactly-once: {len(got)} rows, "
         f"dupes={got['id'].duplicated().sum()}"
     )
+
+
+def test_cusum_monitor_processor_contract():
+    """CusumMonitor semantics without the protobuf transport: the recursion
+    must match a plain-Python replay across micro-batch boundaries (state
+    carries over), alerts count rows above threshold, and the statistic
+    clamps at zero (never negative) when values run below target."""
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        CUSUM_STREAM_H,
+        CUSUM_STREAM_TARGET,
+        CusumMonitor,
+    )
+
+    mon = CusumMonitor()
+    mon.init(_FakeHandle())
+
+    batches = [
+        [400.0, 900.0, 50.0],          # drives s up
+        [1200.0, 10.0, 10.0, 10.0],    # spike then decay
+        [1.0] * 12,                     # long run below target -> clamp at 0
+    ]
+    # plain replay
+    s = mx = n_alerts = 0
+    h = int(CUSUM_STREAM_H * 1e6)
+    for batch in batches:
+        for v in batch:
+            d = v - CUSUM_STREAM_TARGET
+            du = int((1 if d >= 0 else -1) * __import__("math").floor(abs(d) * 1e6 + 0.5))
+            s = max(0, s + du)
+            mx = max(mx, s)
+            n_alerts += s > h
+    outs = []
+    for batch in batches:
+        outs.extend(
+            mon.handleInputRows(("view",), [pd.DataFrame({"value": batch})], None)
+        )
+    last = outs[-1].iloc[0]
+    assert last.cusum == s / 1e6
+    assert last.max_cusum == mx / 1e6
+    assert last.n_alerts == n_alerts
+    assert bool(last.alarm) == (s > h)
+    assert last.cusum == 0.0, "run below target must clamp the statistic at zero"
