@@ -143,15 +143,30 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-# Shared hourly-series scaffold for the gap-fill queries: ONE fact scan
-# builds the (event_type, hour) decimal series; the dense output grid and
-# its bounds derive from that |types| x |slots| frame, never from raw
-# events again. The oracle mirrors with the same CTE chain.
-_HOURLY_GRID_CTES = """hourly AS (
+# ONE definition of the hourly series (Spark + SQL twins): every
+# gap-fill/drift query derives from this aggregation, so what "hourly"
+# means (slot truncation, DECIMAL(12,2) money cast) lives in one place.
+_HOURLY_SQL = """hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS slot,
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
         FROM events GROUP BY 1, 2
-    ),
+    )"""
+
+
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_type, hour) decimal-exact value series — Spark twin of
+    _HOURLY_SQL; one fact-scale aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("slot")).agg(
+        F.sum(dec_price("value")).cast("double").alias("v")
+    )
+
+
+# Shared hourly-series scaffold for the gap-fill queries: ONE fact scan
+# builds the hourly series; the dense output grid and its bounds derive
+# from that |types| x |slots| frame, never from raw events again. The
+# oracle mirrors with the same CTE chain.
+_HOURLY_GRID_CTES = f"""{_HOURLY_SQL},
     bounds AS (SELECT MIN(slot) AS t0, MAX(slot) AS t1 FROM hourly),
     grid AS (
         SELECT e.event_type, g.slot
@@ -166,12 +181,7 @@ def _hourly_grid(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     the grid derivation, the bounds, and the fill join) and the dense
     per-type hourly grid. MIN/MAX of the truncated slots equal the
     truncated MIN/MAX of raw ts, so bounds need no second fact scan."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = tracked_persist(
-        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("slot")).agg(
-            F.sum(dec_price("value")).cast("double").alias("v")
-        )
-    )
+    hourly = tracked_persist(_hourly_series(spark, sf_dir))
     bounds = hourly.agg(F.min("slot").alias("t0"), F.max("slot").alias("t1"))
     grid = (
         hourly.select("event_type")
@@ -322,11 +332,7 @@ CUSUM_H = 200.0      # alert threshold on the accumulated statistic
     "timeseries_drift_cusum",
     category="streaming",
     oracle=f"""
-    WITH hourly AS (
-        SELECT event_type, date_trunc('hour', ts) AS slot,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
-        FROM events GROUP BY 1, 2
-    ),
+    WITH {_HOURLY_SQL},
     mu AS (
         SELECT event_type,
                CAST(SUM(CAST(v AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*) AS mu
@@ -381,10 +387,9 @@ def timeseries_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline.)"""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("slot")
-    ).agg(F.sum(dec_price("value")).cast("double").alias("v"))
+    # hourly feeds BOTH the baseline mean and the deviation join — persist
+    # so the fact-scale aggregation runs once (same move as _hourly_grid).
+    hourly = tracked_persist(_hourly_series(spark, sf_dir))
     mu = hourly.groupBy("event_type").agg(
         (F.sum(F.col("v").cast("decimal(16,6)")).cast("double") / F.count(F.lit(1))).alias("mu")
     )

@@ -68,19 +68,38 @@ def _marker_count_sql(lang: str) -> str:
     return f"len(list_filter(string_split(text, ' '), t -> t IN {lst}))"
 
 
+# The ONE classifier definition (marker argmax, deterministic tie-break
+# en > de > fr) — text_langid and text_lang_confusion must agree on it.
+_PRED_SQL = f"""CASE WHEN {_marker_count_sql("en")} >= {_marker_count_sql("de")}
+                 AND {_marker_count_sql("en")} >= {_marker_count_sql("fr")} THEN 'en'
+                WHEN {_marker_count_sql("de")} >= {_marker_count_sql("fr")} THEN 'de'
+                ELSE 'fr' END"""
+
+
+def _pred_lang() -> F.Column:
+    """Spark column form of the same classifier."""
+    toks = F.split("text", " ")
+
+    def marker_count(ws):
+        # NB: single-arg lambda — F.filter treats a two-arg lambda as
+        # (element, index), so capturing via default arg breaks.
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    counts = {lang: marker_count(ws) for lang, ws in _MARKERS.items()}
+    return (
+        F.when((counts["en"] >= counts["de"]) & (counts["en"] >= counts["fr"]), "en")
+        .when(counts["de"] >= counts["fr"], "de")
+        .otherwise("fr")
+    )
+
+
 @register(
     "text_langid",
     category="text",
     oracle=f"""
     SELECT doc_id, lang,
-           CASE WHEN {_marker_count_sql("en")} >= {_marker_count_sql("de")}
-                 AND {_marker_count_sql("en")} >= {_marker_count_sql("fr")} THEN 'en'
-                WHEN {_marker_count_sql("de")} >= {_marker_count_sql("fr")} THEN 'de'
-                ELSE 'fr' END AS pred_lang,
-           (CASE WHEN {_marker_count_sql("en")} >= {_marker_count_sql("de")}
-                 AND {_marker_count_sql("en")} >= {_marker_count_sql("fr")} THEN 'en'
-                WHEN {_marker_count_sql("de")} >= {_marker_count_sql("fr")} THEN 'de'
-                ELSE 'fr' END) = lang AS correct
+           {_PRED_SQL} AS pred_lang,
+           ({_PRED_SQL}) = lang AS correct
     FROM documents
     """,
 )
@@ -94,18 +113,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     that a real lang-ID pass uses.
     """
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
-    toks = F.split("text", " ")
-    def marker_count(ws):
-        # NB: single-arg lambda — F.filter treats a two-arg lambda as
-        # (element, index), so capturing via default arg breaks.
-        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
-
-    counts = {lang: marker_count(ws) for lang, ws in _MARKERS.items()}
-    pred = (
-        F.when((counts["en"] >= counts["de"]) & (counts["en"] >= counts["fr"]), "en")
-        .when(counts["de"] >= counts["fr"], "de")
-        .otherwise("fr")
-    )
+    pred = _pred_lang()
     return docs.select("doc_id", "lang", pred.alias("pred_lang"), (pred == F.col("lang")).alias("correct"))
 
 
@@ -700,11 +708,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="text",
     oracle=f"""
     WITH pred AS (
-        SELECT lang,
-               CASE WHEN {_marker_count_sql("en")} >= {_marker_count_sql("de")}
-                     AND {_marker_count_sql("en")} >= {_marker_count_sql("fr")} THEN 'en'
-                    WHEN {_marker_count_sql("de")} >= {_marker_count_sql("fr")} THEN 'de'
-                    ELSE 'fr' END AS pred_lang
+        SELECT lang, {_PRED_SQL} AS pred_lang
         FROM documents
     )
     SELECT lang, pred_lang,
@@ -725,18 +729,7 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|² aggregate; the normalizing window runs on the matrix, not
     the corpus (same shape as event_transition_matrix)."""
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
-    toks = F.split("text", " ")
-
-    def marker_count(ws):
-        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
-
-    counts = {lang: marker_count(ws) for lang, ws in _MARKERS.items()}
-    pred = (
-        F.when((counts["en"] >= counts["de"]) & (counts["en"] >= counts["fr"]), "en")
-        .when(counts["de"] >= counts["fr"], "de")
-        .otherwise("fr")
-    )
-    cells = docs.select("lang", pred.alias("pred_lang")).groupBy(
+    cells = docs.select("lang", _pred_lang().alias("pred_lang")).groupBy(
         "lang", "pred_lang"
     ).agg(F.count(F.lit(1)).alias("n"))
     wl = Window.partitionBy("lang")

@@ -104,14 +104,6 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
     return out
 
 
-def track_cache(df: DataFrame) -> DataFrame:
-    """Track an already-cached DataFrame so release_caches() frees what
-    df.unpersist() can reach. For localCheckpoint output prefer
-    checkpoint_tracked, which also releases the RDD-level blocks."""
-    _live_caches.append((_current_query or "<adhoc>", df, ()))
-    return df
-
-
 def release_caches(keep: str | None = None) -> None:
     """Unpersist tracked caches, except those owned by query ``keep``."""
     global _live_caches

@@ -374,7 +374,12 @@ class CusumMonitor(StatefulProcessor):
         s, mx, n_alerts = prev if prev else (0, 0, 0)
         h_units = int(CUSUM_STREAM_H * 1_000_000)
         for pdf in rows:
-            v = pdf["value"].fillna(0.0).to_numpy()
+            # Missing readings are SKIPPED, not treated as observations of
+            # zero — a null would otherwise apply a full -target deviation
+            # and clear an active alarm (the batch twin's hourly SUM
+            # likewise ignores NULLs). Contrast SpendTracker, where null
+            # spend = 0 genuinely is neutral.
+            v = pdf["value"].dropna().to_numpy()
             # Same sign-aware HALF_UP unit rounding as SpendTracker, at
             # micro-unit resolution (matches the batch twin's discipline).
             d = (

@@ -176,10 +176,9 @@ SHUFFLE_BUDGET = {
     "text_pmi_collocations": 14,      # 2 count passes + vocab joins + scalar totals
     "text_lang_confusion": 3,         # matrix agg + row-share window
     "sample_weighted_reservoir": 2,   # TakeOrdered heaps + lang agg
-    "timeseries_drift_cusum": 5,      # hourly agg + mu broadcast + window + final
-    # timeseries_interpolate_linear / hll_sliding_distinct /
-    # dedup_containment persist their series/postings frames — excluded
-    # like the other persisted queries above.
+    # timeseries_interpolate_linear / timeseries_drift_cusum /
+    # hll_sliding_distinct / dedup_containment persist their
+    # series/postings frames — excluded like the persisted queries above.
 }
 
 

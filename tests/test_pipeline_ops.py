@@ -305,14 +305,25 @@ def test_cusum_identity_matches_recursive_reference(spark, sf_dir, duck):
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """).fetchall()
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import floor
+
+    def half_up_units(x: float) -> int:
+        # sign-aware HALF_UP at micro-unit resolution — Spark's ROUND, not
+        # Python round()'s banker's rounding
+        return int((1 if x >= 0 else -1) * floor(abs(x) * 1e6 + 0.5))
+
     series = defaultdict(list)
     for t, _, v in hourly:
         series[t].append(v)
+    q6 = Decimal("0.000001")
     for t, vs in series.items():
-        mu = sum(vs) / len(vs)
+        # mirror the operator's mean exactly: DECIMAL(16,6)-quantized sum
+        # cast to double, THEN divided by the count
+        mu = float(sum(Decimal(v).quantize(q6, ROUND_HALF_UP) for v in vs)) / len(vs)
         s = mx = n_alert = 0
         for v in vs:
-            s = max(0, s + round((v - mu - CUSUM_SLACK) * 1e6))
+            s = max(0, s + half_up_units(v - mu - CUSUM_SLACK))
             mx = max(mx, s)
             n_alert += s > CUSUM_H * 1e6
         assert got[t].max_cusum == round(mx / 1e6, 6), t

@@ -664,15 +664,18 @@ def test_cusum_monitor_processor_contract():
     mon.init(_FakeHandle())
 
     batches = [
-        [400.0, 900.0, 50.0],          # drives s up
-        [1200.0, 10.0, 10.0, 10.0],    # spike then decay
-        [1.0] * 12,                     # long run below target -> clamp at 0
+        [400.0, 900.0, 50.0],            # drives s up
+        [1200.0, None, None, 10.0],      # spike; nulls are SKIPPED, not zero
+        [10.0, 10.0],                     # decay
+        [1.0] * 12,                       # long run below target -> clamp at 0
     ]
-    # plain replay
+    # plain replay (nulls dropped — a missing reading is not an observation)
     s = mx = n_alerts = 0
     h = int(CUSUM_STREAM_H * 1e6)
     for batch in batches:
         for v in batch:
+            if v is None:
+                continue
             d = v - CUSUM_STREAM_TARGET
             du = int((1 if d >= 0 else -1) * __import__("math").floor(abs(d) * 1e6 + 0.5))
             s = max(0, s + du)
