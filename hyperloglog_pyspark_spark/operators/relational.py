@@ -646,3 +646,74 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weighted_value"),
     )
+
+
+INCIDENT_ERRORS_PER_HOUR = 7  # error burst threshold defining an incident
+
+
+@register(
+    "join_interval_overlap",
+    category="join",
+    oracle=f"""
+    WITH activity AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MIN(ts) AS a_start, MAX(ts) AS a_end
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    incidents AS (
+        SELECT date_trunc('hour', ts) AS i_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS i_end,
+               COUNT(*) AS n_errors
+        FROM events WHERE event_type = 'error'
+        GROUP BY date_trunc('hour', ts)
+        HAVING COUNT(*) >= {INCIDENT_ERRORS_PER_HOUR}
+    )
+    SELECT CAST(epoch_ms(i.i_start) AS BIGINT) AS incident_start_ms,
+           CAST(i.n_errors AS BIGINT) AS n_errors,
+           CAST(COUNT(a.user_id) AS BIGINT) AS n_affected_users
+    FROM incidents i
+    LEFT JOIN activity a
+      ON a.day = CAST(i.i_start AS DATE)
+     AND a.a_start < i.i_end AND i.i_start <= a.a_end
+    GROUP BY i.i_start, i.n_errors
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user daily activity intervals
+    [first event, last event] matched against error-burst incident hours
+    (≥ {N} errors/hour) on the standard half-open overlap predicate
+    a.start < i.end AND i.start <= a.end — "which users were active
+    during the outage", the blast-radius query of every incident review.
+
+    Scale posture: the overlap predicate alone would be a cross product,
+    so the join is BANDED by the calendar day (activity intervals are
+    day-scoped by construction, incidents are hour-grained) — an
+    equi-join on day with the overlap as a residual filter; same
+    banding discipline as join_range. Both sides are aggregates of one
+    fact scan; the incident side is tiny and broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    hour = F.date_trunc("hour", "ts")
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(hour.alias("i_start"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= INCIDENT_ERRORS_PER_HOUR)
+        .withColumn("i_end", F.col("i_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = F.broadcast(incidents).join(
+        activity,
+        (activity["day"] == incidents["i_start"].cast("date"))
+        & (activity["a_start"] < incidents["i_end"])
+        & (incidents["i_start"] <= activity["a_end"]),
+        "left",
+    )
+    return joined.groupBy("i_start", "n_errors").agg(
+        F.count("user_id").alias("n_affected_users")
+    ).select(
+        F.unix_millis("i_start").alias("incident_start_ms"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.col("n_affected_users").cast("long").alias("n_affected_users"),
+    )

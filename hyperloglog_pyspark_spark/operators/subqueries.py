@@ -190,3 +190,42 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+_PIVOT_CELLS_SQL = ", ".join(
+    f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s}, "
+    f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN CAST(o_totalprice AS DECIMAL(18,2)) END)"
+    f" AS DOUBLE) AS rev_{s}"
+    for s in _STATUSES
+)
+
+
+@register(
+    "pivot_multi_value",
+    category="reshape",
+    oracle=f"""
+    SELECT o_orderpriority, {_PIVOT_CELLS_SQL}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_multi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure pivot: one reshape carrying TWO aggregates per pivot
+    cell (order count + decimal-exact revenue) — Spark's pivot().agg(a, b)
+    names columns {value}_{alias}, re-aliased here to the report layout.
+    Pivot values are enumerated explicitly: at scale an unlisted pivot
+    triggers a distinct-scan planning pass AND risks a column explosion;
+    listing them keeps the plan a single pass with a fixed schema."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    for s in _STATUSES:
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).cast("long").alias(f"n_{s}"))
+        cols.append(F.col(f"{s}_rev").alias(f"rev_{s}"))
+    return pivoted.select(*cols)

@@ -176,6 +176,8 @@ SHUFFLE_BUDGET = {
     "text_pmi_collocations": 14,      # 2 count passes + vocab joins + scalar totals
     "text_lang_confusion": 3,         # matrix agg + row-share window
     "sample_weighted_reservoir": 2,   # TakeOrdered heaps + lang agg
+    "pivot_multi_value": 2,           # pre-agg + pivot agg (two-pass pivot)
+    "join_interval_overlap": 4,       # 2 side aggs + broadcast + final agg
     # timeseries_interpolate_linear / timeseries_drift_cusum /
     # hll_sliding_distinct / dedup_containment persist their
     # series/postings frames — excluded like the persisted queries above.
