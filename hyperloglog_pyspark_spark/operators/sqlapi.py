@@ -70,3 +70,77 @@ def sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DataFrame form gets (asserted in tests/test_layout.py)."""
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(SQL_PRICING)
+
+
+@register(
+    "sql_scalar_udf",
+    category="sql",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS total_charge
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 SQL UDF — CREATE FUNCTION ...
+    RETURNS ... RETURN <expr>): the charge formula is declared once as a
+    catalog function and reused by name. Unlike a Python UDF, a SQL UDF
+    is INLINED by the analyzer — the plan is identical to writing the
+    expression by hand (whole-stage codegen, pushdown, no serialization
+    boundary), which is why it is the right tool for shared business
+    formulas at 100 TB. The oracle states the expanded expression."""
+    register_views(spark, sf_dir, ["lineitem"])
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION line_charge(
+            price DOUBLE, discount DOUBLE, tax DOUBLE)
+        RETURNS DECIMAL(18,6)
+        RETURN CAST(price AS DECIMAL(12,2))
+               * (1 - CAST(discount AS DECIMAL(4,2)))
+               * (1 + CAST(tax AS DECIMAL(4,2)))
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(line_charge(l_extendedprice, l_discount, l_tax)) AS DOUBLE)
+                   AS total_charge
+        FROM lineitem
+        WHERE l_quantity >= 30
+        GROUP BY l_returnflag
+    """)
+
+
+@register(
+    "sql_parameterized",
+    category="sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized spark.sql: named :placeholders bound server-side
+    (spark.sql(text, args={...})) — the injection-safe form for
+    user-supplied constants; the literals land in the plan exactly as
+    typed values, so pushdown and constant folding see them the same as
+    inline literals. The oracle states the bound query."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 150000.0},
+    )

@@ -177,6 +177,8 @@ SHUFFLE_BUDGET = {
     "text_lang_confusion": 3,         # matrix agg + row-share window
     "sample_weighted_reservoir": 2,   # TakeOrdered heaps + lang agg
     "pivot_multi_value": 2,           # pre-agg + pivot agg (two-pass pivot)
+    "sql_scalar_udf": 1,              # UDF inlined -> one partial+final agg
+    "sql_parameterized": 1,           # bound literals -> one agg, full pushdown
     "join_interval_overlap": 4,       # 2 side aggs + broadcast + final agg
     # timeseries_interpolate_linear / timeseries_drift_cusum /
     # hll_sliding_distinct / dedup_containment persist their
