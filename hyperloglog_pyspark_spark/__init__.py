@@ -35,6 +35,7 @@ def load_all_operators() -> None:
         multimodal,
         partsupp,
         pipeline,
+        quality,
         relational,
         sampling,
         scalars,

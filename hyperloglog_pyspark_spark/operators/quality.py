@@ -1,0 +1,487 @@
+"""Data-quality and governance operators: declarative constraint audits,
+referential-integrity checks, k-anonymity risk scoring, snapshot diffing
+(CDC), freshness watermarks, and histogram profiling.
+
+This is the "expectations" layer a 100 TB ingestion pipeline runs on
+every batch before data is allowed downstream (the role Deequ/Great
+Expectations play): each operator emits a small audit TABLE — one row per
+rule / relation / class / change-type — that a scheduler can assert on.
+The reference at /root/reference/ has no counterpart (it is an HLL sketch
+library, HLL/HyperLogLog.py); this extends the SURVEY.md §2.2 north-star
+pipeline surface.
+
+Scale posture (100 TB):
+- Constraint audits are ONE conditional-aggregation pass per table
+  (violations counted with `sum(case when ...)`) — never one scan per
+  rule; rule rows are exploded from the single wide agg row, the same
+  one-scan trick as ``profile_table``.
+- Referential checks broadcast the parent key set when the parent is a
+  dimension (part/supplier/customer) and fall back to a shuffled
+  left-anti join when both sides are fact-scale (lineitem→orders) —
+  the planner's sort-merge anti join, the only shape that works when
+  neither side fits in memory.
+- The snapshot diff is a single full-outer join on the snapshot key with
+  column-level null-safe comparison; money deltas are summed in DECIMAL
+  (exact, order-independent) so the audit hash-matches any engine.
+- Nothing here collects to the driver; every output is bounded by
+  #rules / #relations / #classes / #bins, not by data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Constraint audit: (table, rule, violation predicate). The predicate is
+# authored ONCE as an ANSI boolean expression string valid in both Spark
+# SQL and DuckDB — the Spark side wraps it in expr(), the oracle inlines
+# it — so the two engines cannot drift on what a "violation" means.
+# ---------------------------------------------------------------------------
+
+_RULES: dict[str, list[tuple[str, str]]] = {
+    "lineitem": [
+        ("quantity_in_1_50", "l_quantity < 1 OR l_quantity > 50"),
+        ("discount_le_5pct", "l_discount > 0.05"),
+        ("price_positive", "l_extendedprice IS NULL OR l_extendedprice <= 0"),
+    ],
+    "orders": [
+        ("status_in_domain", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+        ("totalprice_le_100k", "o_totalprice > 100000"),
+        ("custkey_present", "o_custkey IS NULL"),
+    ],
+    "customer": [
+        ("acctbal_nonnegative", "c_acctbal < 0"),
+        ("name_present", "c_name IS NULL OR c_name = ''"),
+    ],
+    "events": [
+        ("value_positive", "value IS NULL OR value <= 0"),
+        ("props_has_k", "get_json_object(props, '$.k') IS NULL"),
+    ],
+}
+
+# get_json_object is Spark's spelling; DuckDB's is json_extract. Same
+# null-on-missing semantics, translated only in the oracle text.
+_DUCK_REWRITES = {"get_json_object(props, '$.k')": "json_extract(props, '$.k')"}
+
+
+def _duck_pred(pred: str) -> str:
+    for spark_form, duck_form in _DUCK_REWRITES.items():
+        pred = pred.replace(spark_form, duck_form)
+    return pred
+
+
+def _audit_oracle() -> str:
+    parts = []
+    for tbl, rules in _RULES.items():
+        for rule, pred in rules:
+            parts.append(f"""
+    SELECT '{tbl}' AS tbl, '{rule}' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN {_duck_pred(pred)} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_viol,
+           ROUND(COALESCE(SUM(CASE WHEN {_duck_pred(pred)} THEN 1 ELSE 0 END), 0) * 1.0 / COUNT(*), 6) AS viol_rate,
+           COALESCE(SUM(CASE WHEN {_duck_pred(pred)} THEN 1 ELSE 0 END), 0) = 0 AS passed
+    FROM {tbl}""")
+    return " UNION ALL ".join(parts)
+
+
+@register("quality_constraint_audit", category="quality", oracle=_audit_oracle())
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit: one row per (table, rule) with checked
+    count, violation count/rate, and a pass verdict — the per-batch data
+    contract every ingestion pipeline asserts before publishing.
+
+    One conditional-aggregation scan per table (all of that table's rules
+    counted in a single wide agg row, exploded to rule rows) — rule count
+    adds columns to one pass, never extra scans. Predicates are shared
+    strings compiled into BOTH engines, so the audit itself can't drift.
+    """
+    frames = []
+    for tbl, rules in _RULES.items():
+        t = load_table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for rule, pred in rules:
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(F.expr(pred), 1).otherwise(0)), F.lit(0)
+                ).alias(f"v__{rule}")
+            )
+        wide = t.agg(*aggs)
+        rows = [
+            F.struct(
+                F.lit(tbl).alias("tbl"),
+                F.lit(rule).alias("rule"),
+                F.col("n_rows"),
+                F.col(f"v__{rule}").alias("n_viol"),
+                F.round(F.col(f"v__{rule}") / F.col("n_rows"), 6).alias("viol_rate"),
+                (F.col(f"v__{rule}") == 0).alias("passed"),
+            )
+            for rule, _ in rules
+        ]
+        frames.append(
+            wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity: orphaned foreign keys + coverage gaps.
+# ---------------------------------------------------------------------------
+
+# (relation label, child table, child key, parent table, parent key,
+#  parent is broadcastable dimension)
+_FKS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey", True),
+]
+
+
+def _orphans_oracle() -> str:
+    parts = [
+        f"""
+    SELECT '{label}' AS relation, 'integrity' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans,
+           COUNT(*) = 0 AS intact
+    FROM {child} c
+    WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})"""
+        for label, child, ckey, parent, pkey, _ in _FKS
+    ]
+    parts.append("""
+    SELECT 'customer_without_orders' AS relation, 'coverage' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans,
+           COUNT(*) = 0 AS intact
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")
+    return " UNION ALL ".join(parts)
+
+
+@register("quality_referential_orphans", category="quality", oracle=_orphans_oracle())
+def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit: orphan count per declared relation
+    (child keys with no parent), plus a coverage row (parents with no
+    children — not a violation, but the metric that catches a silently
+    empty join feed).
+
+    Each check is a left-anti join; dimension parents are broadcast
+    (their key set is the small side by construction) and the fact-fact
+    check (lineitem→orders) is left to the planner's shuffled anti join —
+    the only shape that survives when neither side fits in memory.
+    """
+
+    def orphan_row(label: str, kind: str, anti: DataFrame) -> DataFrame:
+        return anti.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(label).alias("relation"),
+            F.lit(kind).alias("kind"),
+            F.col("n_orphans"),
+            (F.col("n_orphans") == 0).alias("intact"),
+        )
+
+    frames = []
+    for label, child, ckey, parent, pkey, small_parent in _FKS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pkey).distinct()
+        if small_parent:
+            p = F.broadcast(p)
+        anti = c.join(p, c[ckey] == p[pkey], "left_anti")
+        frames.append(orphan_row(label, "integrity", anti))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    childless = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    frames.append(orphan_row("customer_without_orders", "coverage", childless))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity over quasi-identifiers.
+# ---------------------------------------------------------------------------
+
+K_ANON = 10  # minimum safe equivalence-class size
+
+
+@register(
+    "quality_k_anonymity",
+    category="quality",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey, c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) < {K_ANON} AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk audit over the (nation, market-segment) quasi-
+    identifier pair: every equivalence class with fewer than K members is
+    re-identifiable and flagged ``at_risk`` — the table a privacy review
+    uses to decide suppression/generalization before a dataset ships.
+
+    One groupBy on the QI columns (output bounded by the QI domain
+    product, 25×5 here — never by row count); the flag is a map-side
+    comparison on the aggregated size.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+    ).withColumn("at_risk", F.col("class_size") < K_ANON)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two table versions).
+# ---------------------------------------------------------------------------
+
+_V1_CUT = "1999-01-01"
+_V2_CUT = "2000-01-01"
+_DEL_MOD = 97  # o_orderkey % 97 == 13 → deleted in v2
+_UPD_MOD = 89  # o_orderkey % 89 == 7  → price bumped in v2
+_UPD_DELTA = 1000.0
+
+
+def _snapshot_sql(version: int) -> str:
+    """v1 = orders before _V1_CUT; v2 = v1 minus deterministic deletes,
+    with deterministic price updates, plus the next date range (inserts)."""
+    if version == 1:
+        return f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_V1_CUT}'"""
+    return f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % {_UPD_MOD} = 7
+                    AND o_orderdate < TIMESTAMP '{_V1_CUT}'
+                    THEN o_totalprice + {_UPD_DELTA}
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '{_V2_CUT}'
+          AND NOT (o_orderkey % {_DEL_MOD} = 13
+                   AND o_orderdate < TIMESTAMP '{_V1_CUT}')"""
+
+
+@register(
+    "snapshot_diff_cdc",
+    category="quality",
+    oracle=f"""
+    WITH v1 AS ({_snapshot_sql(1)}),
+    v2 AS ({_snapshot_sql(2)}),
+    d AS (
+        SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS okey,
+               CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                    WHEN v2.o_orderkey IS NULL THEN 'delete'
+                    WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                      OR v1.o_custkey IS DISTINCT FROM v2.o_custkey
+                      OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                    THEN 'update' ELSE 'unchanged' END AS change_type,
+               CAST(COALESCE(v2.o_totalprice, 0) AS DECIMAL(18, 2))
+                 - CAST(COALESCE(v1.o_totalprice, 0) AS DECIMAL(18, 2)) AS delta
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(okey) AS BIGINT) AS min_key, CAST(MAX(okey) AS BIGINT) AS max_key,
+           CAST(SUM(delta) AS DOUBLE) AS price_delta
+    FROM d GROUP BY change_type
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-capture audit: given two versions of a
+    table (v2 derived from v1 by deterministic inserts, deletes, and price
+    updates), classify every key as insert/delete/update/unchanged via ONE
+    full-outer join on the snapshot key with null-safe column comparison,
+    and report per-class row counts, key range, and the exact DECIMAL
+    money delta — the reconciliation table a lakehouse CDC feed publishes
+    with every commit.
+
+    One co-partitioned full-outer join (both sides shuffle on the same
+    key — at 100 TB, bucketed snapshot storage makes this exchange-free);
+    the money delta is summed in DECIMAL so it is order-independent and
+    hash-matches any engine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderdate") < F.lit(_V1_CUT).cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit(_V2_CUT).cast("timestamp"))
+            & ~(
+                (F.pmod("o_orderkey", F.lit(_DEL_MOD)) == 13)
+                & (F.col("o_orderdate") < F.lit(_V1_CUT).cast("timestamp"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(
+                (F.pmod("o_orderkey", F.lit(_UPD_MOD)) == 7)
+                & (F.col("o_orderdate") < F.lit(_V1_CUT).cast("timestamp")),
+                F.col("o_totalprice") + F.lit(_UPD_DELTA),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    a = v1.select(*[F.col(c).alias(f"a_{c}") for c in v1.columns])
+    b = v2.select(*[F.col(c).alias(f"b_{c}") for c in v2.columns])
+    joined = a.join(b, a["a_o_orderkey"] == b["b_o_orderkey"], "full_outer")
+
+    def differs(col: str) -> Column:
+        return ~F.col(f"a_{col}").eqNullSafe(F.col(f"b_{col}"))
+
+    d = joined.select(
+        F.coalesce("a_o_orderkey", "b_o_orderkey").alias("okey"),
+        F.when(F.col("a_o_orderkey").isNull(), "insert")
+        .when(F.col("b_o_orderkey").isNull(), "delete")
+        .when(
+            differs("o_totalprice") | differs("o_custkey") | differs("o_orderstatus"),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (
+            F.coalesce("b_o_totalprice", F.lit(0)).cast("decimal(18,2)")
+            - F.coalesce("a_o_totalprice", F.lit(0)).cast("decimal(18,2)")
+        ).alias("delta"),
+    )
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("okey").alias("min_key"),
+        F.max("okey").alias("max_key"),
+        F.sum("delta").cast("double").alias("price_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Freshness watermarks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_freshness_watermark",
+    category="quality",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_seen_ms,
+           CAST((epoch_ms((SELECT gmax FROM g)) - epoch_ms(MAX(ts))) // 60000 AS BIGINT)
+               AS lag_minutes,
+           CAST(COALESCE(SUM(CASE WHEN ts >= (SELECT gmax FROM g) - INTERVAL 24 HOURS
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_last_24h
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def quality_freshness_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: for every event type, the last-seen
+    watermark (epoch millis), its lag behind the most recent event in the
+    whole feed (whole minutes), and the last-24h volume — the staleness
+    table an on-call dashboard alerts on when one upstream stops emitting.
+
+    One pass computes the per-type aggregates; the global max is a
+    single-row agg broadcast back (never a second scan of the fact
+    table at per-row granularity).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("max_ts"),
+        F.max(F.unix_millis("ts")).alias("last_seen_ms"),
+    )
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    return (
+        per_type.crossJoin(F.broadcast(gmax))
+        .select(
+            "event_type",
+            "n_events",
+            "last_seen_ms",
+            F.expr("(unix_millis(gmax) - last_seen_ms) div 60000").alias("lag_minutes"),
+            F.col("max_ts"),
+            F.col("gmax"),
+        )
+        .join(
+            ev.join(F.broadcast(gmax))
+            .filter(F.col("ts") >= F.col("gmax") - F.expr("INTERVAL 24 HOURS"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_last_24h")),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "last_seen_ms",
+            "lag_minutes",
+            F.coalesce("n_last_24h", F.lit(0)).alias("n_last_24h"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram profiling.
+# ---------------------------------------------------------------------------
+
+_HIST_LO = 900.0
+_HIST_HI = 105000.0
+_HIST_NB = 20
+
+
+@register(
+    "agg_histogram_equiwidth",
+    category="aggregation",
+    oracle=f"""
+    SELECT CAST(LEAST(FLOOR((l_extendedprice - {_HIST_LO}) * {_HIST_NB}
+                            / ({_HIST_HI} - {_HIST_LO})), {_HIST_NB - 1}) AS BIGINT) AS bin,
+           ROUND({_HIST_LO} + LEAST(FLOOR((l_extendedprice - {_HIST_LO}) * {_HIST_NB}
+                 / ({_HIST_HI} - {_HIST_LO})), {_HIST_NB - 1})
+                 * ({_HIST_HI} - {_HIST_LO}) / {_HIST_NB}, 2) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of line-item price (20 fixed bins with a
+    clamped top bin): per-bin row count and exact DECIMAL quantity mass —
+    the numeric-profile building block for drift detection between data
+    batches (compare two runs' bin vectors).
+
+    Bin assignment is pure map-side arithmetic (identical IEEE ops in
+    both engines — no rounding ambiguity), so the histogram is ONE
+    aggregation over #bins groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    width_expr = f"(l_extendedprice - {_HIST_LO}) * {_HIST_NB} / ({_HIST_HI} - {_HIST_LO})"
+    binc = F.least(F.floor(F.expr(width_expr)), F.lit(_HIST_NB - 1)).cast("long")
+    return (
+        li.select(
+            binc.alias("bin"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+        )
+        .withColumn(
+            "bin_lo",
+            F.round(
+                F.lit(_HIST_LO)
+                + F.col("bin") * (_HIST_HI - _HIST_LO) / _HIST_NB,
+                2,
+            ),
+        )
+        .select("bin", "bin_lo", "n_rows", "sum_qty")
+    )
