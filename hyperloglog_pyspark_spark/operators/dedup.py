@@ -130,6 +130,23 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     return hashed.select("doc_id", *[min_sig(s) for s in range(N_SEEDS)])
 
 
+def _band_table(sigs: DataFrame, band_r: int = BAND_R) -> DataFrame:
+    """(doc_id, band, band_hash) rows: each band hash is the md5 of its
+    ``band_r`` consecutive signature values — the LSH bucket key."""
+    band_cols = [
+        F.md5(F.concat_ws("|", *[f"sig{s}" for s in range(b * band_r, (b + 1) * band_r)])).alias(
+            f"band{b}"
+        )
+        for b in range(N_SEEDS // band_r)
+    ]
+    return sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[f"band{b}" for b in range(N_SEEDS // band_r)])).alias(
+            "band", "band_hash"
+        ),
+    )
+
+
 def _lsh_candidates(sigs: DataFrame, band_r: int = BAND_R) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) from band-hash bucket collisions.
 
@@ -139,18 +156,7 @@ def _lsh_candidates(sigs: DataFrame, band_r: int = BAND_R) -> DataFrame:
     and bucket size IS the LSH knob that bounds the quadratic work.
     ``band_r`` = signature rows per band: fewer rows → looser buckets →
     higher recall at lower similarity (the (b, r) S-curve knob)."""
-    band_cols = [
-        F.md5(F.concat_ws("|", *[f"sig{s}" for s in range(b * band_r, (b + 1) * band_r)])).alias(
-            f"band{b}"
-        )
-        for b in range(N_SEEDS // band_r)
-    ]
-    bands = sigs.select("doc_id", *band_cols).select(
-        "doc_id",
-        F.posexplode(F.array(*[f"band{b}" for b in range(N_SEEDS // band_r)])).alias(
-            "band", "band_hash"
-        ),
-    )
+    bands = _band_table(sigs, band_r)
     ids_sorted = F.sort_array(F.collect_list("doc_id"))
     pair_structs = F.flatten(
         F.transform(
@@ -922,4 +928,123 @@ def dedup_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", dist)
         .filter(F.col("edit_dist") <= 1)
         .select("key_a", "key_b", F.col("edit_dist").cast("long").alias("edit_dist"))
+    )
+
+
+_INC_SIG_CASE = " ".join(
+    f"WHEN s = {i} THEN ({a} * h + {b}) % {_MINHASH_P}"
+    for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+)
+
+# New-batch membership: every 5th doc_id plays the incoming batch, the
+# rest the already-indexed corpus. Shared between engines as SQL text.
+_INC_NEW = "doc_id % 5 = 0"
+
+
+@register(
+    "dedup_incremental_probe",
+    category="dedup",
+    oracle=f"""
+    WITH docs AS ({_SHINGLED_SQL}),
+    hashes AS (
+        SELECT doc_id, {_H_SQL} AS h
+        FROM (SELECT doc_id, unnest(sh) AS sh_el FROM docs)
+    ),
+    sig AS (
+        SELECT doc_id, s,
+               CAST(min(CASE {_INC_SIG_CASE} END) AS VARCHAR) AS sig
+        FROM hashes
+        CROSS JOIN (SELECT unnest(range(0, {N_SEEDS})) AS s)
+        GROUP BY doc_id, s
+    ),
+    bands AS (
+        SELECT doc_id, s // {BAND_R} AS band,
+               md5(string_agg(sig, '|' ORDER BY s)) AS band_hash
+        FROM sig GROUP BY doc_id, s // {BAND_R}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS new_id, h.doc_id AS hist_id
+        FROM bands b
+        JOIN bands h ON b.band = h.band AND b.band_hash = h.band_hash
+        WHERE b.{_INC_NEW} AND NOT h.{_INC_NEW}
+    ),
+    conf AS (
+        SELECT c.new_id
+        FROM cand c
+        JOIN docs dn ON dn.doc_id = c.new_id
+        JOIN docs dh ON dh.doc_id = c.hist_id
+        WHERE CAST(len(list_intersect(dn.sh, dh.sh)) AS DOUBLE)
+              / (len(dn.sh) + len(dh.sh) - len(list_intersect(dn.sh, dh.sh)))
+              >= {JACCARD_T}
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(cf.n, 0) AS BIGINT) AS n_confirmed,
+           COALESCE(cf.n, 0) > 0 AS is_dup
+    FROM docs d
+    LEFT JOIN (SELECT new_id, COUNT(*) AS n FROM cand GROUP BY new_id) cnt
+           ON cnt.new_id = d.doc_id
+    LEFT JOIN (SELECT new_id, COUNT(*) AS n FROM conf GROUP BY new_id) cf
+           ON cf.new_id = d.doc_id
+    WHERE d.{_INC_NEW}
+    """,
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: an incoming batch (every 5th
+    doc_id) is probed against the historical corpus' MinHash band index —
+    the ingestion-time shape of dedup, where each new batch is checked
+    against an EXISTING signature table instead of re-running the full
+    self-join (``dedup_minhash_lsh``) over corpus + batch. Emits one row
+    per new document: band-collision candidate count, exact-Jaccard
+    confirmed count, and the keep/drop verdict.
+
+    Scale posture: the signature pass is shared (same md5 + universal-hash
+    permutations as the batch LSH, so the persisted corpus index is
+    reusable verbatim); the probe is an equi-join on (band, band_hash)
+    with the BATCH side broadcast — per-ingest cost is proportional to
+    the batch, never the corpus. Exact verification joins shingles only
+    for collided pairs.
+    """
+    docs = tracked_persist(_shingled(spark, sf_dir))
+    bands = _band_table(_minhash_sigs(docs))
+    is_new = F.expr(_INC_NEW)
+    hist = bands.filter(~is_new)
+    batch = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "band_hash"
+    )
+    cand = (
+        hist.join(F.broadcast(batch), ["band", "band_hash"])
+        .select("new_id", F.col("doc_id").alias("hist_id"))
+        .distinct()
+    )
+    dn = docs.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
+    dh = docs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
+    inter = F.size(F.array_intersect("sh_n", "sh_h"))
+    conf = (
+        cand.join(F.broadcast(dn), "new_id")
+        .join(dh, "hist_id")
+        .withColumn(
+            "j",
+            inter.cast("double")
+            / (F.size("sh_n") + F.size("sh_h") - inter),
+        )
+        .filter(F.col("j") >= JACCARD_T)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_confirmed"))
+    )
+    cand_counts = cand.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    base = docs.filter(is_new).select("doc_id")
+    return (
+        base.join(
+            F.broadcast(cand_counts), base["doc_id"] == cand_counts["new_id"], "left"
+        )
+        .drop("new_id")
+        .join(F.broadcast(conf), base["doc_id"] == conf["new_id"], "left")
+        .drop("new_id")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_confirmed", F.lit(0)).alias("n_confirmed"),
+            (F.coalesce("n_confirmed", F.lit(0)) > 0).alias("is_dup"),
+        )
     )

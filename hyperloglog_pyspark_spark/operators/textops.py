@@ -739,3 +739,86 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(wl), 6).alias("row_share"),
     )
+
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_topk",
+    category="text",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * LN(((SELECT n FROM n) + 1.0) / (dfreq.df + 1.0)), 6) AS score
+        FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+           CAST(tf AS BIGINT) AS tf, score
+    FROM (
+        SELECT doc_id, term, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {TFIDF_TOPK}
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF terms per document (tf × ln((N+1)/(df+1)), rounded,
+    ties broken lexicographically): the keyword-extraction summary used
+    for topic tagging and as the sparse-retrieval feature beside BM25
+    (``text_bm25_topk`` is the query-time half; this is the corpus-side
+    term importance table).
+
+    Plan: one explode + (doc, term) count, a term-keyed join against the
+    document-frequency table (vocabulary-sized — AQE picks the join
+    strategy; at 100 TB this is the classic vocab broadcast-or-shuffle
+    decision), a single-row N broadcast, and a per-document top-k window
+    (partitioned — never a global sort). Scores are rounded BEFORE
+    ranking so the ordering is identical in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tracked_persist(tf)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+        )
+    )

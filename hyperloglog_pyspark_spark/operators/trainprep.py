@@ -318,3 +318,61 @@ def corpus_overlap_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+CHUNK_SIZE = 400  # characters per retrieval chunk
+CHUNK_STRIDE = 300  # step between chunk starts → 100-char overlap
+
+
+@register(
+    "chunk_documents_overlap",
+    category="trainprep",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, text,
+               1 + CASE WHEN n_chars > {CHUNK_SIZE}
+                        THEN (n_chars - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+                        ELSE 0 END AS n_chunks
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS INTEGER), {CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS INTEGER), {CHUNK_SIZE})) AS chunk_md5
+    FROM (SELECT doc_id, text, unnest(range(0, n_chunks)) AS i FROM n)
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size document chunking (400-char windows, 300-char
+    stride → 100-char overlap): the retrieval/RAG preprocessing step that
+    turns a corpus into embeddable passages. Emits one row per chunk with
+    its offset, realized length, and content digest (md5 — the cross-engine
+    equality anchor, so the oracle verifies the chunk BYTES, not just
+    counts).
+
+    Chunk count per document is closed-form integer arithmetic (never a
+    while-loop), so the whole operator is sequence+explode+substr — one
+    narrow map stage, no shuffle, embarrassingly parallel at 100 TB. The
+    final chunk is taken as-is (shorter than CHUNK_SIZE, never padded);
+    documents shorter than one window yield exactly one chunk.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.lit(1) + F.when(
+        F.col("n_chars") > CHUNK_SIZE,
+        F.expr(f"(n_chars - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}"),
+    ).otherwise(F.lit(0))
+    chunk = F.expr(f"substr(text, cast(chunk_idx * {CHUNK_STRIDE} + 1 as int), {CHUNK_SIZE})")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * CHUNK_STRIDE).cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

@@ -183,6 +183,15 @@ SHUFFLE_BUDGET = {
     # timeseries_interpolate_linear / timeseries_drift_cusum /
     # hll_sliding_distinct / dedup_containment persist their
     # series/postings frames — excluded like the persisted queries above.
+    # Quality-audit + chunking additions (text_tfidf_topk and
+    # dedup_incremental_probe persist tf/shingle frames — excluded).
+    "chunk_documents_overlap": 0,     # pure map stage: sequence+explode+substr
+    "quality_k_anonymity": 1,         # one QI groupBy
+    "agg_histogram_equiwidth": 1,     # one bin groupBy
+    "quality_constraint_audit": 4,    # one single-row agg per audited table
+    "snapshot_diff_cdc": 3,           # two join-side shuffles + change agg
+    "quality_referential_orphans": 18,  # 6 checks × (parent distinct + anti + count)
+    "quality_freshness_watermark": 7,  # per-type agg + gmax + 24h pass + joins
 }
 
 
