@@ -550,3 +550,161 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+T_CRIT = 1.96  # two-sided 95% normal critical value
+
+
+@register(
+    "experiment_ab_ttest",
+    category="eventflow",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type,
+               user_id % 2 AS variant,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, variant,
+               COUNT(*) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM obs GROUP BY event_type, variant
+    ),
+    sides AS (
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               a.s1 / (100.0 * a.n) AS mean_a,
+               b.s1 / (100.0 * b.n) AS mean_b,
+               (a.s2 - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / ((a.n - 1) * 10000.0) AS var_a,
+               (b.s2 - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / ((b.n - 1) * 10000.0) AS var_b
+        FROM stats a JOIN stats b
+          ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+           ROUND((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b), 4) AS t_welch,
+           ABS((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b)) > {T_CRIT}
+               AS significant
+    FROM sides
+    """,
+)
+def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically split into two
+    variants (parity of user_id — the hash-bucket assignment every
+    experimentation platform uses), per-metric Welch t-statistic on event
+    value, and a significance verdict at the 95% normal threshold.
+
+    Determinism discipline: values become integer cents, so Σx and Σx²
+    are EXACT BIGINTs (order-independent, overflow-bounded: cents² ≤
+    2.5e9 × 100k rows « 2⁶³) — means and variances derive from two exact
+    integers per side and round identically everywhere. One groupBy
+    computes both variants' moments (map-side partials); the variant
+    pairing is a #metrics-sized self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        F.pmod("user_id", F.lit(2)).alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    stats = obs.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    a = stats.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = stats.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    mean_a = F.col("s1_a") / (F.col("n_a") * 100.0)
+    mean_b = F.col("s1_b") / (F.col("n_b") * 100.0)
+    var_a = (F.col("s2_a") - F.col("s1_a").cast("double") * F.col("s1_a") / F.col("n_a")) / (
+        (F.col("n_a") - 1) * 10000.0
+    )
+    var_b = (F.col("s2_b") - F.col("s1_b").cast("double") * F.col("s1_b") / F.col("n_b")) / (
+        (F.col("n_b") - 1) * 10000.0
+    )
+    t = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(t, 4).alias("t_welch"),
+        (F.abs(t) > T_CRIT).alias("significant"),
+    )
+
+
+@register(
+    "timeseries_seasonal_index",
+    category="eventflow",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    dows AS (
+        SELECT (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dow, n
+        FROM daily
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND((SUM(n) * 1.0 / COUNT(*))
+                 / ((SELECT SUM(n) FROM daily) * 1.0 / (SELECT COUNT(*) FROM daily)),
+                 6) AS seasonal_index
+    FROM dows GROUP BY dow
+    """,
+)
+def timeseries_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: average daily event volume per
+    weekday divided by the overall average daily volume — the index a
+    capacity planner or anomaly detector divides out before comparing
+    days (an index of 1.3 on Mondays means Mondays run 30% hot).
+
+    Weekday is pure integer arithmetic on the epoch-day number
+    ((days_since_1970 + 4) mod 7, anchored to 1970-01-01 = Thursday) —
+    no locale/WEEKDAY-convention drift between engines. Two tiny
+    aggregations over the #days-sized daily rollup; the global mean is a
+    single-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = daily.select(
+        F.pmod(F.datediff("day", F.lit("1970-01-01").cast("date")) + 4, F.lit(7)).alias("dow"),
+        "n",
+    )
+    glob = daily.agg(
+        F.sum("n").alias("g_events"), F.count(F.lit(1)).alias("g_days")
+    )
+    return (
+        daily.groupBy("dow")
+        .agg(F.count(F.lit(1)).alias("n_days"), F.sum("n").alias("n_events"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "n_days",
+            "n_events",
+            F.round(
+                (F.col("n_events") / F.col("n_days"))
+                / (F.col("g_events") / F.col("g_days")),
+                6,
+            ).alias("seasonal_index"),
+        )
+    )

@@ -780,3 +780,115 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_exact",
         _tol(F.col("approx_users"), F.col("n_users_exact"), stderr).alias("approx_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style log-bucket quantiles (integer-exact variant).
+# ---------------------------------------------------------------------------
+
+DD_GAMMA = 1.02  # relative accuracy ~1%: bucket i covers [γ^i, γ^(i+1))
+DD_MAX_CENTS = 50_000_000  # covers event values up to 500k currency units
+DD_QS = (0.5, 0.9, 0.95, 0.99)
+
+
+def _dd_boundaries() -> list[tuple[int, int, int]]:
+    """(bucket, lo_cents, hi_cents) rows with INTEGER boundaries
+    floor(γ^i): computed once at import, inlined as literals into BOTH
+    engines — bucket assignment is pure integer comparison, so the sketch
+    is bit-deterministic with no transcendental in the data path."""
+    rows, i, lo = [], 0, 1
+    while lo <= DD_MAX_CENTS:
+        hi = lo
+        g = 1.0
+        while int(g * lo) <= lo:  # next strictly-larger integer boundary
+            g *= DD_GAMMA
+        hi = int(g * lo)
+        rows.append((i, lo, hi))
+        i, lo = i + 1, hi
+        if len(rows) > 2000:  # safety rail; γ=1.02 gives ~900 buckets
+            raise RuntimeError("DDSketch boundary runaway")
+    return rows
+
+
+_DD_ROWS = _dd_boundaries()
+_DD_VALUES_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _DD_ROWS)
+
+
+@register(
+    "sketch_ddsketch_quantiles",
+    category="sketch",
+    oracle=f"""
+    WITH bounds(bucket, lo, hi) AS (VALUES {_DD_VALUES_SQL}),
+    cents AS (
+        SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events
+    ),
+    sk AS (
+        SELECT event_type, bucket, lo, hi, COUNT(*) AS n
+        FROM cents JOIN bounds ON c >= lo AND c < hi
+        GROUP BY event_type, bucket, lo, hi
+    ),
+    cum AS (
+        SELECT event_type, bucket, lo, hi, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum_n,
+               SUM(n) OVER (PARTITION BY event_type) AS total_n
+        FROM sk
+    )
+    SELECT event_type, q,
+           CAST(MIN(bucket) AS BIGINT) AS bucket,
+           CAST(MIN(lo) AS BIGINT) AS est_lo_cents,
+           CAST(MIN(hi) AS BIGINT) AS est_hi_cents,
+           CAST(MIN(total_n) AS BIGINT) AS n
+    FROM cum CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in DD_QS)}]) AS q)
+    WHERE cum_n >= CAST(ceil(q * total_n) AS BIGINT)
+    GROUP BY event_type, q
+    """,
+)
+def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantiles (γ=1.02 → ~1% relative error) over event
+    values: values in integer cents land in log-spaced buckets via a
+    broadcast range join against ~900 precomputed INTEGER boundaries —
+    no float/transcendental in the data path, so the sketch is
+    bit-deterministic across engines. Per quantile, the answer is the
+    first bucket whose cumulative count reaches ⌈q·n⌉, reported as its
+    [lo, hi) cent range (the γ-relative-error guarantee).
+
+    This is the mergeable quantile sketch of choice for 100 TB telemetry:
+    the (group, bucket)→count table IS the sketch — partial-aggregated
+    map-side, merged by addition, unioned across days/shards — and the
+    cumulative extraction runs on #groups×#buckets rows, never raw data.
+    The quantile scan is a per-group window over ≤900 bucket rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = spark.createDataFrame(_DD_ROWS, "bucket int, lo long, hi long")
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    )
+    sk = (
+        cents.join(F.broadcast(bounds), (F.col("c") >= F.col("lo")) & (F.col("c") < F.col("hi")))
+        .groupBy("event_type", "bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy("event_type").orderBy("bucket")
+    wtot = Window.partitionBy("event_type")
+    cum = sk.select(
+        "event_type",
+        "bucket",
+        "lo",
+        "hi",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n").over(wtot).alias("total_n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in DD_QS], "q double")
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum_n") >= F.ceil(F.col("q") * F.col("total_n")))
+        .groupBy("event_type", "q")
+        .agg(
+            F.min("bucket").cast("long").alias("bucket"),
+            F.min("lo").alias("est_lo_cents"),
+            F.min("hi").alias("est_hi_cents"),
+            F.min("total_n").alias("n"),
+        )
+    )

@@ -192,6 +192,9 @@ SHUFFLE_BUDGET = {
     "snapshot_diff_cdc": 3,           # two join-side shuffles + change agg
     "quality_referential_orphans": 18,  # 6 checks × (parent distinct + anti + count)
     "quality_freshness_watermark": 7,  # per-type agg + gmax + 24h pass + joins
+    "sketch_ddsketch_quantiles": 4,   # bucket agg + extraction windows + final agg
+    "experiment_ab_ttest": 3,         # moment agg + variant-pair self-join
+    "timeseries_seasonal_index": 5,   # daily agg + dow agg + global broadcast
 }
 
 
