@@ -1048,3 +1048,100 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_confirmed", F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+@register(
+    "dedup_prefix_filter",
+    category="dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+        FROM documents
+    ),
+    nn AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+    posting AS (SELECT doc_id, unnest(tk) AS tok FROM nn),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM posting GROUP BY tok),
+    ranked AS (
+        SELECT p.doc_id, p.tok,
+               ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                  ORDER BY d.df ASC, p.tok ASC) AS rn
+        FROM posting p JOIN dfreq d USING (tok)
+    ),
+    pref AS (
+        SELECT r.doc_id, r.tok
+        FROM ranked r JOIN nn USING (doc_id)
+        WHERE r.rn <= nn.n - (4 * nn.n + 4) // 5 + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(na.tk, nb.tk)) AS DOUBLE)
+                 / (na.n + nb.n - len(list_intersect(na.tk, nb.tk))), 6) AS jaccard
+    FROM cand
+    JOIN nn na ON na.doc_id = cand.doc_a
+    JOIN nn nb ON nb.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(na.tk, nb.tk)) AS DOUBLE)
+          / (na.n + nb.n - len(list_intersect(na.tk, nb.tk))) >= {JACCARD_T}
+    """,
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (the PPJoin/AllPairs
+    construction): under a GLOBAL token order (rarest-first by document
+    frequency, ties lexicographic), two token sets with Jaccard ≥ t MUST
+    share a token within each other's first n − ⌈t·n⌉ + 1 tokens — so
+    only those short prefixes enter the candidate join, and the rare-
+    token ordering keeps the posting lists that do join tiny. The third
+    candidate-generation strategy beside MinHash banding (probabilistic)
+    and length blocking (coarse): exact, no false negatives, no
+    signatures to store.
+
+    Scale: candidate work is bounded by prefix posting-list sizes —
+    rarest-first ordering makes hot tokens (huge lists) fall OUTSIDE
+    prefixes, which is precisely the trick that keeps the self-join from
+    going quadratic on stopwords. Verification joins full token arrays
+    for surviving candidates only. All exact integer/md5-free arithmetic:
+    the prefix length is pure integer ceil-division.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("tk"),
+        )
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") > 0)
+    )
+    toks = tracked_persist(toks)
+    posting = toks.select("doc_id", "n", F.explode("tk").alias("tok"))
+    dfreq = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    pref = (
+        posting.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1)
+        .select("doc_id", "tok")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    na = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tk_a"), F.col("n").alias("n_a"))
+    nb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

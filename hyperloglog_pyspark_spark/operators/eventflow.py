@@ -708,3 +708,87 @@ def timeseries_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_index"),
         )
     )
+
+
+_STATUS_TYPES = "('signup', 'error')"  # the event types that mark a state change
+
+
+@register(
+    "temporal_point_in_time",
+    category="eventflow",
+    oracle=f"""
+    WITH changes AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events WHERE event_type IN {_STATUS_TYPES}
+    ),
+    dim AS (
+        SELECT user_id, event_type AS status, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM changes WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    facts AS (
+        SELECT user_id, ts, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(d.status, 'none') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(f.cents) AS BIGINT) AS revenue_cents
+    FROM facts f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id AND d.valid_from <= f.ts
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY COALESCE(d.status, 'none')
+    """,
+)
+def temporal_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join: purchases attributed to
+    the status the user was in WHEN the purchase happened — the SCD2
+    lookup every warehouse does when joining facts to a slowly-changing
+    dimension. Status intervals are derived from the change-marker events
+    (signup/error) as half-open [valid_from, valid_to) validity ranges;
+    each fact matches at most one interval (intervals partition each
+    user's timeline), and pre-history facts fall into 'none'.
+
+    Scale: dimension derivation is one user-partitioned window; the
+    interval lookup is an equi-join on user_id with the range predicate
+    applied inside the matched (small) per-user interval list — both
+    sides shuffle once on the same key, so with user-bucketed storage it
+    is exchange-free. Never a cross join: the equi-key bounds candidates
+    to one user's handful of intervals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.filter(F.expr(f"event_type IN {_STATUS_TYPES}"))
+        .withColumn("prev_type", F.lag("event_type").over(w))
+    )
+    dim = (
+        changes.filter(
+            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+        )
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["d_user"])
+        & (dim["valid_from"] <= facts["ts"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"])),
+        "left",
+    )
+    return joined.groupBy(F.coalesce("status", F.lit("none")).alias("status")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("cents").alias("revenue_cents"),
+    )

@@ -485,3 +485,149 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bin", "bin_lo", "n_rows", "sum_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (distribution drift between two periods).
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16"  # period A = before, period B = from this date on
+_PSI_NB = 10
+_PSI_BIN_CENTS = 5000  # equi-width bins over value cents [0, 50000)
+
+
+@register(
+    "quality_psi_drift",
+    category="quality",
+    oracle=f"""
+    WITH obs AS (
+        SELECT LEAST(CAST(ROUND(value * 100, 0) AS BIGINT) // {_PSI_BIN_CENTS},
+                     {_PSI_NB - 1}) AS bin,
+               CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 'a' ELSE 'b' END AS period
+        FROM events
+    ),
+    counts AS (
+        SELECT bin,
+               SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS n_b
+        FROM obs GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM counts),
+    frac AS (
+        SELECT bin, n_a, n_b,
+               (n_a + 1.0) / ((SELECT t_a FROM tot) + {_PSI_NB}) AS p,
+               (n_b + 1.0) / ((SELECT t_b FROM tot) + {_PSI_NB}) AS q
+        FROM counts
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND((p - q) * LN(p / q), 6) AS psi_term,
+           ROUND(SUM((p - q) * LN(p / q)) OVER (), 6) AS psi_total
+    FROM frac
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time periods of the event
+    value distribution: per-bin (p−q)·ln(p/q) terms plus the summed PSI —
+    the standard ML-monitoring drift score (rule of thumb: PSI < 0.1
+    stable, > 0.25 action required). Laplace-smoothed (+1 per bin) so an
+    empty bin can't produce ±inf.
+
+    Bin assignment is integer arithmetic on exact cents; counting both
+    periods is ONE conditional aggregation over #bins groups (never two
+    scans); totals fold back via a single-row broadcast; the final
+    all-rows window runs over {_PSI_NB} rows. At 100 TB the scan
+    dominates and everything after it is constant-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.least(
+            F.expr(f"cast(round(value * 100, 0) as bigint) div {_PSI_BIN_CENTS}"),
+            F.lit(_PSI_NB - 1),
+        ).alias("bin"),
+        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("in_a"),
+    )
+    counts = obs.groupBy("bin").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    from pyspark.sql import Window
+
+    frac = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") + 1.0) / (F.col("t_a") + _PSI_NB)).alias("p"),
+        ((F.col("n_b") + 1.0) / (F.col("t_b") + _PSI_NB)).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return frac.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_a",
+        "n_b",
+        F.round(term, 6).alias("psi_term"),
+        F.round(
+            F.sum(term).over(Window.partitionBy()), 6
+        ).alias("psi_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-explosion pre-audit (cardinality forecast from per-key counts).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_explosion_audit",
+    category="quality",
+    oracle="""
+    WITH ca AS (SELECT o_custkey AS k, COUNT(*) AS n_a FROM orders GROUP BY o_custkey),
+    cb AS (SELECT user_id AS k, COUNT(*) AS n_b FROM events GROUP BY user_id),
+    j AS (SELECT ca.k, ca.n_a * cb.n_b AS contrib FROM ca JOIN cb USING (k)),
+    actual AS (
+        SELECT COUNT(*) AS n FROM orders o JOIN events e ON o.o_custkey = e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_keys,
+           CAST(SUM(contrib) AS BIGINT) AS predicted_rows,
+           CAST((SELECT n FROM actual) AS BIGINT) AS actual_rows,
+           SUM(contrib) = (SELECT n FROM actual) AS prediction_exact,
+           ROUND(MAX(contrib) * 1.0 / SUM(contrib), 6) AS max_key_share
+    FROM j
+    """,
+)
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pre-audit: forecast |A ⋈ B| from per-key counts
+    (Σ nₐ·n_b over shared keys) BEFORE running the join, plus the hottest
+    key's share of the output — the guard a pipeline runs to catch an
+    explosive many-to-many join while it still costs two cheap group-bys
+    instead of a cluster-filling shuffle. The actual join count is
+    computed alongside to prove the forecast exact (with per-key counts
+    it is an identity; swap in CMS/HLL per-key summaries for a sketched
+    forecast at vocabulary scale).
+
+    Scale: the forecast side is two key group-bys + a key-sized join —
+    orders of magnitude cheaper than materializing a blown-up join; a
+    max_key_share near 1.0 says 'salt this key before joining'.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("n_a"))
+    cb = ev.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("n_b"))
+    j = ca.join(cb, "k").select("k", (F.col("n_a") * F.col("n_b")).alias("contrib"))
+    forecast = j.agg(
+        F.count(F.lit(1)).alias("n_shared_keys"),
+        F.sum("contrib").alias("predicted_rows"),
+        F.max("contrib").alias("max_contrib"),
+    )
+    actual = (
+        orders.join(ev, orders["o_custkey"] == ev["user_id"])
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return forecast.crossJoin(F.broadcast(actual)).select(
+        "n_shared_keys",
+        "predicted_rows",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias("prediction_exact"),
+        F.round(F.col("max_contrib") / F.col("predicted_rows"), 6).alias("max_key_share"),
+    )

@@ -195,6 +195,9 @@ SHUFFLE_BUDGET = {
     "sketch_ddsketch_quantiles": 4,   # bucket agg + extraction windows + final agg
     "experiment_ab_ttest": 3,         # moment agg + variant-pair self-join
     "timeseries_seasonal_index": 5,   # daily agg + dow agg + global broadcast
+    "temporal_point_in_time": 4,      # dim window + co-keyed interval join + agg
+    "quality_psi_drift": 5,           # bin agg + totals broadcast + 10-row window
+    "join_explosion_audit": 7,        # 2 key aggs + key join + actual-join probe
 }
 
 
