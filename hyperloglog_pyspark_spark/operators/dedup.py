@@ -1055,9 +1055,8 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="dedup",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id,
-               list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
-        FROM documents
+        SELECT doc_id, {shingles_sql(3)} AS tk
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
     ),
     nn AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
     posting AS (SELECT doc_id, unnest(tk) AS tok FROM nn),
@@ -1089,30 +1088,29 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered set-similarity self-join (the PPJoin/AllPairs
-    construction): under a GLOBAL token order (rarest-first by document
-    frequency, ties lexicographic), two token sets with Jaccard ≥ t MUST
-    share a token within each other's first n − ⌈t·n⌉ + 1 tokens — so
-    only those short prefixes enter the candidate join, and the rare-
-    token ordering keeps the posting lists that do join tiny. The third
-    candidate-generation strategy beside MinHash banding (probabilistic)
-    and length blocking (coarse): exact, no false negatives, no
-    signatures to store.
+    construction) over word 3-gram shingle sets: under a GLOBAL element
+    order (rarest-first by document frequency, ties lexicographic), two
+    sets with Jaccard ≥ t MUST share an element within each other's
+    first n − ⌈t·n⌉ + 1 elements — so only those short prefixes enter
+    the candidate join, and the rare-first ordering keeps the posting
+    lists that do join tiny. The third candidate-generation strategy
+    beside MinHash banding (probabilistic) and length blocking (coarse):
+    exact, no false negatives, no signatures to store.
 
     Scale: candidate work is bounded by prefix posting-list sizes —
-    rarest-first ordering makes hot tokens (huge lists) fall OUTSIDE
-    prefixes, which is precisely the trick that keeps the self-join from
-    going quadratic on stopwords. Verification joins full token arrays
-    for surviving candidates only. All exact integer/md5-free arithmetic:
-    the prefix length is pure integer ceil-division.
+    rarest-first ordering makes hot elements (huge lists) fall OUTSIDE
+    prefixes, the trick that keeps the self-join from going quadratic on
+    boilerplate. Shingles (not unigram tokens) are the similarity unit:
+    order-sensitive 3-grams keep template-vocabulary documents from
+    collapsing into one giant all-pairs clique, exactly as in the
+    MinHash path (same ``_shingled`` table, so the two strategies'
+    verified pair sets are directly comparable). Verification joins full
+    shingle arrays for surviving candidates only; the prefix length is
+    pure integer ceil-division.
     """
-    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     toks = (
-        docs.select(
-            "doc_id",
-            F.array_distinct(
-                F.filter(F.split("text", " "), lambda t: t != "")
-            ).alias("tk"),
-        )
+        _shingled(spark, sf_dir)
+        .select("doc_id", F.col("sh").alias("tk"))
         .withColumn("n", F.size("tk"))
         .filter(F.col("n") > 0)
     )
