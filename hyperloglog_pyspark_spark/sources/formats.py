@@ -345,3 +345,100 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    category="source",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → native XML sink (Spark 4 built-in, rowTag framing) → XML
+    source with explicit DDL schema → aggregate. The classic enterprise
+    feed format, round-tripped with the same no-inference discipline as
+    CSV/JSON (schema inference over XML re-parses every file twice).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    path = _scratch("xml", sf_dir)
+    nation.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(path)
+    ddl = "n_nationkey int, n_name string, n_regionkey int"
+    back = spark.read.schema(ddl).format("xml").option("rowTag", "nation").load(path)
+    return back.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
+N_MEDIA_FILES = 25  # one BMP per nationkey 0..24 — fixed fixture universe
+
+
+@register(
+    "source_binaryfile_media",
+    category="source",
+    oracle=f"""
+    SELECT CAST(k AS BIGINT) AS media_id,
+           CAST(1 + k % 64 AS BIGINT) AS width,
+           CAST(1 + k % 48 AS BIGINT) AS height,
+           CAST(54 + (1 + k % 48) * ((3 * (1 + k % 64) + 3) // 4 * 4) AS BIGINT)
+               AS n_bytes
+    FROM (SELECT unnest(range(0, {N_MEDIA_FILES})) AS k)
+    """,
+)
+def source_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media landing zone → ``binaryFile`` source → Arrow-batched header
+    decode: real BMP files on disk are read through Spark's built-in
+    binary-file connector (path/length/content rows) and parsed with the
+    pure-Python container codec (functions/mediacodec.py) inside
+    mapInPandas — the exact ingest shape of a 100 TB image corpus, where
+    blobs land as files and the first pipeline stage lifts them into a
+    typed table. The oracle recomputes every header field arithmetically
+    from the fixture parameters, so a parser misread (not just a crash)
+    fails the hash check.
+
+    The 25-file fixture is synthesized up front (deterministic bytes,
+    idempotent scratch dir) standing in for the landing zone; the READ
+    path — distributed file listing, per-file content rows, Arrow batch
+    decode, no driver collects — is the part under test. binaryFile at
+    scale: files partition across executors by size; keep blobs under
+    ``spark.sql.files.maxPartitionBytes`` or decode streams instead.
+    """
+    import glob
+
+    from hyperloglog_pyspark_spark.functions.mediacodec import decode_media, synth_bmp
+
+    path = _scratch("media", sf_dir)
+    os.makedirs(path, exist_ok=True)
+    # Fixture synthesis (driver-side, 25 tiny constant files — replaces an
+    # external landing zone, not data-dependent work).
+    if len(glob.glob(os.path.join(path, "img_*.bmp"))) != N_MEDIA_FILES:
+        for k in range(N_MEDIA_FILES):
+            with open(os.path.join(path, f"img_{k:03d}.bmp"), "wb") as f:
+                f.write(synth_bmp(1 + k % 64, 1 + k % 48, seed=k))
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.bmp"))
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["path"].str.extract(r"img_(\d+)\.bmp$")[0].astype("int64")
+            metas = pdf["content"].map(lambda b: decode_media(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": metas.map(lambda m: m["width"]),
+                    "height": metas.map(lambda m: m["height"]),
+                    "n_bytes": metas.map(lambda m: m["n_bytes"]),
+                }
+            )
+
+    return files.select("path", "content").mapInPandas(
+        decode_batches,
+        schema="media_id long, width long, height long, n_bytes long",
+    )
