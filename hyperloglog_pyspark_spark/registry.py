@@ -157,9 +157,10 @@ def register(
 
 # Queries that already have a green driver CORRECTNESS row (round 1: 50/50;
 # round 2: 46/50; round 3: 50/50 including the four re-proven window/NTZ
-# queries). Cumulative: 146/154 — only the eight never-sampled queries
-# (the five partsupp TPC-H shapes, PageRank, skew audit, Z-order) remain
-# in the unverified-first prefix.
+# queries). Cumulative: 146 hard rows; every round-4 addition (and the
+# eight never-sampled round-3 queries: the five partsupp TPC-H shapes,
+# PageRank, skew audit, Z-order) sits in the unverified-first prefix so
+# the round-4 sweep converts them.
 # The per-round correctness sweep samples a prefix of queries() in order, so
 # we surface not-yet-driver-verified queries FIRST — round-robin across
 # categories so any prefix the sweep takes still covers every category.

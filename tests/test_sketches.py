@@ -65,3 +65,33 @@ def test_sketch_column_survives_parquet_roundtrip(spark, sf_dir, tmp_path):
     )
     direct = ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("e")).first().e
     assert merged == direct
+
+
+def test_ddsketch_bucket_contains_true_quantile(spark, sf_dir):
+    """DDSketch rank guarantee: for every (group, q) the reported
+    [lo, hi) cent range must contain the true q-quantile (lower rank
+    definition: smallest value whose rank reaches ceil(q*n)) — the
+    relative-error contract the gamma-spaced buckets promise."""
+    import math
+
+    from hyperloglog_pyspark_spark.operators.sketch import DD_QS
+    from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+
+    queries()
+    got = {
+        (r.event_type, r.q): (r.est_lo_cents, r.est_hi_cents)
+        for r in REGISTRY["sketch_ddsketch_quantiles"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    ).collect()
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.c)
+    for etype, cents in by_type.items():
+        cents.sort()
+        for q in DD_QS:
+            true_q = cents[math.ceil(q * len(cents)) - 1]
+            lo, hi = got[(etype, q)]
+            assert lo <= true_q < hi, (etype, q, true_q, lo, hi)
