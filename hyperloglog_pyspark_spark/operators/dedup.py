@@ -944,6 +944,7 @@ _INC_NEW = "doc_id % 5 = 0"
 @register(
     "dedup_incremental_probe",
     category="dedup",
+    bench=True,
     oracle=f"""
     WITH docs AS ({_SHINGLED_SQL}),
     hashes AS (

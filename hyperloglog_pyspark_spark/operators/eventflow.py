@@ -716,6 +716,7 @@ _STATUS_TYPES = "('signup', 'error')"  # the event types that mark a state chang
 @register(
     "temporal_point_in_time",
     category="eventflow",
+    bench=True,
     oracle=f"""
     WITH changes AS (
         SELECT user_id, event_type, ts, event_id,

@@ -87,7 +87,7 @@ def _audit_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@register("quality_constraint_audit", category="quality", oracle=_audit_oracle())
+@register("quality_constraint_audit", category="quality", bench=True, oracle=_audit_oracle())
 def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint audit: one row per (table, rule) with checked
     count, violation count/rate, and a pass verdict — the per-batch data

@@ -817,6 +817,7 @@ _DD_VALUES_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _DD_ROWS)
 @register(
     "sketch_ddsketch_quantiles",
     category="sketch",
+    bench=True,
     oracle=f"""
     WITH bounds(bucket, lo, hi) AS (VALUES {_DD_VALUES_SQL}),
     cents AS (

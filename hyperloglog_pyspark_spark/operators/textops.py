@@ -747,6 +747,7 @@ TFIDF_TOPK = 3
 @register(
     "text_tfidf_topk",
     category="text",
+    bench=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
