@@ -793,3 +793,172 @@ def temporal_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "attribution_multi_touch",
+    category="eventflow",
+    oracle=f"""
+    WITH purch AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, ts, event_id, event_type AS channel
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    joined AS (
+        SELECT p.pid, p.cents, t.channel, t.ts, t.event_id,
+               ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY t.ts DESC, t.event_id DESC) AS rn_last,
+               ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY t.ts ASC, t.event_id ASC) AS rn_first,
+               COUNT(*) OVER (PARTITION BY p.pid) AS n_touches
+        FROM purch p
+        JOIN touch t ON t.user_id = p.user_id
+                    AND t.ts <= p.pts
+                    AND t.ts > p.pts - INTERVAL {_ATTR_WINDOW_DAYS} DAYS
+    )
+    SELECT channel,
+           CAST(SUM(CASE WHEN rn_last = 1 THEN cents ELSE 0 END) AS BIGINT) AS last_touch_cents,
+           CAST(SUM(CASE WHEN rn_first = 1 THEN cents ELSE 0 END) AS BIGINT) AS first_touch_cents,
+           ROUND(SUM(cents * 1.0 / n_touches) / 100, 2) AS linear_attr_value,
+           CAST(COUNT(DISTINCT CASE WHEN rn_last = 1 THEN pid END) AS BIGINT) AS n_last_touch_wins
+    FROM joined
+    GROUP BY channel
+    """,
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution, three models in one pass: every purchase's
+    revenue is credited to the touch events (non-purchase interactions)
+    in its trailing {N}-day window — fully to the LAST touch, fully to
+    the FIRST touch, and split evenly across all touches (linear) — the
+    standard attribution triple a growth team compares. Revenue stays in
+    exact integer cents for the whole-credit models; only the fractional
+    linear split rounds (at the report edge).
+
+    Scale: one equi-join on user_id with the time-window predicate
+    applied inside each user's matched rows (both sides shuffle once on
+    the same key — user-bucketed storage makes it exchange-free), then
+    per-purchase window functions over the handful of touches each
+    purchase matched. No cross join, no global window; the report is
+    #channels rows.
+    """.replace("{N}", str(_ATTR_WINDOW_DAYS))
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("channel")
+    )
+    joined = purch.join(
+        touch,
+        (touch["user_id"] == purch["p_user"])
+        & (touch["ts"] <= purch["pts"])
+        & (touch["ts"] > purch["pts"] - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")),
+    )
+    w_last = Window.partitionBy("pid").orderBy(F.desc("ts"), F.desc("event_id"))
+    w_first = Window.partitionBy("pid").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_all = Window.partitionBy("pid")
+    ranked = joined.select(
+        "pid",
+        "cents",
+        "channel",
+        F.row_number().over(w_last).alias("rn_last"),
+        F.row_number().over(w_first).alias("rn_first"),
+        F.count(F.lit(1)).over(w_all).alias("n_touches"),
+    )
+    return ranked.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn_last") == 1, F.col("cents")).otherwise(0)).alias(
+            "last_touch_cents"
+        ),
+        F.sum(F.when(F.col("rn_first") == 1, F.col("cents")).otherwise(0)).alias(
+            "first_touch_cents"
+        ),
+        F.round(
+            F.sum(F.col("cents") / F.col("n_touches")) / 100, 2
+        ).alias("linear_attr_value"),
+        F.count_distinct(
+            F.when(F.col("rn_last") == 1, F.col("pid"))
+        ).alias("n_last_touch_wins"),
+    )
+
+
+TTC_QS = (0.25, 0.5, 0.9)
+
+
+@register(
+    "funnel_time_to_convert",
+    category="eventflow",
+    oracle=f"""
+    WITH first_signup AS (
+        SELECT user_id, MIN(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+        SELECT user_id, MIN(ts) AS p_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    delays AS (
+        SELECT s.user_id,
+               (epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 60000000 AS delay_min
+        FROM first_signup s
+        JOIN first_purchase p USING (user_id)
+        WHERE p.p_ts >= s.s_ts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           {", ".join(f"ROUND(quantile_cont(delay_min, {q}), 4) AS p{int(q * 100)}_min" for q in TTC_QS)}
+    FROM delays
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: minutes from each user's FIRST
+    signup to their FIRST subsequent purchase, summarized as interpolated
+    quartile/median/p90 — the latency half of funnel analysis
+    (``funnel_conversion`` counts who converts; this measures how fast).
+    Delays are exact integer minutes (epoch-difference floor), so the
+    only doubles are the interpolated quantiles, rounded identically in
+    both engines.
+
+    Scale: two user-keyed min-aggregations and one equi-join — all
+    shuffle on user_id (co-located under user bucketing); the exact
+    interpolated percentile sorts only the #converted-users delay list;
+    at 100 TB swap in percentile_approx (mergeable sketch,
+    tolerance-tested in tests/test_sketches.py) with the same shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    delays = (
+        s.join(p, "user_id")
+        .filter(F.col("p_ts") >= F.col("s_ts"))
+        .select(
+            F.expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 60000000").alias(
+                "delay_min"
+            )
+        )
+    )
+    pct = F.percentile("delay_min", F.array(*[F.lit(q) for q in TTC_QS]))
+    agg = delays.agg(
+        F.count(F.lit(1)).alias("n_converted"), pct.alias("qs")
+    )
+    return agg.select(
+        "n_converted",
+        *[
+            F.round(F.col("qs")[i], 4).alias(f"p{int(q * 100)}_min")
+            for i, q in enumerate(TTC_QS)
+        ],
+    )

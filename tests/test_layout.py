@@ -198,6 +198,8 @@ SHUFFLE_BUDGET = {
     "temporal_point_in_time": 4,      # dim window + co-keyed interval join + agg
     "quality_psi_drift": 5,           # bin agg + totals broadcast + 10-row window
     "join_explosion_audit": 7,        # 2 key aggs + key join + actual-join probe
+    "attribution_multi_touch": 4,     # user-keyed join + pid windows + channel agg
+    "funnel_time_to_convert": 4,      # 2 user min-aggs + join + percentile agg
 }
 
 
