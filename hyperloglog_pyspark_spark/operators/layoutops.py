@@ -127,3 +127,100 @@ def zorder_morton_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sx").cast("long").alias("min_sx"),
         F.max("sx").cast("long").alias("max_sx"),
     )
+
+
+SKIP_N_FILES = 64
+SKIP_PRED_LO = "1999-06-01"
+SKIP_PRED_HI = "1999-09-01"
+
+
+@register(
+    "layout_skipping_report",
+    category="analytics",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderdate,
+               epoch_us(o_orderdate) AS od_us,
+               o_orderkey % {SKIP_N_FILES} AS hash_file
+        FROM orders
+    ),
+    bounds AS (
+        SELECT MIN(od_us) AS lo, MAX(od_us) AS hi, COUNT(*) AS n FROM base
+    ),
+    laid AS (
+        SELECT hash_file,
+               LEAST((od_us - (SELECT lo FROM bounds)) * {SKIP_N_FILES}
+                     // ((SELECT hi FROM bounds) - (SELECT lo FROM bounds) + 1),
+                     {SKIP_N_FILES - 1}) AS clustered_file,
+               o_orderdate
+        FROM base
+    ),
+    stats AS (
+        SELECT 'hash' AS layout, hash_file AS file_id,
+               MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax
+        FROM laid GROUP BY hash_file
+        UNION ALL
+        SELECT 'date_clustered' AS layout, clustered_file AS file_id,
+               MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax
+        FROM laid GROUP BY clustered_file
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN dmax < TIMESTAMP '{SKIP_PRED_LO}'
+                          OR dmin >= TIMESTAMP '{SKIP_PRED_HI}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+           ROUND(SUM(CASE WHEN dmax < TIMESTAMP '{SKIP_PRED_LO}'
+                           OR dmin >= TIMESTAMP '{SKIP_PRED_HI}'
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS skip_fraction
+    FROM stats GROUP BY layout
+    """,
+)
+def layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness report: the same rows laid out two ways
+    — hash-scattered (orderkey mod F) vs date-clustered (orderdate range
+    partitioned into F contiguous files) — then, for a 3-month date
+    predicate, the fraction of files whose [min, max] footer stats let a
+    scanner skip them entirely. The quantified version of WHY clustered /
+    Z-ordered layouts matter at 100 TB: hash layout skips ~0% (every file
+    spans the full date range), clustered layout skips every file outside
+    the window. Pairs with ``zorder_morton_buckets`` (multi-column
+    clustering preview) and the min/max stats parquet actually stores.
+
+    One scan computes both layouts' per-file min/max (two #files-sized
+    aggregations); the verdict is arithmetic on footer-stat-sized data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderdate",
+        F.unix_micros("o_orderdate").alias("od_us"),
+        F.pmod("o_orderkey", F.lit(SKIP_N_FILES)).alias("hash_file"),
+    )
+    bounds = base.agg(
+        F.min("od_us").alias("lo"), F.max("od_us").alias("hi")
+    )
+    laid = base.crossJoin(F.broadcast(bounds)).select(
+        "o_orderdate",
+        "hash_file",
+        F.least(
+            F.expr(f"(od_us - lo) * {SKIP_N_FILES} div (hi - lo + 1)"),
+            F.lit(SKIP_N_FILES - 1),
+        ).alias("clustered_file"),
+    )
+    def stats_of(col: str, label: str) -> DataFrame:
+        return laid.groupBy(F.col(col).alias("file_id")).agg(
+            F.min("o_orderdate").alias("dmin"), F.max("o_orderdate").alias("dmax")
+        ).select(F.lit(label).alias("layout"), "file_id", "dmin", "dmax")
+
+    stats = stats_of("hash_file", "hash").unionByName(
+        stats_of("clustered_file", "date_clustered")
+    )
+    skippable = F.when(
+        (F.col("dmax") < F.lit(SKIP_PRED_LO).cast("timestamp"))
+        | (F.col("dmin") >= F.lit(SKIP_PRED_HI).cast("timestamp")),
+        1,
+    ).otherwise(0)
+    return stats.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(skippable).alias("n_skippable"),
+        F.round(F.sum(skippable) / F.count(F.lit(1)), 6).alias("skip_fraction"),
+    )

@@ -200,6 +200,7 @@ SHUFFLE_BUDGET = {
     "join_explosion_audit": 7,        # 2 key aggs + key join + actual-join probe
     "attribution_multi_touch": 4,     # user-keyed join + pid windows + channel agg
     "funnel_time_to_convert": 4,      # 2 user min-aggs + join + percentile agg
+    "layout_skipping_report": 7,      # bounds broadcast + 2 file-stat aggs + union agg
 }
 
 
