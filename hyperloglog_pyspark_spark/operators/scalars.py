@@ -507,3 +507,63 @@ def scalar_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_xml(F.to_xml(s), ddl).getField("c_name").alias("name_xml"),
         F.from_json(F.to_json(s), ddl).getField("c_acctbal").alias("bal_json"),
     )
+
+
+@register(
+    "scalar_try_errors",
+    category="scalar",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+                         IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS json_int_ok,
+           CAST(SUM(CASE WHEN TRY_CAST(substr(props, 1, 3) AS INTEGER)
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS corrupt_cast_null,
+           CAST(SUM(CASE WHEN value / (FLOOR(value) - FLOOR(value)) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS div_zero_null,
+           CAST(SUM(CASE WHEN TRY_CAST(CAST(ts AS VARCHAR) AS TIMESTAMP)
+                         IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_reparse_ok,
+           CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS overflow_null
+    FROM events
+    """,
+)
+def scalar_try_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface (Spark's TRY_* family): counts of
+    successful vs null-on-failure outcomes for fallible operations — JSON
+    field to int cast, deliberately corrupt cast, divide-by-zero, string
+    timestamp re-parse, and bigint overflow — over one scan. This is how
+    an ANSI-mode pipeline ingests dirty data without task-killing
+    exceptions: every failure becomes a countable NULL, and this audit is
+    the failure-rate report.
+
+    Cross-engine note: DuckDB's plain ``/`` and TRY_CAST already have
+    null-on-failure semantics; bigint overflow (which DuckDB raises on)
+    is expressed as the equivalent CASE in the oracle — the Spark side is
+    the real ``try_add`` at the int64 boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    max_i64 = 9223372036854775807
+    return ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.expr("try_cast(get_json_object(props, '$.k') as int)").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("json_int_ok"),
+        F.sum(
+            F.when(F.expr("try_cast(substr(props, 1, 3) as int)").isNull(), 1).otherwise(0)
+        ).alias("corrupt_cast_null"),
+        F.sum(
+            F.when(
+                F.expr("try_divide(value, floor(value) - floor(value))").isNull(), 1
+            ).otherwise(0)
+        ).alias("div_zero_null"),
+        F.sum(
+            F.when(
+                F.expr("try_to_timestamp(cast(ts as string))").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("ts_reparse_ok"),
+        F.sum(
+            F.when(F.expr(f"try_add({max_i64}L, event_id % 2)").isNull(), 1).otherwise(0)
+        ).alias("overflow_null"),
+    )

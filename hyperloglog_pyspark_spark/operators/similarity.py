@@ -623,3 +623,103 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", F.col("adc").cast("double").alias("adc_d2"), "rank")
     )
+
+
+EMB_DIM = 64
+CENT_SCALE = 1000  # element milli-units: exact BIGINT arithmetic throughout
+
+
+@register(
+    "embedding_centroid_confusion",
+    category="similarity",
+    oracle=f"""
+    WITH el AS (
+        SELECT vec_id, label, i,
+               CAST(FLOOR(list_extract(embedding, i) * {CENT_SCALE} + 0.5) AS BIGINT) AS e
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)
+    ),
+    sizes AS (SELECT label, COUNT(DISTINCT vec_id) AS n FROM el GROUP BY label),
+    cent AS (
+        SELECT el.label AS c_label, i,
+               CAST(FLOOR(SUM(e) * 1.0 / MIN(n) + 0.5) AS BIGINT) AS c
+        FROM el JOIN sizes ON sizes.label = el.label
+        GROUP BY el.label, i
+    ),
+    dist AS (
+        SELECT el.vec_id, el.label, cent.c_label,
+               SUM((el.e - cent.c) * (el.e - cent.c)) AS d2
+        FROM el JOIN cent USING (i)
+        GROUP BY el.vec_id, el.label, cent.c_label
+    ),
+    assigned AS (
+        SELECT vec_id, label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, c_label ASC) AS rn
+        FROM dist
+    )
+    SELECT CAST(label AS INTEGER) AS true_label,
+           CAST(c_label AS INTEGER) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned WHERE rn = 1
+    GROUP BY label, c_label
+    """,
+)
+def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of every embedding against its
+    label centroids, reported as a confusion matrix — the clustering-
+    quality / label-coherence check run before trusting embedding labels
+    for blocking or stratification (a diagonal-heavy matrix means labels
+    match embedding geometry; an off-diagonal hotspot flags a mislabeled
+    or overlapping cluster).
+
+    Bit-determinism: elements are scaled to integer milli-units
+    (floor(x·1000 + 0.5) — no ROUND-tie ambiguity), centroids are
+    integer-rounded means of exact BIGINT sums, and distances are exact
+    integer Σ(e−c)² — the argmin cannot drift between engines, and ties
+    break on the smaller label.
+
+    Scale: the centroid table is #labels × dim rows (tiny — broadcast);
+    assignment is one broadcast join over the exploded elements plus a
+    per-vector argmin window; both aggregations are map-side partial.
+    The same shape is the Lloyd-iteration assignment step, so this is
+    also the k-means building block (seeded by label centroids).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "elv"),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("elv").cast("double") * CENT_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("e"),
+    )
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cent = (
+        el.groupBy("label", "i")
+        .agg(F.sum("e").alias("s"))
+        .join(F.broadcast(sizes), "label")
+        .select(
+            F.col("label").alias("c_label"),
+            "i",
+            F.floor(F.col("s") * 1.0 / F.col("n") + F.lit(0.5)).cast("long").alias("c"),
+        )
+    )
+    dist = (
+        el.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((F.col("e") - F.col("c")) * (F.col("e") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.col("label").cast("int").alias("true_label"),
+            F.col("c_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

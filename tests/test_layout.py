@@ -201,6 +201,8 @@ SHUFFLE_BUDGET = {
     "attribution_multi_touch": 4,     # user-keyed join + pid windows + channel agg
     "funnel_time_to_convert": 4,      # 2 user min-aggs + join + percentile agg
     "layout_skipping_report": 7,      # bounds broadcast + 2 file-stat aggs + union agg
+    "embedding_centroid_confusion": 7,  # centroid agg + broadcast assign + argmin window
+    "scalar_try_errors": 1,           # one conditional-agg scan
 }
 
 
