@@ -723,3 +723,148 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+KM_ITERS = 2  # Lloyd rounds before the final assignment
+
+
+def _km_el_sql() -> str:
+    return f"""
+        SELECT vec_id, label, i,
+               CAST(FLOOR(list_extract(embedding, i) * {CENT_SCALE} + 0.5) AS BIGINT) AS e
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)"""
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as CTE stages (the PageRank-oracle
+    pattern): label-seeded integer centroids, per-round exact-integer
+    assignment + floor-rounded centroid update (empty clusters keep their
+    previous centroid), then a final assignment scored for inertia."""
+    sql = f"""
+    WITH el AS ({_km_el_sql()}),
+    sizes AS (SELECT label, COUNT(DISTINCT vec_id) AS n FROM el GROUP BY label),
+    cent0 AS (
+        SELECT el.label AS k, i,
+               CAST(FLOOR(SUM(e) * 1.0 / MIN(n) + 0.5) AS BIGINT) AS c
+        FROM el JOIN sizes ON sizes.label = el.label
+        GROUP BY el.label, i
+    )"""
+    prev = "cent0"
+    for t in range(1, KM_ITERS + 1):
+        sql += f""",
+    a{t} AS (
+        SELECT vec_id, k FROM (
+            SELECT el.vec_id, {prev}.k,
+                   ROW_NUMBER() OVER (PARTITION BY el.vec_id
+                       ORDER BY SUM((el.e - {prev}.c) * (el.e - {prev}.c)) ASC,
+                                {prev}.k ASC) AS rn
+            FROM el JOIN {prev} USING (i)
+            GROUP BY el.vec_id, {prev}.k
+        ) WHERE rn = 1
+    ),
+    cent{t} AS (
+        SELECT p.k, p.i,
+               CAST(COALESCE(FLOOR(s.se * 1.0 / s.n + 0.5), p.c) AS BIGINT) AS c
+        FROM {prev} p
+        LEFT JOIN (
+            SELECT a{t}.k, el.i, SUM(el.e) AS se, COUNT(DISTINCT el.vec_id) AS n
+            FROM el JOIN a{t} USING (vec_id)
+            GROUP BY a{t}.k, el.i
+        ) s ON s.k = p.k AND s.i = p.i
+    )"""
+        prev = f"cent{t}"
+    sql += f"""
+    SELECT k AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM (
+        SELECT vec_id, k, d2 FROM (
+            SELECT el.vec_id, {prev}.k,
+                   SUM((el.e - {prev}.c) * (el.e - {prev}.c)) AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY el.vec_id
+                       ORDER BY SUM((el.e - {prev}.c) * (el.e - {prev}.c)) ASC,
+                                {prev}.k ASC) AS rn
+            FROM el JOIN {prev} USING (i)
+            GROUP BY el.vec_id, {prev}.k
+        ) WHERE rn = 1
+    )
+    GROUP BY k
+    """
+    return sql
+
+
+@register("embedding_kmeans_lloyd", category="similarity", oracle=_kmeans_oracle())
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means via Lloyd's algorithm over the embedding corpus: label-
+    seeded integer centroids, KM_ITERS assignment+update rounds, then a
+    final assignment reported as per-cluster membership and exact integer
+    inertia — the iterative-ML counterpart to PageRank's relational
+    iteration (same discipline: every round is bit-deterministic integer
+    arithmetic, so the unrolled CTE oracle matches
+    exactly; empty clusters keep their previous centroid).
+
+    Scale: the element table (rows × dim) is persisted once and reused by
+    every round; each round is ONE broadcast join against the
+    #clusters × dim centroid table + a per-vector argmin window + one
+    centroid re-aggregation — the standard Spark k-means shape (MLlib's
+    KMeans does the same with a driver-held centroid array). Rounds grow
+    the plan linearly; at real depth, localCheckpoint the tiny centroid
+    frame on a cadence exactly as PageRank does.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "elv")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("elv").cast("double") * CENT_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("e"),
+    )
+    el = tracked_persist(el)
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cent = (
+        el.groupBy("label", "i")
+        .agg(F.sum("e").alias("s"))
+        .join(F.broadcast(sizes), "label")
+        .select(
+            F.col("label").alias("k"),
+            "i",
+            F.floor(F.col("s") * 1.0 / F.col("n") + F.lit(0.5)).cast("long").alias("c"),
+        )
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        d = (
+            el.join(F.broadcast(cent_df), "i")
+            .groupBy("vec_id", "k")
+            .agg(F.sum((F.col("e") - F.col("c")) * (F.col("e") - F.col("c"))).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("k"))
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    for _ in range(KM_ITERS):
+        a = assign(cent).select("vec_id", "k")
+        s = (
+            el.join(a, "vec_id")
+            .groupBy("k", "i")
+            .agg(F.sum("e").alias("se"), F.count_distinct("vec_id").alias("n"))
+            .select(F.col("k").alias("s_k"), F.col("i").alias("s_i"), "se", "n")
+        )
+        cent = (
+            cent.join(
+                s, (cent["k"] == s["s_k"]) & (cent["i"] == s["s_i"]), "left"
+            )
+            .select(
+                "k",
+                "i",
+                F.coalesce(
+                    F.floor(F.col("se") * 1.0 / F.col("n") + F.lit(0.5)).cast("long"),
+                    F.col("c"),
+                ).alias("c"),
+            )
+        )
+    final = assign(cent)
+    return final.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("d2").alias("inertia")
+    ).select(F.col("k").alias("cluster"), "n_members", "inertia")
