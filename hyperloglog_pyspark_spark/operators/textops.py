@@ -823,3 +823,90 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+LINE_WORDS = 8  # words per pseudo-line (the repeated-chunk unit)
+BOILER_MIN_DOCS = 3  # a line in >= this many distinct docs is boilerplate
+
+
+@register(
+    "text_boilerplate_lines",
+    category="text",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tk,
+               len(string_split(text, ' ')) // {LINE_WORDS} AS n_lines
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_slice(tk, k * {LINE_WORDS} + 1,
+                                              k * {LINE_WORDS} + {LINE_WORDS}), ' ')) AS lh
+        FROM (SELECT doc_id, source, tk, unnest(range(0, n_lines)) AS k
+              FROM toks WHERE n_lines > 0)
+    ),
+    freq AS (
+        SELECT lh, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY lh
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN f.n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler_lines,
+           ROUND(SUM(CASE WHEN f.n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS boiler_fraction
+    FROM lines JOIN freq f USING (lh)
+    GROUP BY source
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-repeated-line detection (the CCNet/RefinedWeb boilerplate
+    stage): documents are cut into fixed 8-word pseudo-lines, each line
+    hashed, and a line occurring in ≥ 3 DISTINCT documents is
+    boilerplate; the report is each source's boilerplate fraction — the
+    signal that one feed is shipping navigation chrome / license headers
+    / templated text that per-document dedup never sees.
+
+    Scale: explode → line-hash groupBy (the inverted index — one shuffle
+    keyed on the hash, high cardinality, low skew) → hash-keyed join back
+    to occurrences → source-sized report. This is line-level dedup's
+    counting pass; the removal pass is the same join with a filter. All
+    JVM split/slice/md5 — no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    toks = F.split("text", " ")
+    lines = (
+        docs.select(
+            "doc_id",
+            "source",
+            toks.alias("tk"),
+            (F.size(toks) / LINE_WORDS).cast("long").alias("n_lines"),
+        )
+        .filter(F.col("n_lines") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), (F.col("n_lines") - 1).cast("int"))).alias("k"),
+            F.col("tk"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("tk", F.col("k") * LINE_WORDS + 1, LINE_WORDS)
+                )
+            ).alias("lh"),
+        )
+    )
+    lines = tracked_persist(lines)
+    freq = lines.groupBy("lh").agg(F.count_distinct("doc_id").alias("n_docs"))
+    boiler = F.when(F.col("n_docs") >= BOILER_MIN_DOCS, 1).otherwise(0)
+    return (
+        lines.join(freq, "lh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(boiler).alias("n_boiler_lines"),
+            F.round(F.sum(boiler) / F.count(F.lit(1)), 6).alias("boiler_fraction"),
+        )
+    )
