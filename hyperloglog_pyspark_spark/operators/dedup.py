@@ -1018,7 +1018,11 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", F.col("doc_id").alias("hist_id"))
         .distinct()
     )
-    dn = docs.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
+    # Only batch docs ever appear as new_id — broadcast just their
+    # shingles (the corpus side streams through the hist_id join).
+    dn = docs.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
+    )
     dh = docs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
     inter = F.size(F.array_intersect("sh_n", "sh_h"))
     conf = (

@@ -833,7 +833,7 @@ _ATTR_WINDOW_DAYS = 7
 def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing attribution, three models in one pass: every purchase's
     revenue is credited to the touch events (non-purchase interactions)
-    in its trailing {N}-day window — fully to the LAST touch, fully to
+    in its trailing 7-day window — fully to the LAST touch, fully to
     the FIRST touch, and split evenly across all touches (linear) — the
     standard attribution triple a growth team compares. Revenue stays in
     exact integer cents for the whole-credit models; only the fractional
@@ -844,8 +844,8 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key — user-bucketed storage makes it exchange-free), then
     per-purchase window functions over the handful of touches each
     purchase matched. No cross join, no global window; the report is
-    #channels rows.
-    """.replace("{N}", str(_ATTR_WINDOW_DAYS))
+    #channels rows (the window length is ``_ATTR_WINDOW_DAYS``).
+    """
     ev = load_table(spark, sf_dir, "events")
     purch = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),

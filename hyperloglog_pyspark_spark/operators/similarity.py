@@ -635,7 +635,7 @@ CENT_SCALE = 1000  # element milli-units: exact BIGINT arithmetic throughout
     oracle=f"""
     WITH el AS (
         SELECT vec_id, label, i,
-               CAST(FLOOR(list_extract(embedding, i) * {CENT_SCALE} + 0.5) AS BIGINT) AS e
+               CAST(FLOOR(CAST(list_extract(embedding, i) AS DOUBLE) * {CENT_SCALE} + 0.5) AS BIGINT) AS e
         FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)
     ),
     sizes AS (SELECT label, COUNT(DISTINCT vec_id) AS n FROM el GROUP BY label),
@@ -731,7 +731,7 @@ KM_ITERS = 2  # Lloyd rounds before the final assignment
 def _km_el_sql() -> str:
     return f"""
         SELECT vec_id, label, i,
-               CAST(FLOOR(list_extract(embedding, i) * {CENT_SCALE} + 0.5) AS BIGINT) AS e
+               CAST(FLOOR(CAST(list_extract(embedding, i) AS DOUBLE) * {CENT_SCALE} + 0.5) AS BIGINT) AS e
         FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)"""
 
 

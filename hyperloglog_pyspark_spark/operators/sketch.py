@@ -796,7 +796,9 @@ def _dd_boundaries() -> list[tuple[int, int, int]]:
     floor(γ^i): computed once at import, inlined as literals into BOTH
     engines — bucket assignment is pure integer comparison, so the sketch
     is bit-deterministic with no transcendental in the data path."""
-    rows, i, lo = [], 0, 1
+    # Bucket -1 catches cents < 1 (zero/near-zero values) so no row is
+    # ever silently dropped from the sketch population.
+    rows, i, lo = [(-1, -(1 << 62), 1)], 0, 1
     while lo <= DD_MAX_CENTS:
         hi = lo
         g = 1.0
