@@ -305,3 +305,110 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sampled_chars"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds at 2^60 scale (cumulative P(X <= k)
+# for k = 0..7, precomputed once, inlined into BOTH engines): a 60-bit
+# md5-uniform draw u maps to weight w = #{k: u >= ths[k]} — the online
+# bootstrap's per-row replicate multiplicity, fully deterministic.
+BOOT_THS = (
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776,
+)
+BOOT_B = 32  # bootstrap replicates
+BOOT_CI = (0.025, 0.975)
+
+
+def _boot_w_sql(u: str) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in BOOT_THS
+    ) + ")"
+
+
+@register(
+    "sample_bootstrap_ci",
+    category="sampling",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        FROM events
+    ),
+    reps AS (
+        SELECT event_type, b, c,
+               {_boot_w_sql(f"CAST('0x' || substring(md5(event_id || ':' || b), 1, 15) AS BIGINT)")} AS w
+        FROM obs CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b)
+    ),
+    rep_means AS (
+        SELECT event_type, b, SUM(w * c) * 1.0 / (SUM(w) * 100) AS m
+        FROM reps GROUP BY event_type, b
+    ),
+    orig AS (
+        SELECT event_type, SUM(c) * 1.0 / (COUNT(*) * 100) AS mean_orig
+        FROM obs GROUP BY event_type
+    )
+    SELECT r.event_type,
+           ROUND(MIN(o.mean_orig), 4) AS mean_value,
+           ROUND(quantile_cont(r.m, {BOOT_CI[0]}), 4) AS ci_lo,
+           ROUND(quantile_cont(r.m, {BOOT_CI[1]}), 4) AS ci_hi
+    FROM rep_means r JOIN orig o USING (event_type)
+    GROUP BY r.event_type
+    """,
+)
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for each metric's mean: every
+    row gets a Poisson(1) multiplicity per replicate (the online/streaming
+    bootstrap — no resampling pass over the data), replicate means form
+    the sampling distribution, and the 2.5/97.5 interpolated percentiles
+    are the 95% CI. Error bars for dashboards at 100 TB, where classic
+    resample-with-replacement is impossible.
+
+    Determinism: the Poisson draw is a 60-bit md5-uniform per (row,
+    replicate) compared against precomputed INTEGER inverse-CDF
+    thresholds — both engines produce identical multiplicities, weighted
+    sums stay exact BIGINT, and only the final means/percentiles are
+    (identically rounded) doubles.
+
+    Scale: the replicate explosion is map-side (B× rows into the same
+    single aggregation — partial-aggregated before the shuffle, so the
+    exchange carries #groups × B rows, not B× the data); the percentile
+    runs over B values per group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    reps = obs.select(
+        "event_type",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "event_type",
+        "b",
+        "c",
+        F.expr(
+            _boot_w_sql(
+                "cast(conv(substring(md5(concat(event_id, ':', b)), 1, 15), 16, 10) as bigint)"
+            )
+        ).alias("w"),
+    )
+    rep_means = reps.groupBy("event_type", "b").agg(
+        (F.sum(F.col("w") * F.col("c")) * 1.0 / (F.sum("w") * 100)).alias("m")
+    )
+    orig = obs.groupBy("event_type").agg(
+        (F.sum("c") * 1.0 / (F.count(F.lit(1)) * 100)).alias("mean_orig")
+    )
+    pct = F.percentile("m", F.array(F.lit(BOOT_CI[0]), F.lit(BOOT_CI[1])))
+    return (
+        rep_means.join(F.broadcast(orig), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("mean_orig"), 4).alias("mean_value"),
+            F.round(pct[0], 4).alias("ci_lo"),
+            F.round(pct[1], 4).alias("ci_hi"),
+        )
+    )

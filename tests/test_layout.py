@@ -203,6 +203,7 @@ SHUFFLE_BUDGET = {
     "layout_skipping_report": 7,      # bounds broadcast + 2 file-stat aggs + union agg
     "embedding_centroid_confusion": 7,  # centroid agg + broadcast assign + argmin window
     "scalar_try_errors": 1,           # one conditional-agg scan
+    "sample_bootstrap_ci": 4,         # replicate agg + orig agg + CI agg
 }
 
 
