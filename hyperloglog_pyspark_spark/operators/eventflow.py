@@ -962,3 +962,72 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, q in enumerate(TTC_QS)
         ],
     )
+
+
+CEP_SPAN_MIN = 1440  # pattern must complete within this many minutes (24 h)
+
+
+@register(
+    "event_pattern_cep",
+    category="eventflow",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type, 1) OVER w AS t1,
+               LAG(event_type, 2) OVER w AS t2,
+               LAG(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    matches AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(ts2)) // 60000000 AS span_min
+        FROM seq
+        WHERE event_type = 'purchase' AND t1 = 'error' AND t2 = 'error'
+          AND epoch_us(ts) - epoch_us(ts2) <= {CEP_SPAN_MIN * 60000000}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(span_min) AS BIGINT) AS min_span_min,
+           CAST(MAX(span_min) AS BIGINT) AS max_span_min
+    FROM matches
+    """,
+)
+def event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event pattern matching (the MATCH_RECOGNIZE shape Spark
+    lacks natively): find every STRICTLY CONSECUTIVE error→error→purchase
+    sequence in a user's timeline that completes within 24 hours — the
+    'user hit two failures then converted anyway' incident signature.
+    Expressed as lag chains over the per-user total order plus an exact
+    epoch-microsecond span predicate; adjacency, ordering, and the time
+    bound are all explicit.
+
+    Scale: ONE user-partitioned window pass (two lags share the same
+    window frame) and a constant-size report — pattern length extends by
+    adding lags, never by self-joining the stream. For patterns with
+    gaps ('error then ANY purchase later') see temporal/as-of joins;
+    strict contiguity is precisely what the lag chain encodes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("ts", 2).over(w).alias("ts2"),
+    )
+    span_us = F.unix_micros("ts") - F.unix_micros("ts2")
+    matches = seq.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("t1") == "error")
+        & (F.col("t2") == "error")
+        & (span_us <= CEP_SPAN_MIN * 60000000)
+    ).select("user_id", F.expr("(unix_micros(ts) - unix_micros(ts2)) div 60000000").alias("span_min"))
+    return matches.agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("span_min").alias("min_span_min"),
+        F.max("span_min").alias("max_span_min"),
+    )

@@ -631,3 +631,89 @@ def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("predicted_rows") == F.col("actual_rows")).alias("prediction_exact"),
         F.round(F.col("max_contrib") / F.col("predicted_rows"), 6).alias("max_key_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata drift between two periods (schema-level statistics).
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-16"
+_DRIFT_COLS = ["event_type", "value", "props", "user_id"]
+_DRIFT_RATE_EPS = 0.05  # null-rate change that counts as drift
+_DRIFT_DISTINCT_LO, _DRIFT_DISTINCT_HI = 0.5, 2.0  # distinct-count ratio band
+
+
+def _drift_oracle() -> str:
+    parts = []
+    for c in _DRIFT_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS col,
+           CAST(COUNT(*) FILTER (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (ts >= TIMESTAMP '{_DRIFT_SPLIT}') AS BIGINT) AS n_b,
+           ROUND(SUM(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' AND {c} IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*) FILTER (ts < TIMESTAMP '{_DRIFT_SPLIT}'), 6) AS null_rate_a,
+           ROUND(SUM(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' AND {c} IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*) FILTER (ts >= TIMESTAMP '{_DRIFT_SPLIT}'), 6) AS null_rate_b,
+           CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN {c} END) AS BIGINT)
+               AS n_distinct_a,
+           CAST(COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN {c} END) AS BIGINT)
+               AS n_distinct_b,
+           (ABS(SUM(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' AND {c} IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*) FILTER (ts < TIMESTAMP '{_DRIFT_SPLIT}')
+               - SUM(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' AND {c} IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*) FILTER (ts >= TIMESTAMP '{_DRIFT_SPLIT}')) > {_DRIFT_RATE_EPS})
+           OR (COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN {c} END) * 1.0
+               / COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN {c} END)
+               NOT BETWEEN {_DRIFT_DISTINCT_LO} AND {_DRIFT_DISTINCT_HI}) AS drifted
+    FROM events""")
+    return " UNION ALL ".join(parts)
+
+
+@register("quality_schema_drift", category="quality", oracle=_drift_oracle())
+def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata drift audit between two periods: per column, the null
+    rate and distinct count in each period plus a drift verdict (null
+    rate moved more than 5 points, or the distinct count halved/doubled)
+    — the cheap schema-level complement to ``quality_psi_drift``'s
+    value-distribution score, and the first alarm when an upstream field
+    goes silently null or an enum explodes.
+
+    One conditional-aggregation scan computes BOTH periods' statistics
+    for every audited column (period membership is a predicate inside
+    each aggregate, never two scans); output is #columns rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")
+    aggs = [
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).alias("n_b"),
+    ]
+    for c in _DRIFT_COLS:
+        aggs += [
+            F.sum(F.when(in_a & F.col(c).isNull(), 1).otherwise(0)).alias(f"null_a__{c}"),
+            F.sum(F.when(~in_a & F.col(c).isNull(), 1).otherwise(0)).alias(f"null_b__{c}"),
+            F.count_distinct(F.when(in_a, F.col(c))).alias(f"nd_a__{c}"),
+            F.count_distinct(F.when(~in_a, F.col(c))).alias(f"nd_b__{c}"),
+        ]
+    wide = ev.agg(*aggs)
+    rows = []
+    for c in _DRIFT_COLS:
+        ra = F.col(f"null_a__{c}") * 1.0 / F.col("n_a")
+        rb = F.col(f"null_b__{c}") * 1.0 / F.col("n_b")
+        ratio = F.col(f"nd_b__{c}") * 1.0 / F.col(f"nd_a__{c}")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_a"),
+                F.col("n_b"),
+                F.round(ra, 6).alias("null_rate_a"),
+                F.round(rb, 6).alias("null_rate_b"),
+                F.col(f"nd_a__{c}").alias("n_distinct_a"),
+                F.col(f"nd_b__{c}").alias("n_distinct_b"),
+                (
+                    (F.abs(ra - rb) > _DRIFT_RATE_EPS)
+                    | ~ratio.between(_DRIFT_DISTINCT_LO, _DRIFT_DISTINCT_HI)
+                ).alias("drifted"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -204,6 +204,8 @@ SHUFFLE_BUDGET = {
     "embedding_centroid_confusion": 7,  # centroid agg + broadcast assign + argmin window
     "scalar_try_errors": 1,           # one conditional-agg scan
     "sample_bootstrap_ci": 4,         # replicate agg + orig agg + CI agg
+    "event_pattern_cep": 2,           # one user window pass + scalar report
+    "quality_schema_drift": 2,        # one two-period conditional-agg scan
 }
 
 
