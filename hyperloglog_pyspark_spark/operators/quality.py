@@ -717,3 +717,67 @@ def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery (uniqueness audit over column combinations).
+# ---------------------------------------------------------------------------
+
+_KEY_CANDIDATES: list[tuple[str, ...]] = [
+    ("event_id",),
+    ("user_id", "ts"),
+    ("user_id", "ts", "event_type"),
+    ("user_id", "event_type"),
+    ("ts",),
+]
+
+
+def _keys_oracle() -> str:
+    parts = []
+    for combo in _KEY_CANDIDATES:
+        label = "+".join(combo)
+        tup = "(" + ", ".join(combo) + ")"
+        parts.append(f"""
+    SELECT '{label}' AS candidate,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {tup}) AS BIGINT) AS n_distinct,
+           COUNT(*) = COUNT(DISTINCT {tup}) AS is_key,
+           CAST(COUNT(*) - COUNT(DISTINCT {tup}) AS BIGINT) AS n_dup_rows
+    FROM events""")
+    return " UNION ALL ".join(parts)
+
+
+@register("quality_key_discovery", category="quality", oracle=_keys_oracle())
+def quality_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: for each declared column combination, row
+    count vs distinct count and a uniqueness verdict — the audit that
+    finds (or refutes) a usable primary/dedup/merge key before anyone
+    joins or upserts on it. A combination that LOOKS unique at one batch
+    and isn't at the next is the classic silent-upsert corruption; this
+    table is the guard.
+
+    One aggregation per candidate over the same scan (count_distinct of
+    the column struct — exact here; swap approx_count_distinct at 100 TB
+    for a first pass and verify only the survivors exactly). Output is
+    #candidates rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    frames = []
+    for combo in _KEY_CANDIDATES:
+        label = "+".join(combo)
+        frames.append(
+            ev.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(*[F.col(c) for c in combo]).alias("n_distinct"),
+            ).select(
+                F.lit(label).alias("candidate"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+                (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -9,7 +9,7 @@ form, with the physical strategy we'd want at 100 TB noted per query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.money import disc_price, sum_money
 from hyperloglog_pyspark_spark.registry import register
@@ -716,4 +716,66 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("i_start").alias("incident_start_ms"),
         F.col("n_errors").cast("long").alias("n_errors"),
         F.col("n_affected_users").cast("long").alias("n_affected_users"),
+    )
+
+
+@register(
+    "join_asof_nearest",
+    category="join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+        SELECT p.event_id, c.click_id,
+               epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY ABS(epoch_us(p.p_ts) - epoch_us(c.c_ts)) ASC,
+                            c.click_id ASC) AS rn
+        FROM p JOIN c ON c.user_id = p.user_id
+    )
+    SELECT p.event_id,
+           r.click_id,
+           CAST(r.gap_us AS BIGINT) AS gap_us
+    FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each purchase pairs with the click closest in
+    time EITHER side, signed gap reported, ties broken on the smaller
+    click id — the completion of the as-of family beside the backward
+    form (``join_asof``) and the banded range join.
+
+    Relationally: an equi-join on the user key fans each purchase out to
+    that user's clicks only (bounded per-key work, never a time-only
+    cross join), then a per-purchase argmin window picks the nearest.
+    Both sides shuffle once on user_id — co-located under user bucketing;
+    a time-banded pre-filter (join only ±N days) bounds per-key fan-out
+    when keys are hot.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    w = Window.partitionBy("event_id").orderBy(F.abs(gap).asc(), F.asc("click_id"))
+    ranked = (
+        p.join(c, p["user_id"] == c["c_user"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "click_id", gap.alias("gap_us"))
+    )
+    return p.select("event_id").join(ranked, "event_id", "left").select(
+        "event_id", "click_id", "gap_us"
     )
