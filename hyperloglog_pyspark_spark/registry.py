@@ -225,23 +225,36 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+# Queries that have waited LONGEST for a hard driver row (registered in
+# round 3, never sampled) — pinned to the absolute front of the sweep
+# order so a bounded sweep prefix converts them before anything newer.
+SWEEP_PRIORITY: tuple[str, ...] = (
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_inventory_value", "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_stock", "graph_pagerank_nations",
+    "skew_key_audit", "zorder_morton_buckets",
+)
+
+
 def ordered_names() -> list[str]:
     """Registry names with driver-unverified queries first.
 
-    Unverified names are interleaved round-robin by category (so a sweep
+    Oldest-unverified (SWEEP_PRIORITY) lead outright; the remaining
+    unverified names are interleaved round-robin by category (so a sweep
     prefix of any length touches the widest category spread), followed by
-    the names already proven in CORRECTNESS_r01.
+    the names already proven in earlier CORRECTNESS rounds.
     """
     from itertools import zip_longest
 
+    prio = [n for n in SWEEP_PRIORITY if n in REGISTRY and n not in DRIVER_VERIFIED]
     by_cat: dict[str, list[str]] = {}
     for name, q in REGISTRY.items():
-        if name not in DRIVER_VERIFIED:
+        if name not in DRIVER_VERIFIED and name not in prio:
             by_cat.setdefault(q.category, []).append(name)
     interleaved = [
         n for batch in zip_longest(*by_cat.values()) for n in batch if n is not None
     ]
-    return interleaved + [n for n in REGISTRY if n in DRIVER_VERIFIED]
+    return prio + interleaved + [n for n in REGISTRY if n in DRIVER_VERIFIED]
 
 
 def queries() -> dict[str, QueryFn]:
