@@ -824,7 +824,7 @@ _ATTR_WINDOW_DAYS = 7
     SELECT channel,
            CAST(SUM(CASE WHEN rn_last = 1 THEN cents ELSE 0 END) AS BIGINT) AS last_touch_cents,
            CAST(SUM(CASE WHEN rn_first = 1 THEN cents ELSE 0 END) AS BIGINT) AS first_touch_cents,
-           ROUND(SUM(cents * 1.0 / n_touches) / 100, 2) AS linear_attr_value,
+           ROUND(SUM(cents * 1000000 // n_touches) / 100000000.0, 2) AS linear_attr_value,
            CAST(COUNT(DISTINCT CASE WHEN rn_last = 1 THEN pid END) AS BIGINT) AS n_last_touch_wins
     FROM joined
     GROUP BY channel
@@ -835,9 +835,12 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue is credited to the touch events (non-purchase interactions)
     in its trailing 7-day window — fully to the LAST touch, fully to
     the FIRST touch, and split evenly across all touches (linear) — the
-    standard attribution triple a growth team compares. Revenue stays in
-    exact integer cents for the whole-credit models; only the fractional
-    linear split rounds (at the report edge).
+    standard attribution triple a growth team compares. Revenue stays
+    exact-integer everywhere: whole-credit models in cents, the linear
+    split in floor-divided MICRO-cents per touch — so every sum is
+    order-independent BIGINT and the only double is the final rounded
+    report value (a float sum of cents/n would be summation-order
+    dependent and could flip the rounding between engines).
 
     Scale: one equi-join on user_id with the time-window predicate
     applied inside each user's matched rows (both sides shuffle once on
@@ -881,7 +884,7 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_touch_cents"
         ),
         F.round(
-            F.sum(F.col("cents") / F.col("n_touches")) / 100, 2
+            F.sum(F.expr("cents * 1000000 div n_touches")) / 100000000.0, 2
         ).alias("linear_attr_value"),
         F.count_distinct(
             F.when(F.col("rn_last") == 1, F.col("pid"))
@@ -900,16 +903,18 @@ TTC_QS = (0.25, 0.5, 0.9)
         SELECT user_id, MIN(ts) AS s_ts FROM events
         WHERE event_type = 'signup' GROUP BY user_id
     ),
-    first_purchase AS (
-        SELECT user_id, MIN(ts) AS p_ts FROM events
-        WHERE event_type = 'purchase' GROUP BY user_id
+    first_purchase_after AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN first_signup s
+          ON s.user_id = e.user_id AND e.ts >= s.s_ts
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
     ),
     delays AS (
         SELECT s.user_id,
                (epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 60000000 AS delay_min
         FROM first_signup s
-        JOIN first_purchase p USING (user_id)
-        WHERE p.p_ts >= s.s_ts
+        JOIN first_purchase_after p USING (user_id)
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
            {", ".join(f"ROUND(quantile_cont(delay_min, {q}), 4) AS p{int(q * 100)}_min" for q in TTC_QS)}
@@ -918,7 +923,7 @@ TTC_QS = (0.25, 0.5, 0.9)
 )
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: minutes from each user's FIRST
-    signup to their FIRST subsequent purchase, summarized as interpolated
+    signup to their first purchase AT OR AFTER it, summarized as interpolated
     quartile/median/p90 — the latency half of funnel analysis
     (``funnel_conversion`` counts who converts; this measures how fast).
     Delays are exact integer minutes (epoch-difference floor), so the
@@ -937,16 +942,19 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
     )
+    # First purchase AT OR AFTER the signup (the funnel_conversion stage
+    # rule) — NOT the globally-first purchase, which would silently drop
+    # every user whose first purchase predates their signup.
     p = (
         ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
+        .agg(F.min("ts").alias("p_ts"), F.min("s_ts").alias("s_ts2"))
     )
     delays = (
-        s.join(p, "user_id")
-        .filter(F.col("p_ts") >= F.col("s_ts"))
-        .select(
-            F.expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 60000000").alias(
+        p.select(
+            F.expr("(unix_micros(p_ts) - unix_micros(s_ts2)) div 60000000").alias(
                 "delay_min"
             )
         )

@@ -756,28 +756,31 @@ def quality_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     and isn't at the next is the classic silent-upsert corruption; this
     table is the guard.
 
-    One aggregation per candidate over the same scan (count_distinct of
-    the column struct — exact here; swap approx_count_distinct at 100 TB
-    for a first pass and verify only the survivors exactly). Output is
-    #candidates rows.
+    ONE scan computes every candidate's distinct count (all
+    count_distincts live in a single wide aggregation, exploded to rows
+    — the module's one-pass audit discipline); each distinct is over the
+    column STRUCT, so a tuple containing NULLs counts as a value exactly
+    like the oracle's COUNT(DISTINCT (a, b)) — plain multi-arg
+    count_distinct would silently drop NULL-bearing rows and diverge on
+    dirty data. Swap approx_count_distinct at 100 TB for a first pass
+    and verify only the survivors exactly. Output is #candidates rows.
     """
     ev = load_table(spark, sf_dir, "events")
-    frames = []
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for combo in _KEY_CANDIDATES:
         label = "+".join(combo)
-        frames.append(
-            ev.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.count_distinct(*[F.col(c) for c in combo]).alias("n_distinct"),
-            ).select(
-                F.lit(label).alias("candidate"),
-                "n_rows",
-                "n_distinct",
-                (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
-                (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
-            )
+        aggs.append(
+            F.count_distinct(F.struct(*[F.col(c) for c in combo])).alias(f"nd__{label}")
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    wide = ev.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit("+".join(combo)).alias("candidate"),
+            F.col("n_rows"),
+            F.col(f"nd__{'+'.join(combo)}").alias("n_distinct"),
+            (F.col("n_rows") == F.col(f"nd__{'+'.join(combo)}")).alias("is_key"),
+            (F.col("n_rows") - F.col(f"nd__{'+'.join(combo)}")).alias("n_dup_rows"),
+        )
+        for combo in _KEY_CANDIDATES
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

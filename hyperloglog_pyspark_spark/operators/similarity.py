@@ -625,19 +625,57 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_DIM = 64
 CENT_SCALE = 1000  # element milli-units: exact BIGINT arithmetic throughout
+
+
+def _emb_elements(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, i, e): embedding elements as exact integer
+    milli-units — floor(x·CENT_SCALE + 0.5) after a cast to DOUBLE (the
+    float32→double cast must happen BEFORE scaling; single-precision
+    scaling rounds differently and broke the oracle hash at sf0.1). The
+    ONE definition shared by the centroid-confusion and k-means
+    operators; ``_km_el_sql`` is its oracle twin."""
+    return emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "elv")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("elv").cast("double") * CENT_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("e"),
+    )
+
+
+def _label_centroids(emb: DataFrame, el: DataFrame, out_key: str) -> DataFrame:
+    """Label-seeded integer centroids (out_key, i, c): floor-rounded
+    means of the exact element sums — shared by both embedding
+    operators."""
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        el.groupBy("label", "i")
+        .agg(F.sum("e").alias("s"))
+        .join(F.broadcast(sizes), "label")
+        .select(
+            F.col("label").alias(out_key),
+            "i",
+            F.floor(F.col("s") * 1.0 / F.col("n") + F.lit(0.5)).cast("long").alias("c"),
+        )
+    )
+
+
+def _km_el_sql() -> str:
+    return f"""
+        SELECT vec_id, label, i,
+               CAST(FLOOR(CAST(list_extract(embedding, i) AS DOUBLE) * {CENT_SCALE} + 0.5) AS BIGINT) AS e
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)"""
 
 
 @register(
     "embedding_centroid_confusion",
     category="similarity",
     oracle=f"""
-    WITH el AS (
-        SELECT vec_id, label, i,
-               CAST(FLOOR(CAST(list_extract(embedding, i) AS DOUBLE) * {CENT_SCALE} + 0.5) AS BIGINT) AS e
-        FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)
-    ),
+    WITH el AS ({_km_el_sql()}),
     sizes AS (SELECT label, COUNT(DISTINCT vec_id) AS n FROM el GROUP BY label),
     cent AS (
         SELECT el.label AS c_label, i,
@@ -685,29 +723,8 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     also the k-means building block (seeded by label centroids).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    el = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("i", "elv"),
-    ).select(
-        "vec_id",
-        "label",
-        "i",
-        F.floor(F.col("elv").cast("double") * CENT_SCALE + F.lit(0.5))
-        .cast("long")
-        .alias("e"),
-    )
-    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    cent = (
-        el.groupBy("label", "i")
-        .agg(F.sum("e").alias("s"))
-        .join(F.broadcast(sizes), "label")
-        .select(
-            F.col("label").alias("c_label"),
-            "i",
-            F.floor(F.col("s") * 1.0 / F.col("n") + F.lit(0.5)).cast("long").alias("c"),
-        )
-    )
+    el = tracked_persist(_emb_elements(emb))
+    cent = _label_centroids(emb, el, "c_label")
     dist = (
         el.join(F.broadcast(cent), "i")
         .groupBy("vec_id", "label", "c_label")
@@ -726,13 +743,6 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KM_ITERS = 2  # Lloyd rounds before the final assignment
-
-
-def _km_el_sql() -> str:
-    return f"""
-        SELECT vec_id, label, i,
-               CAST(FLOOR(CAST(list_extract(embedding, i) AS DOUBLE) * {CENT_SCALE} + 0.5) AS BIGINT) AS e
-        FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)"""
 
 
 def _kmeans_oracle() -> str:
@@ -811,28 +821,8 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame on a cadence exactly as PageRank does.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    el = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("i", "elv")
-    ).select(
-        "vec_id",
-        "label",
-        "i",
-        F.floor(F.col("elv").cast("double") * CENT_SCALE + F.lit(0.5))
-        .cast("long")
-        .alias("e"),
-    )
-    el = tracked_persist(el)
-    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    cent = (
-        el.groupBy("label", "i")
-        .agg(F.sum("e").alias("s"))
-        .join(F.broadcast(sizes), "label")
-        .select(
-            F.col("label").alias("k"),
-            "i",
-            F.floor(F.col("s") * 1.0 / F.col("n") + F.lit(0.5)).cast("long").alias("c"),
-        )
-    )
+    el = tracked_persist(_emb_elements(emb))
+    cent = _label_centroids(emb, el, "k")
 
     def assign(cent_df: DataFrame) -> DataFrame:
         d = (

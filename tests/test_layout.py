@@ -207,7 +207,7 @@ SHUFFLE_BUDGET = {
     "event_pattern_cep": 2,           # one user window pass + scalar report
     "quality_schema_drift": 2,        # one two-period conditional-agg scan
     "join_asof_nearest": 3,           # user-keyed join + argmin window + left join
-    "quality_key_discovery": 10,      # 5 candidates x (distinct expand + final agg)
+    "quality_key_discovery": 2,       # ONE scan: all candidates in one wide agg
 }
 
 
