@@ -277,3 +277,78 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+BFS_SOURCE = "FRANCE"
+BFS_MAX_DEPTH = 4
+
+
+@register(
+    "graph_bfs_levels",
+    category="graph",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    bfs(node, lvl) AS (
+        SELECT '{BFS_SOURCE}' AS node, 0 AS lvl
+        UNION
+        SELECT e.dst, bfs.lvl + 1
+        FROM bfs JOIN edges e ON e.src = bfs.node
+        WHERE bfs.lvl < {BFS_MAX_DEPTH}
+    )
+    SELECT node, CAST(MIN(lvl) AS BIGINT) AS level
+    FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search over the nation trade graph: every node's
+    shortest hop distance from the BFS_SOURCE nation (nodes unreachable
+    within BFS_MAX_DEPTH hops absent) — the reachability/shortest-path primitive beside
+    PageRank (importance), connected components (partition), and
+    triangles (density). The frontier-expansion loop is the standard
+    relational BFS: frontier ⋈ edges → dedupe against visited → next
+    frontier, each round one join + one distinct.
+
+    Scale: per round, only the FRONTIER (node-sized) joins the edge
+    list — broadcast when node-sized, shuffle-keyed at billion-edge
+    scale — and the visited set grows monotonically (union + min-level
+    agg at the end instead of per-round anti-joins would also work; the
+    anti-join form keeps frontiers minimal). Depth is bounded; at real
+    depth, localCheckpoint the visited frame on a cadence (the same
+    lineage rule as PageRank/components). Oracle: DuckDB's recursive
+    CTE walks the identical expansion with UNION-dedup.
+    """
+    edges = tracked_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .join(load_table(spark, sf_dir, "orders"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(load_table(spark, sf_dir, "customer"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(load_table(spark, sf_dir, "supplier"),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src"))),
+            F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst"))),
+            F.col("sn_key") == F.col("s_nationkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    spark_sess = edges.sparkSession
+    visited = spark_sess.createDataFrame([(BFS_SOURCE, 0)], "node string, level long")
+    frontier = visited
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            F.broadcast(frontier)
+            .join(edges, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(depth))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.groupBy("node").agg(F.min("level").alias("level"))

@@ -412,3 +412,81 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pct[1], 4).alias("ci_hi"),
         )
     )
+
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+
+
+@register(
+    "sample_neyman_allocation",
+    category="sampling",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS nh,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s1,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                   * CAST(ROUND(value * 100, 0) AS BIGINT)) AS s2
+        FROM events GROUP BY event_type
+    ),
+    sized AS (
+        SELECT event_type, nh,
+               sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / nh) / (nh - 1)) / 100 AS sigma_h,
+               nh * (sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / nh) / (nh - 1)) / 100) AS weight
+        FROM stats
+    )
+    SELECT event_type,
+           CAST(nh AS BIGINT) AS n_stratum,
+           ROUND(sigma_h, 6) AS sigma_h,
+           CAST(FLOOR({NEYMAN_BUDGET} * weight / (SELECT SUM(weight) FROM sized) + 0.5)
+                AS BIGINT) AS n_alloc,
+           ROUND({NEYMAN_BUDGET} * weight / (SELECT SUM(weight) FROM sized) / nh, 6)
+               AS sampling_rate
+    FROM sized
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample design: each stratum's share of
+    the total budget is proportional to N_h·σ_h (bigger and more
+    variable strata get more samples — the allocation that minimizes the
+    estimator's variance at fixed budget), computed from EXACT integer
+    cent moments so σ_h derives from two exact BIGINTs per stratum. The
+    output is the allocation table (stratum size, σ, allocated n,
+    per-stratum rate) that a deterministic-rate sampler
+    (``sample_stratified``) then executes.
+
+    One moment-aggregation scan + arithmetic on #strata rows; the
+    single-row weight total folds back as a scalar subquery/broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    sigma = (
+        F.sqrt(
+            (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("nh"))
+            / (F.col("nh") - 1)
+        )
+        / 100
+    )
+    sized = stats.select(
+        "event_type", "nh", sigma.alias("sigma_h"), (F.col("nh") * sigma).alias("weight")
+    )
+    tot = sized.agg(F.sum("weight").alias("wtot"))
+    return (
+        sized.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("nh").alias("n_stratum"),
+            F.round("sigma_h", 6).alias("sigma_h"),
+            F.floor(NEYMAN_BUDGET * F.col("weight") / F.col("wtot") + F.lit(0.5))
+            .cast("long")
+            .alias("n_alloc"),
+            F.round(NEYMAN_BUDGET * F.col("weight") / F.col("wtot") / F.col("nh"), 6)
+            .alias("sampling_rate"),
+        )
+    )

@@ -208,6 +208,7 @@ SHUFFLE_BUDGET = {
     "quality_schema_drift": 2,        # one two-period conditional-agg scan
     "join_asof_nearest": 3,           # user-keyed join + argmin window + left join
     "quality_key_discovery": 2,       # ONE scan: all candidates in one wide agg
+    "sample_neyman_allocation": 4,    # moment agg + weight-total broadcast
 }
 
 
