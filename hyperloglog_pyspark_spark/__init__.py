@@ -28,6 +28,7 @@ def load_all_operators() -> None:
         aggregates,
         analytics,
         cogrouped,
+        curation,
         dedup,
         eventflow,
         graph,

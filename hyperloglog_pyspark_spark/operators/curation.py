@@ -1,0 +1,420 @@
+"""Corpus-curation composites: the decision layer on top of the dedup /
+similarity / sampling primitives.
+
+Where dedup.py finds near-duplicate *pairs* and sampling.py draws
+*subsets*, these operators make the calls a production curation pipeline
+actually ships: which copy to keep (canonical pick), which vectors to
+drop inside a semantic cluster (SemDedup), whether near-dups straddle the
+train/eval split (leakage audit), and two corpus-statistics quality
+signals (unigram-LM surprisal, corpus-duplicated shingle ratio) that
+filters threshold on.
+
+Everything is built from the same bounded constructions as the modules it
+composes — LSH band buckets, inverted-index postings joins, centroid
+blocks — so none of it does unblocked pairwise work. Cross-engine
+determinism follows the house rules: counts stay BIGINT, transcendentals
+are quantized to integer milli-units at vocabulary grain (one ln per
+distinct word, never per row), and cosine is exact-integer dot/norms
+divided with IEEE-exact sqrt, rounded to 4dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hyperloglog_pyspark_spark.functions.texttools import md5_long, md5_long_sql
+from hyperloglog_pyspark_spark.operators.dedup import (
+    _SHINGLED_SQL,
+    _minhash_oracle_cte,
+    _shingled,
+    connected_components,
+    dedup_minhash_lsh,
+)
+from hyperloglog_pyspark_spark.operators.similarity import (
+    _emb_elements,
+    _km_el_sql,
+    _label_centroids,
+)
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+SEMDEDUP_TAU = 0.35  # within-cluster cosine above which the later vector drops
+
+
+@register(
+    "text_unigram_logprob",
+    category="text",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT SUM(cnt) AS tot FROM vocab),
+    surp AS (
+        SELECT w, CAST(FLOOR(1000.0 * ln(CAST(tot AS DOUBLE) / cnt) + 0.5) AS BIGINT) AS surp
+        FROM vocab CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(surp) AS BIGINT) AS surprisal_sum,
+           CAST(FLOOR(SUM(surp) * 1.0 / COUNT(*)) AS BIGINT) AS avg_surprisal_milli
+    FROM tok JOIN surp USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM surprisal — the CCNet-style perplexity
+    proxy: score every document by the mean negative log-probability of
+    its tokens under the corpus's own unigram distribution. Low surprisal
+    = repetitive/templated text, high = rare-token noise; quality filters
+    keep the middle band.
+
+    Determinism: the only transcendental (ln) is evaluated once per
+    DISTINCT WORD and immediately quantized to integer milli-nats
+    (floor(1000·ln(T/cnt)+0.5)) — a cross-engine ulp difference would
+    have to land within ~1e-10 of a rounding boundary on a vocabulary-
+    sized set to matter. Document scores are then exact BIGINT sums.
+
+    Scale: two shuffles — the vocabulary count and the per-doc rollup.
+    The surprisal table is vocabulary-sized (≪ corpus, Zipf-bounded) and
+    broadcast onto the token stream; the scalar total is a broadcast of
+    one row. At 100 TB the vocabulary fits executor memory for any real
+    tokenizer (a few M rows); if it ever didn't, the broadcast degrades
+    to a shuffle join on the word key — same plan shape, one more
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    tok = tracked_persist(
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    surp = vocab.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.floor(
+            F.lit(1000.0) * F.log(F.col("tot").cast("double") / F.col("cnt"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("surp"),
+    )
+    scored = (
+        tok.join(F.broadcast(surp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surp").alias("surprisal_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_sum",
+        F.floor(F.col("surprisal_sum") * 1.0 / F.col("n_tokens"))
+        .cast("long")
+        .alias("avg_surprisal_milli"),
+    )
+
+
+@register(
+    "text_dup_shingle_ratio",
+    category="text",
+    oracle=f"""
+    WITH docs AS ({_SHINGLED_SQL}),
+    post AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM post GROUP BY s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+           CAST(round(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS DOUBLE) AS dup_ratio
+    FROM post JOIN dfreq USING (s)
+    GROUP BY doc_id
+    """,
+)
+def text_dup_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-duplicated shingle ratio (the Gopher
+    dup-n-gram signal): the fraction of a document's distinct word
+    3-grams that occur in at least one OTHER document. High ratio =
+    boilerplate/syndicated content even when no single pair crosses the
+    near-dup threshold — the cross-corpus complement to text_repetition
+    (within-doc) and text_boilerplate_lines (per-source).
+
+    Scale: one inverted-index shuffle on the shingle key to count
+    document frequency, one shuffle back to doc grain — identical plan
+    family to corpus_overlap_grams, never pairwise. Shingles are
+    per-doc-distinct upstream so df counts documents, not occurrences."""
+    post = tracked_persist(
+        _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    )
+    dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    dup = (F.col("df") >= 2).cast("long")
+    return (
+        post.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(dup).alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(F.col("n_dup_shingles") * 1.0 / F.col("n_shingles"), 6)
+            .cast("double")
+            .alias("dup_ratio"),
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH el AS ({_km_el_sql()}),
+    sizes AS (SELECT label, COUNT(DISTINCT vec_id) AS n FROM el GROUP BY label),
+    cent AS (
+        SELECT el.label AS k, i, CAST(FLOOR(SUM(e) * 1.0 / MIN(n) + 0.5) AS BIGINT) AS c
+        FROM el JOIN sizes ON sizes.label = el.label GROUP BY el.label, i
+    ),
+    dist AS (
+        SELECT el.vec_id, cent.k, SUM((el.e - cent.c) * (el.e - cent.c)) AS d2
+        FROM el JOIN cent USING (i) GROUP BY el.vec_id, cent.k
+    ),
+    assigned AS (
+        SELECT vec_id, k FROM (
+            SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, k ASC) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    ae AS (SELECT a.k, el.vec_id, el.i, el.e FROM assigned a JOIN el ON el.vec_id = a.vec_id),
+    n2 AS (SELECT vec_id, SUM(e * e) AS n2 FROM ae GROUP BY vec_id),
+    pairs AS (
+        SELECT a.k, a.vec_id AS va, b.vec_id AS vb, SUM(a.e * b.e) AS dot
+        FROM ae a JOIN ae b ON a.k = b.k AND a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.k, a.vec_id, b.vec_id
+    ),
+    scored AS (
+        SELECT k, va, vb, round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+        FROM pairs JOIN n2 na ON na.vec_id = va JOIN n2 nb ON nb.vec_id = vb
+    )
+    SELECT CAST(k AS INTEGER) AS cluster,
+           CAST(vb AS BIGINT) AS pruned_vec,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_partners,
+           CAST(MAX(cos) AS DOUBLE) AS max_cos
+    FROM scored WHERE cos >= {SEMDEDUP_TAU}
+    GROUP BY k, vb
+    """
+
+
+@register("semdedup_centroid_prune", category="similarity", oracle=_semdedup_oracle())
+def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): assign every embedding to its nearest
+    centroid, compare pairs ONLY within a cluster, and drop the
+    higher-id member of any pair whose cosine exceeds τ — semantic
+    deduplication at a cost bounded by Σ(cluster size²), never corpus².
+    Output: one row per pruned vector with its cluster, how many
+    retained near-twins it had, and the strongest similarity.
+
+    Clusters here are the label-seeded integer centroids shared with
+    embedding_centroid_confusion / embedding_kmeans_lloyd (the Lloyd
+    assignment step IS the SemDedup blocking step). Determinism: exact
+    BIGINT milli-unit elements, integer dot products and squared norms,
+    cosine = dot/(√n2a·√n2b) where sqrt and division are IEEE-exact on
+    identical integer inputs, rounded to 4dp before thresholding.
+
+    Scale: the centroid table broadcasts; assignment is one broadcast
+    join + per-vector argmin. The within-cluster pair join keys on
+    (cluster, dim-index) so its volume is Σ|cluster|²·d — production
+    SemDedup sizes k ≈ √N exactly so this stays linear-ish; the cluster
+    count is the knob, not the code shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = tracked_persist(_emb_elements(emb))
+    cent = _label_centroids(emb, el, "k")
+    d2 = (
+        el.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum((F.col("e") - F.col("c")) * (F.col("e") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("k"))
+    assign = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "k")
+    )
+    ae = tracked_persist(assign.join(el.select("vec_id", "i", "e"), "vec_id"))
+    n2 = ae.groupBy("vec_id").agg(F.sum(F.col("e") * F.col("e")).alias("n2"))
+    a = ae.select(
+        F.col("k"), F.col("vec_id").alias("va"), F.col("i"), F.col("e").alias("ea")
+    )
+    b = ae.select(
+        F.col("k").alias("kb"),
+        F.col("vec_id").alias("vb"),
+        F.col("i").alias("ib"),
+        F.col("e").alias("eb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("k") == F.col("kb"))
+            & (F.col("i") == F.col("ib"))
+            & (F.col("va") < F.col("vb")),
+        )
+        .groupBy("k", "va", "vb")
+        .agg(F.sum(F.col("ea") * F.col("eb")).alias("dot"))
+    )
+    na = n2.select(F.col("vec_id").alias("va"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("vec_id").alias("vb"), F.col("n2").alias("n2b"))
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))), 4
+    )
+    return (
+        pairs.join(F.broadcast(na), "va")
+        .join(F.broadcast(nb), "vb")
+        .filter(cos >= SEMDEDUP_TAU)
+        .groupBy(F.col("k").cast("int").alias("cluster"), F.col("vb").alias("pruned_vec"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_partners"),
+            F.max(cos).cast("double").alias("max_cos"),
+        )
+    )
+
+
+def _split_case_sql(doc: str) -> str:
+    b = f"{md5_long_sql(f'CAST({doc} AS VARCHAR)')} % 100"
+    return f"CASE WHEN {b} < 90 THEN 'train' WHEN {b} < 95 THEN 'val' ELSE 'test' END"
+
+
+def _split_expr(doc: F.Column) -> F.Column:
+    b = md5_long(doc.cast("string")) % 100
+    return F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+
+
+@register(
+    "split_leakage_audit",
+    category="sampling",
+    oracle=f"""
+    WITH pairs AS ({{minhash}}),
+    lab AS (
+        SELECT jaccard,
+               {_split_case_sql("doc_a")} AS sa,
+               {_split_case_sql("doc_b")} AS sb
+        FROM pairs
+    )
+    SELECT least(sa, sb) AS split_lo,
+           greatest(sa, sb) AS split_hi,
+           least(sa, sb) <> greatest(sa, sb) AS is_leak,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(jaccard) AS DOUBLE) AS max_jaccard
+    FROM lab GROUP BY 1, 2, 3
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: count near-duplicate pairs
+    (MinHash-LSH, Jaccard ≥ 0.8 — the same pair set as dedup_minhash_lsh)
+    whose endpoints land in DIFFERENT splits of the 90/5/5 doc_id-hash
+    split (split_train_val_test's rule). A cross-split near-dup means the
+    eval set leaks into training — rows with is_leak = true are the
+    benchmark-integrity violations, reported per split pair with the
+    worst similarity.
+
+    Scale: split assignment is a map-side hash of the doc id — the audit
+    costs exactly one LSH pass (already bounded) plus a pair-grain
+    aggregation over the tiny pair set; no new shuffle over the corpus."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sa = _split_expr(F.col("doc_a"))
+    sb = _split_expr(F.col("doc_b"))
+    lo, hi = F.least(sa, sb), F.greatest(sa, sb)
+    return (
+        pairs.select(
+            lo.alias("split_lo"),
+            hi.alias("split_hi"),
+            (lo != hi).alias("is_leak"),
+            "jaccard",
+        )
+        .groupBy("split_lo", "split_hi", "is_leak")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").cast("double").alias("max_jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_canonical_pick",
+    category="dedup",
+    oracle="""
+    WITH RECURSIVE pairs AS ({minhash}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+    m AS (
+        SELECT c.cluster_id, c.doc_id, len(string_split(d.text, ' ')) AS n_tokens
+        FROM comp c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+            ORDER BY n_tokens DESC, doc_id ASC) AS rn
+        FROM m
+    ),
+    g AS (
+        SELECT cluster_id, COUNT(*) AS n_members, SUM(n_tokens) AS total_tokens
+        FROM m GROUP BY cluster_id
+    )
+    SELECT CAST(g.cluster_id AS BIGINT) AS cluster_id,
+           CAST(g.n_members AS BIGINT) AS n_members,
+           CAST(r.doc_id AS BIGINT) AS canonical_doc,
+           CAST(r.n_tokens AS BIGINT) AS kept_tokens,
+           CAST(g.total_tokens - r.n_tokens AS BIGINT) AS dropped_tokens
+    FROM g JOIN ranked r ON r.cluster_id = g.cluster_id AND r.rn = 1
+    """,
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster: for every near-duplicate cluster (connected
+    components over the MinHash-LSH pair graph), elect the canonical copy
+    — longest document, ties to the smallest doc_id — and account for the
+    tokens the dedup decision drops. This is the row a curation pipeline
+    actually writes: cluster → survivor + reclaimed budget.
+
+    Scale: components run on the LSH pair graph (≪ corpus); the member
+    table joins cluster ids to per-doc token counts on the doc key with
+    the tiny component map broadcast. The canonical election is a single
+    max-of-struct aggregation per cluster — no window over the corpus,
+    no second shuffle."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    m = docs.join(F.broadcast(comp), "doc_id")
+    best = F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        m.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_tokens").alias("total_tokens"),
+            best.alias("c"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("c.neg_id")).cast("long").alias("canonical_doc"),
+            F.col("c.n_tokens").alias("kept_tokens"),
+            (F.col("total_tokens") - F.col("c.n_tokens")).alias("dropped_tokens"),
+        )
+    )
+
+
+# The two LSH-pair consumers share dedup_minhash_lsh's oracle as a CTE.
+from hyperloglog_pyspark_spark.registry import REGISTRY  # noqa: E402
+
+REGISTRY["split_leakage_audit"].oracle = REGISTRY["split_leakage_audit"].oracle.format(
+    minhash=_minhash_oracle_cte()
+)
+REGISTRY["dedup_canonical_pick"].oracle = REGISTRY["dedup_canonical_pick"].oracle.format(
+    minhash=_minhash_oracle_cte()
+)

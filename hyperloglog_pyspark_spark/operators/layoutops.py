@@ -12,8 +12,9 @@ passes whose outputs are key-space-sized, not data-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from hyperloglog_pyspark_spark.functions.texttools import md5_long, md5_long_sql
 from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
@@ -223,4 +224,83 @@ def layout_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_files"),
         F.sum(skippable).alias("n_skippable"),
         F.round(F.sum(skippable) / F.count(F.lit(1)), 6).alias("skip_fraction"),
+    )
+
+
+RANGE_K = 16  # range buckets (→ output files / partitions after a rewrite)
+RANGE_SAMPLE_MOD = 32  # deterministic 1/32 sample drives the boundaries
+
+
+@register(
+    "layout_range_sort_buckets",
+    category="analytics",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders
+    ),
+    samp AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn
+        FROM base
+        WHERE {md5_long_sql("CAST(o_orderkey AS VARCHAR)")} % {RANGE_SAMPLE_MOD} = 0
+    ),
+    n AS (SELECT COUNT(*) AS n FROM samp),
+    bnd AS (
+        SELECT list_sort(list(cents)) AS bs
+        FROM samp, n, (SELECT unnest(range(1, {RANGE_K})) AS i)
+        WHERE rn = (i * n + {RANGE_K - 1}) // {RANGE_K}
+    ),
+    assigned AS (
+        SELECT cents, len(list_filter(bs, x -> x <= cents)) AS bucket
+        FROM base CROSS JOIN bnd
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM assigned GROUP BY bucket
+    """,
+)
+def layout_range_sort_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned total sort (the terasort / ORDER-BY-rewrite
+    shape) without a single-task global sort: a deterministic 1/{RANGE_SAMPLE_MOD}
+    hash sample is sorted (sample-sized work) to pick {RANGE_K}-quantile
+    boundaries, the boundaries broadcast as one array row, and every row
+    is bucketed map-side by counting boundaries ≤ its key. Per-bucket
+    (count, min, max) is the proof of order: bucket ranges are disjoint
+    and monotone, so concatenating per-bucket sorted output IS the total
+    order — exactly what Spark's repartitionByRange + sortWithinPartitions
+    does physically, made explicit and cross-engine checkable.
+
+    Exact integer cents throughout; boundary ranks use the integer
+    ceil-division identity ((i·n + K−1) div K) so both engines pick
+    identical sample rows. At 100 TB the only global sort is over the
+    sample (tune the mod so the sample stays driver-safe ~100k rows);
+    Spark's own RangePartitioner does precisely this reservoir-style.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    samp = base.filter(
+        md5_long(F.col("o_orderkey").cast("string")) % RANGE_SAMPLE_MOD == 0
+    )
+    w = Window.orderBy("cents", "o_orderkey")  # sample-sized sort only
+    ranked = samp.select("cents", F.row_number().over(w).alias("rn"))
+    n = samp.agg(F.count(F.lit(1)).alias("n"))
+    picks = spark.range(1, RANGE_K).crossJoin(F.broadcast(n))
+    bnd = (
+        ranked.join(
+            F.broadcast(picks),
+            F.col("rn") == F.expr(f"(id * n + {RANGE_K - 1}) div {RANGE_K}"),
+        )
+        .agg(F.sort_array(F.collect_list("cents")).alias("bs"))
+    )
+    assigned = base.crossJoin(F.broadcast(bnd)).select(
+        "cents",
+        F.size(F.filter("bs", lambda x: x <= F.col("cents"))).alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
     )
