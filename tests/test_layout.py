@@ -209,6 +209,10 @@ SHUFFLE_BUDGET = {
     "join_asof_nearest": 3,           # user-keyed join + argmin window + left join
     "quality_key_discovery": 2,       # ONE scan: all candidates in one wide agg
     "sample_neyman_allocation": 4,    # moment agg + weight-total broadcast
+    # Curation additions (unigram-logprob / dup-shingle / semdedup /
+    # leakage / canonical-pick persist their token/element/pair frames —
+    # excluded for the InMemoryRelation text-inflation reason above).
+    "layout_range_sort_buckets": 6,   # sample window + count + 2 broadcasts + list agg + final agg
 }
 
 

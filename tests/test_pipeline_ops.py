@@ -328,3 +328,93 @@ def test_cusum_identity_matches_recursive_reference(spark, sf_dir, duck):
             n_alert += s > CUSUM_H * 1e6
         assert got[t].max_cusum == round(mx / 1e6, 6), t
         assert got[t].n_alert_hours == n_alert, t
+
+
+def test_canonical_pick_elects_longest_member(spark, sf_dir):
+    """The canonical doc must be a member of its cluster, carry the
+    cluster's max token count, and break ties to the smallest doc_id;
+    dropped_tokens must equal the cluster total minus the survivor."""
+    comp = ALL["dedup_cluster_components"](spark, sf_dir).toPandas()
+    pick = ALL["dedup_canonical_pick"](spark, sf_dir).toPandas()
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in comp.itertuples():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert set(pick.cluster_id) == set(members)
+    for r in pick.itertuples():
+        ms = members[r.cluster_id]
+        assert r.canonical_doc in ms
+        best = max(ms, key=lambda d: (docs[d], -d))
+        assert r.canonical_doc == best
+        assert r.kept_tokens == docs[best]
+        assert r.dropped_tokens == sum(docs[d] for d in ms) - docs[best]
+        assert r.n_members == len(ms)
+
+
+def test_semdedup_prunes_only_within_assigned_cluster(spark, sf_dir):
+    """Every pruned vector's reported cluster must be the one the
+    nearest-centroid assignment puts it in, and pruning must never
+    remove ALL members of a cluster (the canonical survivor stays)."""
+    conf = ALL["embedding_centroid_confusion"](spark, sf_dir).toPandas()
+    pruned = ALL["semdedup_centroid_prune"](spark, sf_dir).toPandas()
+    # cluster sizes from the confusion matrix's pred_label column
+    sizes = conf.groupby("pred_label")["n"].sum().to_dict()
+    dropped = pruned.groupby("cluster")["pruned_vec"].count().to_dict()
+    for k, n_dropped in dropped.items():
+        assert n_dropped < sizes[k], (
+            f"cluster {k}: pruned {n_dropped} of {sizes[k]} members"
+        )
+
+
+def test_split_leakage_counts_cover_all_neardup_pairs(spark, sf_dir):
+    """The audit's pair counts must total exactly the LSH pair count, and
+    the is_leak flag must agree with the split columns row by row."""
+    pairs = ALL["dedup_minhash_lsh"](spark, sf_dir).toPandas()
+    audit = ALL["split_leakage_audit"](spark, sf_dir).toPandas()
+    assert audit.n_pairs.sum() == len(pairs)
+    for r in audit.itertuples():
+        assert r.is_leak == (r.split_lo != r.split_hi)
+
+
+def test_range_sort_buckets_are_disjoint_and_total(spark, sf_dir):
+    """Bucket ranges must be pairwise disjoint and monotone in bucket id
+    (the total-order proof), and the counts must cover every order row."""
+    out = (
+        ALL["layout_range_sort_buckets"](spark, sf_dir)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert out.n_rows.sum() == n_orders
+    for i in range(1, len(out)):
+        assert out.min_cents[i] > out.max_cents[i - 1] - 1, (
+            "bucket ranges overlap beyond a shared boundary value"
+        )
+        assert out.max_cents[i] >= out.max_cents[i - 1]
+
+
+def test_unigram_logprob_orders_rare_token_docs_higher(spark, sf_dir):
+    """A document made only of corpus-frequent tokens must score below
+    one containing the corpus's rarest tokens — directionality of the
+    surprisal signal, independent of the oracle's value equality."""
+    import pandas as pd
+
+    scored = ALL["text_unigram_logprob"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    freq: dict[str, int] = {}
+    for t in docs.text:
+        for w in t.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    mean_rank = docs.set_index("doc_id").text.map(
+        lambda t: sum(freq[w] for w in t.split(" ")) / len(t.split(" "))
+    )
+    joined = pd.merge(
+        scored, mean_rank.rename("mean_freq").reset_index(), on="doc_id"
+    )
+    commonest = joined.nlargest(5, "mean_freq").avg_surprisal_milli.mean()
+    rarest = joined.nsmallest(5, "mean_freq").avg_surprisal_milli.mean()
+    assert rarest > commonest
