@@ -44,6 +44,7 @@ SEMDEDUP_TAU = 0.35  # within-cluster cosine above which the later vector drops
 @register(
     "text_unigram_logprob",
     category="text",
+    bench=True,
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
@@ -202,7 +203,9 @@ def _semdedup_oracle() -> str:
     """
 
 
-@register("semdedup_centroid_prune", category="similarity", oracle=_semdedup_oracle())
+@register(
+    "semdedup_centroid_prune", category="similarity", bench=True, oracle=_semdedup_oracle()
+)
 def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup (Abbas et al. 2023): assign every embedding to its nearest
     centroid, compare pairs ONLY within a cluster, and drop the
@@ -338,6 +341,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_canonical_pick",
     category="dedup",
+    bench=True,
     oracle="""
     WITH RECURSIVE pairs AS ({minhash}),
     edges AS (

@@ -234,6 +234,7 @@ RANGE_SAMPLE_MOD = 32  # deterministic 1/32 sample drives the boundaries
 @register(
     "layout_range_sort_buckets",
     category="analytics",
+    bench=True,
     oracle=f"""
     WITH base AS (
         SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders

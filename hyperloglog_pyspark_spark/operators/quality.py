@@ -784,3 +784,203 @@ def quality_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         for combo in _KEY_CANDIDATES
     ]
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+ERASE_MOD = 97  # c_custkey % 97 == 0 → simulated right-to-be-forgotten set
+
+
+@register(
+    "governance_erasure_sweep",
+    category="quality",
+    bench=True,
+    oracle=f"""
+    WITH erased AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0
+    ),
+    eo AS (
+        SELECT o.o_orderkey, e.c_custkey AS hit
+        FROM orders o LEFT JOIN erased e ON o.o_custkey = e.c_custkey
+    ),
+    rows_per AS (
+        SELECT 'customer' AS table_name,
+               SUM(CASE WHEN c_custkey % {ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS n_purged,
+               COUNT(*) AS n_total
+        FROM customer
+        UNION ALL
+        SELECT 'orders', SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END), COUNT(*)
+        FROM eo
+        UNION ALL
+        SELECT 'lineitem', SUM(CASE WHEN eo.hit IS NOT NULL THEN 1 ELSE 0 END), COUNT(*)
+        FROM lineitem l JOIN eo ON l.l_orderkey = eo.o_orderkey
+        UNION ALL
+        SELECT 'events', SUM(CASE WHEN e.c_custkey IS NOT NULL THEN 1 ELSE 0 END), COUNT(*)
+        FROM events ev LEFT JOIN erased e ON ev.user_id = e.c_custkey
+    )
+    SELECT table_name,
+           CAST(n_purged AS BIGINT) AS n_purged,
+           CAST(n_total - n_purged AS BIGINT) AS n_retained,
+           CAST(round(n_purged * 1.0 / n_total, 6) AS DOUBLE) AS purge_fraction
+    FROM rows_per
+    """,
+)
+def governance_erasure_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact sweep: given an erasure-request set
+    (here a deterministic 1/{ERASE_MOD} of customers), count the rows each
+    table would purge — directly keyed rows (customer, orders, events)
+    and rows reached through a key chain (lineitem via the erased
+    customers' orders). The audit every GDPR/CCPA deletion pipeline runs
+    BEFORE rewriting data files, and the source of the purge manifest.
+
+    Scale: the request set is broadcast (erasure queues are ≪ corpus);
+    each table pays exactly one scan with the membership probe folded
+    into its aggregation. The lineitem chain broadcasts the erased
+    orders' KEYS, not orders rows — at 100 TB, if the key fan-out
+    outgrows a broadcast, the same plan degrades to a shuffle semi-join
+    on the already-shuffle-keyed fact table. Output is #tables rows.
+    """
+    erased = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % ERASE_MOD == 0
+    ).select("c_custkey")
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        hit = df.join(
+            F.broadcast(erased.withColumnRenamed("c_custkey", key).withColumn("hit", F.lit(1))),
+            key,
+            "left",
+        )
+        return hit.agg(
+            F.lit(name).alias("table_name"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_purged"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Erased orders' keys: the second hop of the key chain, still tiny.
+    erased_orders = orders.join(
+        F.broadcast(erased), orders.o_custkey == erased.c_custkey
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    li_hit = li.join(
+        F.broadcast(erased_orders.withColumn("hit", F.lit(1))),
+        li.l_orderkey == erased_orders.o_orderkey,
+        "left",
+    ).agg(
+        F.lit("lineitem").alias("table_name"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_purged"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    out = (
+        audit(cust, "c_custkey", "customer")
+        .unionByName(audit(orders, "o_custkey", "orders"))
+        .unionByName(li_hit)
+        .unionByName(audit(ev, "user_id", "events"))
+    )
+    return out.select(
+        "table_name",
+        F.col("n_purged").cast("long").alias("n_purged"),
+        (F.col("n_total") - F.col("n_purged")).cast("long").alias("n_retained"),
+        F.round(F.col("n_purged") * 1.0 / F.col("n_total"), 6)
+        .cast("double")
+        .alias("purge_fraction"),
+    )
+
+
+WINSOR_PCT = 100  # clamp below rank n/100 and above rank n - n/100 (≈ p1/p99)
+
+
+@register(
+    "quality_winsorize_clamp",
+    category="quality",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS grp, o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    ranked AS (
+        SELECT grp, cents,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM base
+    ),
+    th AS (
+        SELECT grp, MAX(n) AS n,
+               MAX(CASE WHEN rn = (n + {WINSOR_PCT - 1}) // {WINSOR_PCT} THEN cents END) AS lo_cents,
+               MAX(CASE WHEN rn = n - (n + {WINSOR_PCT - 1}) // {WINSOR_PCT} + 1 THEN cents END) AS hi_cents
+        FROM ranked GROUP BY grp
+    )
+    SELECT b.grp,
+           CAST(t.n AS BIGINT) AS n_rows,
+           CAST(t.lo_cents AS BIGINT) AS lo_cents,
+           CAST(t.hi_cents AS BIGINT) AS hi_cents,
+           CAST(SUM(CASE WHEN b.cents < t.lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+           CAST(SUM(CASE WHEN b.cents > t.hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+           CAST(FLOOR(SUM(b.cents) * 1.0 / t.n) AS BIGINT) AS mean_cents_raw,
+           CAST(FLOOR(SUM(LEAST(GREATEST(b.cents, t.lo_cents), t.hi_cents)) * 1.0 / t.n) AS BIGINT)
+               AS mean_cents_winsorized
+    FROM base b JOIN th t ON b.grp = t.grp
+    GROUP BY b.grp, t.n, t.lo_cents, t.hi_cents
+    """,
+)
+def quality_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit: per order-priority group, find the exact
+    rank-based ~p1/p99 thresholds (kth smallest with k = ceil(n/100) —
+    pure integer ranks, no interpolation, so cross-engine exact), count
+    the rows each tail clamps, and report the mean before/after — the
+    outlier-robust normalization step quantified before it is applied.
+
+    Scale: one window pass partitioned by the group key computes ranks
+    and group sizes in a single shuffle; thresholds reduce to #groups
+    rows, broadcast back onto the same base frame for the clamped
+    aggregation (second shuffle on the same key — co-partitioned storage
+    would remove it). All arithmetic in exact BIGINT cents; means are
+    floor-divided, never averaged in floating point."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("grp")
+    ranked = base.select(
+        "grp",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.floor((F.col("n") + F.lit(WINSOR_PCT - 1)) / WINSOR_PCT)
+    th = ranked.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == k, F.col("cents"))).alias("lo_cents"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - k + 1, F.col("cents"))
+        ).alias("hi_cents"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+    return (
+        base.join(F.broadcast(th), "grp")
+        .groupBy("grp", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum((F.col("cents") < F.col("lo_cents")).cast("long")).alias("n_clamped_lo"),
+            F.sum((F.col("cents") > F.col("hi_cents")).cast("long")).alias("n_clamped_hi"),
+            F.floor(F.sum("cents") * 1.0 / F.max("n")).cast("long").alias("mean_cents_raw"),
+            F.floor(F.sum(clamped) * 1.0 / F.max("n"))
+            .cast("long")
+            .alias("mean_cents_winsorized"),
+        )
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n_rows"),
+            "lo_cents",
+            "hi_cents",
+            "n_clamped_lo",
+            "n_clamped_hi",
+            "mean_cents_raw",
+            "mean_cents_winsorized",
+        )
+    )
