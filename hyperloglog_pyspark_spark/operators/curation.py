@@ -212,7 +212,9 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-id member of any pair whose cosine exceeds τ — semantic
     deduplication at a cost bounded by Σ(cluster size²), never corpus².
     Output: one row per pruned vector with its cluster, how many
-    retained near-twins it had, and the strongest similarity.
+    smaller-id in-cluster partners crossed τ (pair hits — in a
+    similarity chain a partner may itself be pruned), and the strongest
+    similarity.
 
     Clusters here are the label-seeded integer centroids shared with
     embedding_centroid_confusion / embedding_kmeans_lloyd (the Lloyd
@@ -225,7 +227,10 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + per-vector argmin. The within-cluster pair join keys on
     (cluster, dim-index) so its volume is Σ|cluster|²·d — production
     SemDedup sizes k ≈ √N exactly so this stays linear-ish; the cluster
-    count is the knob, not the code shape."""
+    count is the knob, not the code shape. The per-vector norm table is
+    corpus-sized, so its joins onto the (bounded) pair set carry no
+    broadcast hint — the planner broadcasts while it fits and shuffles
+    on the pair keys beyond that."""
     emb = load_table(spark, sf_dir, "embeddings")
     el = tracked_persist(_emb_elements(emb))
     cent = _label_centroids(emb, el, "k")
@@ -267,8 +272,8 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))), 4
     )
     return (
-        pairs.join(F.broadcast(na), "va")
-        .join(F.broadcast(nb), "vb")
+        pairs.join(na, "va")
+        .join(nb, "vb")
         .filter(cos >= SEMDEDUP_TAU)
         .groupBy(F.col("k").cast("int").alias("cluster"), F.col("vb").alias("pruned_vec"))
         .agg(

@@ -263,9 +263,9 @@ RANGE_SAMPLE_MOD = 32  # deterministic 1/32 sample drives the boundaries
 )
 def layout_range_sort_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-partitioned total sort (the terasort / ORDER-BY-rewrite
-    shape) without a single-task global sort: a deterministic 1/{RANGE_SAMPLE_MOD}
-    hash sample is sorted (sample-sized work) to pick {RANGE_K}-quantile
-    boundaries, the boundaries broadcast as one array row, and every row
+    shape) without a single-task global sort: a deterministic 1/32
+    hash sample is persisted and sorted (sample-sized work) to pick
+    16-quantile boundaries, the boundaries broadcast as one array row, and every row
     is bucketed map-side by counting boundaries ≤ its key. Per-bucket
     (count, min, max) is the proof of order: bucket ranges are disjoint
     and monotone, so concatenating per-bucket sorted output IS the total
@@ -282,8 +282,12 @@ def layout_range_sort_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.select(
         "o_orderkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
     )
-    samp = base.filter(
-        md5_long(F.col("o_orderkey").cast("string")) % RANGE_SAMPLE_MOD == 0
+    # Persisted: the sample feeds both the rank window and the count —
+    # without it each consumer rescans orders computing per-row md5.
+    samp = tracked_persist(
+        base.filter(
+            md5_long(F.col("o_orderkey").cast("string")) % RANGE_SAMPLE_MOD == 0
+        )
     )
     w = Window.orderBy("cents", "o_orderkey")  # sample-sized sort only
     ranked = samp.select("cents", F.row_number().over(w).alias("rn"))

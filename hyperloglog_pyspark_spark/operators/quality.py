@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -825,26 +825,30 @@ ERASE_MOD = 97  # c_custkey % 97 == 0 → simulated right-to-be-forgotten set
 )
 def governance_erasure_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten impact sweep: given an erasure-request set
-    (here a deterministic 1/{ERASE_MOD} of customers), count the rows each
-    table would purge — directly keyed rows (customer, orders, events)
-    and rows reached through a key chain (lineitem via the erased
+    (here a deterministic ~1% of customers, modulus 97), count the rows
+    each table would purge — directly keyed rows (customer, orders,
+    events) and rows reached through a key chain (lineitem via the erased
     customers' orders). The audit every GDPR/CCPA deletion pipeline runs
     BEFORE rewriting data files, and the source of the purge manifest.
 
-    Scale: the request set is broadcast (erasure queues are ≪ corpus);
-    each table pays exactly one scan with the membership probe folded
-    into its aggregation. The lineitem chain broadcasts the erased
-    orders' KEYS, not orders rows — at 100 TB, if the key fan-out
-    outgrows a broadcast, the same plan degrades to a shuffle semi-join
-    on the already-shuffle-keyed fact table. Output is #tables rows.
-    """
-    erased = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_custkey") % ERASE_MOD == 0
-    ).select("c_custkey")
+    Scale: the request set is persisted once (tiny — erasure queues are
+    operationally bounded) and joined without a forced broadcast hint, so
+    the planner broadcasts while it fits and degrades to a shuffle
+    semi-join when a key fan-out outgrows memory — the hint-free form is
+    what makes that degradation real. The directly-keyed tables pay one
+    probe-folded scan each (customer's own row is a pure conditional
+    aggregate, zero joins); the lineitem chain reuses the persisted
+    (o_orderkey, hit) projection so orders is scanned once, not twice.
+    Output is #tables rows."""
+    erased = tracked_persist(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % ERASE_MOD == 0)
+        .select("c_custkey")
+    )
 
     def audit(df: DataFrame, key: str, name: str) -> DataFrame:
         hit = df.join(
-            F.broadcast(erased.withColumnRenamed("c_custkey", key).withColumn("hit", F.lit(1))),
+            erased.withColumnRenamed("c_custkey", key).withColumn("hit", F.lit(1)),
             key,
             "left",
         )
@@ -854,26 +858,45 @@ def governance_erasure_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_total"),
         )
 
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # Customer: the request predicate is on the table itself — one
+    # conditional-aggregate scan, no join (mirrors the oracle exactly).
+    cust_row = load_table(spark, sf_dir, "customer").agg(
+        F.lit("customer").alias("table_name"),
+        F.sum((F.col("c_custkey") % ERASE_MOD == 0).cast("long")).alias("n_purged"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # Erased orders' keys: the second hop of the key chain, still tiny.
-    erased_orders = orders.join(
-        F.broadcast(erased), orders.o_custkey == erased.c_custkey
-    ).select("o_orderkey")
+    # (o_orderkey, hit): one orders scan feeds the orders row AND the
+    # lineitem chain (the oracle's eo CTE); thin 2-column persist.
+    orders_flag = tracked_persist(
+        orders.join(
+            erased.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+                "hit", F.lit(1)
+            ),
+            "o_custkey",
+            "left",
+        ).select("o_orderkey", "hit")
+    )
+    orders_row = orders_flag.agg(
+        F.lit("orders").alias("table_name"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_purged"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    erased_orders = orders_flag.filter(F.col("hit") == 1).select("o_orderkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     li_hit = li.join(
-        F.broadcast(erased_orders.withColumn("hit", F.lit(1))),
+        erased_orders.withColumn("ohit", F.lit(1)),
         li.l_orderkey == erased_orders.o_orderkey,
         "left",
     ).agg(
         F.lit("lineitem").alias("table_name"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_purged"),
+        F.sum(F.coalesce(F.col("ohit"), F.lit(0))).alias("n_purged"),
         F.count(F.lit(1)).alias("n_total"),
     )
     ev = load_table(spark, sf_dir, "events").select("user_id")
     out = (
-        audit(cust, "c_custkey", "customer")
-        .unionByName(audit(orders, "o_custkey", "orders"))
+        cust_row
+        .unionByName(orders_row)
         .unionByName(li_hit)
         .unionByName(audit(ev, "user_id", "events"))
     )

@@ -355,9 +355,10 @@ def test_canonical_pick_elects_longest_member(spark, sf_dir):
 
 
 def test_semdedup_prunes_only_within_assigned_cluster(spark, sf_dir):
-    """Every pruned vector's reported cluster must be the one the
-    nearest-centroid assignment puts it in, and pruning must never
-    remove ALL members of a cluster (the canonical survivor stays)."""
+    """Pruning must never remove ALL members of a cluster — the
+    smallest-id vector of any cluster can never appear as a pruned vb,
+    so at least one member survives. (Per-vector cluster agreement with
+    the assignment is covered by the DuckDB oracle's shared CTEs.)"""
     conf = ALL["embedding_centroid_confusion"](spark, sf_dir).toPandas()
     pruned = ALL["semdedup_centroid_prune"](spark, sf_dir).toPandas()
     # cluster sizes from the confusion matrix's pred_label column
@@ -391,9 +392,9 @@ def test_range_sort_buckets_are_disjoint_and_total(spark, sf_dir):
     n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert out.n_rows.sum() == n_orders
     for i in range(1, len(out)):
-        assert out.min_cents[i] > out.max_cents[i - 1] - 1, (
-            "bucket ranges overlap beyond a shared boundary value"
-        )
+        # Bucketing is a pure function of the cents value, so equal
+        # values always share a bucket: ranges must be STRICTLY disjoint.
+        assert out.min_cents[i] > out.max_cents[i - 1], "bucket ranges overlap"
         assert out.max_cents[i] >= out.max_cents[i - 1]
 
 
