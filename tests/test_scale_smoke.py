@@ -49,6 +49,13 @@ LINEAR_OPS = [
     # only hit replica k's bench grams (suffixes differ), so hits — and
     # output rows — are exactly R× the base, work R×.
     "text_decontaminate",
+    # Curation layer: per-doc outputs are exactly R× (salting is
+    # injective on words/shingles, so df counts and surprisal tables
+    # replicate per-suffix); canonical-pick clusters replicate per
+    # replica since no near-dup pair crosses a salt boundary.
+    "text_dup_shingle_ratio",
+    "text_unigram_logprob",
+    "dedup_canonical_pick",
 ]
 
 
@@ -95,9 +102,14 @@ def test_bounded_dedup_paths_scale_linearly(spark, tmp_path):
         if name in ("corpus_overlap_grams", "heavy_hitters_mg"):
             assert nr == n1, f"{name}: structural output changed {n1} -> {nr}"
         else:
-            if name in ("dedup_ngram_jaccard", "text_decontaminate"):
+            if name in (
+                "dedup_ngram_jaccard",
+                "text_decontaminate",
+                "text_dup_shingle_ratio",
+                "text_unigram_logprob",
+            ):
                 lo, hi = 1.0, 1.0
-            elif name == "dedup_simhash":
+            elif name in ("dedup_simhash", "dedup_canonical_pick"):
                 lo, hi = 0.5, 1.5
             else:
                 lo, hi = 0.9, 1.1
