@@ -82,3 +82,154 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_words").cast("bigint")).alias("total_words"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+SURP_BAND = 10  # keep docs within ±10 milli-nats of the median surprisal
+DUP_MAX = 0.9  # drop docs whose corpus-duplicated shingle ratio exceeds this
+
+
+def _v2_oracle() -> str:
+    from hyperloglog_pyspark_spark.operators.curation import _split_case_sql
+    from hyperloglog_pyspark_spark.operators.dedup import _minhash_oracle_cte
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_cte()}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+    m AS (
+        SELECT c.cluster_id, c.doc_id, len(string_split(d.text, ' ')) AS n_tokens
+        FROM comp c JOIN documents d USING (doc_id)
+    ),
+    drops AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                ORDER BY n_tokens DESC, doc_id ASC) AS rn
+            FROM m
+        ) WHERE rn > 1
+    ),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT SUM(cnt) AS tot FROM vocab),
+    surp AS (
+        SELECT w, CAST(FLOOR(1000.0 * ln(CAST(tot AS DOUBLE) / cnt) + 0.5) AS BIGINT) AS surp
+        FROM vocab CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(FLOOR(SUM(surp) * 1.0 / COUNT(*)) AS BIGINT) AS avg_s
+        FROM tok JOIN surp USING (w) GROUP BY doc_id
+    ),
+    hist AS (SELECT avg_s, COUNT(*) AS c FROM scored GROUP BY avg_s),
+    med AS (
+        SELECT MIN(avg_s) AS m FROM (
+            SELECT avg_s, SUM(c) OVER (ORDER BY avg_s) AS cum,
+                   (SELECT SUM(c) FROM hist) AS t
+            FROM hist
+        ) WHERE cum >= (t + 1) // 2
+    ),
+    sdocs AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    post AS (SELECT doc_id, unnest(sh) AS s FROM sdocs),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM post GROUP BY s),
+    ratio AS (
+        SELECT doc_id,
+               round(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_ratio
+        FROM post JOIN dfreq USING (s) GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT d.doc_id, d.lang, s.n_tokens
+        FROM documents d
+        JOIN scored s USING (doc_id)
+        JOIN ratio r USING (doc_id)
+        CROSS JOIN med
+        WHERE s.avg_s BETWEEN med.m - {SURP_BAND} AND med.m + {SURP_BAND}
+          AND r.dup_ratio <= {DUP_MAX}
+          AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+    )
+    SELECT {_split_case_sql("doc_id")} AS split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY 1, 2
+    """
+
+
+@register("pipeline_curation_v2", category="pipeline", bench=True, oracle=_v2_oracle())
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision layer end-to-end: unigram-surprisal band
+    filter (keep docs within ±{SURP_BAND} milli-nats of the corpus
+    MEDIAN — both perplexity tails cut, CCNet-style) AND corpus-duplicated
+    shingle ratio ≤ {DUP_MAX} (Gopher dup-n-gram cut), MINUS every
+    non-canonical member of a MinHash-LSH near-dup cluster (longest-doc
+    canonical election), accounted per (hash-split, lang) — the
+    train/val/test token budgets a data order actually asks for.
+
+    Scale: composes only bounded constructions — the LSH pair graph and
+    component election run at pair-graph scale; the surprisal and
+    shingle-df tables are vocabulary-keyed inverted indexes; the median
+    comes from a histogram over DISTINCT integer surprisal values
+    (log-range bounded, a few thousand rows) so no corpus-scale global
+    window exists; the final rollup is one partial+final aggregation.
+    The per-doc signal frames join co-keyed on doc_id.
+    """
+    from hyperloglog_pyspark_spark.operators.curation import (
+        _split_expr,
+        text_dup_shingle_ratio,
+        text_unigram_logprob,
+    )
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        connected_components,
+        dedup_minhash_lsh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    members = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    ).join(F.broadcast(comp), "doc_id")
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    drops = (
+        members.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    scored = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("avg_surprisal_milli").alias("avg_s")
+    )
+    hist = scored.groupBy("avg_s").agg(F.count(F.lit(1)).alias("c"))
+    wh = Window.orderBy("avg_s")  # histogram-sized (distinct integer scores)
+    tot = hist.agg(F.sum("c").alias("t"))
+    med = (
+        hist.withColumn("cum", F.sum("c").over(wh))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.floor((F.col("t") + 1) / 2))
+        .agg(F.min("avg_s").alias("m"))
+    )
+    ratio = text_dup_shingle_ratio(spark, sf_dir).select("doc_id", "dup_ratio")
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .join(ratio, "doc_id")
+        .crossJoin(F.broadcast(med))
+        .filter(
+            F.col("avg_s").between(F.col("m") - SURP_BAND, F.col("m") + SURP_BAND)
+            & (F.col("dup_ratio") <= DUP_MAX)
+        )
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+    )
+    return kept.groupBy(_split_expr(F.col("doc_id")).alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
