@@ -427,3 +427,115 @@ REGISTRY["split_leakage_audit"].oracle = REGISTRY["split_leakage_audit"].oracle.
 REGISTRY["dedup_canonical_pick"].oracle = REGISTRY["dedup_canonical_pick"].oracle.format(
     minhash=_minhash_oracle_cte()
 )
+
+
+RRF_K = 60  # reciprocal-rank-fusion constant (Cormack et al. 2009)
+RRF_TOPK = 10  # fused list depth; both input rankings use the same depth
+
+
+def _rrf_oracle() -> str:
+    # curation loads before textops alphabetically; importing it here
+    # registers text_bm25_topk so its oracle is reusable as a CTE.
+    from hyperloglog_pyspark_spark.operators import textops as _textops  # noqa: F401
+    from hyperloglog_pyspark_spark.registry import REGISTRY as _REG
+
+    bm25 = _REG["text_bm25_topk"].oracle
+    return f"""
+    WITH lex AS ({bm25}),
+    qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id <= 2),
+    dense AS (
+        SELECT query_id, vec_id AS doc_id, rank FROM (
+            SELECT qv.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qv.query_id
+                       ORDER BY round(list_cosine_similarity(qv.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+                                c.vec_id) AS rank
+            FROM qv JOIN embeddings c ON c.vec_id <> qv.query_id
+        ) WHERE rank <= {RRF_TOPK}
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.rank AS lex_rank, d.rank AS dense_rank,
+               round(COALESCE(1.0 / ({RRF_K} + l.rank), 0)
+                     + COALESCE(1.0 / ({RRF_K} + d.rank), 0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN dense d
+            ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rank AS BIGINT) AS fused_rank,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rrf AS DOUBLE) AS rrf_score,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= {RRF_TOPK}
+    """
+
+
+@register("similarity_hybrid_rrf", category="similarity", oracle=_rrf_oracle())
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion: the BM25 lexical
+    top-{RRF_TOPK} (text_bm25_topk's ranking, shared query ids) fused
+    with a dense cosine top-{RRF_TOPK} (query vectors = embeddings
+    0..2 over the embedding corpus, vec_id as the shared item id) by
+    RRF(d) = Σ 1/(k + rank_i(d)), k={RRF_K} — the standard two-tower +
+    keyword search stack every RAG retrieval layer runs.
+
+    Determinism: fusion scores are sums of at most two 1/(k+rank) terms
+    (rank integers — IEEE-exact), rounded to 6dp before the final
+    ranking, ties to the smaller doc id; the dense ranking reuses the
+    4dp-rounded cosine contract proven by dedup_embedding_cosine.
+
+    Scale: each ranking arrives top-k per query (bounded); fusion is a
+    full-outer join on (query, doc) over ≤ 2·k·|queries| rows — the
+    expensive parts are the upstream retrievals, which keep their own
+    bounded constructions (query-term-restricted inverted index; ANN
+    buckets in production instead of this exact dense scan)."""
+    from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded
+    from hyperloglog_pyspark_spark.operators.textops import text_bm25_topk
+
+    lex = text_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    qv = emb.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos = cosine_rounded(F.col("qe"), F.col("e"), 4)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = (
+        emb.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .withColumn("dense_rank", F.row_number().over(wq))
+        .filter(F.col("dense_rank") <= RRF_TOPK)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .select(
+            "query_id",
+            "fused_rank",
+            "doc_id",
+            F.col("rrf").cast("double").alias("rrf_score"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("dense_rank").cast("long").alias("dense_rank"),
+        )
+    )

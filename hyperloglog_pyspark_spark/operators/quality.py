@@ -1007,3 +1007,65 @@ def quality_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cents_winsorized",
         )
     )
+
+
+SPIKE_Z = 2.0  # |z| at or above this flags the day
+
+
+@register(
+    "quality_anomaly_volume_spike",
+    category="quality",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n, SUM(c) AS sc, SUM(c * c) AS sc2 FROM daily
+    ),
+    scored AS (
+        SELECT day, c,
+               CAST(sc AS DOUBLE) / n AS mean,
+               sqrt(CAST(sc2 AS DOUBLE) / n - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) AS std
+        FROM daily CROSS JOIN stats
+    )
+    SELECT day, CAST(c AS BIGINT) AS n_events,
+           CAST(round(CASE WHEN std = 0 THEN 0 ELSE (c - mean) / std END, 4) AS DOUBLE) AS z,
+           CASE WHEN std = 0 THEN FALSE
+                ELSE abs(round((c - mean) / std, 4)) >= {SPIKE_Z} END AS is_spike
+    FROM scored
+    """,
+)
+def quality_anomaly_volume_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-volume anomaly detection: daily event counts z-scored
+    against the stream's own mean/std — the pager alert for a stuck
+    producer (z ≪ 0) or a replay/bot flood (z ≫ 0), complementing
+    quality_freshness_watermark (lag) with a volume signal.
+
+    Determinism: counts are exact BIGINTs; mean/variance come from the
+    one-pass integer moments (Σc, Σc²) so the doubles on both engines are
+    built from identical integers with an identical operation order —
+    IEEE-exact — and z is rounded to 4dp before the threshold.
+
+    Scale: one partial+final count per day, then a broadcast of the
+    3-number moment row back onto the #days-sized frame. Output is
+    #days rows; the fact table is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n")
+    std = F.sqrt(
+        F.col("sc2").cast("double") / F.col("n") - mean * mean
+    )
+    z = F.round((F.col("c") - mean) / std, 4)
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        F.col("c").cast("long").alias("n_events"),
+        F.when(std == 0, F.lit(0.0)).otherwise(z).cast("double").alias("z"),
+        F.when(std == 0, F.lit(False)).otherwise(F.abs(z) >= SPIKE_Z).alias("is_spike"),
+    )
