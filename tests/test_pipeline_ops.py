@@ -419,3 +419,64 @@ def test_unigram_logprob_orders_rare_token_docs_higher(spark, sf_dir):
     commonest = joined.nlargest(5, "mean_freq").avg_surprisal_milli.mean()
     rarest = joined.nsmallest(5, "mean_freq").avg_surprisal_milli.mean()
     assert rarest > commonest
+
+
+def test_rrf_scores_recompute_from_ranks(spark, sf_dir):
+    """Every fused score must equal 1/(60+lex_rank) + 1/(60+dense_rank)
+    recomputed directly from the emitted ranks (absent rank → 0), and
+    fused ranks must be dense 1..k per query."""
+    out = ALL["similarity_hybrid_rrf"](spark, sf_dir).toPandas()
+    for r in out.itertuples():
+        want = 0.0
+        if r.lex_rank == r.lex_rank and r.lex_rank is not None:  # not NaN
+            want += 1.0 / (60 + r.lex_rank)
+        if r.dense_rank == r.dense_rank and r.dense_rank is not None:
+            want += 1.0 / (60 + r.dense_rank)
+        assert abs(r.rrf_score - round(want, 6)) < 1e-9
+    for q, grp in out.groupby("query_id"):
+        assert sorted(grp.fused_rank) == list(range(1, len(grp) + 1))
+
+
+def test_winsorize_means_are_bounded_by_thresholds(spark, sf_dir):
+    """The winsorized mean must lie within [lo, hi] (every clamped value
+    does), never exceed the raw mean's distance from the band, and the
+    clamp counts must be consistent with ~1% tails."""
+    out = ALL["quality_winsorize_clamp"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for r in out.itertuples():
+        assert r.lo_cents <= r.hi_cents
+        assert r.lo_cents <= r.mean_cents_winsorized <= r.hi_cents
+        k = (r.n_rows + 99) // 100
+        assert r.n_clamped_lo < k  # strictly-below-lo excludes rank k itself
+        assert r.n_clamped_hi < k
+
+
+def test_volume_spike_covers_all_events(spark, sf_dir):
+    """Daily rows must account for every event, and the spike flag must
+    agree with the emitted z at the documented threshold."""
+    out = ALL["quality_anomaly_volume_spike"](spark, sf_dir).toPandas()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.n_events.sum() == n_events
+    for r in out.itertuples():
+        assert bool(r.is_spike) == (abs(r.z) >= 2.0)
+
+
+def test_erasure_sweep_chain_is_consistent(spark, sf_dir):
+    """Purged+retained must equal each table's row count, and the
+    lineitem purge count must equal the rows of erased customers'
+    orders recomputed directly."""
+    out = ALL["governance_erasure_sweep"](spark, sf_dir).toPandas().set_index("table_name")
+    import pyspark.sql.functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for tbl, df in [("customer", cust), ("orders", orders), ("lineitem", li)]:
+        row = out.loc[tbl]
+        assert row.n_purged + row.n_retained == df.count()
+    erased_orders = orders.join(
+        cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey")
+    want = li.join(erased_orders, li.l_orderkey == F.col("o_orderkey")).count()
+    assert out.loc["lineitem"].n_purged == want
