@@ -440,17 +440,16 @@ def _rrf_oracle() -> str:
     from hyperloglog_pyspark_spark.registry import REGISTRY as _REG
 
     bm25 = _REG["text_bm25_topk"].oracle
+    # The dense side IS similarity_topk_bruteforce's contract (queries
+    # 0..2 ⊂ its query set, RRF_TOPK ≤ its TOP_K) — reuse its oracle so
+    # the ranking definition lives in exactly one place.
+    bruteforce = _REG["similarity_topk_bruteforce"].oracle
     return f"""
     WITH lex AS ({bm25}),
-    qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id <= 2),
     dense AS (
-        SELECT query_id, vec_id AS doc_id, rank FROM (
-            SELECT qv.query_id, c.vec_id,
-                   ROW_NUMBER() OVER (PARTITION BY qv.query_id
-                       ORDER BY round(list_cosine_similarity(qv.qe::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
-                                c.vec_id) AS rank
-            FROM qv JOIN embeddings c ON c.vec_id <> qv.query_id
-        ) WHERE rank <= {RRF_TOPK}
+        SELECT query_id, vec_id AS doc_id, rank
+        FROM ({bruteforce})
+        WHERE query_id <= 2 AND rank <= {RRF_TOPK}
     ),
     fused AS (
         SELECT COALESCE(l.query_id, d.query_id) AS query_id,
@@ -494,26 +493,20 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive parts are the upstream retrievals, which keep their own
     bounded constructions (query-term-restricted inverted index; ANN
     buckets in production instead of this exact dense scan)."""
-    from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded
+    from hyperloglog_pyspark_spark.operators.similarity import (
+        similarity_topk_bruteforce,
+    )
     from hyperloglog_pyspark_spark.operators.textops import text_bm25_topk
 
     lex = text_bm25_topk(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("lex_rank")
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("e")
-    )
-    qv = emb.filter(F.col("vec_id") <= 2).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    cos = cosine_rounded(F.col("qe"), F.col("e"), 4)
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    # Dense side = the bruteforce baseline's own ranking, restricted to
+    # the shared query ids — one copy of the cosine/tie-break contract.
     dense = (
-        emb.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
-        .withColumn("dense_rank", F.row_number().over(wq))
-        .filter(F.col("dense_rank") <= RRF_TOPK)
-        .select("query_id", "doc_id", "dense_rank")
+        similarity_topk_bruteforce(spark, sf_dir)
+        .filter((F.col("query_id") <= 2) & (F.col("rank") <= RRF_TOPK))
+        .select("query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
     )
     fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
         "query_id",

@@ -89,8 +89,15 @@ DUP_MAX = 0.9  # drop docs whose corpus-duplicated shingle ratio exceeds this
 
 
 def _v2_oracle() -> str:
+    # Each signal's SQL is interpolated from the SAME registered oracle
+    # the Spark side's shared operator is checked against — one
+    # definition per signal, so a contract change moves both engines.
     from hyperloglog_pyspark_spark.operators.curation import _split_case_sql
     from hyperloglog_pyspark_spark.operators.dedup import _minhash_oracle_cte
+    from hyperloglog_pyspark_spark.registry import REGISTRY as _REG
+
+    unigram = _REG["text_unigram_logprob"].oracle
+    shingle_ratio = _REG["text_dup_shingle_ratio"].oracle
 
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle_cte()}),
@@ -105,23 +112,16 @@ def _v2_oracle() -> str:
         FROM comp c JOIN documents d USING (doc_id)
     ),
     drops AS (
+        -- same election tie-break as dedup_canonical_pick's ranked CTE
         SELECT doc_id FROM (
             SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
                 ORDER BY n_tokens DESC, doc_id ASC) AS rn
             FROM m
         ) WHERE rn > 1
     ),
-    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-    vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
-    tot AS (SELECT SUM(cnt) AS tot FROM vocab),
-    surp AS (
-        SELECT w, CAST(FLOOR(1000.0 * ln(CAST(tot AS DOUBLE) / cnt) + 0.5) AS BIGINT) AS surp
-        FROM vocab CROSS JOIN tot
-    ),
     scored AS (
-        SELECT doc_id, COUNT(*) AS n_tokens,
-               CAST(FLOOR(SUM(surp) * 1.0 / COUNT(*)) AS BIGINT) AS avg_s
-        FROM tok JOIN surp USING (w) GROUP BY doc_id
+        SELECT doc_id, n_tokens, avg_surprisal_milli AS avg_s
+        FROM ({unigram})
     ),
     hist AS (SELECT avg_s, COUNT(*) AS c FROM scored GROUP BY avg_s),
     med AS (
@@ -131,18 +131,8 @@ def _v2_oracle() -> str:
             FROM hist
         ) WHERE cum >= (t + 1) // 2
     ),
-    sdocs AS (
-        SELECT doc_id, list_distinct(list_transform(
-            range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
-        FROM documents WHERE len(string_split(text, ' ')) >= 3
-    ),
-    post AS (SELECT doc_id, unnest(sh) AS s FROM sdocs),
-    dfreq AS (SELECT s, COUNT(*) AS df FROM post GROUP BY s),
     ratio AS (
-        SELECT doc_id,
-               round(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_ratio
-        FROM post JOIN dfreq USING (s) GROUP BY doc_id
+        SELECT doc_id, dup_ratio FROM ({shingle_ratio})
     ),
     kept AS (
         SELECT d.doc_id, d.lang, s.n_tokens

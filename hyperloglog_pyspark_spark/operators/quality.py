@@ -1025,7 +1025,7 @@ SPIKE_Z = 2.0  # |z| at or above this flags the day
     scored AS (
         SELECT day, c,
                CAST(sc AS DOUBLE) / n AS mean,
-               sqrt(CAST(sc2 AS DOUBLE) / n - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) AS std
+               sqrt(greatest(CAST(sc2 AS DOUBLE) / n - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n), 0)) AS std
         FROM daily CROSS JOIN stats
     )
     SELECT day, CAST(c AS BIGINT) AS n_events,
@@ -1044,14 +1044,20 @@ def quality_anomaly_volume_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are exact BIGINTs; mean/variance come from the
     one-pass integer moments (Σc, Σc²) so the doubles on both engines are
     built from identical integers with an identical operation order —
-    IEEE-exact — and z is rounded to 4dp before the threshold.
+    IEEE-exact — and z is rounded to 4dp before the threshold. The
+    one-pass variance is clamped at zero on BOTH engines: near-flat
+    high-volume streams can cancel to a tiny negative, which would make
+    Spark's sqrt return NaN (flagging every day) while DuckDB errors.
 
-    Scale: one partial+final count per day, then a broadcast of the
-    3-number moment row back onto the #days-sized frame. Output is
-    #days rows; the fact table is scanned once."""
+    Scale: one partial+final count per day (persisted — it feeds the
+    moment row AND the output frame), then a broadcast of the 3-number
+    moment row back onto the #days-sized frame. Output is #days rows;
+    the fact table is scanned once."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).alias("c")
+    daily = tracked_persist(
+        ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
     stats = daily.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1060,7 +1066,9 @@ def quality_anomaly_volume_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("sc").cast("double") / F.col("n")
     std = F.sqrt(
-        F.col("sc2").cast("double") / F.col("n") - mean * mean
+        F.greatest(
+            F.col("sc2").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+        )
     )
     z = F.round((F.col("c") - mean) / std, 4)
     return daily.crossJoin(F.broadcast(stats)).select(
