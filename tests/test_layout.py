@@ -213,6 +213,7 @@ SHUFFLE_BUDGET = {
     # leakage / canonical-pick persist their token/element/pair frames —
     # excluded for the InMemoryRelation text-inflation reason above).
     "layout_range_sort_buckets": 6,   # sample window + count + 2 broadcasts + list agg + final agg
+    "quality_winsorize_clamp": 3,     # rank window + threshold broadcast + final agg
 }
 
 
