@@ -1039,3 +1039,125 @@ def event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("span_min").alias("min_span_min"),
         F.max("span_min").alias("max_span_min"),
     )
+
+
+RFM_Q = 5  # quintile buckets per RFM dimension
+RFM_M_BUCKET = 100_000  # monetary histogram grain: $1000 in cents
+
+
+def _rfm_cust_sql() -> str:
+    return f"""
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM orders)) AS recency,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   // {RFM_M_BUCKET} AS mb
+        FROM orders GROUP BY o_custkey"""
+
+
+def _rfm_thresholds_sql(metric: str) -> str:
+    """4 quintile boundary values of ``metric`` over cust, as one sorted
+    list — the bounded-histogram rank pick (cum >= ceil(q·n/5))."""
+    return f"""
+        SELECT list_sort(list(v)) AS bs FROM (
+            SELECT i, MIN(val) AS v FROM (
+                SELECT val, SUM(c) OVER (ORDER BY val) AS cum,
+                       (SELECT COUNT(*) FROM cust) AS n
+                FROM (SELECT {metric} AS val, COUNT(*) AS c FROM cust GROUP BY 1)
+            ) h, (SELECT unnest(range(1, {RFM_Q})) AS i)
+            WHERE cum >= (i * n + {RFM_Q - 1}) // {RFM_Q}
+            GROUP BY i
+        )"""
+
+
+@register(
+    "event_rfm_segmentation",
+    category="eventflow",
+    oracle=f"""
+    WITH cust AS ({_rfm_cust_sql()}),
+    rb AS ({_rfm_thresholds_sql("recency")}),
+    fb AS ({_rfm_thresholds_sql("freq")}),
+    mb_t AS ({_rfm_thresholds_sql("mb")})
+    SELECT CAST(1 + len(list_filter(rb.bs, t -> t < c.recency)) AS INTEGER) AS r_bucket,
+           CAST(1 + len(list_filter(fb.bs, t -> t < c.freq)) AS INTEGER) AS f_bucket,
+           CAST(1 + len(list_filter(mb_t.bs, t -> t < c.mb)) AS INTEGER) AS m_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(FLOOR(SUM(c.monetary) * 1.0 / COUNT(*)) AS BIGINT) AS avg_monetary_cents
+    FROM cust c CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb_t
+    GROUP BY 1, 2, 3
+    """,
+)
+def event_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into quintile buckets of
+    recency (days since last order, as of the corpus max date), frequency
+    (order count) and monetary value (exact lifetime cents), reported as
+    segment cells with size and average value — the behavioral cohort
+    table CRM/churn pipelines key on. Buckets are ascending value order
+    (1 = lowest recency/freq/monetary); consumers flip recency for
+    "best customer" semantics.
+
+    Scale: quintile thresholds come from value HISTOGRAMS, not a global
+    sort — recency and frequency are naturally low-cardinality integers
+    and monetary is bucketed to $1000 grain, so each histogram (and the
+    only ordered windows) is value-range-sized, never customer-sized; the
+    4 boundary values per metric broadcast as one array row (the
+    layout_range_sort_buckets pattern). One customer-grain aggregation +
+    three tiny histogram reductions. All arithmetic exact BIGINT; the
+    rank pick uses the integer ceil identity so both engines choose
+    identical boundaries."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref"))
+    cust = tracked_persist(
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("ref"), F.max("o_orderdate")).alias("recency"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("monetary"),
+        )
+        .withColumn(
+            "mb",
+            F.floor(F.col("monetary") / RFM_M_BUCKET).cast("long"),
+        )
+    )
+
+    def thresholds(metric: str, out: str) -> DataFrame:
+        hist = cust.groupBy(F.col(metric).alias("val")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wh = Window.orderBy("val")  # histogram-sized, never customer-sized
+        n = cust.agg(F.count(F.lit(1)).alias("n"))
+        cum = hist.withColumn("cum", F.sum("c").over(wh)).crossJoin(F.broadcast(n))
+        qs = spark.range(1, RFM_Q).withColumnRenamed("id", "i")
+        return (
+            cum.join(
+                F.broadcast(qs),
+                F.col("cum") >= F.expr(f"(i * n + {RFM_Q - 1}) div {RFM_Q}"),
+            )
+            .groupBy("i")
+            .agg(F.min("val").alias("v"))
+            .agg(F.sort_array(F.collect_list("v")).alias(out))
+        )
+
+    score = lambda bs, v: (
+        F.lit(1) + F.size(F.filter(bs, lambda t: t < F.col(v)))
+    ).cast("int")
+    return (
+        cust.crossJoin(F.broadcast(thresholds("recency", "rbs")))
+        .crossJoin(F.broadcast(thresholds("freq", "fbs")))
+        .crossJoin(F.broadcast(thresholds("mb", "mbs")))
+        .groupBy(
+            score("rbs", "recency").alias("r_bucket"),
+            score("fbs", "freq").alias("f_bucket"),
+            score("mbs", "mb").alias("m_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.floor(F.sum("monetary") * 1.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_monetary_cents"),
+        )
+    )

@@ -910,3 +910,96 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(boiler) / F.count(F.lit(1)), 6).alias("boiler_fraction"),
         )
     )
+
+
+MRR_TERMS_PER_QUERY = 3  # every BM25 fixture query has exactly 3 terms
+
+
+def _mrr_oracle() -> str:
+    from hyperloglog_pyspark_spark.registry import REGISTRY
+
+    bm25 = REGISTRY["text_bm25_topk"].oracle
+    return f"""
+    WITH lex AS ({bm25}),
+    q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+    dtok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    rel AS (
+        SELECT q.query_id, dtok.doc_id
+        FROM q JOIN dtok ON dtok.token = q.term
+        GROUP BY q.query_id, dtok.doc_id
+        HAVING COUNT(DISTINCT q.term) = {MRR_TERMS_PER_QUERY}
+    ),
+    totals AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_total FROM rel GROUP BY query_id),
+    hits AS (
+        SELECT lex.query_id,
+               MIN(CASE WHEN rel.doc_id IS NOT NULL THEN lex.rank END) AS first_rel_rank,
+               CAST(SUM(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_in_topk
+        FROM lex LEFT JOIN rel
+            ON rel.query_id = lex.query_id AND rel.doc_id = lex.doc_id
+        GROUP BY lex.query_id
+    )
+    SELECT t.query_id,
+           t.n_rel_total,
+           h.n_rel_in_topk,
+           CAST(COALESCE(h.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+           CAST(COALESCE(round(1.0 / h.first_rel_rank, 6), 0) AS DOUBLE) AS reciprocal_rank
+    FROM totals t JOIN hits h USING (query_id)
+    """
+
+
+@register("retrieval_mrr_report", category="text", oracle=_mrr_oracle())
+def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report for the BM25 ranking: per query, the rank
+    of the first RELEVANT document (relevance rule: the document contains
+    ALL the query's terms — deterministic, no human labels), its
+    reciprocal rank, and top-k/corpus-wide relevant counts. Averaging
+    reciprocal_rank gives MRR — the eval loop every retrieval stack runs
+    after an index or scoring change, next to similarity_recall_report
+    on the dense side.
+
+    Scale: the relevance set comes from the same query-term-restricted
+    inverted-index join BM25 itself uses (never corpus × queries); the
+    metric join runs over the top-k rows only. Reciprocal ranks are
+    1/BIGINT rounded to 6dp — cross-engine exact."""
+    lex = text_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    rel = (
+        dtok.join(F.broadcast(qterms), dtok.token == qterms.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == MRR_TERMS_PER_QUERY)
+        .select("query_id", F.col("doc_id").alias("rel_doc"))
+    )
+    rel = tracked_persist(rel)
+    totals = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel_total"))
+    hits = (
+        lex.join(
+            rel,
+            (lex.query_id == rel.query_id) & (lex.doc_id == rel.rel_doc),
+            "left",
+        )
+        .drop(rel.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("rel_doc").isNotNull(), F.col("rank"))).alias(
+                "first_rel_rank"
+            ),
+            F.sum(F.col("rel_doc").isNotNull().cast("long")).alias("n_rel_in_topk"),
+        )
+    )
+    return totals.join(hits, "query_id").select(
+        "query_id",
+        "n_rel_total",
+        "n_rel_in_topk",
+        F.coalesce(F.col("first_rel_rank"), F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.coalesce(F.round(1.0 / F.col("first_rel_rank"), 6), F.lit(0.0))
+        .cast("double")
+        .alias("reciprocal_rank"),
+    )
