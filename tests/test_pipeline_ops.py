@@ -480,3 +480,43 @@ def test_erasure_sweep_chain_is_consistent(spark, sf_dir):
     ).select("o_orderkey")
     want = li.join(erased_orders, li.l_orderkey == F.col("o_orderkey")).count()
     assert out.loc["lineitem"].n_purged == want
+
+
+def test_rfm_marginals_are_near_quintiles(spark, sf_dir):
+    """Each RFM dimension's marginal bucket sizes must be ~n/5 (exact
+    quintile ranks, ties can shift boundaries), and every cell's bucket
+    ids must be in 1..5."""
+    out = ALL["event_rfm_segmentation"](spark, sf_dir).toPandas()
+    n = out.n_customers.sum()
+    for dim in ("r_bucket", "f_bucket", "m_bucket"):
+        assert set(out[dim]) <= {1, 2, 3, 4, 5}
+        marg = out.groupby(dim)["n_customers"].sum()
+        # ties (low-cardinality ints) can move mass between neighbors;
+        # a bucket still never exceeds 2x the ideal fifth
+        assert marg.max() <= 2 * (n / 5) + 1, (dim, dict(marg))
+    assert n > 0
+
+
+def test_mrr_agrees_with_bm25_ranking(spark, sf_dir):
+    """reciprocal_rank must equal 1/first_rel_rank, the first relevant
+    rank must point at a doc containing every query term, and
+    n_rel_in_topk can never exceed min(topk, n_rel_total)."""
+    rep = ALL["retrieval_mrr_report"](spark, sf_dir).toPandas()
+    lex = ALL["text_bm25_topk"](spark, sf_dir).toPandas()
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    from hyperloglog_pyspark_spark.operators.textops import BM25_QUERIES
+
+    terms: dict[int, set] = {}
+    for q, t in BM25_QUERIES:
+        terms.setdefault(q, set()).add(t)
+    for r in rep.itertuples():
+        assert r.n_rel_in_topk <= min(10, r.n_rel_total)
+        if r.first_rel_rank == 0:
+            assert r.reciprocal_rank == 0.0
+            continue
+        assert abs(r.reciprocal_rank - round(1.0 / r.first_rel_rank, 6)) < 1e-9
+        doc = lex[(lex.query_id == r.query_id) & (lex["rank"] == r.first_rel_rank)].doc_id.iloc[0]
+        assert terms[r.query_id] <= docs[doc]
