@@ -376,3 +376,101 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+# Target mixture shares (percent) for the budgeted data order; must sum
+# to 100. The dominant language is deliberately under-weighted relative
+# to its corpus share so the cap/redistribute path is exercised.
+MIX_TARGET_PCT = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+MIX_BUDGET_PCT = 50  # global token budget as a percent of the corpus
+
+_MIX_PCT_VALUES = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGET_PCT.items())
+
+
+@register(
+    "mixture_budget_rates",
+    category="trainprep",
+    oracle=f"""
+    WITH lt AS (
+        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY lang
+    ),
+    tgt(lang, pct) AS (VALUES {_MIX_PCT_VALUES}),
+    tot AS (SELECT SUM(toks) * {MIX_BUDGET_PCT} // 100 AS budget FROM lt),
+    base AS (
+        SELECT lt.lang, lt.toks, tgt.pct,
+               (tot.budget * tgt.pct) // 100 AS desired
+        FROM lt JOIN tgt USING (lang) CROSS JOIN tot
+    ),
+    caps AS (
+        SELECT SUM(CASE WHEN toks < desired THEN desired - toks ELSE 0 END) AS deficit,
+               SUM(CASE WHEN toks >= desired THEN desired ELSE 0 END) AS u
+        FROM base
+    )
+    SELECT b.lang,
+           b.toks AS tokens_available,
+           CAST(b.pct AS INTEGER) AS target_pct,
+           CAST(b.desired AS BIGINT) AS desired_tokens,
+           CAST(LEAST(b.toks,
+                b.desired + CASE WHEN b.toks < b.desired OR c.u = 0 THEN 0
+                                 ELSE (c.deficit * b.desired) // c.u END) AS BIGINT)
+               AS granted_tokens,
+           CAST(round(LEAST(b.toks,
+                b.desired + CASE WHEN b.toks < b.desired OR c.u = 0 THEN 0
+                                 ELSE (c.deficit * b.desired) // c.u END) * 1.0
+                / b.desired, 6) AS DOUBLE) AS fill_rate,
+           b.toks < b.desired AS capped
+    FROM base b CROSS JOIN caps c
+    """,
+)
+def mixture_budget_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained mixture allocation — the data-order solver: given
+    per-language token supply, target shares, and a global token budget
+    (here 50% of the corpus), grant each language min(supply, its share of
+    the budget), then redistribute the deficit of supply-capped languages
+    to the uncapped ones proportionally to their targets (one waterfill
+    round; a second-round cap surfaces as fill_rate > 1 supply permitting,
+    or stays unfilled and visible in Σ granted < budget). This is the
+    table a rate-based sampler (sample_stratified / the temperature
+    mixture) executes against.
+
+    All integer arithmetic (floor divisions, exact BIGINT token sums) —
+    bit-identical cross-engine. Scale: one corpus scan reduces to #langs
+    rows; everything after is arithmetic on a broadcast frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    tgt = spark.createDataFrame(
+        list(MIX_TARGET_PCT.items()), "lang string, pct int"
+    )
+    tot = lt.agg(
+        F.expr(f"sum(toks) * {MIX_BUDGET_PCT} div 100").alias("budget")
+    )
+    base = (
+        lt.join(F.broadcast(tgt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("desired", F.expr("(budget * pct) div 100"))
+    )
+    caps = base.agg(
+        F.sum(
+            F.when(F.col("toks") < F.col("desired"), F.col("desired") - F.col("toks"))
+            .otherwise(0)
+        ).alias("deficit"),
+        F.sum(
+            F.when(F.col("toks") >= F.col("desired"), F.col("desired")).otherwise(0)
+        ).alias("u"),
+    )
+    extra = F.when(
+        (F.col("toks") < F.col("desired")) | (F.col("u") == 0), F.lit(0)
+    ).otherwise(F.expr("(deficit * desired) div u"))
+    granted = F.least(F.col("toks"), F.col("desired") + extra)
+    return base.crossJoin(F.broadcast(caps)).select(
+        "lang",
+        F.col("toks").alias("tokens_available"),
+        F.col("pct").cast("int").alias("target_pct"),
+        F.col("desired").cast("long").alias("desired_tokens"),
+        granted.cast("long").alias("granted_tokens"),
+        F.round(granted * 1.0 / F.col("desired"), 6).cast("double").alias("fill_rate"),
+        (F.col("toks") < F.col("desired")).alias("capped"),
+    )
