@@ -510,6 +510,18 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
 # (query_id, term) pairs — terms drawn from the corpus vocabulary.
+def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, token, tf) term-frequency table — the one
+    corpus tokenization pass shared by BM25 scoring and the MRR report
+    (tracked_persist's plan-canonical lookup reuses the cache when both
+    run in one job)."""
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return tracked_persist(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 BM25_QUERIES = [
     (0, "hash"), (0, "join"), (0, "merge"),
     (1, "scan"), (1, "filter"), (1, "column"),
@@ -575,11 +587,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale swap in a two-phase TakeOrdered (per-partition local top-k,
     then merge) if the candidate sets stop fitting a partition.
     """
-    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tracked_persist(
-        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = _tf_table(spark, sf_dir)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -912,9 +920,6 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MRR_TERMS_PER_QUERY = 3  # every BM25 fixture query has exactly 3 terms
-
-
 def _mrr_oracle() -> str:
     from hyperloglog_pyspark_spark.registry import REGISTRY
 
@@ -922,15 +927,18 @@ def _mrr_oracle() -> str:
     return f"""
     WITH lex AS ({bm25}),
     q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
-    dtok AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
-        FROM documents
+    qn AS (SELECT query_id, COUNT(*) AS n_terms FROM q GROUP BY query_id),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY doc_id, token
     ),
     rel AS (
-        SELECT q.query_id, dtok.doc_id
-        FROM q JOIN dtok ON dtok.token = q.term
-        GROUP BY q.query_id, dtok.doc_id
-        HAVING COUNT(DISTINCT q.term) = {MRR_TERMS_PER_QUERY}
+        SELECT q.query_id, tf.doc_id
+        FROM q JOIN tf ON tf.token = q.term
+        JOIN qn ON qn.query_id = q.query_id
+        GROUP BY q.query_id, tf.doc_id, qn.n_terms
+        HAVING COUNT(DISTINCT q.term) = qn.n_terms
     ),
     totals AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_total FROM rel GROUP BY query_id),
     hits AS (
@@ -941,12 +949,14 @@ def _mrr_oracle() -> str:
             ON rel.query_id = lex.query_id AND rel.doc_id = lex.doc_id
         GROUP BY lex.query_id
     )
-    SELECT t.query_id,
-           t.n_rel_total,
-           h.n_rel_in_topk,
+    SELECT qn.query_id,
+           CAST(COALESCE(t.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+           CAST(COALESCE(h.n_rel_in_topk, 0) AS BIGINT) AS n_rel_in_topk,
            CAST(COALESCE(h.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
            CAST(COALESCE(round(1.0 / h.first_rel_rank, 6), 0) AS DOUBLE) AS reciprocal_rank
-    FROM totals t JOIN hits h USING (query_id)
+    FROM qn
+    LEFT JOIN hits h USING (query_id)
+    LEFT JOIN totals t USING (query_id)
     """
 
 
@@ -960,21 +970,26 @@ def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     after an index or scoring change, next to similarity_recall_report
     on the dense side.
 
-    Scale: the relevance set comes from the same query-term-restricted
-    inverted-index join BM25 itself uses (never corpus × queries); the
-    metric join runs over the top-k rows only. Reciprocal ranks are
-    1/BIGINT rounded to 6dp — cross-engine exact."""
+    Scale: the relevance set comes from the SAME persisted tf table the
+    BM25 call builds (one corpus tokenization, reused via the
+    plan-canonical cache), restricted by the broadcast query terms —
+    never corpus × queries; the metric join runs over the top-k rows
+    only. Every query id appears in the output — a query with zero
+    relevant documents (or zero index hits) reports n_rel_total = 0 and
+    reciprocal_rank = 0 instead of silently vanishing, which would
+    overstate MRR. The relevance threshold is each query's OWN term
+    count, not a constant. Reciprocal ranks are 1/BIGINT rounded to 6dp
+    — cross-engine exact."""
     lex = text_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
     qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
-    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
-    dtok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    )
+    qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    tf = _tf_table(spark, sf_dir)
     rel = (
-        dtok.join(F.broadcast(qterms), dtok.token == qterms.term)
+        tf.join(F.broadcast(qterms), tf.token == qterms.term)
         .groupBy("query_id", "doc_id")
         .agg(F.count_distinct("term").alias("nt"))
-        .filter(F.col("nt") == MRR_TERMS_PER_QUERY)
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("nt") == F.col("n_terms"))
         .select("query_id", F.col("doc_id").alias("rel_doc"))
     )
     rel = tracked_persist(rel)
@@ -994,12 +1009,17 @@ def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("rel_doc").isNotNull().cast("long")).alias("n_rel_in_topk"),
         )
     )
-    return totals.join(hits, "query_id").select(
-        "query_id",
-        "n_rel_total",
-        "n_rel_in_topk",
-        F.coalesce(F.col("first_rel_rank"), F.lit(0)).cast("long").alias("first_rel_rank"),
-        F.coalesce(F.round(1.0 / F.col("first_rel_rank"), 6), F.lit(0.0))
-        .cast("double")
-        .alias("reciprocal_rank"),
+    return (
+        qn.select("query_id")
+        .join(hits, "query_id", "left")
+        .join(totals, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel_total"), F.lit(0)).cast("long").alias("n_rel_total"),
+            F.coalesce(F.col("n_rel_in_topk"), F.lit(0)).cast("long").alias("n_rel_in_topk"),
+            F.coalesce(F.col("first_rel_rank"), F.lit(0)).cast("long").alias("first_rel_rank"),
+            F.coalesce(F.round(1.0 / F.col("first_rel_rank"), 6), F.lit(0.0))
+            .cast("double")
+            .alias("reciprocal_rank"),
+        )
     )

@@ -379,9 +379,11 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Target mixture shares (percent) for the budgeted data order; must sum
-# to 100. The dominant language is deliberately under-weighted relative
-# to its corpus share so the cap/redistribute path is exercised.
-MIX_TARGET_PCT = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+# to 100. 'de' is deliberately over-weighted beyond its corpus supply
+# (~14% of tokens, but 35% of a 50% budget = 17.5% of the corpus) so the
+# supply-cap + deficit-redistribution path actually executes on the
+# fixtures; a language caps iff its token share < pct·budget%/10000.
+MIX_TARGET_PCT = {"en": 20, "de": 35, "es": 15, "fr": 15, "zh": 15}
 MIX_BUDGET_PCT = 50  # global token budget as a percent of the corpus
 
 _MIX_PCT_VALUES = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGET_PCT.items())

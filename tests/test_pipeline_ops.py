@@ -520,3 +520,19 @@ def test_mrr_agrees_with_bm25_ranking(spark, sf_dir):
         assert abs(r.reciprocal_rank - round(1.0 / r.first_rel_rank, 6)) < 1e-9
         doc = lex[(lex.query_id == r.query_id) & (lex["rank"] == r.first_rel_rank)].doc_id.iloc[0]
         assert terms[r.query_id] <= docs[doc]
+
+
+def test_mixture_budget_waterfill_path_executes(spark, sf_dir):
+    """At least one language must be supply-capped on the fixture (the
+    redistribution arithmetic must actually run), grants can never exceed
+    supply, and total grants never exceed the budget (floors undershoot)."""
+    out = ALL["mixture_budget_rates"](spark, sf_dir).toPandas()
+    assert out.capped.any(), "no capped language: waterfill path untested"
+    assert (~out.capped).any(), "every language capped: budget infeasible"
+    assert (out.granted_tokens <= out.tokens_available).all()
+    budget = out.desired_tokens.sum()  # Σ floor(B·p) ≤ B
+    assert out.granted_tokens.sum() <= budget + len(out)
+    for r in out.itertuples():
+        if r.capped:
+            assert r.granted_tokens == r.tokens_available
+            assert r.fill_rate < 1.0
