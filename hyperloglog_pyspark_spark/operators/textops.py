@@ -1023,3 +1023,126 @@ def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reciprocal_rank"),
         )
     )
+
+
+# NDCG position discounts 1/log2(rank+1) pre-quantized to micro-units and
+# inlined as LITERALS into both engines — no runtime transcendental, so
+# DCG sums are exact BIGINTs with zero cross-engine float risk.
+NDCG_DISCOUNT_MICRO = [1000000, 630930, 500000, 430677, 386853,
+                       356207, 333333, 315465, 301030, 289065]
+
+_NDCG_D_VALUES = ", ".join(
+    f"({r + 1}, {d})" for r, d in enumerate(NDCG_DISCOUNT_MICRO)
+)
+
+
+def _ndcg_oracle() -> str:
+    from hyperloglog_pyspark_spark.registry import REGISTRY
+
+    bm25 = REGISTRY["text_bm25_topk"].oracle
+    return f"""
+    WITH lex AS ({bm25}),
+    q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+    disc(rank, d) AS (VALUES {_NDCG_D_VALUES}),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY doc_id, token
+    ),
+    fixed AS (
+        SELECT query_id, rank,
+               (1 << COUNT(*) FILTER (WHERE matched)) - 1 AS gain
+        FROM (
+            SELECT lex.query_id, lex.rank, q.term,
+                   BOOL_OR(tf.doc_id IS NOT NULL) AS matched
+            FROM lex
+            JOIN q ON q.query_id = lex.query_id
+            LEFT JOIN tf ON tf.doc_id = lex.doc_id AND tf.token = q.term
+            GROUP BY lex.query_id, lex.rank, q.term
+        ) GROUP BY query_id, rank
+    ),
+    dcg AS (
+        SELECT f.query_id,
+               CAST(SUM(f.gain * disc.d) AS BIGINT) AS dcg_micro
+        FROM fixed f JOIN disc ON disc.rank = f.rank
+        GROUP BY f.query_id
+    ),
+    ideal AS (
+        SELECT query_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY gain DESC, rank ASC) AS irank,
+               gain
+        FROM fixed
+    ),
+    idcg AS (
+        SELECT i.query_id,
+               CAST(SUM(i.gain * disc.d) AS BIGINT) AS idcg_micro
+        FROM ideal i JOIN disc ON disc.rank = i.irank
+        GROUP BY i.query_id
+    )
+    SELECT d.query_id,
+           d.dcg_micro,
+           g.idcg_micro,
+           CAST(CASE WHEN g.idcg_micro = 0 THEN 0
+                ELSE round(d.dcg_micro * 1.0 / g.idcg_micro, 6) END AS DOUBLE) AS ndcg
+    FROM dcg d JOIN idcg g USING (query_id)
+    """
+
+
+@register("retrieval_ndcg_report", category="text", oracle=_ndcg_oracle())
+def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the BM25 ranking with graded relevance: each retrieved
+    document's grade is how many of the query's terms it contains, gain
+    = 2^grade − 1, and NDCG divides the ranked DCG by the ideal
+    (grade-sorted) reordering of the SAME retrieved set (the local
+    NDCG@k variant — it scores ordering quality, recall is
+    retrieval_mrr_report's n_rel_in_topk). Completes the eval suite:
+    recall (similarity_recall_report), MRR, NDCG.
+
+    Determinism: position discounts 1/log2(rank+1) are PRE-QUANTIZED
+    micro-unit literals shared by both engines, gains are integers, so
+    DCG/IDCG are exact BIGINT sums — no runtime log, no float
+    accumulation. Scale: everything runs on top-k rows per query; the
+    grade join reuses the persisted tf table restricted by the broadcast
+    query terms."""
+    lex = text_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    tf = _tf_table(spark, sf_dir)
+    matches = (
+        lex.join(F.broadcast(qterms), "query_id")
+        .join(
+            tf.select(F.col("doc_id").alias("td"), F.col("token").alias("tt")),
+            (F.col("doc_id") == F.col("td")) & (F.col("term") == F.col("tt")),
+            "left",
+        )
+        .groupBy("query_id", "rank", "term")
+        .agg(F.max(F.col("td").isNotNull().cast("int")).alias("matched"))
+    )
+    fixed = matches.groupBy("query_id", "rank").agg(
+        F.expr("shiftleft(1, sum(matched)) - 1").alias("gain")
+    )
+    disc = spark.createDataFrame(
+        [(r + 1, d) for r, d in enumerate(NDCG_DISCOUNT_MICRO)], "rank int, d long"
+    )
+    fixed = tracked_persist(fixed)
+    dcg = (
+        fixed.join(F.broadcast(disc), "rank")
+        .groupBy("query_id")
+        .agg(F.sum(F.col("gain") * F.col("d")).cast("long").alias("dcg_micro"))
+    )
+    wi = Window.partitionBy("query_id").orderBy(F.desc("gain"), F.asc("rank"))
+    idcg = (
+        fixed.withColumn("irank", F.row_number().over(wi))
+        .join(F.broadcast(disc.withColumnRenamed("rank", "irank")), "irank")
+        .groupBy("query_id")
+        .agg(F.sum(F.col("gain") * F.col("d")).cast("long").alias("idcg_micro"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.when(F.col("idcg_micro") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("dcg_micro") * 1.0 / F.col("idcg_micro"), 6))
+        .cast("double")
+        .alias("ndcg"),
+    )
