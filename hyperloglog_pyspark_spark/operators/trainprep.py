@@ -476,3 +476,90 @@ def mixture_budget_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(granted * 1.0 / F.col("desired"), 6).cast("double").alias("fill_rate"),
         (F.col("toks") < F.col("desired")).alias("capped"),
     )
+
+
+IW_CLIP_MILLI = 3000  # importance-weight ceiling (3.0x) in milli-units
+
+
+@register(
+    "mixture_importance_weights",
+    category="trainprep",
+    oracle=f"""
+    WITH lt AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY lang
+    ),
+    tgt(lang, pct) AS (VALUES {_MIX_PCT_VALUES}),
+    tot AS (SELECT SUM(toks) AS t FROM lt),
+    w AS (
+        SELECT lt.lang, lt.n_docs, lt.toks, tgt.pct,
+               (tgt.pct * tot.t * 1000) // (100 * lt.toks) AS w_milli,
+               LEAST((tgt.pct * tot.t * 1000) // (100 * lt.toks),
+                     {IW_CLIP_MILLI}) AS w_clipped
+        FROM lt JOIN tgt USING (lang) CROSS JOIN tot
+    ),
+    ess AS (
+        SELECT (SUM(n_docs * w_clipped) * SUM(n_docs * w_clipped))
+               // SUM(n_docs * w_clipped * w_clipped) AS ess_docs,
+               SUM(n_docs) AS n_total
+        FROM w
+    )
+    SELECT w.lang,
+           CAST(w.n_docs AS BIGINT) AS n_docs,
+           w.toks AS tokens,
+           CAST(w.pct AS INTEGER) AS target_pct,
+           CAST(w.w_milli AS BIGINT) AS weight_milli,
+           CAST(w.w_clipped AS BIGINT) AS weight_clipped_milli,
+           w.w_milli > {IW_CLIP_MILLI} AS clipped,
+           CAST(e.ess_docs AS BIGINT) AS ess_docs,
+           CAST(round(e.ess_docs * 1.0 / e.n_total, 6) AS DOUBLE) AS ess_fraction
+    FROM w CROSS JOIN ess e
+    """,
+)
+def mixture_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighting diagnostics — the alternative to downsampling:
+    instead of dropping documents to hit the target mixture, weight each
+    language by target-share / corpus-share (clipped at 3.0× to bound
+    gradient variance) and report the effective sample size
+    ESS = (Σ n·w)² / Σ n·w² — the number that says how much statistical
+    power the reweighted corpus actually retains (ess_fraction near 1 =
+    cheap fix; low = resample instead). Shares are measured on tokens;
+    weights land in exact integer milli-units so clipping, ESS, and both
+    engines agree bit-for-bit.
+
+    Scale: one corpus scan reduces to #languages rows; weights and ESS
+    are arithmetic on a broadcast frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks"),
+    )
+    tgt = spark.createDataFrame(list(MIX_TARGET_PCT.items()), "lang string, pct int")
+    tot = lt.agg(F.sum("toks").alias("t"))
+    w = (
+        lt.join(F.broadcast(tgt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("w_milli", F.expr("(pct * t * 1000) div (100 * toks)"))
+        .withColumn("w_clipped", F.least(F.col("w_milli"), F.lit(IW_CLIP_MILLI)))
+    )
+    ess = w.agg(
+        F.expr(
+            "(sum(n_docs * w_clipped) * sum(n_docs * w_clipped))"
+            " div sum(n_docs * w_clipped * w_clipped)"
+        ).alias("ess_docs"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    return w.crossJoin(F.broadcast(ess)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("toks").alias("tokens"),
+        F.col("pct").cast("int").alias("target_pct"),
+        F.col("w_milli").cast("long").alias("weight_milli"),
+        F.col("w_clipped").cast("long").alias("weight_clipped_milli"),
+        (F.col("w_milli") > IW_CLIP_MILLI).alias("clipped"),
+        F.col("ess_docs").cast("long").alias("ess_docs"),
+        F.round(F.col("ess_docs") * 1.0 / F.col("n_total"), 6)
+        .cast("double")
+        .alias("ess_fraction"),
+    )
