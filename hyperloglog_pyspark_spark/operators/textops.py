@@ -1030,6 +1030,9 @@ def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DCG sums are exact BIGINTs with zero cross-engine float risk.
 NDCG_DISCOUNT_MICRO = [1000000, 630930, 500000, 430677, 386853,
                        356207, 333333, 315465, 301030, 289065]
+# The rank joins silently drop ranks beyond this table in BOTH engines
+# (the oracle could not catch it) — fail fast instead.
+assert len(NDCG_DISCOUNT_MICRO) >= BM25_TOPK
 
 _NDCG_D_VALUES = ", ".join(
     f"({r + 1}, {d})" for r, d in enumerate(NDCG_DISCOUNT_MICRO)
@@ -1080,12 +1083,14 @@ def _ndcg_oracle() -> str:
         FROM ideal i JOIN disc ON disc.rank = i.irank
         GROUP BY i.query_id
     )
-    SELECT d.query_id,
-           d.dcg_micro,
-           g.idcg_micro,
-           CAST(CASE WHEN g.idcg_micro = 0 THEN 0
+    SELECT qn.query_id,
+           CAST(COALESCE(d.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           CAST(COALESCE(g.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN COALESCE(g.idcg_micro, 0) = 0 THEN 0
                 ELSE round(d.dcg_micro * 1.0 / g.idcg_micro, 6) END AS DOUBLE) AS ndcg
-    FROM dcg d JOIN idcg g USING (query_id)
+    FROM (SELECT query_id FROM q GROUP BY query_id) qn
+    LEFT JOIN dcg d USING (query_id)
+    LEFT JOIN idcg g USING (query_id)
     """
 
 
@@ -1107,11 +1112,17 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     query terms."""
     lex = text_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
     qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
-    tf = _tf_table(spark, sf_dir)
+    # Restrict the corpus-scale tf table by the broadcast query terms
+    # FIRST (the MRR/rel pattern) — the left grade join then runs over
+    # docs-containing-query-terms, never the full tf table.
+    tfq = _tf_table(spark, sf_dir).join(
+        F.broadcast(qterms.select("term").distinct()),
+        F.col("token") == F.col("term"),
+    ).select(F.col("doc_id").alias("td"), F.col("token").alias("tt"))
     matches = (
         lex.join(F.broadcast(qterms), "query_id")
         .join(
-            tf.select(F.col("doc_id").alias("td"), F.col("token").alias("tt")),
+            tfq,
             (F.col("doc_id") == F.col("td")) & (F.col("term") == F.col("tt")),
             "left",
         )
@@ -1137,12 +1148,17 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.sum(F.col("gain") * F.col("d")).cast("long").alias("idcg_micro"))
     )
-    return dcg.join(idcg, "query_id").select(
-        "query_id",
-        "dcg_micro",
-        "idcg_micro",
-        F.when(F.col("idcg_micro") == 0, F.lit(0.0))
-        .otherwise(F.round(F.col("dcg_micro") * 1.0 / F.col("idcg_micro"), 6))
-        .cast("double")
-        .alias("ndcg"),
+    qn = qterms.select("query_id").distinct()
+    return (
+        qn.join(dcg, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("long").alias("dcg_micro"),
+            F.coalesce(F.col("idcg_micro"), F.lit(0)).cast("long").alias("idcg_micro"),
+            F.when(F.coalesce(F.col("idcg_micro"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("dcg_micro") * 1.0 / F.col("idcg_micro"), 6))
+            .cast("double")
+            .alias("ndcg"),
+        )
     )

@@ -378,6 +378,25 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_TOKENS_SQL = """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY lang"""
+
+
+def _lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-language (n_docs, token) totals — the one corpus
+    scan shared by the mixture operators (plan-canonical cache reuse,
+    the _tf_table precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tracked_persist(
+        docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("toks"),
+        )
+    )
+
+
 # Target mixture shares (percent) for the budgeted data order; must sum
 # to 100. 'de' is deliberately over-weighted beyond its corpus supply
 # (~14% of tokens, but 35% of a 50% budget = 17.5% of the corpus) so the
@@ -393,10 +412,7 @@ _MIX_PCT_VALUES = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGET_PCT.items())
     "mixture_budget_rates",
     category="trainprep",
     oracle=f"""
-    WITH lt AS (
-        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
-        FROM documents GROUP BY lang
-    ),
+    WITH lt AS ({_LANG_TOKENS_SQL}),
     tgt(lang, pct) AS (VALUES {_MIX_PCT_VALUES}),
     tot AS (SELECT SUM(toks) * {MIX_BUDGET_PCT} // 100 AS budget FROM lt),
     base AS (
@@ -439,10 +455,7 @@ def mixture_budget_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integer arithmetic (floor divisions, exact BIGINT token sums) —
     bit-identical cross-engine. Scale: one corpus scan reduces to #langs
     rows; everything after is arithmetic on a broadcast frame."""
-    docs = load_table(spark, sf_dir, "documents")
-    lt = docs.groupBy("lang").agg(
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
-    )
+    lt = _lang_tokens(spark, sf_dir)
     tgt = spark.createDataFrame(
         list(MIX_TARGET_PCT.items()), "lang string, pct int"
     )
@@ -485,11 +498,7 @@ IW_CLIP_MILLI = 3000  # importance-weight ceiling (3.0x) in milli-units
     "mixture_importance_weights",
     category="trainprep",
     oracle=f"""
-    WITH lt AS (
-        SELECT lang, COUNT(*) AS n_docs,
-               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
-        FROM documents GROUP BY lang
-    ),
+    WITH lt AS ({_LANG_TOKENS_SQL}),
     tgt(lang, pct) AS (VALUES {_MIX_PCT_VALUES}),
     tot AS (SELECT SUM(toks) AS t FROM lt),
     w AS (
@@ -500,8 +509,15 @@ IW_CLIP_MILLI = 3000  # importance-weight ceiling (3.0x) in milli-units
         FROM lt JOIN tgt USING (lang) CROSS JOIN tot
     ),
     ess AS (
-        SELECT (SUM(n_docs * w_clipped) * SUM(n_docs * w_clipped))
-               // SUM(n_docs * w_clipped * w_clipped) AS ess_docs,
+        -- sums exact (HUGEINT), the ratio computed in DOUBLE from the
+        -- SAME integers on both engines: overflow-proof at any corpus
+        -- size, and bit-identical cross-engine because the doubles are
+        -- cast from equal exact values.
+        SELECT CAST(FLOOR(
+                   CAST(SUM(CAST(n_docs AS HUGEINT) * w_clipped) AS DOUBLE)
+                   * CAST(SUM(CAST(n_docs AS HUGEINT) * w_clipped) AS DOUBLE)
+                   / CAST(SUM(CAST(n_docs AS HUGEINT) * w_clipped * w_clipped) AS DOUBLE)
+               ) AS BIGINT) AS ess_docs,
                SUM(n_docs) AS n_total
         FROM w
     )
@@ -530,11 +546,7 @@ def mixture_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one corpus scan reduces to #languages rows; weights and ESS
     are arithmetic on a broadcast frame."""
-    docs = load_table(spark, sf_dir, "documents")
-    lt = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks"),
-    )
+    lt = _lang_tokens(spark, sf_dir)
     tgt = spark.createDataFrame(list(MIX_TARGET_PCT.items()), "lang string, pct int")
     tot = lt.agg(F.sum("toks").alias("t"))
     w = (
@@ -543,11 +555,20 @@ def mixture_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w_milli", F.expr("(pct * t * 1000) div (100 * toks)"))
         .withColumn("w_clipped", F.least(F.col("w_milli"), F.lit(IW_CLIP_MILLI)))
     )
+    s_exact = F.sum(
+        (F.col("n_docs").cast("decimal(38,0)") * F.col("w_clipped"))
+    )
+    q_exact = F.sum(
+        F.col("n_docs").cast("decimal(38,0)")
+        * F.col("w_clipped")
+        * F.col("w_clipped")
+    )
     ess = w.agg(
-        F.expr(
-            "(sum(n_docs * w_clipped) * sum(n_docs * w_clipped))"
-            " div sum(n_docs * w_clipped * w_clipped)"
-        ).alias("ess_docs"),
+        F.floor(
+            s_exact.cast("double") * s_exact.cast("double") / q_exact.cast("double")
+        )
+        .cast("long")
+        .alias("ess_docs"),
         F.sum("n_docs").alias("n_total"),
     )
     return w.crossJoin(F.broadcast(ess)).select(
