@@ -19,6 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hyperloglog_pyspark_spark import registry  # noqa: E402
 from hyperloglog_pyspark_spark.sources.catalog import load_table  # noqa: E402
 
+# The driver EXECUTES everything it builds through this module, so the
+# eager-cache path (materialize a self-join's persisted build side once,
+# before the join races to fill it) is the right default here. Library
+# default is False so plan-only consumers never trigger jobs.
+registry.EAGER_CACHES = True
+
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 

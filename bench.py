@@ -36,6 +36,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")
 
+    registry.EAGER_CACHES = True  # bench executes; build caches eagerly
     registry.queries()  # force operator-module import
     bench_qs = {n: q for n, q in registry.REGISTRY.items() if q.bench}
 

@@ -75,12 +75,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized set to matter. Document scores are then exact BIGINT sums.
 
     Scale: two shuffles — the vocabulary count and the per-doc rollup.
-    The surprisal table is vocabulary-sized (≪ corpus, Zipf-bounded) and
-    broadcast onto the token stream; the scalar total is a broadcast of
-    one row. At 100 TB the vocabulary fits executor memory for any real
-    tokenizer (a few M rows); if it ever didn't, the broadcast degrades
-    to a shuffle join on the word key — same plan shape, one more
-    exchange."""
+    The surprisal table is vocabulary-sized (≪ corpus, Zipf-bounded);
+    the join onto the token stream carries NO broadcast hint on purpose:
+    AQE sees the post-shuffle size and broadcasts while the vocabulary
+    fits (it does for any real tokenizer, a few M rows), and genuinely
+    degrades to a shuffle join on the word key if it ever outgrew
+    executor memory — an explicit F.broadcast hint would instead be
+    obeyed unconditionally and OOM. Only the one-row scalar total keeps
+    its hint."""
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     tok = tracked_persist(
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -97,7 +99,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("surp"),
     )
     scored = (
-        tok.join(F.broadcast(surp), "w")
+        tok.join(surp, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

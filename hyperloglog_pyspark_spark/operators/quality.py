@@ -954,45 +954,62 @@ def quality_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rows each tail clamps, and report the mean before/after — the
     outlier-robust normalization step quantified before it is applied.
 
-    Scale: one window pass partitioned by the group key computes ranks
-    and group sizes in a single shuffle; thresholds reduce to #groups
-    rows, broadcast back onto the same base frame for the clamped
-    aggregation (second shuffle on the same key — co-partitioned storage
-    would remove it). All arithmetic in exact BIGINT cents; means are
-    floor-divided, never averaged in floating point."""
+    Scale: the fact table is never rank-sorted. grp has only 5 distinct
+    values, so a Window.partitionBy(grp) rank (the naive form) caps
+    parallelism at 5 tasks each sorting 20% of the corpus. Instead the
+    kth smallest is read off a (grp, cents) HISTOGRAM: one
+    full-parallelism shuffle builds value counts, a cumulative sum over
+    the histogram yields min{cents : cum >= k} — identical thresholds
+    (ties share a value, so the kth row_number always lands on the
+    minimal value whose cumulative count reaches k). The cumulative
+    window is per-group over DISTINCT money values — bounded by the
+    price domain, not the row count, the same histogram-not-sort
+    construction as pipeline_curation_v2's median and
+    event_rfm_segmentation's quintiles. The clamp aggregation itself
+    also runs on the persisted histogram (counts as weights), so the
+    fact table is scanned exactly once. All arithmetic in exact BIGINT
+    cents; means are floor-divided, never averaged in floating point."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderpriority").alias("grp"),
-        "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
     from pyspark.sql import Window
 
-    wr = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
-    wn = Window.partitionBy("grp")
-    ranked = base.select(
+    hist = tracked_persist(
+        base.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("grp").orderBy("cents")  # histogram-sized
+    cum = hist.select(
         "grp",
         "cents",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("n"),
     )
     k = F.floor((F.col("n") + F.lit(WINSOR_PCT - 1)) / WINSOR_PCT)
-    th = ranked.groupBy("grp").agg(
+    th = cum.groupBy("grp").agg(
         F.max("n").alias("n"),
-        F.max(F.when(F.col("rn") == k, F.col("cents"))).alias("lo_cents"),
-        F.max(
-            F.when(F.col("rn") == F.col("n") - k + 1, F.col("cents"))
+        F.min(F.when(F.col("cum") >= k, F.col("cents"))).alias("lo_cents"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - k + 1, F.col("cents"))
         ).alias("hi_cents"),
     )
     clamped = F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
     return (
-        base.join(F.broadcast(th), "grp")
+        hist.join(F.broadcast(th), "grp")
         .groupBy("grp", "n", "lo_cents", "hi_cents")
         .agg(
-            F.sum((F.col("cents") < F.col("lo_cents")).cast("long")).alias("n_clamped_lo"),
-            F.sum((F.col("cents") > F.col("hi_cents")).cast("long")).alias("n_clamped_hi"),
-            F.floor(F.sum("cents") * 1.0 / F.max("n")).cast("long").alias("mean_cents_raw"),
-            F.floor(F.sum(clamped) * 1.0 / F.max("n"))
+            F.sum(F.when(F.col("cents") < F.col("lo_cents"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_clamped_lo"),
+            F.sum(F.when(F.col("cents") > F.col("hi_cents"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_clamped_hi"),
+            F.floor(F.sum(F.col("cents") * F.col("cnt")) * 1.0 / F.max("n"))
+            .cast("long")
+            .alias("mean_cents_raw"),
+            F.floor(F.sum(clamped * F.col("cnt")) * 1.0 / F.max("n"))
             .cast("long")
             .alias("mean_cents_winsorized"),
         )

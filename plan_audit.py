@@ -14,22 +14,93 @@ executed-plan text, and record the scale-relevant facts the plan proves:
   CartesianProduct over non-broadcast input — the two patterns that do
   not survive 100 TB.
 
+Counting walks the JVM physical-plan TREE (children(), descending through
+AdaptiveSparkPlan.initialPlan), not the plan's toString. Two bugs the
+string approach had, both flagged by the round-4 advisor:
+
+- a cached query's InMemoryRelation REPRINTS its child exchanges at every
+  scan site, so string counts overstated runtime shuffles; the tree walk
+  stops at InMemoryTableScan (the cached subtree is not a child), so
+  ``exchanges`` now means runtime shuffles even for ``cached`` rows;
+- the global-window regex ``Window [...], []`` never matched because
+  Spark omits an empty partition spec from the string entirely; the walk
+  asks ``WindowExec.partitionSpec().isEmpty()`` directly.
+
 Run: ``python plan_audit.py`` (regenerates PLANS.md in place). Caches are
 kept lazy (registry.lazy_caches) so persisted queries are inspected
-plan-only without materializing their frames; note that a persisted
-query's InMemoryRelation reprints its child exchanges at every scan site,
-so exchange counts for those rows OVERSTATE runtime shuffles (marked
-``cached``) — judge them by the per-query budgets in tests/test_layout.py
-instead.
+plan-only without materializing their frames.
 """
 
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: physical node names that cross the JVM→Python boundary
+PYTHON_NODES = frozenset(
+    {
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "PythonMapInArrow",
+        "MapInArrow",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+        "FlatMapGroupsInPandasWithState",
+        "TransformWithStateInPandas",
+    }
+)
+
+
+def walk_plan(node):
+    """Yield every node of a physical plan tree.
+
+    Descends through AdaptiveSparkPlan via initialPlan() (its children()
+    is empty pre-execution); InMemoryTableScan is a natural leaf, so a
+    cached build plan is NOT revisited (that is the point)."""
+    yield node
+    if node.nodeName() == "AdaptiveSparkPlan":
+        yield from walk_plan(node.initialPlan())
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from walk_plan(ch.apply(i))
+
+
+def audit_plan(df) -> dict:
+    """Tree-walk facts for one DataFrame's executed plan (plan-only)."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    names = []
+    global_window = False
+    for n in walk_plan(jplan):
+        nm = n.nodeName()
+        names.append(nm)
+        if nm in ("Window", "WindowGroupLimit", "WindowInPandas"):
+            try:
+                if n.partitionSpec().isEmpty():
+                    global_window = True
+            except Exception:  # node variant without partitionSpec()
+                global_window = True
+    plan_str = jplan.toString()
+    return {
+        "exchanges": sum(
+            1 for nm in names if nm in ("Exchange", "BroadcastExchange")
+        ),
+        "cached": any(nm == "InMemoryTableScan" for nm in names)
+        or "InMemoryRelation" in plan_str,
+        "bhj": sum(
+            1
+            for nm in names
+            if nm in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+        ),
+        "python_nodes": sum(1 for nm in names if nm in PYTHON_NODES),
+        "pushed": "PushedFilters: [" in plan_str
+        and "PushedFilters: []" not in plan_str,
+        "global_window": global_window,
+        "cartesian": any(nm == "CartesianProduct" for nm in names),
+    }
 
 
 def main() -> None:
@@ -58,41 +129,17 @@ def main() -> None:
             if not q.bench:
                 continue
             df = q.fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            cached = "InMemoryRelation" in plan or "InMemoryTableScan" in plan
-            exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
-            rows.append(
-                {
-                    "name": name,
-                    "exchanges": exchanges,
-                    "cached": cached,
-                    "bhj": plan.count("BroadcastHashJoin")
-                    + plan.count("BroadcastNestedLoopJoin"),
-                    "python_nodes": sum(
-                        plan.count(n)
-                        for n in (
-                            "BatchEvalPython",
-                            "ArrowEvalPython",
-                            "MapInPandas",
-                            "FlatMapGroupsInPandas",
-                            "FlatMapCoGroupsInPandas",
-                        )
-                    ),
-                    "pushed": "PushedFilters: [" in plan
-                    and "PushedFilters: []" not in plan,
-                    "global_window": bool(re.findall(r"Window \[[^\]]*\], \[\]", plan)),
-                    "cartesian": "CartesianProduct" in plan,
-                }
-            )
+            rows.append({"name": name, **audit_plan(df)})
 
     lines = [
         "# PLANS — physical-plan audit of the bench headline set",
         "",
         f"Generated by `python plan_audit.py` at {sf_dir} (plan-only, no",
-        "execution). Exchange counts for `cached` rows overstate runtime",
-        "shuffles (InMemoryRelation reprints child exchanges at every scan",
-        "site); the enforced per-query budgets live in tests/test_layout.py.",
-        "`gwin` = a Window with an empty partition spec somewhere in the plan",
+        "execution). Counts come from a JVM plan-tree walk, so `exchanges`",
+        "means RUNTIME shuffles even for `cached` rows (the cached build",
+        "subtree behind InMemoryTableScan is counted once, not per scan",
+        "site); enforced per-query budgets live in tests/test_layout.py.",
+        "`gwin` = a Window whose partitionSpec is empty somewhere in the plan",
         "— acceptable only over sample/histogram-sized frames (each such row",
         "documents which in its operator docstring); `cart` = CartesianProduct",
         "(acceptable only broadcast-scalar or dim×dim, per VERDICT audit).",

@@ -18,6 +18,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # Tests EXECUTE the queries they build, so opt into eager cache
+    # builds (library default is False so plan-only consumers are safe;
+    # layout tests that want plan-only builds use registry.lazy_caches()).
+    from hyperloglog_pyspark_spark import registry
+
+    registry.EAGER_CACHES = True
     spark = get_spark("tests", shuffle_partitions=8)
     yield spark
 

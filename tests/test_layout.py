@@ -3,6 +3,7 @@ Catalyst actually produces (pushdown, broadcast, bucket-join co-location)."""
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import functions as F
@@ -213,7 +214,10 @@ SHUFFLE_BUDGET = {
     # leakage / canonical-pick persist their token/element/pair frames —
     # excluded for the InMemoryRelation text-inflation reason above).
     "layout_range_sort_buckets": 6,   # sample window + count + 2 broadcasts + list agg + final agg
-    "quality_winsorize_clamp": 3,     # rank window + threshold broadcast + final agg
+    # histogram build + cum window on grp + threshold broadcast + final
+    # agg; the persisted histogram's InMemoryRelation reprints its build
+    # exchange at both scan sites (string count 5 ≈ runtime 4)
+    "quality_winsorize_clamp": 5,
 }
 
 
@@ -438,6 +442,75 @@ def test_simhash_plan_is_free_under_lazy_caches(spark, sf_dir):
         if (si := st.getStageInfo(sid)) and si.numTasks > 1
     ]
     assert not multi, f"plan-only inspection launched compute jobs: {multi}"
+
+
+def test_aqe_skew_join_split_fires_at_runtime(spark):
+    """The 100 TB skew story has two legs: the manual salt
+    (join_salted_skew) and Spark's automatic AQE skew-join split. This
+    locks the automatic leg: plant a 90%-one-key skew, force a
+    sort-merge join, execute, and assert the FINAL adaptive plan
+    contains a skew-split join (``skew=true`` on the SortMergeJoin /
+    a skewed AQEShuffleRead). Thresholds are lowered to test scale;
+    the payload is sha2 so the hot partition's shuffle bytes don't
+    compress below the detection threshold (constant-key columns
+    compress to ~nothing and would silently mask the skew)."""
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "131072",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(3000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right.hint("merge"), "k")
+        assert len(j.collect()) == 270300  # 270k hot-key + 300 tail rows
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_eager_caches_defaults_off_in_fresh_import():
+    """The library default must be EAGER_CACHES=False (plan-only
+    consumers safe without a context manager; execution paths —
+    __spark_entry__, bench.py, the test session fixture — opt in).
+    Checked in a fresh interpreter because the session fixture mutates
+    the module global in this process."""
+    import subprocess
+    import sys
+
+    code = (
+        "from hyperloglog_pyspark_spark import registry;"
+        "assert registry.EAGER_CACHES is False;"
+        "import __spark_entry__;"
+        "assert registry.EAGER_CACHES is True"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, check=True, timeout=120
+    )
 
 
 def test_spread_is_noop_when_scan_already_parallel(spark, sf_dir):
