@@ -12,11 +12,16 @@ Layouts implemented (public file-format specifications):
 - BMP: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER (BI_RGB,
   24bpp), rows padded to 4 bytes.
 - WAV: RIFF header + PCM ``fmt `` chunk (16 bytes) + ``data`` chunk.
+- PNG: the one COMPRESSED mainstream format decodable with the stdlib
+  alone — chunk stream (length/type/data/CRC32), IHDR field extraction,
+  zlib-INFLATE of the IDAT stream, and scanline-length validation
+  (RFC 2083; 8-bit truecolor, filter 0).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 BMP_HEADER_LEN = 54  # 14 file header + 40 info header
 WAV_HEADER_LEN = 44  # RIFF(12) + fmt(24) + data header(8)
@@ -103,15 +108,95 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One PNG chunk: length, type, data, CRC32 over type+data."""
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A valid 8-bit truecolor PNG (color type 2, filter 0 scanlines,
+    no interlace) with deterministic pixel bytes, DEFLATE-compressed."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # per-scanline filter byte: None
+        raw.extend((seed + y * 31 + x) % 256 for x in range(3 * width))
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse + validate a PNG: signature, per-chunk CRC32, IHDR fields,
+    zlib-inflate of the concatenated IDAT stream, and the scanline-length
+    identity height*(1 + 3*width) for 8-bit truecolor. Raises ValueError
+    on any corruption — a flipped bit anywhere surfaces as a CRC or
+    inflate failure, which is the integrity property a media lakehouse
+    audits on ingest."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, saw_iend = 8, None, bytearray(), False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("PNG truncated mid chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("PNG chunk exceeds payload")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            saw_iend = True
+        pos += 12 + length
+    if ihdr is None or not saw_iend or pos != len(payload):
+        raise ValueError("PNG chunk stream malformed")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if bit_depth != 8 or color_type != 2 or comp != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (1 + 3 * width):
+        raise ValueError("PNG inflated size disagrees with IHDR dims")
+    return {
+        "media_type": "png",
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "raw_len": len(raw),
+        "n_bytes": len(payload),
+    }
+
+
 def decode_media(payload: bytes) -> dict:
     """Dispatch on magic bytes — the real decode entry point.
 
-    Uncompressed containers (BMP, WAV) decode here in pure Python; a
-    compressed codec (JPEG/PNG/MP4) raises, since this environment has no
-    codec libraries — a deployment would route those to PIL/ffmpeg.
+    Uncompressed containers (BMP, WAV) and zlib-compressed PNG decode
+    here in pure Python; other compressed codecs (JPEG/MP4) raise, since
+    this environment has no codec libraries — a deployment would route
+    those to PIL/ffmpeg through this same dispatcher.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
-    raise ValueError("unsupported container (compressed codecs need PIL/ffmpeg)")
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
+    raise ValueError("unsupported container (JPEG/MP4 codecs need PIL/ffmpeg)")

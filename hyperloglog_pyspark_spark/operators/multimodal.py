@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from hyperloglog_pyspark_spark.functions.mediacodec import (
     decode_media,
     synth_bmp,
+    synth_png,
     synth_wav,
 )
 from hyperloglog_pyspark_spark.registry import register
@@ -183,6 +184,86 @@ def multimodal_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_bytes").alias("n_bytes"),
         )
         .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "multimodal_decode_png",
+    category="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN 'crc_error' ELSE 'ok' END AS status,
+           CASE WHEN doc_id % 11 <> 0 THEN CAST(1 + doc_id % 100 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 11 <> 0 THEN CAST(1 + doc_id % 37 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 11 <> 0 THEN CAST(8 AS BIGINT) END AS bit_depth,
+           CASE WHEN doc_id % 11 <> 0
+                THEN CAST((1 + doc_id % 37) * (1 + 3 * (1 + doc_id % 100)) AS BIGINT)
+           END AS raw_len
+    FROM documents
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format decode: synthesize an 8-bit truecolor PNG
+    per document (``functions/mediacodec.py::synth_png`` — chunk CRCs,
+    DEFLATE'd scanlines), deliberately flip the final CRC byte on every
+    11th doc, then decode with the ``decode_media`` dispatcher: signature
+    sniff, per-chunk CRC32 verification, IHDR field extraction, zlib
+    INFLATE of the IDAT stream, and the scanline-length identity
+    height*(1+3*width). The oracle recomputes dimensions and inflated
+    size arithmetically and expects exactly the planted docs to fail CRC
+    — a parser that skips validation or misreads a field hash-mismatches.
+    (The compressed IDAT byte count is deliberately NOT an output column:
+    zlib output length isn't portable arithmetic.)
+
+    Scale: same posture as multimodal_decode — two chained mapInPandas
+    stages, payload bytes never shuffle, memory bounded by Arrow batch,
+    parallelism from the spread scan.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                png = synth_png(
+                    1 + doc_id % 100, 1 + doc_id % 37, seed=int(doc_id)
+                )
+                if doc_id % 11 == 0:  # corrupt the IEND CRC's last byte
+                    png = png[:-1] + bytes([png[-1] ^ 0xFF])
+                payloads.append(png)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "status": [], "width": [], "height": [],
+                "bit_depth": [], "raw_len": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    m = decode_media(bytes(payload))
+                    out["status"].append("ok")
+                    out["width"].append(m["width"])
+                    out["height"].append(m["height"])
+                    out["bit_depth"].append(m["bit_depth"])
+                    out["raw_len"].append(m["raw_len"])
+                except ValueError:
+                    out["status"].append("crc_error")
+                    for k in ("width", "height", "bit_depth", "raw_len"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        decode_batches,
+        schema=(
+            "doc_id long, status string, width long, height long, "
+            "bit_depth long, raw_len long"
+        ),
     )
 
 

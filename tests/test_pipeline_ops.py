@@ -97,11 +97,38 @@ def test_wav_roundtrip_and_integrity():
     assert stereo["channels"] == 2 and stereo["duration_ms"] == 100 * 1000 // 8000
 
 
+def test_png_roundtrip_and_integrity():
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        decode_png,
+        synth_png,
+    )
+
+    payload = synth_png(20, 7, seed=3)
+    meta = decode_png(payload)
+    assert meta["width"] == 20 and meta["height"] == 7
+    assert meta["bit_depth"] == 8 and meta["color_type"] == 2
+    assert meta["raw_len"] == 7 * (1 + 3 * 20)
+    assert meta["n_bytes"] == len(payload)
+    # any flipped byte must fail loudly: chunk CRC or inflate catches it
+    for pos in (12, 40, len(payload) - 1):
+        bad = payload[:pos] + bytes([payload[pos] ^ 0xFF]) + payload[pos + 1 :]
+        with pytest.raises(ValueError):
+            decode_png(bad)
+    with pytest.raises(ValueError):  # truncation
+        decode_png(payload[:-5])
+    assert decode_png(synth_png(1, 1))["raw_len"] == 4
+
+
 def test_decode_media_dispatches_on_magic():
+    from hyperloglog_pyspark_spark.functions.mediacodec import synth_png
+
     assert decode_media(synth_bmp(2, 2))["media_type"] == "bmp"
     assert decode_media(synth_wav(8000, 8))["media_type"] == "wav"
-    with pytest.raises(ValueError):  # compressed codecs stay out of scope
+    assert decode_media(synth_png(2, 2))["media_type"] == "png"
+    with pytest.raises(ValueError):  # garbage after a PNG signature
         decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError):  # other compressed codecs out of scope
+        decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
 
 
 def test_dedup_exact_drops_something(spark, sf_dir):
