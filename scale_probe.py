@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Scale-decade probe: measure the quadratic-risk operator family at an
+sf1-equivalent corpus (R× the sf0.1 tables, default R=10) and report
+wall-time ratios vs the 1× base.
+
+Why a probe and not real sf1 testdata: the driver only generates
+sf{0.001,0.01,0.1}; this synthesizes the decade locally so the
+linearity argument (`tests/test_scale_smoke.py`, R=6 on the dedup
+family) gets a measured 10× datapoint on the four heaviest composed
+operators. Results are recorded in SCALE.md §"Measured scale decade".
+
+Corpus construction (mirrors the smoke test's salting so pair structure
+stays linear instead of forming R-sized near-dup cliques):
+- documents: R word-salted replicas — every token of replica k gets a
+  ``_k`` suffix, so replicas share no shingles/vocabulary and near-dup
+  pairs never cross a salt boundary.
+- embeddings: R replicas with REPLICA-LOCAL labels (label + k*1000)
+  AND a cosine-PRESERVING per-replica transform (rotate components by
+  k positions, then flip signs on an alternating k-dependent mask).
+  The label count seeds the cluster count of the semdedup/kmeans
+  family, so this reproduces the production rule that k grows with N
+  (SemDedup sizes k ≈ √N). The transform is what makes it hold — two
+  failure modes measured and rejected first: identical-coordinate
+  replicas produce R identical centroid sets, and nearest-centroid
+  assignment collapses every replica into one label space (10× cluster
+  size = the quadratic reintroduced; first run measured 25× pair
+  rows); a constant +4k offset separates centroids but inflates
+  within-replica cosine toward 1 (shifted vectors share the offset
+  component), crossing τ for nearly every pair. Rotation+sign-flip
+  preserves all within-replica angles exactly (same prune decisions as
+  the base corpus) while separating replica centroid sets, keeping
+  assignment replica-local, cluster SIZE constant, and the
+  Σ|cluster|²·d pair work R×, not R².
+
+Run: ``python scale_probe.py [R]`` (default 10). Prints one JSON line
+per operator with base/inflated wall seconds and the ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from hyperloglog_pyspark_spark import registry
+from hyperloglog_pyspark_spark.session import get_spark
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK_DIR = "/tmp/spark_graft_scale"
+
+#: the operators VERDICT r4 flagged as the quadratic-risk family
+PROBE_OPS = [
+    "dedup_minhash_lsh",
+    "dedup_canonical_pick",
+    "pipeline_curation_v2",
+    "semdedup_centroid_prune",
+]
+
+
+def _salted_docs(docs, k: int):
+    words = F.split("text", " ")
+    return docs.select(
+        (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(words, lambda w: F.concat(w, F.lit(f"_{k}")))
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _replica_emb(emb, k: int):
+    # rotate + sign-flip + scale by (k+1): all three preserve
+    # within-replica cosine; the magnitude shells keep nearest-centroid
+    # assignment replica-local (rotation alone still allowed occasional
+    # cross-replica argmin wins, measured as 17x instead of 10x rows)
+    rotated = F.expr(
+        f"transform(sequence(0, size(embedding) - 1), i -> "
+        f"CAST(embedding[int((i + {k}) % size(embedding))] "
+        f"* (1 - 2 * ((i * {k}) % 2)) * CAST(POW(2.0, {k}) AS FLOAT) AS FLOAT))"
+    )
+    return emb.select(
+        (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+        rotated.alias("embedding"),
+        (F.col("label") + F.lit(k * 1000)).cast("int").alias("label"),
+    )
+
+
+def build_corpus(spark, out_dir: str, replicas: int) -> None:
+    docs = load_table(spark, BASE_DIR, "documents")
+    emb = load_table(spark, BASE_DIR, "embeddings")
+    d = _salted_docs(docs, 0)
+    e = _replica_emb(emb, 0)
+    for k in range(1, replicas):
+        d = d.union(_salted_docs(docs, k))
+        e = e.union(_replica_emb(emb, k))
+    d.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    e.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.EAGER_CACHES = True
+    registry.queries()
+
+    one = os.path.join(WORK_DIR, "x1")
+    big = os.path.join(WORK_DIR, f"x{replicas}")
+    shutil.rmtree(WORK_DIR, ignore_errors=True)
+    build_corpus(spark, one, 1)
+    build_corpus(spark, big, replicas)
+
+    results = []
+    for name in PROBE_OPS:
+        fn = registry.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        n1 = fn(spark, one).count()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nr = fn(spark, big).count()
+        tr = time.perf_counter() - t0
+        row = {
+            "op": name,
+            "replicas": replicas,
+            "rows_1x": n1,
+            "rows_Rx": nr,
+            "sec_1x": round(t1, 2),
+            "sec_Rx": round(tr, 2),
+            "time_ratio": round(tr / max(t1, 0.2), 2),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    worst = max(r["time_ratio"] for r in results)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_decade_worst_ratio",
+                "value": worst,
+                "replicas": replicas,
+                "linear_bar": replicas * 1.5,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
