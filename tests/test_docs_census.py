@@ -1,0 +1,56 @@
+"""Docs truth-pass: the query census must not drift.
+
+Round-3 advice caught README.md drifting from the real registry count.
+The fix was to make COVERAGE.md's header the single place the count is
+written down; this test locks that convention:
+
+- COVERAGE.md's "<N> registered queries" line equals len(REGISTRY);
+- no OTHER top-level doc states its own "registered queries" count
+  (they must defer to COVERAGE.md);
+- every registered query has an oracle (the census line's claim).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+OTHER_DOCS = [
+    "README.md",
+    "SURVEY.md",
+    "SCALE.md",
+    "PLANS.md",
+    "FIXTURES.md",
+    "TESTDATA.md",
+]
+
+_CENSUS = re.compile(r"(\d+) registered queries")
+
+
+def test_coverage_census_matches_registry():
+    queries()
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    m = _CENSUS.search(text)
+    assert m, "COVERAGE.md lost its census line"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"COVERAGE.md says {m.group(1)} queries, registry has {len(REGISTRY)}"
+    )
+
+
+def test_no_other_doc_states_a_query_count():
+    for fname in OTHER_DOCS:
+        path = os.path.join(REPO, fname)
+        if not os.path.exists(path):
+            continue
+        m = _CENSUS.search(open(path).read())
+        assert m is None, f"{fname} hard-codes a query count: {m.group(0)!r}"
+
+
+def test_every_query_has_an_oracle():
+    queries()
+    missing = [n for n, q in REGISTRY.items() if q.oracle is None]
+    assert not missing, f"queries without oracles: {missing}"

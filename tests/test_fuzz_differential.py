@@ -291,3 +291,105 @@ def test_random_composed_plans_match(spec, spark, sf_dir, composed_views):
         return
     assert got.n == int(want.n), spec
     assert got.chk == int(want.chk), spec
+
+
+# --- scalar expression trees: string + integer function composition ------
+
+_STR_BASE = ["c_name", "c_mktsegment", "'xy_z'"]
+_INT_BASE = ["c_custkey", "c_nationkey", "3", "7"]
+
+
+@st.composite
+def string_exprs(draw, depth=0):
+    """Random string-function composition over customer columns —
+    functions whose semantics the two dialects define identically
+    (1-based SUBSTRING, UPPER/LOWER/TRIM/REPLACE/REVERSE/CONCAT)."""
+    if depth >= 2:
+        return draw(st.sampled_from(_STR_BASE))
+    kind = draw(
+        st.sampled_from(
+            ["base", "upper", "lower", "trim", "substr", "replace", "reverse", "concat"]
+        )
+    )
+    if kind == "base":
+        return draw(st.sampled_from(_STR_BASE))
+    inner = draw(string_exprs(depth=depth + 1))
+    if kind == "substr":
+        k = draw(st.integers(min_value=1, max_value=8))
+        return f"SUBSTRING({inner}, 1, {k})"
+    if kind == "replace":
+        a = draw(st.sampled_from(["a", "e", "r", "#"]))
+        b = draw(st.sampled_from(["z", "", "_Q"]))
+        return f"REPLACE({inner}, '{a}', '{b}')"
+    if kind == "concat":
+        other = draw(string_exprs(depth=depth + 1))
+        return f"CONCAT({inner}, {other})"
+    return f"{kind.upper()}({inner})"
+
+
+@st.composite
+def int_exprs(draw, depth=0):
+    """Random integer arithmetic/conditional composition over customer
+    keys — +, *, %, ABS, LEAST/GREATEST, CASE. A leading % bounds every
+    operand so products can't overflow BIGINT in either engine."""
+    if depth >= 2:
+        return draw(st.sampled_from(_INT_BASE))
+    kind = draw(
+        st.sampled_from(["base", "add", "mul", "mod", "abs", "least", "greatest", "case"])
+    )
+    if kind == "base":
+        return draw(st.sampled_from(_INT_BASE))
+    a = draw(int_exprs(depth=depth + 1))
+    if kind == "abs":
+        return f"ABS({a})"
+    if kind == "mod":
+        m = draw(st.integers(min_value=2, max_value=13))
+        return f"(({a}) % {m})"
+    b = draw(int_exprs(depth=depth + 1))
+    if kind == "add":
+        return f"(({a}) + ({b}))"
+    if kind == "mul":
+        # bound both factors so the product stays far inside BIGINT
+        return f"((({a}) % 1000) * (({b}) % 1000))"
+    if kind == "case":
+        return f"(CASE WHEN ({a}) > ({b}) THEN ({a}) ELSE ({b}) END)"
+    return f"{kind.upper()}({a}, {b})"
+
+
+@pytest.fixture(scope="module")
+def customer_view(spark, sf_dir):
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_fzs_cust")
+    return "_fzs_cust"
+
+
+@given(expr=string_exprs())
+@settings(max_examples=50, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_string_exprs_match(expr, spark, sf_dir, customer_view):
+    q = (
+        "SELECT CAST(COUNT(DISTINCT e) AS BIGINT) AS d, "
+        "CAST(SUM(LENGTH(e)) AS BIGINT) AS sl "
+        f"FROM (SELECT {expr} AS e FROM {{t}})"
+    )
+    got = spark.sql(q.format(t=customer_view)).first()
+    want = _oracle_row(sf_dir, q.format(t="customer"))
+    if want is None:
+        return
+    assert got.d == int(want.d), expr
+    assert got.sl == int(want.sl), expr
+
+
+@given(expr=int_exprs())
+@settings(max_examples=50, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_int_exprs_match(expr, spark, sf_dir, customer_view):
+    q = (
+        "SELECT CAST(SUM(e) AS BIGINT) AS s, "
+        "CAST(COUNT(DISTINCT e) AS BIGINT) AS d, "
+        "CAST(MIN(e) AS BIGINT) AS lo, CAST(MAX(e) AS BIGINT) AS hi "
+        f"FROM (SELECT CAST({expr} AS BIGINT) AS e FROM {{t}})"
+    )
+    got = spark.sql(q.format(t=customer_view)).first()
+    want = _oracle_row(sf_dir, q.format(t="customer"))
+    if want is None:
+        return
+    for col in ["s", "d", "lo", "hi"]:
+        assert getattr(got, col) == int(want[col]), (expr, col)

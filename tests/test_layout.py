@@ -368,6 +368,7 @@ ARROW_PYTHON_ALLOWED = {
     "multimodal_meta",           # mapInPandas payload decode plumbing
     "multimodal_frame_sample",   # mapInPandas frame sampling
     "multimodal_decode",         # mapInPandas BMP/WAV synth + header parse
+    "multimodal_decode_png",     # mapInPandas PNG synth + zlib/CRC decode
     "source_binaryfile_media",   # mapInPandas header decode over binaryFile rows
     "heavy_hitters_mg",          # Misra-Gries partial summaries (mapInPandas)
     "cogroup_asof_attribution",  # cogrouped per-key as-of alignment
