@@ -563,3 +563,54 @@ def test_mixture_budget_waterfill_path_executes(spark, sf_dir):
         if r.capped:
             assert r.granted_tokens == r.tokens_available
             assert r.fill_rate < 1.0
+
+
+# --- PNG codec properties (hypothesis) ------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    w=st.integers(min_value=1, max_value=200),
+    h=st.integers(min_value=1, max_value=80),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None, derandomize=True)
+def test_png_roundtrip_property(w, h, seed):
+    """decode(synth(w, h)) returns exactly (w, h, 8-bit truecolor) with
+    the scanline-length identity, for arbitrary dimensions/pixel data."""
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        decode_png,
+        synth_png,
+    )
+
+    payload = synth_png(w, h, seed=seed)
+    meta = decode_png(payload)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["raw_len"] == h * (1 + 3 * w)
+    assert meta["n_bytes"] == len(payload)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=60),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None, derandomize=True)
+def test_png_any_single_byte_flip_is_detected(w, h, seed, data):
+    """Integrity property: flipping ANY single byte of a valid PNG makes
+    decode_png raise (signature, chunk CRC32, or inflate failure) —
+    never a silent wrong answer. This is the ingest-audit guarantee the
+    multimodal_decode_png oracle leans on."""
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        decode_png,
+        synth_png,
+    )
+
+    payload = synth_png(w, h, seed=seed)
+    pos = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+    bit = data.draw(st.integers(min_value=0, max_value=7))
+    bad = payload[:pos] + bytes([payload[pos] ^ (1 << bit)]) + payload[pos + 1 :]
+    with pytest.raises(ValueError):
+        decode_png(bad)
