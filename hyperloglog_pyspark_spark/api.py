@@ -1,0 +1,95 @@
+"""Drop-in surface for users of the reference library.
+
+The reference's whole public API is three functions (HLL/examples.py:16,
+56, 70). This module re-exposes them with the SAME signatures and the
+same sha1/str() estimate semantics — a script written against the
+reference switches by changing one import:
+
+    from hyperloglog_pyspark_spark.api import (
+        estimate_distinct_elements,
+        estimate_distinct_elements_parallel,
+        calculate_empirical_accuracy,
+    )
+
+Differences, all deliberate:
+- the parallel form accepts a SparkSession OR a SparkContext where the
+  reference required a SparkContext (HLL/examples.py:56-67) — modern
+  entry points hand you a session;
+- execution is the engine's two-phase Arrow aggregate
+  (`functions/hll64_spark.py`) instead of pickled-row mapPartitions +
+  driver reduce: partials are one small binary row per partition, so
+  the merge shuffles KBs at any input size;
+- the reference's latent bugs are fixed, not reproduced: 32-bit
+  high-range NameError (HyperLogLog.py:153) and the raw-k merge
+  compatibility check (HyperLogLog.py:165-167, p-compat here).
+
+Estimates are bit-for-bit equal to the reference's on its own fixtures
+(645.2579301443818 / 2875.28999 — tests/test_hll64.py goldens; API-level
+parity in tests/test_api_dropin.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from hyperloglog_pyspark_spark.functions import hll64
+
+
+def estimate_distinct_elements(items, k: int) -> float:
+    """Estimate the number of distinct elements in ``items`` locally.
+
+    Mirrors HLL/examples.py:16-25: HyperLogLog64(k) + extend + cardinality,
+    with the reference's str()-before-sha1 equality semantics
+    (HyperLogLog.py:110) — 11 and "11" collide, 11 and 11.0 do not.
+    """
+    p = hll64.p_from_k(k)
+    regs = hll64.empty_registers(p)
+    hll64.update_registers(regs, [str(x) for x in items], p)
+    return hll64.estimate(regs)
+
+
+def estimate_distinct_elements_parallel(lists_of_items, k: int, sc) -> float:
+    """Distributed estimate over a collection of sequences.
+
+    Mirrors HLL/examples.py:56-67 (the reference flagship): one partial
+    sketch per sequence, associatively merged, evaluated once. ``sc``
+    may be a SparkSession or a SparkContext. The engine form builds a
+    one-column DataFrame and runs the two-phase Arrow aggregate — the
+    partial/merge pattern the reference hand-codes with
+    mapPartitions(init_compute_hmaps)+reduce, planned by Catalyst
+    instead.
+    """
+    from hyperloglog_pyspark_spark.functions.hll64_spark import (
+        estimate_distinct,
+    )
+
+    spark = (
+        sc
+        if isinstance(sc, SparkSession)
+        else SparkSession.builder.getOrCreate()
+    )
+    flat = [(str(x),) for seq in lists_of_items for x in seq]
+    df = spark.createDataFrame(flat, "v string").repartition(
+        max(1, len(lists_of_items))
+    )
+    return float(estimate_distinct(df, "v", k).first().estimate)
+
+
+def calculate_empirical_accuracy(items, estimate: float, sc, relative: bool = True) -> float:
+    """Exact-count oracle for an estimate.
+
+    Mirrors HLL/examples.py:70-83: distinct().count() on the cluster,
+    then (cardinality − estimate)/cardinality (relative, the default) or
+    the signed absolute difference. ``sc`` may be a SparkSession or a
+    SparkContext; the distinct runs as a hash partial/final aggregate.
+    """
+    spark = (
+        sc
+        if isinstance(sc, SparkSession)
+        else SparkSession.builder.getOrCreate()
+    )
+    df = spark.createDataFrame([(str(x),) for x in items], "v string")
+    cardinality = df.distinct().count()
+    if relative:
+        return (cardinality - estimate) / cardinality
+    return cardinality - estimate

@@ -1,0 +1,61 @@
+"""API-level drop-in parity: the reference's public three-function
+surface (HLL/examples.py) re-exposed by hyperloglog_pyspark_spark.api
+must reproduce the reference's OWN integration goldens
+(tests/HLL/test_examples.py:86-110) on its own fixtures, called with the
+reference's calling conventions."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hyperloglog_pyspark_spark.api import (
+    calculate_empirical_accuracy,
+    estimate_distinct_elements,
+    estimate_distinct_elements_parallel,
+)
+
+K = 2**12
+
+
+def _load(name):
+    with open(f"/root/reference/tests/HLL/{name}") as f:
+        return json.load(f)
+
+
+def test_local_estimate_golden():
+    # reference golden 645.2579301443818 (test_examples.py:86-87)
+    items = _load("data.txt")
+    assert estimate_distinct_elements(items, K) == pytest.approx(
+        645.2579301443818, abs=1e-12
+    )
+
+
+def test_parallel_estimate_golden(spark):
+    # reference golden 2875.28999 over the 15-sequence fixture
+    # (test_examples.py:100-102)
+    seqs = _load("data2.txt")
+    est = estimate_distinct_elements_parallel(seqs, K, spark)
+    assert round(est - 2875.28999, 5) == 0
+
+
+def test_empirical_accuracy_goldens(spark):
+    # reference goldens: abs err −7.257930144381817, rel err
+    # −0.011376066057024792 on data.txt (test_examples.py:104-110)
+    items = _load("data.txt")
+    card = estimate_distinct_elements(items, K)
+    abs_err = calculate_empirical_accuracy(items, card, spark, relative=False)
+    rel_err = calculate_empirical_accuracy(items, card, spark, relative=True)
+    assert round(abs_err - (-7.257930144381817), 5) == 0
+    assert round(rel_err - (-0.011376066057024792), 5) == 0
+
+
+def test_parallel_accepts_session_or_context(spark):
+    # the reference passed a SparkContext; both handles must work
+    seqs = _load("data2.txt")[:3]
+    via_session = estimate_distinct_elements_parallel(seqs, K, spark)
+    via_context = estimate_distinct_elements_parallel(
+        seqs, K, spark.sparkContext
+    )
+    assert via_session == via_context
