@@ -614,3 +614,21 @@ def test_png_any_single_byte_flip_is_detected(w, h, seed, data):
     bad = payload[:pos] + bytes([payload[pos] ^ (1 << bit)]) + payload[pos + 1 :]
     with pytest.raises(ValueError):
         decode_png(bad)
+
+
+def test_warm_rerun_is_deterministic(spark, sf_dir):
+    """Invoking the same registered query twice in one session must give
+    identical rows: the second run reads the persisted intermediates the
+    first run built (tracked_persist keeps caches across SAME-query
+    reruns — the bench warm path), and a stale or wrongly-scoped cache
+    would surface here as a silent result drift."""
+    from tests.helpers import canon_rows
+
+    for name in (
+        "dedup_minhash_lsh",       # persisted shingle table + LSH bands
+        "text_unigram_logprob",    # persisted token explode
+        "quality_winsorize_clamp", # persisted (grp, cents) histogram
+    ):
+        first = canon_rows(ALL[name](spark, sf_dir).toPandas())
+        second = canon_rows(ALL[name](spark, sf_dir).toPandas())
+        assert first == second, f"{name}: warm rerun diverged"
