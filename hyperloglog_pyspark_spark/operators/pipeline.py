@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 
@@ -184,9 +184,19 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
-    members = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
-    ).join(F.broadcast(comp), "doc_id")
+    # Persisted: three consumers (canonical election, the median
+    # histogram, and the final band filter) read this doc-grain frame —
+    # without the persist each re-runs the per-doc surprisal rollup.
+    scored = tracked_persist(
+        text_unigram_logprob(spark, sf_dir).select(
+            "doc_id", "n_tokens", F.col("avg_surprisal_milli").alias("avg_s")
+        )
+    )
+    # Canonical election reads n_tokens off the persisted scored frame
+    # instead of re-scanning raw documents for size(split(text)) —
+    # identical values (explode-count == split-size, empty tokens
+    # included in both), one fewer corpus scan.
+    members = scored.select("doc_id", "n_tokens").join(F.broadcast(comp), "doc_id")
     wc = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_tokens"), F.asc("doc_id")
     )
@@ -194,9 +204,6 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.withColumn("rn", F.row_number().over(wc))
         .filter(F.col("rn") > 1)
         .select("doc_id")
-    )
-    scored = text_unigram_logprob(spark, sf_dir).select(
-        "doc_id", "n_tokens", F.col("avg_surprisal_milli").alias("avg_s")
     )
     hist = scored.groupBy("avg_s").agg(F.count(F.lit(1)).alias("c"))
     wh = Window.orderBy("avg_s")  # histogram-sized (distinct integer scores)
