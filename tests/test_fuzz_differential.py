@@ -393,3 +393,41 @@ def test_random_int_exprs_match(expr, spark, sf_dir, customer_view):
         return
     for col in ["s", "d", "lo", "hi"]:
         assert getattr(got, col) == int(want[col]), (expr, col)
+
+
+# --- RANGE frames: tie-insensitive value-based windows --------------------
+
+
+@st.composite
+def range_window_specs(draw):
+    """Random RANGE-frame window aggregates. RANGE frames include all
+    PEERS of the boundary rows, so they are deterministic under ties by
+    construction — no total-order crutch needed (the contrast with the
+    ROWS family above is the point of covering both)."""
+    fn = draw(st.sampled_from(["SUM", "COUNT", "MIN", "MAX"]))
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey % 10"]))
+    key = draw(st.sampled_from(["l_quantity", "l_orderkey % 1000"]))
+    lo = draw(st.sampled_from(["UNBOUNDED PRECEDING", "5 PRECEDING", "2 PRECEDING", "CURRENT ROW"]))
+    hi = draw(st.sampled_from(["CURRENT ROW", "3 FOLLOWING", "10 FOLLOWING"]))
+    if lo == "CURRENT ROW" and hi == "CURRENT ROW":
+        lo = "2 PRECEDING"
+    return (
+        f"{fn}(l_quantity) OVER (PARTITION BY {part} "
+        f"ORDER BY {key} RANGE BETWEEN {lo} AND {hi})"
+    )
+
+
+@given(wexpr=range_window_specs())
+@settings(max_examples=30, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_random_range_frames_match(wexpr, spark, sf_dir, lineitem_view):
+    q = (
+        "SELECT CAST(SUM(w * (l_orderkey % 97)) AS BIGINT) AS chk, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        f"SELECT l_orderkey, {wexpr} AS w FROM {{t}})"
+    )
+    got = spark.sql(q.format(t=lineitem_view)).first()
+    want = _oracle_row(sf_dir, q.format(t="lineitem"))
+    if want is None:
+        return
+    assert got.n == int(want.n), wexpr
+    assert got.chk == int(want.chk), wexpr
