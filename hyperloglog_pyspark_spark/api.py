@@ -69,9 +69,12 @@ def estimate_distinct_elements_parallel(lists_of_items, k: int, sc) -> float:
         else SparkSession.builder.getOrCreate()
     )
     flat = [(str(x),) for seq in lists_of_items for x in seq]
-    df = spark.createDataFrame(flat, "v string").repartition(
-        max(1, len(lists_of_items))
-    )
+    # No repartition: the partial/merge aggregate is an exact monoid, so
+    # the estimate is partitioning-independent — mimicking the
+    # reference's one-partition-per-sequence layout would only add a
+    # full-data shuffle for nothing (createDataFrame already splits
+    # across defaultParallelism).
+    df = spark.createDataFrame(flat, "v string")
     return float(estimate_distinct(df, "v", k).first().estimate)
 
 

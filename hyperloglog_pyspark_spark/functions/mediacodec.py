@@ -160,6 +160,8 @@ def decode_png(payload: bytes) -> dict:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if length != 13:  # CRC-consistent but malformed header chunk
+                raise ValueError("PNG IHDR length != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.extend(data)
@@ -171,7 +173,10 @@ def decode_png(payload: bytes) -> dict:
     width, height, bit_depth, color_type, comp, filt, interlace = ihdr
     if bit_depth != 8 or color_type != 2 or comp != 0 or interlace != 0:
         raise ValueError("unsupported PNG variant")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # CRC-consistent chunks, non-zlib stream
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if len(raw) != height * (1 + 3 * width):
         raise ValueError("PNG inflated size disagrees with IHDR dims")
     return {

@@ -940,8 +940,8 @@ WINSOR_PCT = 100  # clamp below rank n/100 and above rank n - n/100 (≈ p1/p99)
            CAST(t.hi_cents AS BIGINT) AS hi_cents,
            CAST(SUM(CASE WHEN b.cents < t.lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
            CAST(SUM(CASE WHEN b.cents > t.hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
-           CAST(FLOOR(SUM(b.cents) * 1.0 / t.n) AS BIGINT) AS mean_cents_raw,
-           CAST(FLOOR(SUM(LEAST(GREATEST(b.cents, t.lo_cents), t.hi_cents)) * 1.0 / t.n) AS BIGINT)
+           CAST(SUM(b.cents) // t.n AS BIGINT) AS mean_cents_raw,
+           CAST(SUM(LEAST(GREATEST(b.cents, t.lo_cents), t.hi_cents)) // t.n AS BIGINT)
                AS mean_cents_winsorized
     FROM base b JOIN th t ON b.grp = t.grp
     GROUP BY b.grp, t.n, t.lo_cents, t.hi_cents
@@ -995,7 +995,6 @@ def quality_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") >= F.col("n") - k + 1, F.col("cents"))
         ).alias("hi_cents"),
     )
-    clamped = F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
     return (
         hist.join(F.broadcast(th), "grp")
         .groupBy("grp", "n", "lo_cents", "hi_cents")
@@ -1006,10 +1005,14 @@ def quality_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("cents") > F.col("hi_cents"), F.col("cnt")).otherwise(F.lit(0)))
             .cast("long")
             .alias("n_clamped_hi"),
-            F.floor(F.sum(F.col("cents") * F.col("cnt")) * 1.0 / F.max("n"))
+            # BIGINT `div`: exact at any scale (a double mean would lose
+            # integer precision past 2^53 — the 100 TB sum territory)
+            F.expr("sum(cents * cnt) div max(n)")
             .cast("long")
             .alias("mean_cents_raw"),
-            F.floor(F.sum(clamped * F.col("cnt")) * 1.0 / F.max("n"))
+            F.expr(
+                "sum(least(greatest(cents, lo_cents), hi_cents) * cnt) div max(n)"
+            )
             .cast("long")
             .alias("mean_cents_winsorized"),
         )

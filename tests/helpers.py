@@ -73,3 +73,24 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     srows, drows = canon_rows(spdf), canon_rows(ddf)
     mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+
+
+def fuzz_oracle_row(cache: dict, make_con, q: str):
+    """Shared fuzz-test oracle runner: run ``q`` on a private, lazily
+    (re)built DuckDB connection. DuckDB 1.0.0 raises InternalException on
+    some generated predicates and that invalidates the whole connection —
+    so the connection lives in ``cache`` and is rebuilt via ``make_con``
+    after an internal error, returning None (the caller treats an
+    ORACLE-side crash as a vacuous pass once the engine itself answered).
+    """
+    if "con" not in cache:
+        cache["con"] = make_con()
+    try:
+        return cache["con"].execute(q).df().iloc[0]
+    except (duckdb.InternalException, duckdb.FatalException):
+        try:
+            cache["con"].close()
+        except Exception:
+            pass
+        del cache["con"]
+        return None

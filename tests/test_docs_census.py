@@ -19,14 +19,10 @@ from hyperloglog_pyspark_spark.registry import REGISTRY, queries
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-OTHER_DOCS = [
-    "README.md",
-    "SURVEY.md",
-    "SCALE.md",
-    "PLANS.md",
-    "FIXTURES.md",
-    "TESTDATA.md",
-]
+# Docs NOT policed: COVERAGE.md is the census holder; VERDICT/ADVICE/
+# BASELINE are judge/driver artifacts that legitimately record the count
+# as of THEIR round (history, not claims about the present).
+_EXEMPT = {"COVERAGE.md", "VERDICT.md", "ADVICE.md", "BASELINE.md"}
 
 _CENSUS = re.compile(r"(\d+) registered queries")
 
@@ -41,13 +37,16 @@ def test_coverage_census_matches_registry():
     )
 
 
-def test_no_other_doc_states_a_query_count():
-    for fname in OTHER_DOCS:
-        path = os.path.join(REPO, fname)
-        if not os.path.exists(path):
+def test_no_other_engine_doc_states_a_query_count():
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(REPO, "*.md"))):
+        if os.path.basename(path) in _EXEMPT:
             continue
         m = _CENSUS.search(open(path).read())
-        assert m is None, f"{fname} hard-codes a query count: {m.group(0)!r}"
+        assert m is None, (
+            f"{os.path.basename(path)} hard-codes a query count: {m.group(0)!r}"
+        )
 
 
 def test_every_query_has_an_oracle():

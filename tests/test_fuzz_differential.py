@@ -22,24 +22,15 @@ from tests.helpers import duck_con
 # an InternalException invalidates the whole connection.  The fuzz tests use
 # their own lazily-rebuilt connection (never the shared `duck` fixture, which
 # the rest of the suite depends on) and treat oracle-side internal errors as
-# a vacuous pass after confirming Spark itself still answers the query.
+# a vacuous pass after confirming Spark itself still answers the query —
+# the rebuild machinery is shared (tests/helpers.py::fuzz_oracle_row).
 _FUZZ_CON: dict = {}
 
 
 def _oracle_row(sf_dir, q):
-    """Run q on a private DuckDB connection; rebuild it if a previous example
-    invalidated it; return None when the ORACLE (not the engine) crashes."""
-    if "con" not in _FUZZ_CON:
-        _FUZZ_CON["con"] = duck_con(sf_dir)
-    try:
-        return _FUZZ_CON["con"].execute(q).df().iloc[0]
-    except (duckdb.InternalException, duckdb.FatalException):
-        try:
-            _FUZZ_CON["con"].close()
-        except Exception:
-            pass
-        del _FUZZ_CON["con"]
-        return None
+    from tests.helpers import fuzz_oracle_row
+
+    return fuzz_oracle_row(_FUZZ_CON, lambda: duck_con(sf_dir), q)
 
 # (spark_sql_expr, duckdb_expr) pairs — same string when dialects agree.
 _NUM_COLS = ["l_orderkey", "l_linenumber", "l_quantity"]

@@ -48,22 +48,17 @@ def nulled_dir(spark, sf_dir, tmp_path_factory) -> str:
 
 
 def _oracle_row(nulled_dir, q):
-    if "con" not in _CON:
+    from tests.helpers import fuzz_oracle_row
+
+    def make_con():
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW customer AS SELECT * FROM "
             f"read_parquet('{nulled_dir}/customer.parquet/*.parquet')"
         )
-        _CON["con"] = con
-    try:
-        return _CON["con"].execute(q).df().iloc[0]
-    except (duckdb.InternalException, duckdb.FatalException):
-        try:
-            _CON["con"].close()
-        except Exception:
-            pass
-        del _CON["con"]
-        return None
+        return con
+
+    return fuzz_oracle_row(_CON, make_con, q)
 
 
 @st.composite

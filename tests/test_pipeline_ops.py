@@ -632,3 +632,30 @@ def test_warm_rerun_is_deterministic(spark, sf_dir):
         first = canon_rows(ALL[name](spark, sf_dir).toPandas())
         second = canon_rows(ALL[name](spark, sf_dir).toPandas())
         assert first == second, f"{name}: warm rerun diverged"
+
+
+def test_png_crc_consistent_corruption_still_raises_valueerror():
+    """Review regression: corruption whose chunk CRCs are self-consistent
+    (a malformed IHDR length, a non-zlib IDAT stream) must still raise
+    ValueError — not leak struct.error / zlib.error past the operator's
+    `except ValueError`."""
+    import struct as _struct
+
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        PNG_SIGNATURE,
+        _png_chunk,
+        decode_png,
+    )
+
+    short_ihdr = PNG_SIGNATURE + _png_chunk(b"IHDR", b"\x00" * 5) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(short_ihdr)
+    good_ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad_idat = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", good_ihdr)
+        + _png_chunk(b"IDAT", b"not zlib data")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad_idat)
