@@ -84,15 +84,19 @@ def calculate_empirical_accuracy(items, estimate: float, sc, relative: bool = Tr
     Mirrors HLL/examples.py:70-83: distinct().count() on the cluster,
     then (cardinality − estimate)/cardinality (relative, the default) or
     the signed absolute difference. ``sc`` may be a SparkSession or a
-    SparkContext; the distinct runs as a hash partial/final aggregate.
+    SparkContext.
+
+    Distinctness is over the RAW items (Python-object equality), exactly
+    as the reference's ``parallelize(items).distinct()`` — note this is a
+    *different* equality than the str()-before-sha1 the estimators use
+    (HyperLogLog.py:110): to the oracle [11, "11"] has 2 distinct values
+    and [11, 11.0] has 1, while the sketch sees the opposite. The RDD
+    distinct is deliberate here: the contract is arbitrary-Python-object
+    equality over a driver-local sequence, which a typed DataFrame column
+    cannot express without coercion.
     """
-    spark = (
-        sc
-        if isinstance(sc, SparkSession)
-        else SparkSession.builder.getOrCreate()
-    )
-    df = spark.createDataFrame([(str(x),) for x in items], "v string")
-    cardinality = df.distinct().count()
+    context = sc.sparkContext if isinstance(sc, SparkSession) else sc
+    cardinality = context.parallelize(items).distinct().count()
     if relative:
         return (cardinality - estimate) / cardinality
     return cardinality - estimate

@@ -141,14 +141,18 @@ def synth_png(width: int, height: int, seed: int = 0) -> bytes:
 def decode_png(payload: bytes) -> dict:
     """Parse + validate a PNG: signature, per-chunk CRC32, IHDR fields,
     zlib-inflate of the concatenated IDAT stream, and the scanline-length
-    identity height*(1 + 3*width) for 8-bit truecolor. Raises ValueError
-    on any corruption — a flipped bit anywhere surfaces as a CRC or
-    inflate failure, which is the integrity property a media lakehouse
-    audits on ingest."""
+    identity height*(1 + 3*width) for 8-bit truecolor, plus RFC 2083
+    structural ordering: IHDR must be the first and only header chunk,
+    nothing may follow IEND, and every scanline filter byte must be a
+    defined method (0-4). Raises ValueError on any corruption — a flipped
+    bit anywhere surfaces as a CRC or inflate failure, which is the
+    integrity property a media lakehouse audits on ingest."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat, saw_iend = 8, None, bytearray(), False
     while pos < len(payload):
+        if saw_iend:  # RFC 2083 §3.2: IEND must be the final chunk
+            raise ValueError("PNG chunk after IEND")
         if pos + 8 > len(payload):
             raise ValueError("PNG truncated mid chunk header")
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -160,6 +164,10 @@ def decode_png(payload: bytes) -> dict:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("PNG duplicate IHDR")
+            if pos != 8:  # RFC 2083 §3.1: IHDR must appear first
+                raise ValueError("PNG IHDR not first chunk")
             if length != 13:  # CRC-consistent but malformed header chunk
                 raise ValueError("PNG IHDR length != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
@@ -167,6 +175,8 @@ def decode_png(payload: bytes) -> dict:
             idat.extend(data)
         elif ctype == b"IEND":
             saw_iend = True
+        if ihdr is None:  # any chunk before IHDR (including unknown types)
+            raise ValueError("PNG chunk precedes IHDR")
         pos += 12 + length
     if ihdr is None or not saw_iend or pos != len(payload):
         raise ValueError("PNG chunk stream malformed")
@@ -179,6 +189,10 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if len(raw) != height * (1 + 3 * width):
         raise ValueError("PNG inflated size disagrees with IHDR dims")
+    stride = 1 + 3 * width
+    # every row's first byte is its filter method; 0-4 are the spec's set
+    if raw and max(raw[0::stride]) > 4:
+        raise ValueError("PNG scanline filter byte out of range")
     return {
         "media_type": "png",
         "width": width,

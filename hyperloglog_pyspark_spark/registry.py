@@ -161,13 +161,28 @@ def register(
 
 # Queries that already have a green driver CORRECTNESS row (round 1: 50/50;
 # round 2: 46/50; round 3: 50/50 including the four re-proven window/NTZ
-# queries; round 4: 50/50). Cumulative: 196 hard rows; the 30 queries never
-# yet sampled (curation layer, retrieval evals, RFM, mixture solvers, …)
-# sit in the unverified-first prefix so the round-5 sweep converts them.
-# The per-round correctness sweep samples a prefix of queries() in order, so
-# we surface not-yet-driver-verified queries FIRST — round-robin across
-# categories so any prefix the sweep takes still covers every category.
+# queries; round 4: 50/50; round 5: 50/50 — every query registered through
+# round 5 now has a hard driver row). The per-round correctness sweep samples
+# a prefix of queries() in order, so we surface not-yet-driver-verified
+# queries FIRST; once everything is verified, ordering exists to ROTATE
+# re-attestation onto the names whose green row is oldest (see
+# SWEEP_PRIORITY below).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 5 greens (CORRECTNESS_r05.json) — new names only; the other 19
+    # r5 samples were re-attestations of r1 names already listed below
+    "attribution_multi_touch", "dedup_canonical_pick", "dedup_prefix_filter",
+    "embedding_kmeans_lloyd", "event_pattern_cep", "event_rfm_segmentation",
+    "funnel_time_to_convert", "governance_erasure_sweep",
+    "join_explosion_audit", "layout_range_sort_buckets",
+    "mixture_importance_weights", "multimodal_decode_png",
+    "quality_anomaly_volume_spike", "quality_freshness_watermark",
+    "quality_key_discovery", "quality_psi_drift", "quality_schema_drift",
+    "quality_winsorize_clamp", "retrieval_mrr_report",
+    "retrieval_ndcg_report", "sample_bootstrap_ci",
+    "sample_neyman_allocation", "semdedup_centroid_prune",
+    "similarity_hybrid_rrf", "snapshot_diff_cdc", "source_binaryfile_media",
+    "temporal_point_in_time", "text_boilerplate_lines",
+    "text_lang_confusion", "text_pmi_collocations", "text_tfidf_topk",
     # round 4 greens (CORRECTNESS_r04.json)
     "agg_histogram_equiwidth", "chunk_documents_overlap",
     "dedup_containment", "dedup_incremental_probe", "dedup_minhash_accuracy",
@@ -250,48 +265,66 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Queries that have waited LONGEST for a hard driver row (the 30 names
-# registered by round 4 but never sampled in r1–r4) — pinned to the
-# absolute front of the sweep order so a bounded sweep prefix converts
-# them before anything newer. Round-4 evidence says pinning works: all
-# 8 round-3 pins were sampled and went green in CORRECTNESS_r04.json.
+# Sweep-order pins. Every registered query is driver-green as of round 5,
+# so the ~50-query prefix the driver samples each round now exists to
+# RE-attest the names whose green row is OLDEST (longest-unverified code
+# paths). Front of the list: queries added this round (no driver row yet),
+# then the 33 names whose latest green is still round 1, then 15
+# category-spread names whose latest green is round 2. Pinning works: all
+# r3/r4/r5 pins were sampled and went green in the following round.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    "embedding_kmeans_lloyd", "dedup_prefix_filter",
-    "semdedup_centroid_prune", "dedup_canonical_pick",
-    "text_pmi_collocations", "text_lang_confusion", "text_tfidf_topk",
-    "text_boilerplate_lines", "retrieval_mrr_report",
-    "retrieval_ndcg_report", "similarity_hybrid_rrf",
-    "temporal_point_in_time", "attribution_multi_touch",
-    "funnel_time_to_convert", "event_pattern_cep",
-    "event_rfm_segmentation", "layout_range_sort_buckets",
-    "snapshot_diff_cdc", "quality_freshness_watermark",
-    "quality_psi_drift", "join_explosion_audit", "quality_schema_drift",
-    "quality_key_discovery", "governance_erasure_sweep",
-    "quality_winsorize_clamp", "quality_anomaly_volume_spike",
-    "sample_bootstrap_ci", "sample_neyman_allocation",
-    "mixture_importance_weights", "source_binaryfile_media",
+    # round-6 additions (no driver row yet)
+    "multimodal_decode_gif", "dedup_incremental_epochs",
+    # latest green = round 1 (33 names)
+    "cdc_upsert_merge", "cross_join_dense_matrix",
+    "dedup_cluster_components", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_fuzzy_name", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "expr_case_arith", "filter_in_like_between",
+    "join_anti", "join_asof", "join_broadcast_dim", "join_full_outer",
+    "join_null_safe", "join_outer_histogram", "join_range", "join_semi",
+    "join_shuffle_agg", "multimodal_dedup_digest",
+    "multimodal_frame_sample", "multimodal_meta",
+    "pipeline_corpus_curation", "recursive_cte_spine",
+    "sample_deterministic", "sample_stratified", "scan_project_filter",
+    "split_train_val_test", "string_funcs", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
+    # latest green = round 2 (15 category-spread names)
+    "approx_distinct_users_daily", "hll64_parity", "similarity_ann_lsh",
+    "similarity_ivf", "text_stats", "text_langid", "pack_sequences_greedy",
+    "sql_q3", "source_csv_roundtrip", "sink_partitioned_parquet",
+    "window_topk_per_group", "set_union_intersect_except", "udtf_bigrams",
+    "cogroup_asof_attribution", "join_bucketed_colocated",
 )
 
 
 def ordered_names() -> list[str]:
-    """Registry names with driver-unverified queries first.
+    """Registry names in driver-sweep order.
 
-    Oldest-unverified (SWEEP_PRIORITY) lead outright; the remaining
-    unverified names are interleaved round-robin by category (so a sweep
-    prefix of any length touches the widest category spread), followed by
-    the names already proven in earlier CORRECTNESS rounds.
+    Never-driver-verified names lead: SWEEP_PRIORITY pins first (new
+    queries front the pin list), then any remaining unverified names
+    interleaved round-robin by category (so a sweep prefix of any length
+    touches the widest category spread). Then come the verified
+    SWEEP_PRIORITY pins — the oldest-green cohort queued for
+    re-attestation — and finally the rest of the verified registry.
     """
     from itertools import zip_longest
 
-    prio = [n for n in SWEEP_PRIORITY if n in REGISTRY and n not in DRIVER_VERIFIED]
+    pins = [n for n in SWEEP_PRIORITY if n in REGISTRY]
+    pin_set = set(pins)
+    unverified_pins = [n for n in pins if n not in DRIVER_VERIFIED]
+    verified_pins = [n for n in pins if n in DRIVER_VERIFIED]
     by_cat: dict[str, list[str]] = {}
     for name, q in REGISTRY.items():
-        if name not in DRIVER_VERIFIED and name not in prio:
+        if name not in DRIVER_VERIFIED and name not in pin_set:
             by_cat.setdefault(q.category, []).append(name)
     interleaved = [
         n for batch in zip_longest(*by_cat.values()) for n in batch if n is not None
     ]
-    return prio + interleaved + [n for n in REGISTRY if n in DRIVER_VERIFIED]
+    tail = [
+        n for n in REGISTRY
+        if n in DRIVER_VERIFIED and n not in pin_set
+    ]
+    return unverified_pins + interleaved + verified_pins + tail
 
 
 def queries() -> dict[str, QueryFn]:

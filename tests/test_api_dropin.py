@@ -51,6 +51,14 @@ def test_empirical_accuracy_goldens(spark):
     assert round(rel_err - (-0.011376066057024792), 5) == 0
 
 
+def test_empirical_accuracy_counts_raw_items(spark):
+    # The reference oracle distincts RAW items (HLL/examples.py:83), a
+    # different equality than the estimators' str()-before-sha1: to the
+    # oracle [11, "11"] has 2 distinct values and [11, 11.0] has 1.
+    assert calculate_empirical_accuracy([11, "11"], 2.0, spark, relative=False) == 0.0
+    assert calculate_empirical_accuracy([11, 11.0], 1.0, spark, relative=False) == 0.0
+
+
 def test_parallel_accepts_session_or_context(spark):
     # the reference passed a SparkContext; both handles must work
     seqs = _load("data2.txt")[:3]

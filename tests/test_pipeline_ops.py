@@ -119,6 +119,49 @@ def test_png_roundtrip_and_integrity():
     assert decode_png(synth_png(1, 1))["raw_len"] == 4
 
 
+def test_png_structural_ordering_is_enforced():
+    """CRC-valid but RFC 2083-non-conformant streams must be rejected:
+    chunks before IHDR, duplicate IHDR, chunks after IEND, and undefined
+    scanline filter methods (ADVICE r5)."""
+    import struct
+    import zlib
+
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        PNG_SIGNATURE,
+        _png_chunk,
+        decode_png,
+        synth_png,
+    )
+
+    payload = synth_png(4, 3, seed=1)
+    sig, rest = payload[:8], payload[8:]
+    ihdr_chunk = rest[: 12 + 13]  # IHDR is first: 8 hdr + 13 data + 4 crc
+    text = _png_chunk(b"tEXt", b"k\x00v")
+
+    with pytest.raises(ValueError, match="precedes IHDR"):
+        decode_png(sig + text + rest)
+    with pytest.raises(ValueError, match="duplicate IHDR"):
+        decode_png(sig + ihdr_chunk + rest)
+    with pytest.raises(ValueError, match="after IEND"):
+        decode_png(payload + text)
+
+    # filter byte 5 is undefined; chunks stay CRC-valid so only the
+    # scanline check can catch it
+    w, h = 4, 3
+    raw = bytearray()
+    for row in range(h):
+        raw.append(5 if row == 1 else 0)
+        raw.extend(bytes(3 * w))
+    bad = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter byte"):
+        decode_png(bad)
+
+
 def test_decode_media_dispatches_on_magic():
     from hyperloglog_pyspark_spark.functions.mediacodec import synth_png
 
