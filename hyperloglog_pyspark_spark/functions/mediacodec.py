@@ -12,10 +12,14 @@ Layouts implemented (public file-format specifications):
 - BMP: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER (BI_RGB,
   24bpp), rows padded to 4 bytes.
 - WAV: RIFF header + PCM ``fmt `` chunk (16 bytes) + ``data`` chunk.
-- PNG: the one COMPRESSED mainstream format decodable with the stdlib
+- PNG: a COMPRESSED mainstream format decodable with the stdlib
   alone — chunk stream (length/type/data/CRC32), IHDR field extraction,
   zlib-INFLATE of the IDAT stream, and scanline-length validation
   (RFC 2083; 8-bit truecolor, filter 0).
+- GIF: the second compressed format, with a HAND-WRITTEN entropy coder —
+  variable-code-width LSB-first LZW (GIF89a Appendix F), logical screen
+  descriptor + global color table + extension blocks + image descriptors,
+  sub-block framing, and trailer-is-last validation.
 """
 
 from __future__ import annotations
@@ -204,6 +208,235 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+_LZW_MAX = 4096  # 12-bit code space cap (GIF89a Appendix F)
+
+
+def lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    LSB-first bit packing, leading CLEAR code, trailing EOI. The width
+    bump fires when the pre-add code count reaches 2**code_size — the
+    GIFCOMPR.C convention (check in output() sees free_ent before the
+    current step's table add), which is what stock decoders expect. At
+    4096 codes the table freezes (deferred clear: no reset emitted)."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError("GIF LZW min code size out of range")
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bitbuf = bitlen = 0
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+
+    def put(code: int) -> None:
+        nonlocal bitbuf, bitlen
+        bitbuf |= code << bitlen
+        bitlen += code_size
+        while bitlen >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+
+    def emit(code: int) -> None:
+        # width check AFTER the emit, BEFORE this step's add — keeps the
+        # encoder's code_size in lockstep with the decoder, which bumps
+        # after adding its (one-step-lagged) table entry.
+        nonlocal code_size
+        put(code)
+        if next_code >= (1 << code_size) and code_size < 12:
+            code_size += 1
+
+    put(clear)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < _LZW_MAX:
+            table[wc] = next_code
+            next_code += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    put(eoi)
+    if bitlen:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, min_code_size: int, max_len: int) -> bytes:
+    """Inverse of ``lzw_encode``; validates the stream hard: rejects a
+    first-after-clear code that isn't a literal, any code beyond the
+    current table, output longer than ``max_len`` (the pixel count the
+    image descriptor promised), and a stream that ends without EOI."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError("GIF LZW min code size out of range")
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]  # clear/eoi slots
+    table = list(base)
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitbuf = bitlen = pos = 0
+    while True:
+        while bitlen < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended before EOI")
+            bitbuf |= data[pos] << bitlen
+            pos += 1
+            bitlen += 8
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        bitlen -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW first code not a literal")
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code and next_code < _LZW_MAX:
+                entry = prev + prev[:1]  # the KwKwK self-reference case
+            else:
+                raise ValueError("GIF LZW code out of range")
+            if next_code < _LZW_MAX:
+                table.append(prev + entry[:1])
+                next_code += 1
+            if next_code >= (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        if len(out) > max_len:
+            raise ValueError("GIF pixel data exceeds image dimensions")
+        prev = entry
+
+
+def synth_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """A valid single-frame GIF89a: logical screen descriptor, 256-entry
+    global color table, graphic control extension, one image descriptor,
+    LZW-compressed deterministic pixel indices in ≤255-byte sub-blocks,
+    trailer. Same pixel formula as ``synth_png`` for cross-format tests."""
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 2^8 colors
+    gct = bytes((seed + i) % 256 for i in range(768))
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # no transparency, 0 delay
+    imgdesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    pixels = bytes(
+        (seed + y * 31 + x) % 256 for y in range(height) for x in range(width)
+    )
+    lzw = lzw_encode(pixels, 8)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return b"GIF89a" + lsd + gct + gce + imgdesc + b"\x08" + blocks + b"\x00\x3b"
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Parse + validate a GIF: magic, logical screen descriptor, color
+    tables, block walk (extensions only in 89a, sub-block framing, image
+    descriptors inside screen bounds), full LZW decode of every frame with
+    the pixel-count identity width*height, palette-bounds check on every
+    pixel index, and trailer-must-be-last. Raises ValueError on any
+    corruption — the ingest-audit contract shared with ``decode_png``."""
+    version = payload[:6]
+    if version not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    screen_w, screen_h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    n_colors = 0
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        pos += 3 * n_colors
+        if pos > len(payload):
+            raise ValueError("GIF global color table exceeds payload")
+
+    def sub_blocks(p: int) -> tuple[bytes, int]:
+        buf = bytearray()
+        while True:
+            if p >= len(payload):
+                raise ValueError("GIF sub-blocks missing terminator")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return bytes(buf), p
+            if p + n > len(payload):
+                raise ValueError("GIF sub-block exceeds payload")
+            buf.extend(payload[p : p + n])
+            p += n
+
+    n_frames = pixel_count = 0
+    saw_trailer = False
+    while pos < len(payload):
+        intro = payload[pos]
+        pos += 1
+        if intro == 0x3B:  # trailer — must be the final byte
+            saw_trailer = True
+            if pos != len(payload):
+                raise ValueError("GIF data after trailer")
+            break
+        if intro == 0x21:  # extension block
+            if version == b"GIF87a":
+                raise ValueError("GIF87a stream contains an extension block")
+            if pos >= len(payload):
+                raise ValueError("GIF truncated in extension header")
+            pos += 1  # label byte; payload is opaque sub-blocks
+            _, pos = sub_blocks(pos)
+            continue
+        if intro != 0x2C:
+            raise ValueError(f"GIF unknown block introducer 0x{intro:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF truncated in image descriptor")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if w == 0 or h == 0 or left + w > screen_w or top + h > screen_h:
+            raise ValueError("GIF frame outside logical screen")
+        palette = n_colors
+        if ipacked & 0x80:  # local color table overrides for this frame
+            palette = 2 << (ipacked & 0x07)
+            pos += 3 * palette
+            if pos > len(payload):
+                raise ValueError("GIF local color table exceeds payload")
+        if palette == 0:
+            raise ValueError("GIF frame has no color table")
+        if pos >= len(payload):
+            raise ValueError("GIF truncated before LZW code size")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw, pos = sub_blocks(pos)
+        pixels = lzw_decode(lzw, min_code_size, w * h)
+        if len(pixels) != w * h:
+            raise ValueError("GIF pixel data disagrees with image descriptor")
+        if pixels and max(pixels) >= palette:
+            raise ValueError("GIF pixel index outside color table")
+        n_frames += 1
+        pixel_count += w * h
+    if not saw_trailer:
+        raise ValueError("GIF missing trailer")
+    if n_frames == 0:
+        raise ValueError("GIF contains no image data")
+    return {
+        "media_type": "gif",
+        "width": screen_w,
+        "height": screen_h,
+        "n_frames": n_frames,
+        "n_colors": n_colors,
+        "pixel_count": pixel_count,
+        "n_bytes": len(payload),
+    }
+
+
 def decode_media(payload: bytes) -> dict:
     """Dispatch on magic bytes — the real decode entry point.
 
@@ -218,4 +451,6 @@ def decode_media(payload: bytes) -> dict:
         return decode_wav(payload)
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(payload)
     raise ValueError("unsupported container (JPEG/MP4 codecs need PIL/ffmpeg)")

@@ -1055,6 +1055,165 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCHS = 3  # arrival order: doc_id % 3 = epoch 0 (seed), 1, 2
+
+
+@register(
+    "dedup_incremental_epochs",
+    category="dedup",
+    oracle=f"""
+    WITH docs AS ({_SHINGLED_SQL}),
+    hashes AS (
+        SELECT doc_id, {_H_SQL} AS h
+        FROM (SELECT doc_id, unnest(sh) AS sh_el FROM docs)
+    ),
+    sig AS (
+        SELECT doc_id, s,
+               CAST(min(CASE {_INC_SIG_CASE} END) AS VARCHAR) AS sig
+        FROM hashes
+        CROSS JOIN (SELECT unnest(range(0, {N_SEEDS})) AS s)
+        GROUP BY doc_id, s
+    ),
+    bands AS (
+        SELECT doc_id, s // {BAND_R} AS band,
+               md5(string_agg(sig, '|' ORDER BY s)) AS band_hash
+        FROM sig GROUP BY doc_id, s // {BAND_R}
+    ),
+    cand1 AS (
+        SELECT DISTINCT b.doc_id AS new_id, h.doc_id AS hist_id
+        FROM bands b
+        JOIN bands h ON b.band = h.band AND b.band_hash = h.band_hash
+        WHERE b.doc_id % {_EPOCHS} = 1 AND h.doc_id % {_EPOCHS} = 0
+    ),
+    conf1 AS (
+        SELECT c.new_id, COUNT(*) AS n
+        FROM cand1 c
+        JOIN docs dn ON dn.doc_id = c.new_id
+        JOIN docs dh ON dh.doc_id = c.hist_id
+        WHERE CAST(len(list_intersect(dn.sh, dh.sh)) AS DOUBLE)
+              / (len(dn.sh) + len(dh.sh) - len(list_intersect(dn.sh, dh.sh)))
+              >= {JACCARD_T}
+        GROUP BY c.new_id
+    ),
+    idx2 AS (
+        SELECT doc_id FROM docs WHERE doc_id % {_EPOCHS} = 0
+        UNION ALL
+        SELECT doc_id FROM docs
+        WHERE doc_id % {_EPOCHS} = 1
+          AND doc_id NOT IN (SELECT new_id FROM conf1)
+    ),
+    cand2 AS (
+        SELECT DISTINCT b.doc_id AS new_id, h.doc_id AS hist_id
+        FROM bands b
+        JOIN bands h ON b.band = h.band AND b.band_hash = h.band_hash
+        JOIN idx2 i ON i.doc_id = h.doc_id
+        WHERE b.doc_id % {_EPOCHS} = 2
+    ),
+    conf2 AS (
+        SELECT c.new_id, COUNT(*) AS n
+        FROM cand2 c
+        JOIN docs dn ON dn.doc_id = c.new_id
+        JOIN docs dh ON dh.doc_id = c.hist_id
+        WHERE CAST(len(list_intersect(dn.sh, dh.sh)) AS DOUBLE)
+              / (len(dn.sh) + len(dh.sh) - len(list_intersect(dn.sh, dh.sh)))
+              >= {JACCARD_T}
+        GROUP BY c.new_id
+    )
+    SELECT d.doc_id, CAST(1 AS BIGINT) AS epoch,
+           CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(cf.n, 0) AS BIGINT) AS n_confirmed,
+           COALESCE(cf.n, 0) = 0 AS admitted
+    FROM docs d
+    LEFT JOIN (SELECT new_id, COUNT(*) AS n FROM cand1 GROUP BY new_id) cc
+           ON cc.new_id = d.doc_id
+    LEFT JOIN conf1 cf ON cf.new_id = d.doc_id
+    WHERE d.doc_id % {_EPOCHS} = 1
+    UNION ALL
+    SELECT d.doc_id, CAST(2 AS BIGINT) AS epoch,
+           CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(cf.n, 0) AS BIGINT) AS n_confirmed,
+           COALESCE(cf.n, 0) = 0 AS admitted
+    FROM docs d
+    LEFT JOIN (SELECT new_id, COUNT(*) AS n FROM cand2 GROUP BY new_id) cc
+           ON cc.new_id = d.doc_id
+    LEFT JOIN conf2 cf ON cf.new_id = d.doc_id
+    WHERE d.doc_id % {_EPOCHS} = 2
+    """,
+)
+def dedup_incremental_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch ingest-time dedup — the batch-checkable form of the
+    streaming foreachBatch pipeline (`tests/test_streaming.py`'s
+    incremental-dedup twin): docs arrive in 3 epochs (epoch = doc_id %
+    3), epoch 0 seeds the index, and each later epoch is probed
+    against only the docs ADMITTED so far — a rejected duplicate never
+    enters the index, so epoch 2's verdicts depend on epoch 1's (the
+    property a one-shot probe like ``dedup_incremental_probe`` cannot
+    express). Emits the per-doc admission manifest: band-collision
+    candidates, exact-Jaccard confirmations, keep/drop.
+
+    Scale posture: the signature/band table is computed once and
+    persisted (the production index table); each epoch's probe is an
+    equi-join on (band, band_hash) with the BATCH side broadcast —
+    per-epoch cost proportional to the batch, never the corpus; the
+    index grows by appending the admitted batch's bands (in production,
+    an append to the persisted index table, no recompute).
+    """
+    docs = tracked_persist(_shingled(spark, sf_dir))
+    bands = tracked_persist(_band_table(_minhash_sigs(docs)))
+    dh = docs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
+
+    def probe(e: int, index_bands: DataFrame) -> DataFrame:
+        in_epoch = F.col("doc_id") % _EPOCHS == e
+        batch = bands.filter(in_epoch).select(
+            F.col("doc_id").alias("new_id"), "band", "band_hash"
+        )
+        cand = (
+            index_bands.join(F.broadcast(batch), ["band", "band_hash"])
+            .select("new_id", F.col("doc_id").alias("hist_id"))
+            .distinct()
+        )
+        dn = docs.filter(in_epoch).select(
+            F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
+        )
+        inter = F.size(F.array_intersect("sh_n", "sh_h"))
+        conf = (
+            cand.join(F.broadcast(dn), "new_id")
+            .join(dh, "hist_id")
+            .filter(
+                inter.cast("double") / (F.size("sh_n") + F.size("sh_h") - inter)
+                >= JACCARD_T
+            )
+            .groupBy("new_id")
+            .agg(F.count(F.lit(1)).alias("n_confirmed"))
+        )
+        cnt = cand.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+        base = docs.filter(in_epoch).select("doc_id")
+        return (
+            base.join(F.broadcast(cnt), base["doc_id"] == cnt["new_id"], "left")
+            .drop("new_id")
+            .join(F.broadcast(conf), base["doc_id"] == conf["new_id"], "left")
+            .drop("new_id")
+            .select(
+                "doc_id",
+                F.lit(e).cast("bigint").alias("epoch"),
+                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                F.coalesce("n_confirmed", F.lit(0)).alias("n_confirmed"),
+                (F.coalesce("n_confirmed", F.lit(0)) == 0).alias("admitted"),
+            )
+        )
+
+    index_bands = bands.filter(F.col("doc_id") % _EPOCHS == 0)
+    m1 = tracked_persist(probe(1, index_bands))  # feeds output AND index 2
+    rejected1 = m1.filter(~F.col("admitted")).select(F.col("doc_id").alias("rej_id"))
+    admitted1_bands = bands.filter(F.col("doc_id") % _EPOCHS == 1).join(
+        F.broadcast(rejected1),
+        F.col("doc_id") == F.col("rej_id"),
+        "left_anti",
+    )
+    m2 = probe(2, index_bands.unionByName(admitted1_bands))
+    return m1.unionByName(m2)
+
+
 @register(
     "dedup_prefix_filter",
     category="dedup",

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from hyperloglog_pyspark_spark.functions.mediacodec import (
     decode_media,
     synth_bmp,
+    synth_gif,
     synth_png,
     synth_wav,
 )
@@ -263,6 +264,91 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, status string, width long, height long, "
             "bit_depth long, raw_len long"
+        ),
+    )
+
+
+@register(
+    "multimodal_decode_gif",
+    category="multimodal",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+           CASE WHEN doc_id % 11 <> 0 THEN CAST(1 + doc_id % 40 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 11 <> 0 THEN CAST(1 + doc_id % 25 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 11 <> 0 THEN CAST(256 AS BIGINT) END AS n_colors,
+           CASE WHEN doc_id % 11 <> 0
+                THEN CAST((1 + doc_id % 40) * (1 + doc_id % 25) AS BIGINT)
+           END AS pixel_count
+    FROM documents
+    """,
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-coded media decode: synthesize a single-frame GIF89a per
+    document (``functions/mediacodec.py::synth_gif`` — logical screen
+    descriptor, 256-entry color table, graphic control extension, and a
+    HAND-WRITTEN variable-code-width LZW encoder), plant a structural
+    corruption on every 11th doc (alternating: truncated trailer /
+    out-of-range LZW min code size), then decode with ``decode_media``:
+    block walk, sub-block deframing, full LZW inflate, the pixel-count
+    identity width*height, palette-bounds check, trailer-is-last. Where
+    PNG proved zlib-compressed decode, this proves a hand-rolled entropy
+    decoder on the executor path — the last representative media shape
+    reachable without codec libraries. The oracle recomputes dimensions
+    and pixel counts arithmetically and expects exactly the planted docs
+    to fail. (The compressed LZW byte count is deliberately NOT an output
+    column: entropy-coder output length isn't portable arithmetic.)
+
+    Scale: same posture as multimodal_decode_png — two chained
+    mapInPandas stages, payload bytes never shuffle, memory bounded by
+    the Arrow batch, parallelism from the spread scan.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                gif = synth_gif(1 + doc_id % 40, 1 + doc_id % 25, seed=int(doc_id))
+                if doc_id % 22 == 0:  # chop the 0x3B trailer byte
+                    gif = gif[:-1]
+                elif doc_id % 11 == 0:  # invalid LZW min code size (>8)
+                    # fixed synth layout: 6 hdr + 7 LSD + 768 GCT + 8 GCE
+                    # + 10 image descriptor = offset 799
+                    gif = gif[:799] + b"\x0c" + gif[800:]
+                payloads.append(gif)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "status": [], "width": [], "height": [],
+                "n_colors": [], "pixel_count": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    m = decode_media(bytes(payload))
+                    out["status"].append("ok")
+                    out["width"].append(m["width"])
+                    out["height"].append(m["height"])
+                    out["n_colors"].append(m["n_colors"])
+                    out["pixel_count"].append(m["pixel_count"])
+                except ValueError:
+                    out["status"].append("corrupt")
+                    for k in ("width", "height", "n_colors", "pixel_count"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        decode_batches,
+        schema=(
+            "doc_id long, status string, width long, height long, "
+            "n_colors long, pixel_count long"
         ),
     )
 

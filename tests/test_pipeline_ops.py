@@ -119,6 +119,67 @@ def test_png_roundtrip_and_integrity():
     assert decode_png(synth_png(1, 1))["raw_len"] == 4
 
 
+def test_gif_lzw_roundtrip_and_golden():
+    """The hand-written GIF LZW coder: round-trip across code sizes
+    (width bumps, table freeze at 4096, KwKwK self-reference) plus a
+    golden decode of the canonical externally-encoded 1x1 GIF — proof the
+    bit-level convention interops with stock encoders, not just itself."""
+    import random
+
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        decode_gif,
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = random.Random(7)
+    for mcs in (2, 3, 5, 8):
+        for n in (0, 1, 2, 1000, 30000):
+            data = bytes(rng.randrange(1 << mcs) for _ in range(n))
+            assert lzw_decode(lzw_encode(data, mcs), mcs, n) == data
+    run = b"\x01" * 500  # KwKwK: code references the entry being defined
+    assert lzw_decode(lzw_encode(run, 2), 2, 500) == run
+    big = bytes((i * 7) % 251 for i in range(80000))  # fills + freezes table
+    assert lzw_decode(lzw_encode(big, 8), 8, 80000) == big
+
+    onepx = bytes(
+        int(h, 16)
+        for h in (
+            "47 49 46 38 39 61 01 00 01 00 80 00 00 00 00 00 FF FF FF "
+            "21 F9 04 01 00 00 00 00 2C 00 00 00 00 01 00 01 00 00 02 "
+            "02 44 01 00 3B"
+        ).split()
+    )
+    meta = decode_gif(onepx)
+    assert meta["width"] == meta["height"] == meta["pixel_count"] == 1
+    assert meta["n_colors"] == 2
+
+
+def test_gif_roundtrip_and_integrity():
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        decode_gif,
+        decode_media,
+        synth_gif,
+    )
+
+    payload = synth_gif(40, 25, seed=3)
+    meta = decode_media(payload)
+    assert meta["media_type"] == "gif"
+    assert meta["width"] == 40 and meta["height"] == 25
+    assert meta["n_frames"] == 1 and meta["n_colors"] == 256
+    assert meta["pixel_count"] == 1000 and meta["n_bytes"] == len(payload)
+    with pytest.raises(ValueError, match="missing trailer"):
+        decode_gif(payload[:-1])
+    with pytest.raises(ValueError, match="after trailer"):
+        decode_gif(payload + b"\x00")
+    assert payload[799] == 8  # fixed synth layout puts LZW code size here
+    with pytest.raises(ValueError, match="min code size"):
+        decode_gif(payload[:799] + b"\x0c" + payload[800:])
+    with pytest.raises(ValueError):  # wrong-but-legal code size: misparse
+        decode_gif(payload[:799] + b"\x02" + payload[800:])
+    assert decode_gif(synth_gif(1, 1))["pixel_count"] == 1
+
+
 def test_png_structural_ordering_is_enforced():
     """CRC-valid but RFC 2083-non-conformant streams must be rejected:
     chunks before IHDR, duplicate IHDR, chunks after IEND, and undefined

@@ -1,6 +1,6 @@
 """sf0.1-band oracle re-verification of the quadratic-DuckDB queries.
 
-Eleven queries carry DuckDB oracles whose cost is quadratic in the
+Twelve queries carry DuckDB oracles whose cost is quadratic in the
 document count (all-pairs CTEs: MinHash/Jaccard/SimHash/containment/
 cluster/leakage/pipeline-v2), so the full sf0.1 oracle check is
 impractical on the DuckDB side — COVERAGE.md records the exemption.
@@ -35,6 +35,7 @@ QUADRATIC_ORACLE_QUERIES = [
     "dedup_cluster_components",
     "dedup_containment",
     "dedup_incremental_probe",
+    "dedup_incremental_epochs",
     "dedup_prefix_filter",
     "dedup_canonical_pick",
     "split_leakage_audit",
