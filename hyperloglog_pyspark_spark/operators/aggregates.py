@@ -231,6 +231,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_salted_skew",
     category="aggregate",
+    bench=True,
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,

@@ -286,6 +286,7 @@ BFS_MAX_DEPTH = 4
 @register(
     "graph_bfs_levels",
     category="graph",
+    bench=True,
     oracle=f"""
     WITH RECURSIVE edges AS ({_EDGES_SQL}),
     bfs(node, lvl) AS (

@@ -191,6 +191,7 @@ def multimodal_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_png",
     category="multimodal",
+    bench=True,
     oracle="""
     SELECT doc_id,
            CASE WHEN doc_id % 11 = 0 THEN 'crc_error' ELSE 'ok' END AS status,

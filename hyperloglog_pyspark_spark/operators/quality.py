@@ -440,6 +440,7 @@ _HIST_NB = 20
 @register(
     "agg_histogram_equiwidth",
     category="aggregation",
+    bench=True,
     oracle=f"""
     SELECT CAST(LEAST(FLOOR((l_extendedprice - {_HIST_LO}) * {_HIST_NB}
                             / ({_HIST_HI} - {_HIST_LO})), {_HIST_NB - 1}) AS BIGINT) AS bin,
@@ -499,6 +500,7 @@ _PSI_BIN_CENTS = 5000  # equi-width bins over value cents [0, 50000)
 @register(
     "quality_psi_drift",
     category="quality",
+    bench=True,
     oracle=f"""
     WITH obs AS (
         SELECT LEAST(CAST(ROUND(value * 100, 0) AS BIGINT) // {_PSI_BIN_CENTS},

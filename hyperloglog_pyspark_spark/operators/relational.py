@@ -19,6 +19,7 @@ from hyperloglog_pyspark_spark.sources.catalog import load_table
 @register(
     "scan_project_filter",
     category="scan",
+    bench=True,
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity,
            CAST(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -55,6 +56,7 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "filter_in_like_between",
     category="filter",
+    bench=True,
     oracle="""
     SELECT p_partkey, p_name, p_brand, p_size
     FROM part
@@ -79,6 +81,7 @@ def filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "expr_case_arith",
     category="projection",
+    bench=True,
     oracle="""
     SELECT o_orderkey,
            CASE WHEN o_totalprice < 100000 THEN 'small'
@@ -323,6 +326,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof",
     category="join",
+    bench=True,
     oracle="""
     WITH clicks AS (
         SELECT user_id, ts, event_id,

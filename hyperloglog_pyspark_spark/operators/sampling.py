@@ -84,6 +84,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_stratified",
     category="sampling",
+    bench=True,
     oracle="""
     SELECT doc_id, lang, source
     FROM documents

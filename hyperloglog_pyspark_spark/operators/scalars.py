@@ -18,6 +18,7 @@ from hyperloglog_pyspark_spark.sources.catalog import load_table
 @register(
     "string_funcs",
     category="scalar",
+    bench=True,
     oracle="""
     SELECT p_partkey,
            upper(p_name) AS name_upper,

@@ -23,6 +23,7 @@ def _custkeys_by_status(spark, sf_dir, status: str) -> DataFrame:
 @register(
     "set_union_intersect_except",
     category="setop",
+    bench=True,
     oracle="""
     SELECT 'either' AS tag, o_custkey FROM (
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'

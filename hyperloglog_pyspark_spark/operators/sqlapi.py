@@ -54,7 +54,7 @@ SQL_PRICING = """
 """
 
 
-@register("sql_q3", category="sql", oracle=REGISTRY["tpch_q3_shipping_priority"].oracle)
+@register("sql_q3", category="sql", bench=True, oracle=REGISTRY["tpch_q3_shipping_priority"].oracle)
 def sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 via the SQL entry path: temp views + spark.sql of the same
     ANSI text as the DuckDB oracle (broadcast stated as a hint instead of

@@ -51,6 +51,7 @@ def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "subquery_exists_notin",
     category="subquery",
+    bench=True,
     oracle="""
     SELECT
       (SELECT COUNT(*) FROM customer c
@@ -87,6 +88,7 @@ _STATUSES = ["F", "O", "P"]
 @register(
     "pivot_order_status",
     category="reshape",
+    bench=True,
     oracle=f"""
     SELECT o_orderpriority,
            {", ".join(

@@ -1094,7 +1094,7 @@ def _ndcg_oracle() -> str:
     """
 
 
-@register("retrieval_ndcg_report", category="text", oracle=_ndcg_oracle())
+@register("retrieval_ndcg_report", category="text", bench=True, oracle=_ndcg_oracle())
 def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@k of the BM25 ranking with graded relevance: each retrieved
     document's grade is how many of the query's terms it contains, gain

@@ -42,6 +42,7 @@ PACK_BUDGET = 2048  # tokens per pack (context-window accounting unit)
 @register(
     "pack_sequences_greedy",
     category="trainprep",
+    bench=True,
     oracle=f"""
     WITH toks AS (
         SELECT source, doc_id, len(string_split(text, ' ')) AS toks
@@ -175,16 +176,35 @@ def shard_manifest_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     the manifest accounting — per-shard doc/token totals and the balance
     ratio vs the ideal equal split, the number an operator alerts on.
 
-    Scale note: the global size rank is a total sort (rangepartitioned,
-    fine at TB scale but it IS a full shuffle); when rank precision is
-    not needed, stripe within (source, hash-bucket) instead — same
-    expression with a partitionBy added, no global exchange."""
+    Scale note: the global row_number is NOT a global window (which
+    Spark executes in ONE task — the pattern that dies at 100 TB); it is
+    decomposed as histogram-offset + within-tier rank: a (toks → count)
+    histogram gives each size tier's starting rank via a running sum
+    over the tiny tier table, and a PARTITIONED window
+    (partitionBy(toks) orderBy(doc_id)) ranks within the tier — the
+    distributed two-phase ranking every engine uses for dense global
+    ranks. Identical ranks, no single-task stage."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(F.split("text", " "))
-    w = Window.orderBy(F.col("toks").desc(), "doc_id")
+    sized = docs.select("doc_id", toks.alias("toks"))
+    # tier table: one row per distinct token count — bounded by the token
+    # domain (thousands), never by corpus rows
+    tier_w = Window.orderBy(F.col("toks").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tiers = (
+        sized.groupBy("toks")
+        .agg(F.count(F.lit(1)).alias("tier_n"))
+        .withColumn("tier_offset", F.coalesce(F.sum("tier_n").over(tier_w), F.lit(0)))
+        .select("toks", "tier_offset")
+    )
+    local_w = Window.partitionBy("toks").orderBy("doc_id")
     shards = (
-        docs.select("doc_id", toks.alias("toks"))
-        .withColumn("shard_id", (F.row_number().over(w) - 1) % N_SHARDS)
+        sized.join(F.broadcast(tiers), "toks")
+        .withColumn(
+            "shard_id",
+            (F.col("tier_offset") + F.row_number().over(local_w) - 1) % N_SHARDS,
+        )
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -31,6 +31,7 @@ class BigramUDTF:
 @register(
     "udtf_bigrams",
     category="udf",
+    bench=True,
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     e AS (

@@ -112,6 +112,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_rank_dense_ntile",
     category="window",
+    bench=True,
     oracle="""
     SELECT p_partkey, p_brand,
            rank() OVER w AS price_rank,
@@ -139,6 +140,7 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orderby_limit_topk",
     category="sort",
+    bench=True,
     oracle="""
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
     FROM orders

@@ -39,6 +39,7 @@ CUSTOMER_DDL = "c_custkey long, c_name string, c_nationkey int, c_acctbal double
 @register(
     "source_csv_roundtrip",
     category="source",
+    bench=True,
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_customers,
            MIN(c_name) AS first_name,
@@ -90,6 +91,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_partitioned_parquet",
     category="sink",
+    bench=True,
     oracle="""
     SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
            COUNT(*) AS n_events,

@@ -1,8 +1,10 @@
-"""Generate PLANS.md: a physical-plan audit of every bench-headline query.
+"""Generate PLANS.md + PLANS_FULL.md: physical-plan audits of the registry.
 
-For each query flagged ``bench=True`` in the registry, build the DataFrame
-at $SPARK_GRAFT_SF_DIR (default sf0.1) WITHOUT executing it, inspect the
-executed-plan text, and record the scale-relevant facts the plan proves:
+PLANS.md covers the bench-headline queries (``bench=True``); PLANS_FULL.md
+covers EVERY registered query — the brief's standard is "plans you'd want
+at 100×" for every operator, not just headliners. For each query, build
+the DataFrame at $SPARK_GRAFT_SF_DIR (default sf0.1) WITHOUT executing it,
+inspect the executed plan, and record the scale-relevant facts it proves:
 
 - exchange count (shuffles + broadcasts; ReusedExchange excluded),
 - broadcast-join count (small sides actually broadcast),
@@ -39,6 +41,23 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: queries allowed to plan an empty-partition Window — each one's frame is
+#: BOUNDED (histogram / domain / rate-table sized, never corpus rows) and
+#: documented in the operator docstring; tests/test_layout.py and
+#: tests/test_docs_census.py enforce this list against the live plans and
+#: the generated PLANS*.md so a corpus-scale global window cannot land
+#: silently.
+GLOBAL_WINDOW_ALLOWED = frozenset(
+    {
+        "event_rfm_segmentation",  # quintile pick over value histograms
+        "layout_range_sort_buckets",  # bucket boundaries over range histogram
+        "mixture_downsample_temperature",  # rate table sized by #sources
+        "pipeline_curation_v2",  # global median via score-domain histogram
+        "quality_psi_drift",  # PSI over a fixed bin table
+        "shard_manifest_balanced",  # tier offsets over token-domain tiers
+    }
+)
 
 #: physical node names that cross the JVM→Python boundary
 PYTHON_NODES = frozenset(
@@ -125,13 +144,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries()
 
-    rows = []
+    all_rows = []
     with registry.lazy_caches():
         for name, q in sorted(REGISTRY.items()):
-            if not q.bench:
-                continue
             df = q.fn(spark, sf_dir)
-            rows.append({"name": name, **audit_plan(df)})
+            all_rows.append({"name": name, "bench": q.bench, **audit_plan(df)})
+    rows = [r for r in all_rows if r["bench"]]
 
     lines = [
         "# PLANS — physical-plan audit of the bench headline set",
@@ -178,6 +196,46 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(__file__), "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"PLANS.md: {len(rows)} queries audited")
+
+    full = [
+        "# PLANS_FULL — physical-plan audit of EVERY registered query",
+        "",
+        f"Generated by `python plan_audit.py` at {sf_dir} (plan-only, no",
+        "execution) — same columns and counting rules as PLANS.md, over the",
+        "whole registry. `tests/test_layout.py` asserts from a live walk of",
+        "the same tree that no registered query plans a CartesianProduct or",
+        "an empty-partition Window outside the documented allowlists.",
+        "",
+        "| query | exchanges | broadcast joins | python nodes | pushdown | cached | gwin | cart |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in all_rows:
+        full.append(
+            "| {name} | {exchanges} | {bhj} | {py} | {pushed} | {cached} | {gw} | {ca} |".format(
+                name=r["name"],
+                exchanges=r["exchanges"],
+                bhj=r["bhj"],
+                py=r["python_nodes"] or "-",
+                pushed="yes" if r["pushed"] else "-",
+                cached="cached" if r["cached"] else "-",
+                gw="GWIN" if r["global_window"] else "-",
+                ca="CART" if r["cartesian"] else "-",
+            )
+        )
+    n_gwin = sum(1 for r in all_rows if r["global_window"])
+    n_cart = sum(1 for r in all_rows if r["cartesian"])
+    n_py = sum(1 for r in all_rows if r["python_nodes"])
+    full += [
+        "",
+        f"{len(all_rows)} registered queries audited; {n_py} contain Python "
+        f"evaluation nodes, {n_gwin} an empty-partition Window (bounded "
+        f"frames only), {n_cart} a CartesianProduct (broadcast scalar/dim "
+        "only).",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(__file__), "PLANS_FULL.md"), "w") as f:
+        f.write("\n".join(full))
+    print(f"PLANS_FULL.md: {len(all_rows)} queries audited")
 
 
 if __name__ == "__main__":

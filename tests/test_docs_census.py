@@ -25,7 +25,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # PAPERS.md / SNIPPETS.md are externally-retrieved reference material, not
 # engine documentation — a refresh of retrieved content must not break CI.
 _EXEMPT = {"COVERAGE.md", "VERDICT.md", "ADVICE.md", "BASELINE.md",
-           "PAPERS.md", "SNIPPETS.md"}
+           "PAPERS.md", "SNIPPETS.md",
+           # audited-count + allowlists locked by the stronger dedicated
+           # test_plans_audit_census below, not the generic count ban
+           "PLANS_FULL.md"}
 
 _CENSUS = re.compile(r"(\d+) registered queries")
 
@@ -56,3 +59,41 @@ def test_every_query_has_an_oracle():
     queries()
     missing = [n for n, q in REGISTRY.items() if q.oracle is None]
     assert not missing, f"queries without oracles: {missing}"
+
+
+_PLAN_ROW = re.compile(r"^\| (\w+) \| .*\| (GWIN|-) \| (CART|-) \|$", re.M)
+
+
+def test_plans_audit_census():
+    """PLANS.md / PLANS_FULL.md drift guard (VERDICT r5 #7): the audited
+    row counts must match the live registry (full file: every registered
+    query; PLANS.md: every bench-headline query), every GWIN row must be
+    on plan_audit.GLOBAL_WINDOW_ALLOWED, and no CART row may exist. A
+    regenerated audit that picks up a new corpus-scale global window or
+    cartesian product fails here even before the live-plan test runs."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from plan_audit import GLOBAL_WINDOW_ALLOWED
+
+    queries()
+    bench_names = {n for n, q in REGISTRY.items() if q.bench}
+    for fname, expected in (
+        ("PLANS.md", bench_names),
+        ("PLANS_FULL.md", set(REGISTRY)),
+    ):
+        text = open(os.path.join(REPO, fname)).read()
+        rows = _PLAN_ROW.findall(text)
+        names = {r[0] for r in rows}
+        assert names == expected, (
+            f"{fname} stale: {len(names)} audited rows vs {len(expected)} "
+            f"in registry (run `python plan_audit.py`); "
+            f"missing={sorted(expected - names)[:5]} "
+            f"extra={sorted(names - expected)[:5]}"
+        )
+        gwin = {r[0] for r in rows if r[1] == "GWIN"}
+        cart = {r[0] for r in rows if r[2] == "CART"}
+        assert gwin <= GLOBAL_WINDOW_ALLOWED, (
+            f"{fname}: unallowlisted global-window rows {gwin - GLOBAL_WINDOW_ALLOWED}"
+        )
+        assert not cart, f"{fname}: CartesianProduct rows {cart}"

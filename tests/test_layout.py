@@ -140,7 +140,10 @@ SHUFFLE_BUDGET = {
     "json_variant": 1,
     "embedding_quantize_int8": 1,
     "pack_sequences_greedy": 1,       # one per-source window+agg
-    "shard_manifest_balanced": 1,     # one global rank (rangepartition)
+    # histogram-offset + within-tier rank (r6): tier agg, tier running sum
+    # (tiny), tier broadcast, per-tier window, shard agg, balance scalar —
+    # replaces the single-task corpus-scale global window the old plan had
+    "shard_manifest_balanced": 6,
     "curriculum_quality_bins": 1,     # one per-lang window+agg
     "hll_set_intersection": 2,        # custkey dedup + global sketch agg
     "cogroup_asof_attribution": 2,    # one exchange per cogroup side
@@ -369,6 +372,7 @@ ARROW_PYTHON_ALLOWED = {
     "multimodal_frame_sample",   # mapInPandas frame sampling
     "multimodal_decode",         # mapInPandas BMP/WAV synth + header parse
     "multimodal_decode_png",     # mapInPandas PNG synth + zlib/CRC decode
+    "multimodal_decode_gif",     # mapInPandas GIF synth + LZW entropy decode
     "source_binaryfile_media",   # mapInPandas header decode over binaryFile rows
     "heavy_hitters_mg",          # Misra-Gries partial summaries (mapInPandas)
     "cogroup_asof_attribution",  # cogrouped per-key as-of alignment
@@ -401,6 +405,29 @@ def test_no_row_at_a_time_python_and_arrow_only_where_declared(spark, sf_dir):
             undeclared.append((name, ",".join(hits)))
     assert not rowwise, f"row-at-a-time Python UDF in hot path: {rowwise}"
     assert not undeclared, f"undeclared Python boundary: {undeclared}"
+
+
+def test_registry_plans_no_cartesian_no_unbounded_global_window(spark, sf_dir):
+    """Full-registry plan guard (VERDICT r5 #2/#7): EVERY registered query
+    — not just the bench headline — must plan without a CartesianProduct
+    and without an empty-partition Window outside the documented
+    bounded-frame allowlist (plan_audit.GLOBAL_WINDOW_ALLOWED). Walks the
+    live JVM plan tree, same counting as PLANS_FULL.md."""
+    from plan_audit import GLOBAL_WINDOW_ALLOWED, audit_plan
+
+    from hyperloglog_pyspark_spark.registry import lazy_caches
+
+    queries()
+    carts, gwins = [], []
+    with lazy_caches():
+        for name, q in REGISTRY.items():
+            facts = audit_plan(q.fn(spark, sf_dir))
+            if facts["cartesian"]:
+                carts.append(name)
+            if facts["global_window"] and name not in GLOBAL_WINDOW_ALLOWED:
+                gwins.append(name)
+    assert not carts, f"CartesianProduct planned by: {carts}"
+    assert not gwins, f"unallowlisted global window planned by: {gwins}"
 
 
 def test_salted_sessionize_windows_by_slice_not_whole_user(spark, sf_dir):
