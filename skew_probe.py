@@ -57,6 +57,10 @@ WORK_DIR = "/tmp/spark_graft_skew"
 HOT_FRACTION = 3  # pmod(hash, 10) < 3 → ~30% of rows on the whale key
 WHALE_USER = -1
 HOT_TYPE = "click"
+#: uniform replicas in the 1× base corpus — lifts base walls clear of the
+#: fixed ~0.3 s per-job overhead so the R× ratio measures scaling, not
+#: scheduler constants (sf0.1 events alone is 100k rows, sub-second)
+BASE_MULT = int(os.environ.get("SPARK_GRAFT_SKEW_BASE_MULT", "3"))
 
 
 def _replica_events(ev, k: int):
@@ -119,9 +123,9 @@ def main() -> None:
     registry.queries()
 
     dirs = {
-        "x1": (1, False),
-        "xRu": (replicas, False),
-        "xRs": (replicas, True),
+        "x1": (BASE_MULT, False),
+        "xRu": (BASE_MULT * replicas, False),
+        "xRs": (BASE_MULT * replicas, True),
     }
     shutil.rmtree(WORK_DIR, ignore_errors=True)
     for tag, (r, skewed) in dirs.items():
