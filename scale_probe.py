@@ -61,6 +61,7 @@ PROBE_OPS = [
     "dedup_canonical_pick",
     "pipeline_curation_v2",
     "semdedup_centroid_prune",
+    "dedup_incremental_epochs",  # r6: chained-epoch probe joins
 ]
 
 

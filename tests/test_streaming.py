@@ -778,3 +778,94 @@ def test_streaming_incremental_dedup_index_grows(spark, sf_dir, tmp_path):
     # fixture contains cross-batch duplicate pairs; at minimum the index
     # file count increased.
     assert len({f for f in __import__("os").listdir(index) if f.endswith(".parquet")}) >= 3
+
+
+def test_streaming_epochs_match_registered_manifest(spark, sf_dir, tmp_path):
+    """The true-stream twin of ``dedup_incremental_epochs``: epoch-0 docs
+    seed a persisted index (bands + shingles); epochs 1 and 2 arrive as
+    ordered micro-batches whose foreachBatch handler band-probes the
+    index, CONFIRMS collisions by exact Jaccard, appends only ADMITTED
+    docs to the index, and records per-doc verdicts. The stream's
+    verdicts must equal the registered batch query's manifest exactly —
+    proving the batch-checkable form and the ingest-time pipeline
+    implement the same contract (admitted-only index, verdicts chaining
+    across epochs)."""
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        JACCARD_T,
+        _band_table,
+        _minhash_sigs,
+        _shingled,
+    )
+    from hyperloglog_pyspark_spark.registry import REGISTRY
+
+    docs = _shingled(spark, sf_dir)  # doc_id, sh (≥3-token docs only)
+
+    bands_dir = str(tmp_path / "index_bands")
+    sh_dir = str(tmp_path / "index_shingles")
+    verdicts = str(tmp_path / "verdicts")
+    epoch = F.col("doc_id") % 3
+    seed = docs.filter(epoch == 0)
+    _band_table(_minhash_sigs(seed)).write.mode("overwrite").parquet(bands_dir)
+    seed.write.mode("overwrite").parquet(sh_dir)
+
+    def ingest(batch_df, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        bb = _band_table(_minhash_sigs(batch_df))
+        idx = ss.read.parquet(bands_dir)
+        cand = (
+            bb.select(F.col("doc_id").alias("new_id"), "band", "band_hash")
+            .join(idx, ["band", "band_hash"])
+            .select("new_id", F.col("doc_id").alias("hist_id"))
+            .distinct()
+        )
+        dn = batch_df.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
+        dh = ss.read.parquet(sh_dir).select(
+            F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h")
+        )
+        inter = F.size(F.array_intersect("sh_n", "sh_h"))
+        rejected = (
+            cand.join(dn, "new_id")
+            .join(dh, "hist_id")
+            .filter(
+                inter.cast("double") / (F.size("sh_n") + F.size("sh_h") - inter)
+                >= JACCARD_T
+            )
+            .select("new_id")
+            .distinct()
+        )
+        out = batch_df.select("doc_id").join(
+            rejected, F.col("doc_id") == F.col("new_id"), "left"
+        ).select("doc_id", F.col("new_id").isNull().alias("admitted"))
+        out.write.mode("append").parquet(verdicts)
+        ok = batch_df.join(
+            rejected, batch_df["doc_id"] == rejected["new_id"], "left_anti"
+        )
+        _band_table(_minhash_sigs(ok)).write.mode("append").parquet(bands_dir)
+        ok.write.mode("append").parquet(sh_dir)
+
+    src = str(tmp_path / "incoming")
+    _write_batch(spark, docs.filter(epoch == 1), src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, sh array<string>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        stream.processAllAvailable()
+        _write_batch(spark, docs.filter(epoch == 2), src)
+        stream.processAllAvailable()
+    finally:
+        stream.stop()
+
+    got = {
+        (r.doc_id, r.admitted)
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    want = {
+        (r.doc_id, r.admitted)
+        for r in REGISTRY["dedup_incremental_epochs"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
