@@ -422,3 +422,40 @@ def test_random_range_frames_match(wexpr, spark, sf_dir, lineitem_view):
         return
     assert got.n == int(want.n), wexpr
     assert got.chk == int(want.chk), wexpr
+
+
+# --- GIF LZW entropy coder property fuzz ----------------------------------
+
+
+@given(
+    mcs=st.integers(min_value=2, max_value=8),
+    data=st.binary(max_size=5000),
+)
+@settings(max_examples=60, deadline=None, derandomize=True)
+def test_lzw_roundtrip_any_bytes(mcs, data):
+    """Property: for ANY byte string over the alphabet [0, 2^mcs) the
+    hand-written GIF LZW coder round-trips exactly — width bumps, the
+    KwKwK self-reference, and the 4096-entry table freeze all land
+    wherever hypothesis puts them, not where a fixed fixture does."""
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    clamped = bytes(b % (1 << mcs) for b in data)
+    assert lzw_decode(lzw_encode(clamped, mcs), mcs, len(clamped)) == clamped
+
+
+@given(data=st.binary(min_size=1, max_size=300))
+@settings(max_examples=60, deadline=None, derandomize=True)
+def test_lzw_decoder_rejects_or_bounds_garbage(data):
+    """Property: feeding arbitrary bytes to the decoder either raises
+    ValueError or yields output within the declared bound — it must
+    never hang, over-produce, or crash with a non-contract error."""
+    from hyperloglog_pyspark_spark.functions.mediacodec import lzw_decode
+
+    try:
+        out = lzw_decode(data, 8, 4096)
+    except ValueError:
+        return
+    assert len(out) <= 4096
