@@ -12,10 +12,10 @@ Scale posture (100 TB of events):
 - Every operator is one or two keyed aggregations over user_id — the
   natural partition key of an event store; no self-joins on the raw
   stream, no windows wider than one user's history.
-- The funnel's stage chain re-scans events once per stage with the
-  event_type filter pushed to the scan (at 100 TB: partition-prune by
-  type or feed from a type-bucketed table); each stage's per-user frame
-  is broadcast back, so the big side never shuffles.
+- The funnel is one scan (funnel types pushed to the scan) and one
+  shuffle on user_id; stage entry times chain as whole-partition window
+  columns that all reuse that partitioning, so adding a stage adds a
+  window pass, never a scan or an exchange.
 - Transition counting shuffles once on user_id for the lag window, then
   aggregates a #types² matrix — constant-size output.
 """
@@ -53,25 +53,50 @@ from hyperloglog_pyspark_spark.sources.catalog import load_table
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered three-stage funnel (view → click → purchase): a user counts
     at each stage only if the stage event happens at-or-after their entry
-    into the previous stage (first-touch semantics). Each stage is a
-    type-filtered scan aggregated per user, joined back broadcast — the
-    per-user frames are tiny next to the event stream and shrink at every
-    stage."""
-    ev = load_table(spark, sf_dir, "events")
+    into the previous stage (first-touch semantics).
 
-    def stage(df: DataFrame, etype: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
-        s = df.filter(F.col("event_type") == etype)
-        if prev is not None:
-            s = s.join(F.broadcast(prev), "user_id").filter(F.col("ts") >= F.col(prev_t))
-        return s.groupBy("user_id").agg(F.min("ts").alias(t))
-
-    v = stage(ev, "view", None, "", "tv")
-    c = stage(ev, "click", v, "tv", "tc")
-    p = stage(ev, "purchase", c, "tc", "tp")
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    Single-scan form: filter to the three funnel types (pushed to the
+    scan), shuffle ONCE on user_id, then derive each stage's entry time
+    as a sequential whole-partition window column — tv = min(view ts),
+    tc = min(click ts ≥ tv), tp = min(purchase ts ≥ tc); each window
+    reuses the same user partitioning, so the chain adds no exchange.
+    Stage populations fall out of one global conditional count. The
+    stage-per-scan alternative (3 type-filtered scans + broadcast-back
+    joins) re-embeds every earlier stage's subplan in the final count
+    legs — 6 event scans in the executed plan; this is 1 scan and 2
+    exchanges."""
+    w = Window.partitionBy("user_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn("tv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("tv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("tc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp")
+    )
+    counts = users.agg(
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_click"),
+        F.count("tp").alias("n_purchase"),
     )
     return counts.select(
         F.col("n_view").cast("long").alias("n_view"),

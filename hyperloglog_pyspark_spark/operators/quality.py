@@ -170,32 +170,65 @@ def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     children — not a violation, but the metric that catches a silently
     empty join feed).
 
-    Each check is a left-anti join; dimension parents are broadcast
-    (their key set is the small side by construction) and the fact-fact
-    check (lineitem→orders) is left to the planner's shuffled anti join —
-    the only shape that survives when neither side fits in memory.
+    The FK checks are grouped BY CHILD TABLE so each child is scanned
+    once: all of a child's parent key sets are chained as left outer
+    joins onto the one scan (dimension parents broadcast; the fact-fact
+    edge lineitem→orders left to the planner's shuffled join — the only
+    shape that survives when neither side fits in memory), then every
+    relation's orphan count falls out of one conditional aggregation
+    over the join markers — sum(parent key IS NULL) — and the per-rule
+    rows are exploded from that single wide agg row, the same one-scan
+    trick as the constraint audit above. An anti-join-per-FK would scan
+    the 100 TB lineitem three times; this scans it once. A left join on
+    a DISTINCT parent key set counts exactly what the anti join counts
+    (no fan-out, NULL child keys match nothing on either form).
     """
-
-    def orphan_row(label: str, kind: str, anti: DataFrame) -> DataFrame:
-        return anti.agg(F.count(F.lit(1)).alias("n_orphans")).select(
-            F.lit(label).alias("relation"),
-            F.lit(kind).alias("kind"),
-            F.col("n_orphans"),
-            (F.col("n_orphans") == 0).alias("intact"),
-        )
+    by_child: dict[str, list[tuple[str, str, str, bool]]] = {}
+    for label, child, ckey, parent, pkey, small_parent in _FKS:
+        by_child.setdefault(child, []).append((label, ckey, parent, pkey, small_parent))
 
     frames = []
-    for label, child, ckey, parent, pkey, small_parent in _FKS:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(pkey).distinct()
-        if small_parent:
-            p = F.broadcast(p)
-        anti = c.join(p, c[ckey] == p[pkey], "left_anti")
-        frames.append(orphan_row(label, "integrity", anti))
+    for child, checks in by_child.items():
+        joined = load_table(spark, sf_dir, child)
+        for i, (_, ckey, parent, pkey, small_parent) in enumerate(checks):
+            marker = f"__pk_{i}"
+            p = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pkey).alias(marker))
+                .distinct()
+            )
+            if small_parent:
+                p = F.broadcast(p)
+            joined = joined.join(p, joined[ckey] == p[marker], "left_outer")
+        wide = joined.agg(*[
+            F.sum(F.when(F.col(f"__pk_{i}").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{i}")
+            for i in range(len(checks))
+        ])
+        rows = [
+            F.struct(
+                F.lit(label).alias("relation"),
+                F.lit("integrity").alias("kind"),
+                F.col(f"n_{i}").alias("n_orphans"),
+                (F.col(f"n_{i}") == 0).alias("intact"),
+            )
+            for i, (label, _, _, _, _) in enumerate(checks)
+        ]
+        frames.append(
+            wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+        )
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
     childless = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
-    frames.append(orphan_row("customer_without_orders", "coverage", childless))
+    frames.append(
+        childless.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit("customer_without_orders").alias("relation"),
+            F.lit("coverage").alias("kind"),
+            F.col("n_orphans"),
+            (F.col("n_orphans") == 0).alias("intact"),
+        )
+    )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

@@ -663,19 +663,22 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding tokenizer vocab curation and stopword-phrase lists.
 
     Scale: unigram and bigram counts are two explode+groupBy passes over
-    the corpus (all JVM split/slice/zip_with — no Python); the scalar
-    corpus totals broadcast. The unigram table is VOCABULARY-sized (can
-    be 100M+ rows over web text), so its join onto the min-support-cut
-    pair table is left to AQE — broadcast at small vocab, shuffle on the
-    token key at web vocab; the support cut runs before the join either
-    way. The PMI expression is evaluated in the same IEEE double
-    operation order on both engines and rounded once, so the ranked cut
-    hash-matches."""
+    the corpus (all JVM split/slice/zip_with — no Python), persisted at
+    their VOCABULARY size; the scalar corpus totals are then SUMS OF THE
+    COUNT TABLES (Σc over unigrams, Σc_ab over uncut pairs), never a
+    re-scan of the corpus — the naive form re-embeds the document scan
+    in every total and join leg (5 corpus scans in the executed plan vs
+    2 here). The unigram table can be 100M+ rows over web text, so its
+    join onto the min-support-cut pair table is left to AQE — broadcast
+    at small vocab, shuffle on the token key at web vocab; the support
+    cut runs before the join either way. The PMI expression is evaluated
+    in the same IEEE double operation order on both engines and rounded
+    once, so the ranked cut hash-matches."""
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     toks = docs.select(F.split("text", " ").alias("toks"))
     uni = toks.select(F.explode("toks").alias("w"))
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    nu = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    uc = tracked_persist(uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    nu = uc.agg(F.sum("c").alias("n_uni"))
     bi = toks.select(
         F.explode(
             F.expr(
@@ -685,8 +688,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    nb = bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    bc = tracked_persist(bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")))
+    nb = bc.agg(F.sum("c_ab").alias("n_bi"))
     u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     return (

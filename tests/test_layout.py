@@ -177,8 +177,11 @@ SHUFFLE_BUDGET = {
     # excluded for the same InMemoryRelation text-inflation reason).
     "ivm_delta_join": 6,              # 2×(dims + partial agg) + state merge
     "join_salted_skew": 4,            # dim agg + 2 salted-key sides + final agg
-    "text_pmi_collocations": 14,      # 2 count passes + vocab joins + scalar totals
+    # text_pmi_collocations persists its unigram/pair count tables —
+    # excluded for the InMemoryRelation text-inflation reason above
+    # (runtime: 2 corpus scans, totals summed from the count tables).
     "text_lang_confusion": 3,         # matrix agg + row-share window
+    "funnel_conversion": 2,           # one user_id shuffle + final count agg
     "sample_weighted_reservoir": 2,   # TakeOrdered heaps + lang agg
     "pivot_multi_value": 2,           # pre-agg + pivot agg (two-pass pivot)
     "sql_scalar_udf": 1,              # UDF inlined -> one partial+final agg
@@ -194,7 +197,9 @@ SHUFFLE_BUDGET = {
     "agg_histogram_equiwidth": 1,     # one bin groupBy
     "quality_constraint_audit": 4,    # one single-row agg per audited table
     "snapshot_diff_cdc": 3,           # two join-side shuffles + change agg
-    "quality_referential_orphans": 18,  # 6 checks × (parent distinct + anti + count)
+    # one conditional-agg pass per CHILD table (lineitem scanned once for
+    # its 3 FKs): parent distincts + join-side exchanges + per-child agg
+    "quality_referential_orphans": 16,
     "quality_freshness_watermark": 7,  # per-type agg + gmax + 24h pass + joins
     "sketch_ddsketch_quantiles": 4,   # bucket agg + extraction windows + final agg
     "experiment_ab_ttest": 3,         # moment agg + variant-pair self-join
