@@ -422,17 +422,21 @@ def quality_freshness_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole feed (whole minutes), and the last-24h volume — the staleness
     table an on-call dashboard alerts on when one upstream stops emitting.
 
-    One pass computes the per-type aggregates; the global max is a
-    single-row agg broadcast back (never a second scan of the fact
-    table at per-row granularity).
+    One pass computes the per-type aggregates (persisted at |types|
+    size); the global max is an agg over THAT tiny frame — not a second
+    fact scan — broadcast back. Only the exact last-24h count pays a
+    second scan of the stream (its cutoff needs gmax, which no single
+    pass can know); total: two fact scans, was three.
     """
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max("ts").alias("max_ts"),
-        F.max(F.unix_millis("ts")).alias("last_seen_ms"),
+    per_type = tracked_persist(
+        ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("max_ts"),
+            F.max(F.unix_millis("ts")).alias("last_seen_ms"),
+        )
     )
-    gmax = ev.agg(F.max("ts").alias("gmax"))
+    gmax = per_type.agg(F.max("max_ts").alias("gmax"))
     return (
         per_type.crossJoin(F.broadcast(gmax))
         .select(

@@ -756,11 +756,14 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     click id — the completion of the as-of family beside the backward
     form (``join_asof``) and the banded range join.
 
-    Relationally: an equi-join on the user key fans each purchase out to
-    that user's clicks only (bounded per-key work, never a time-only
-    cross join), then a per-purchase argmin window picks the nearest.
-    Both sides shuffle once on user_id — co-located under user bucketing;
-    a time-banded pre-filter (join only ±N days) bounds per-key fan-out
+    Relationally: a LEFT equi-join on the user key fans each purchase
+    out to that user's clicks only (bounded per-key work, never a
+    time-only cross join; clickless purchases keep one null row), then a
+    per-purchase argmin window picks the nearest — the null row ranks
+    first exactly when it is the only row, so no join-back against the
+    purchase side is needed (the join-back form scanned events a third
+    time). Both sides shuffle once — co-located under user bucketing; a
+    time-banded pre-filter (join only ±N days) bounds per-key fan-out
     when keys are hot.
     """
     ev = load_table(spark, sf_dir, "events")
@@ -774,12 +777,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
     w = Window.partitionBy("event_id").orderBy(F.abs(gap).asc(), F.asc("click_id"))
-    ranked = (
-        p.join(c, p["user_id"] == c["c_user"])
+    return (
+        p.join(c, p["user_id"] == c["c_user"], "left")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("event_id", "click_id", gap.alias("gap_us"))
-    )
-    return p.select("event_id").join(ranked, "event_id", "left").select(
-        "event_id", "click_id", "gap_us"
     )

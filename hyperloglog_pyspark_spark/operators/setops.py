@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 
@@ -46,9 +46,11 @@ def _custkeys_by_status(spark, sf_dir, status: str) -> DataFrame:
 )
 def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct), INTERSECT, EXCEPT over customer key sets, tagged
-    and stacked into one result."""
-    o = _custkeys_by_status(spark, sf_dir, "O")
-    p = _custkeys_by_status(spark, sf_dir, "P")
+    and stacked into one result. Each side is persisted: all three set
+    ops consume both sides, so the unpersisted form re-scans orders six
+    times (once per side per op) for two status-pruned key columns."""
+    o = tracked_persist(_custkeys_by_status(spark, sf_dir, "O"))
+    p = tracked_persist(_custkeys_by_status(spark, sf_dir, "P"))
     either = o.union(p).distinct().select(F.lit("either").alias("tag"), "o_custkey")
     both = o.intersect(p).select(F.lit("both").alias("tag"), "o_custkey")
     only = o.subtract(p).select(F.lit("open_only").alias("tag"), "o_custkey")

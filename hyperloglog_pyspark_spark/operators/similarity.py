@@ -216,8 +216,13 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     each probe a pruned scan.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") % N_CENT_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), as_double("embedding").alias("ce")
+    # centroid subset persisted: the modulo filter can't push to parquet,
+    # so each of its two crossJoin uses would otherwise re-scan the full
+    # corpus to rebuild a |corpus|/100-sized frame
+    cent = tracked_persist(
+        emb.filter(F.col("vec_id") % N_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cent_id"), as_double("embedding").alias("ce")
+        )
     )
     scored = (
         emb.select("vec_id", as_double("embedding").alias("ev"))

@@ -338,21 +338,32 @@ def hll_merge_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarser precision (allowDifferentLgConfigK); we surface that behavior
     deliberately: union a lgK=14 sketch with a lgK=12 sketch and check the
     estimate still lands within the COARSER sketch's 3-sigma envelope.
+
+    Both sketches (conditional inputs — aggregates skip the NULLed-out
+    parity) and the exact count are partial aggregates of ONE fact scan;
+    the mixed-precision merge is the scalar hll_union on the single agg
+    row. The filter-per-sketch form scanned events three times.
     """
     ev = load_table(spark, sf_dir, "events")
-    s_hi = ev.filter(F.col("user_id") % 2 == 0).agg(
-        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(14)).alias("sketch")
+    agg = ev.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("user_id") % 2 == 0, F.col("user_id").cast("string")),
+            F.lit(14),
+        ).alias("s_hi"),
+        F.hll_sketch_agg(
+            F.when(F.col("user_id") % 2 == 1, F.col("user_id").cast("string")),
+            F.lit(12),
+        ).alias("s_lo"),
+        F.count_distinct("user_id").alias("n_users_all"),
     )
-    s_lo = ev.filter(F.col("user_id") % 2 == 1).agg(
-        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sketch")
-    )
-    merged = s_hi.unionByName(s_lo).agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(True))).alias("approx")
-    )
-    exact = ev.agg(F.count_distinct("user_id").alias("n_users_all"))
     stderr = 1.04 / (2 ** 6.0)  # coarser sketch: lgK=12
-    return exact.crossJoin(merged).select(
-        "n_users_all", _tol(F.col("approx"), F.col("n_users_all"), stderr).alias("approx_ok")
+    return agg.select(
+        "n_users_all",
+        _tol(
+            F.hll_sketch_estimate(F.hll_union("s_hi", "s_lo", True)),
+            F.col("n_users_all"),
+            stderr,
+        ).alias("approx_ok"),
     )
 
 
@@ -690,17 +701,17 @@ def hll_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     rows = [
-        agg.select(
+        F.struct(
             F.lit(rsd).cast("double").alias("rsd"),
-            "n_exact",
+            F.col("n_exact"),
             _tol(F.col(f"est_{i}"), F.col("n_exact"), rsd).alias("approx_ok"),
         )
         for i, rsd in enumerate(ACC_RSDS)
     ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    # explode the per-knob rows out of the single agg row — a
+    # union-of-selects re-embeds (and re-runs) the fact-scan agg once
+    # per knob
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
 SLIDE_DAYS = 7  # trailing window width (days)

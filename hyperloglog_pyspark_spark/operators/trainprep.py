@@ -120,13 +120,15 @@ def mixture_downsample_temperature(spark: SparkSession, sf_dir: str) -> DataFram
     (a generic pow() would not be). Row selection is the md5 hash
     predicate — stateless, partition-independent, reproducible. The
     rates frame has #sources rows, so the all-rows window over it is
-    trivially small; it broadcasts back onto the scan."""
+    trivially small; it broadcasts back onto the scan. It is persisted:
+    both its uses (the keep-filter join and the report join) would
+    otherwise re-run the corpus-scale count behind it."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
-    rates = counts.withColumn(
+    rates = tracked_persist(counts.withColumn(
         "rate",
         F.sqrt(F.min("n_orig").over(Window.partitionBy()).cast("double") / F.col("n_orig")),
-    ).withColumn("thr", F.floor(F.col("rate") * 1000000).cast("long"))
+    ).withColumn("thr", F.floor(F.col("rate") * 1000000).cast("long")))
     kept = (
         docs.join(F.broadcast(rates), "source")
         .filter(md5_long(F.col("doc_id").cast("string")) % 1000000 < F.col("thr"))

@@ -200,7 +200,9 @@ SHUFFLE_BUDGET = {
     # one conditional-agg pass per CHILD table (lineitem scanned once for
     # its 3 FKs): parent distincts + join-side exchanges + per-child agg
     "quality_referential_orphans": 16,
-    "quality_freshness_watermark": 7,  # per-type agg + gmax + 24h pass + joins
+    # quality_freshness_watermark persists its per-type aggregate (gmax
+    # derives from it, not a second fact scan) — excluded for the
+    # InMemoryRelation text-inflation reason above (runtime: 2 fact scans).
     "sketch_ddsketch_quantiles": 4,   # bucket agg + extraction windows + final agg
     "experiment_ab_ttest": 3,         # moment agg + variant-pair self-join
     "timeseries_seasonal_index": 5,   # daily agg + dow agg + global broadcast
