@@ -514,11 +514,40 @@ def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (doc_id, token, tf) term-frequency table — the one
     corpus tokenization pass shared by BM25 scoring and the MRR report
     (tracked_persist's plan-canonical lookup reuses the cache when both
-    run in one job)."""
+    run in one job).
+
+    Computed ENTIRELY map-side: a document's tokens are co-located in
+    its own row, so per-(doc, token) counts never need a shuffle —
+    sort the token array, take run boundaries, emit (token, run length)
+    structs, explode. The explode+groupBy form shuffles one row per
+    token occurrence (corpus-token-scale — the single largest exchange
+    in the BM25/MRR/NDCG family at 100 TB); this form's only exchange
+    is whatever the consumer adds. try_element_at guards the i-1 probe
+    at i=0 (ANSI mode): the OR's left side already accepts that row.
+    """
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    sorted_toks = docs.select(
+        "doc_id", F.array_sort(F.split("text", " ")).alias("s")
+    )
+    bounded = sorted_toks.select(
+        "doc_id",
+        "s",
+        F.expr(
+            "concat(filter(sequence(0, size(s) - 1),"
+            "              i -> i = 0 OR s[i] != try_element_at(s, i)),"
+            "       array(size(s)))"
+        ).alias("b"),
+    )
     return tracked_persist(
-        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        bounded.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(b) - 2),"
+                    "          k -> struct(s[b[k]] AS token, b[k + 1] - b[k] AS tf))"
+                )
+            ).alias("e"),
+        ).select("doc_id", "e.token", F.col("e.tf").cast("long").alias("tf"))
     )
 
 

@@ -437,6 +437,48 @@ def test_registry_plans_no_cartesian_no_unbounded_global_window(spark, sf_dir):
     assert not gwins, f"unallowlisted global window planned by: {gwins}"
 
 
+# Per-query ceilings on FACT-TABLE scan sites in the executed plan. A
+# subplan that is referenced twice without persist() re-embeds (and
+# re-RUNS) its scan at every reference — the r6 scan-collapse sweep cut
+# these from 3-6 sites each; this locks them down. Only meaningful for
+# uncached plans: an InMemoryRelation reprints its child scan at every
+# cache hit (text site != execution), so persisted queries are asserted
+# cached instead.
+SCAN_SITE_CEILING = {
+    "funnel_conversion": ("events", 1),
+    "hll_merge_compat": ("events", 1),
+    "hll_accuracy_report": ("events", 1),
+    "join_asof_nearest": ("events", 2),   # click leg + purchase leg
+    "quality_referential_orphans": ("lineitem", 1),  # 3 FKs, one scan
+}
+# These queries moved their shared fact-derived frame behind a persist;
+# if the persist is dropped the re-scans come back silently — assert
+# the cache marker stays in the plan.
+MUST_STAY_CACHED = [
+    "text_pmi_collocations", "quality_freshness_watermark",
+    "similarity_ivf", "set_union_intersect_except",
+    "mixture_downsample_temperature",
+]
+
+
+def test_no_redundant_fact_scans(spark, sf_dir):
+    from hyperloglog_pyspark_spark.registry import lazy_caches
+
+    queries()
+    bad = []
+    with lazy_caches():
+        for name, (table, ceiling) in SCAN_SITE_CEILING.items():
+            plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+            n = plan.count(f"{table}.parquet")
+            if n > ceiling:
+                bad.append((name, table, n, ceiling))
+        for name in MUST_STAY_CACHED:
+            plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+            if "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan:
+                bad.append((name, "persist dropped", 0, 0))
+    assert not bad, f"redundant fact scans reintroduced: {bad}"
+
+
 def test_salted_sessionize_windows_by_slice_not_whole_user(spark, sf_dir):
     """The skew-safe sessionizer must run its event-scale window
     partitioned by (user_id, slice) — never by user_id alone — so a whale
