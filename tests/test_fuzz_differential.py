@@ -459,3 +459,62 @@ def test_lzw_decoder_rejects_or_bounds_garbage(data):
     except ValueError:
         return
     assert len(out) <= 4096
+
+
+# --- map-side run-length term frequency vs naive explode+groupBy ----------
+
+
+def test_runlength_tf_matches_groupby_on_random_docs(spark):
+    """Differential check for _tf_table's shuffle-free form: the
+    sort + run-boundary + explode expression must produce exactly the
+    (doc_id, token, tf) set that explode+groupBy does, over adversarial
+    token arrays — empty strings, single tokens, all-duplicates,
+    unicode, tokens differing only by a trailing space, and long runs.
+    Guards the ANSI-mode boundary probe (try_element_at at i=0) and the
+    0-based subscript arithmetic in the transform."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    # entries with embedded/trailing spaces re-split after join — they
+    # inject extra empty-string tokens, a deliberate edge
+    vocab = ["a", "b", "ab", "a ", "", "é", "z" * 50, "tok ", "tok", "0"]
+    docs = []
+    for doc_id in range(200):
+        n = rng.choice([1, 2, 3, 5, 20, 200])
+        docs.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+    # targeted edge shapes
+    docs += [(1000, ""), (1001, "x"), (1002, "x x x x"), (1003, " "), (1004, "  ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    naive = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    runlen = (
+        df.select("doc_id", F.array_sort(F.split("text", " ")).alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.expr(
+                "concat(filter(sequence(0, size(s) - 1),"
+                "              i -> i = 0 OR s[i] != try_element_at(s, i)),"
+                "       array(size(s)))"
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(b) - 2),"
+                    "          k -> struct(s[b[k]] AS token, b[k + 1] - b[k] AS tf))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.token", F.col("e.tf").cast("long").alias("tf"))
+    )
+    a = sorted(map(tuple, naive.collect()))
+    b = sorted(map(tuple, runlen.collect()))
+    assert a == b
