@@ -127,14 +127,18 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention triangle: users cohorted by first-seen day, counted
     once per (cohort, week-offset) they were active in — the table behind
-    every retention curve. Two aggregations on user_id (first-seen, then
-    distinct activity), cohort frame broadcast back onto the stream."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    every retention curve.
+
+    One scan, one user_id shuffle: the cohort day is a whole-partition
+    window min, the per-user distinct piggybacks on the same partitioning
+    (grouping keys are a superset of the partition key — no exchange),
+    and only the |cohorts|×|weeks| final count shuffles again. The
+    agg-then-broadcast-back form scanned the stream twice."""
+    w = Window.partitionBy("user_id")
     activity = (
-        ev.join(F.broadcast(first), "user_id")
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .withColumn("cohort_day", F.min("day").over(w))
         .select(
             "user_id",
             "cohort_day",
@@ -625,9 +629,10 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism discipline: values become integer cents, so Σx and Σx²
     are EXACT BIGINTs (order-independent, overflow-bounded: cents² ≤
     2.5e9 × 100k rows « 2⁶³) — means and variances derive from two exact
-    integers per side and round identically everywhere. One groupBy
-    computes both variants' moments (map-side partials); the variant
-    pairing is a #metrics-sized self-join.
+    integers per side and round identically everywhere. ONE groupBy
+    computes both variants' moments as conditional sums (map-side
+    partials) — the split-per-variant-then-rejoin form re-embedded the
+    fact scan once per variant.
     """
     ev = load_table(spark, sf_dir, "events")
     obs = ev.select(
@@ -635,22 +640,21 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("user_id", F.lit(2)).alias("variant"),
         F.round(F.col("value") * 100, 0).cast("long").alias("c"),
     )
-    stats = obs.groupBy("event_type", "variant").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
-    )
-    a = stats.filter(F.col("variant") == 0).select(
-        "event_type",
-        F.col("n").alias("n_a"),
-        F.col("s1").alias("s1_a"),
-        F.col("s2").alias("s2_a"),
-    )
-    b = stats.filter(F.col("variant") == 1).select(
-        "event_type",
-        F.col("n").alias("n_b"),
-        F.col("s1").alias("s1_b"),
-        F.col("s2").alias("s2_b"),
+
+    def side(v: int, suffix: str):
+        on = F.col("variant") == v
+        return [
+            F.sum(F.when(on, 1).otherwise(0)).alias(f"n_{suffix}"),
+            F.sum(F.when(on, F.col("c"))).alias(f"s1_{suffix}"),
+            F.sum(F.when(on, F.col("c") * F.col("c"))).alias(f"s2_{suffix}"),
+        ]
+
+    # the oracle's variant inner join drops metrics missing a side —
+    # mirror that on the single agg row
+    paired = (
+        obs.groupBy("event_type")
+        .agg(*side(0, "a"), *side(1, "b"))
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
     )
     mean_a = F.col("s1_a") / (F.col("n_a") * 100.0)
     mean_b = F.col("s1_b") / (F.col("n_b") * 100.0)
@@ -661,7 +665,7 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_b") - 1) * 10000.0
     )
     t = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
-    return a.join(b, "event_type").select(
+    return paired.select(
         "event_type",
         "n_a",
         "n_b",
@@ -701,9 +705,11 @@ def timeseries_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Weekday is pure integer arithmetic on the epoch-day number
     ((days_since_1970 + 4) mod 7, anchored to 1970-01-01 = Thursday) —
-    no locale/WEEKDAY-convention drift between engines. Two tiny
-    aggregations over the #days-sized daily rollup; the global mean is a
-    single-row broadcast.
+    no locale/WEEKDAY-convention drift between engines. One fact scan:
+    daily rollup, dow rollup of that, and the global mean as window
+    sums over the 7-row dow frame — a separate totals agg +
+    broadcast-back re-embedded (and re-ran) the fact scan a second
+    time.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = (
@@ -715,20 +721,17 @@ def timeseries_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.datediff("day", F.lit("1970-01-01").cast("date")) + 4, F.lit(7)).alias("dow"),
         "n",
     )
-    glob = daily.agg(
-        F.sum("n").alias("g_events"), F.count(F.lit(1)).alias("g_days")
-    )
+    w_all = Window.partitionBy()  # 7 dow rows
     return (
         daily.groupBy("dow")
         .agg(F.count(F.lit(1)).alias("n_days"), F.sum("n").alias("n_events"))
-        .crossJoin(F.broadcast(glob))
         .select(
             F.col("dow").cast("long").alias("dow"),
             "n_days",
             "n_events",
             F.round(
                 (F.col("n_events") / F.col("n_days"))
-                / (F.col("g_events") / F.col("g_days")),
+                / (F.sum("n_events").over(w_all) / F.sum("n_days").over(w_all)),
                 6,
             ).alias("seasonal_index"),
         )
@@ -955,33 +958,40 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     only doubles are the interpolated quantiles, rounded identically in
     both engines.
 
-    Scale: two user-keyed min-aggregations and one equi-join — all
-    shuffle on user_id (co-located under user bucketing); the exact
+    Scale: one scan (the two funnel types pushed to it) and one user_id
+    shuffle — s_ts and the conditional p_ts are sequential
+    whole-partition window columns, the per-user reduction reuses the
+    same partitioning (the funnel_conversion pattern); the exact
     interpolated percentile sorts only the #converted-users delay list;
     at 100 TB swap in percentile_approx (mergeable sketch,
     tolerance-tested in tests/test_sketches.py) with the same shape.
     """
-    ev = load_table(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id")
+    # First purchase AT OR AFTER the first signup (the funnel_conversion
+    # stage rule) — NOT the globally-first purchase, which would silently
+    # drop every user whose first purchase predates their signup.
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
         .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+        .agg(F.max("s_ts").alias("s_ts"), F.max("p_ts").alias("p_ts"))
     )
-    # First purchase AT OR AFTER the signup (the funnel_conversion stage
-    # rule) — NOT the globally-first purchase, which would silently drop
-    # every user whose first purchase predates their signup.
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s), "user_id")
-        .filter(F.col("ts") >= F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"), F.min("s_ts").alias("s_ts2"))
-    )
-    delays = (
-        p.select(
-            F.expr("(unix_micros(p_ts) - unix_micros(s_ts2)) div 60000000").alias(
-                "delay_min"
-            )
+    delays = per_user.filter(F.col("p_ts").isNotNull()).select(
+        F.expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 60000000").alias(
+            "delay_min"
         )
     )
     pct = F.percentile("delay_min", F.array(*[F.lit(q) for q in TTC_QS]))

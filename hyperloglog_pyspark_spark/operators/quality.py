@@ -574,9 +574,11 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bin assignment is integer arithmetic on exact cents; counting both
     periods is ONE conditional aggregation over #bins groups (never two
-    scans); totals fold back via a single-row broadcast; the final
-    all-rows window runs over {_PSI_NB} rows. At 100 TB the scan
-    dominates and everything after it is constant-sized.
+    scans); the period totals, smoothed fractions, and summed PSI are
+    all window sums over the same {_PSI_NB}-row bin table (a separate
+    totals agg + broadcast-back re-embedded the fact scan a second
+    time). At 100 TB the scan dominates and everything after it is
+    constant-sized.
     """
     ev = load_table(spark, sf_dir, "events")
     obs = ev.select(
@@ -590,15 +592,15 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("n_b"),
     )
-    tot = counts.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
     from pyspark.sql import Window
 
-    frac = counts.crossJoin(F.broadcast(tot)).select(
+    w_all = Window.partitionBy()
+    frac = counts.select(
         "bin",
         "n_a",
         "n_b",
-        ((F.col("n_a") + 1.0) / (F.col("t_a") + _PSI_NB)).alias("p"),
-        ((F.col("n_b") + 1.0) / (F.col("t_b") + _PSI_NB)).alias("q"),
+        ((F.col("n_a") + 1.0) / (F.sum("n_a").over(w_all) + _PSI_NB)).alias("p"),
+        ((F.col("n_b") + 1.0) / (F.sum("n_b").over(w_all) + _PSI_NB)).alias("q"),
     )
     term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
     return frac.select(

@@ -374,7 +374,10 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the replicate explosion is map-side (B× rows into the same
     single aggregation — partial-aggregated before the shuffle, so the
     exchange carries #groups × B rows, not B× the data); the percentile
-    runs over B values per group.
+    runs over B values per group. The ORIGINAL mean rides the same pass
+    as an identity replicate (b = −1, weight 1) — exactly the
+    all-weights-one bootstrap draw — so the fact table is scanned once,
+    not once more for a separate baseline aggregation.
     """
     ev = load_table(spark, sf_dir, "events")
     obs = ev.select(
@@ -385,33 +388,32 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = obs.select(
         "event_type",
         "c",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(-1), F.lit(BOOT_B - 1))).alias("b"),
         F.col("event_id"),
     ).select(
         "event_type",
         "b",
         "c",
-        F.expr(
-            _boot_w_sql(
-                "cast(conv(substring(md5(concat(event_id, ':', b)), 1, 15), 16, 10) as bigint)"
+        F.when(F.col("b") == -1, F.lit(1).cast("long"))
+        .otherwise(
+            F.expr(
+                _boot_w_sql(
+                    "cast(conv(substring(md5(concat(event_id, ':', b)), 1, 15), 16, 10) as bigint)"
+                )
             )
-        ).alias("w"),
+        )
+        .alias("w"),
     )
     rep_means = reps.groupBy("event_type", "b").agg(
         (F.sum(F.col("w") * F.col("c")) * 1.0 / (F.sum("w") * 100)).alias("m")
     )
-    orig = obs.groupBy("event_type").agg(
-        (F.sum("c") * 1.0 / (F.count(F.lit(1)) * 100)).alias("mean_orig")
+    pct = F.expr(
+        f"percentile(case when b >= 0 then m end, array({BOOT_CI[0]}, {BOOT_CI[1]}))"
     )
-    pct = F.percentile("m", F.array(F.lit(BOOT_CI[0]), F.lit(BOOT_CI[1])))
-    return (
-        rep_means.join(F.broadcast(orig), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.round(F.min("mean_orig"), 4).alias("mean_value"),
-            F.round(pct[0], 4).alias("ci_lo"),
-            F.round(pct[1], 4).alias("ci_hi"),
-        )
+    return rep_means.groupBy("event_type").agg(
+        F.round(F.max(F.when(F.col("b") == -1, F.col("m"))), 4).alias("mean_value"),
+        F.round(pct[0], 4).alias("ci_lo"),
+        F.round(pct[1], 4).alias("ci_hi"),
     )
 
 
@@ -457,7 +459,8 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sample_stratified``) then executes.
 
     One moment-aggregation scan + arithmetic on #strata rows; the
-    single-row weight total folds back as a scalar subquery/broadcast.
+    weight total is a window sum over the same #strata rows (a separate
+    totals agg + broadcast-back re-embedded the fact scan twice).
     """
     ev = load_table(spark, sf_dir, "events")
     stats = ev.select(
@@ -477,9 +480,11 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = stats.select(
         "event_type", "nh", sigma.alias("sigma_h"), (F.col("nh") * sigma).alias("weight")
     )
-    tot = sized.agg(F.sum("weight").alias("wtot"))
+    from pyspark.sql import Window
+
+    wtot = F.sum("weight").over(Window.partitionBy())  # #strata rows
     return (
-        sized.crossJoin(F.broadcast(tot))
+        sized.withColumn("wtot", wtot)
         .select(
             "event_type",
             F.col("nh").alias("n_stratum"),

@@ -418,9 +418,15 @@ def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge. md5-anchored bucketing makes the construction bit-identical in
     DuckDB, so the driver hash-checks the whole sketch contract.
 
-    Scale: the build is one shuffle of (depth, bucket) partial counts —
-    d×w cells regardless of input size (the whole point of a sketch); the
-    probe side broadcasts the 1,024-cell table against the top-k keys.
+    Scale: ONE fact scan reduces the stream to per-key counts (map-side
+    partials); both the cell table and the top-k probe set derive from
+    that persisted key-level rollup, so the d× depth replication runs
+    over #keys rows, never #events — the build-from-raw form scanned
+    the stream once per side and replicated every EVENT d×. Cells are
+    identical either way: the bucket sum of per-key counts is the
+    per-bucket event count. d×w cells regardless of input size (the
+    whole point of a sketch); the probe side broadcasts the 1,024-cell
+    table against the top-k keys.
     """
     from hyperloglog_pyspark_spark.functions.texttools import md5_long
 
@@ -433,17 +439,15 @@ def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CMS_WIDTH),
         )
 
+    per_key = tracked_persist(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
     cells = (
-        ev.crossJoin(F.broadcast(depths))
+        per_key.crossJoin(F.broadcast(depths))
         .groupBy("d", bucket(F.col("d"), F.col("user_id")).alias("bucket"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+        .agg(F.sum("n_exact").cast("long").alias("cell"))
     )
-    probes = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-        .orderBy(F.col("n_exact").desc(), "user_id")
-        .limit(20)
-    )
+    probes = per_key.orderBy(F.col("n_exact").desc(), "user_id").limit(20)
     p = probes.crossJoin(F.broadcast(depths)).alias("p")
     c = cells.alias("c")
     return (

@@ -397,47 +397,54 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged — the standard pretraining filter for degenerate/repetitive
     text (cf. Rae et al. 2021 "Gopher" §A.1.1, public).
 
-    Scale: everything derives from one split() per document; the two
-    profiles aggregate on doc_id (explode → count), so state is bounded by
-    per-doc vocabulary. No UDFs — split/explode/sequence/element_at are all
-    codegen expressions. At 100 TB the explode doubles scan width but the
-    per-doc partial aggregation combines map-side before any shuffle.
+    Scale: ENTIRELY map-side — both signals are per-document and a
+    document's tokens are co-located in its row, so no explode, no
+    groupBy, no join: the top-word count is the longest run of the
+    sorted token array (the _tf_table boundary trick), the bigram
+    distinct count is size(array_distinct(...)) of the zipped adjacent
+    pairs. One scan, zero exchanges; the explode+groupBy form shuffled
+    one row per token occurrence and joined the two profiles back. All
+    codegen expressions, no UDFs.
     """
-    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select("doc_id", F.split("text", " ").alias("words"))
-    tok = docs.select("doc_id", F.explode("words").alias("word"))
-    top_word = (
-        tok.groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("max_word_cnt"), F.sum("c").alias("n_words"))
-    )
-    big = (
-        docs.filter(F.size("words") > 1)
+    docs = (
+        load_table(spark, sf_dir, "documents", spread_scan=True)
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") > 1)  # the oracle's bigram join drops 1-token docs
+        .withColumn("s", F.array_sort("words"))
+        .withColumn(
+            "b",
+            F.expr(
+                "concat(filter(sequence(0, size(s) - 1),"
+                "              i -> i = 0 OR s[i] != try_element_at(s, i)),"
+                "       array(size(s)))"
+            ),
+        )
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("words") - 1),
-                    lambda i: F.concat_ws(" ", F.element_at("words", i), F.element_at("words", i + 1)),
+            F.size("words").cast("long").alias("n_words"),
+            F.expr(
+                "array_max(transform(sequence(0, size(b) - 2), k -> b[k + 1] - b[k]))"
+            ).alias("max_word_cnt"),
+            (F.size("words") - 1).cast("long").alias("n_bigrams"),
+            F.size(
+                F.array_distinct(
+                    F.expr(
+                        "zip_with(slice(words, 1, size(words) - 1),"
+                        "         slice(words, 2, size(words) - 1),"
+                        "         (x, y) -> concat(x, ' ', y))"
+                    )
                 )
-            ).alias("bg"),
+            ).cast("long").alias("n_distinct_bigrams"),
         )
-    )
-    bstats = big.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.count_distinct("bg").alias("n_distinct_bigrams"),
     )
     top_frac = F.col("max_word_cnt").cast("double") / F.col("n_words")
     dup_frac = F.lit(1.0) - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
-    return (
-        top_word.join(bstats, "doc_id")
-        .select(
-            "doc_id",
-            "n_words",
-            F.round(top_frac, 6).cast("double").alias("top_word_frac"),
-            F.round(dup_frac, 6).cast("double").alias("dup_bigram_frac"),
-            ((top_frac > 0.10) | (dup_frac > 0.50)).alias("flagged"),
-        )
+    return docs.select(
+        "doc_id",
+        "n_words",
+        F.round(top_frac, 6).cast("double").alias("top_word_frac"),
+        F.round(dup_frac, 6).cast("double").alias("dup_bigram_frac"),
+        ((top_frac > 0.10) | (dup_frac > 0.50)).alias("flagged"),
     )
 
 

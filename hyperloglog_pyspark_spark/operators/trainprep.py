@@ -188,7 +188,9 @@ def shard_manifest_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks. Identical ranks, no single-task stage."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(F.split("text", " "))
-    sized = docs.select("doc_id", toks.alias("toks"))
+    # persisted: both the tier histogram and the rank join consume it,
+    # and recomputing it re-parses the full corpus text a second time
+    sized = tracked_persist(docs.select("doc_id", toks.alias("toks")))
     # tier table: one row per distinct token count — bounded by the token
     # domain (thousands), never by corpus rows
     tier_w = Window.orderBy(F.col("toks").desc()).rowsBetween(

@@ -56,6 +56,8 @@ GLOBAL_WINDOW_ALLOWED = frozenset(
         "pipeline_curation_v2",  # global median via score-domain histogram
         "quality_psi_drift",  # PSI over a fixed bin table
         "shard_manifest_balanced",  # tier offsets over token-domain tiers
+        "timeseries_seasonal_index",  # global mean over the 7 dow rows
+        "sample_neyman_allocation",  # weight total over #strata rows
     }
 )
 

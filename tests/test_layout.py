@@ -169,7 +169,9 @@ SHUFFLE_BUDGET = {
     "tpch_q16_supplier_cnt": 7,       # partsupp derive + anti + distinct agg
     "tpch_q20_excess_stock": 9,       # shipment agg + semi chains
     # Round-3 sketch additions
-    "cms_frequency": 5,               # cells agg + top-k + probe join
+    # cms_frequency persists its per-key rollup (cells and probes both
+    # derive from it) — excluded for the InMemoryRelation text-inflation
+    # reason above (runtime: ONE fact scan + cell/probe aggs).
     "bloom_membership": 8,            # bit distinct + probe + verdict + matrix
     "theta_set_algebra": 2,           # custkey dedup + global sketch agg
     "hll_accuracy_report": 6,         # one scan, three-knob agg, 3-way union
