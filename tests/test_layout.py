@@ -448,10 +448,18 @@ def test_registry_plans_no_cartesian_no_unbounded_global_window(spark, sf_dir):
 # cached instead.
 SCAN_SITE_CEILING = {
     "funnel_conversion": ("events", 1),
+    "funnel_time_to_convert": ("events", 1),
+    "retention_cohorts": ("events", 1),
+    "experiment_ab_ttest": ("events", 1),
+    "sample_bootstrap_ci": ("events", 1),
+    "sample_neyman_allocation": ("events", 1),
+    "quality_psi_drift": ("events", 1),
+    "timeseries_seasonal_index": ("events", 1),
     "hll_merge_compat": ("events", 1),
     "hll_accuracy_report": ("events", 1),
     "join_asof_nearest": ("events", 2),   # click leg + purchase leg
     "quality_referential_orphans": ("lineitem", 1),  # 3 FKs, one scan
+    "text_repetition": ("documents", 1),
 }
 # These queries moved their shared fact-derived frame behind a persist;
 # if the persist is dropped the re-scans come back silently — assert
@@ -459,7 +467,8 @@ SCAN_SITE_CEILING = {
 MUST_STAY_CACHED = [
     "text_pmi_collocations", "quality_freshness_watermark",
     "similarity_ivf", "set_union_intersect_except",
-    "mixture_downsample_temperature",
+    "mixture_downsample_temperature", "cms_frequency",
+    "shard_manifest_balanced",
 ]
 
 
