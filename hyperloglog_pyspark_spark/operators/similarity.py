@@ -14,7 +14,12 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded, dot
-from hyperloglog_pyspark_spark.registry import REGISTRY, register, tracked_persist
+from hyperloglog_pyspark_spark.registry import (
+    REGISTRY,
+    checkpoint_tracked,
+    register,
+    tracked_persist,
+)
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 N_QUERIES = 8  # vec_id < 8 act as query vectors
@@ -821,13 +826,15 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     every round; each round is ONE broadcast join against the
     #clusters × dim centroid table + a per-vector argmin window + one
     centroid re-aggregation — the standard Spark k-means shape (MLlib's
-    KMeans does the same with a driver-held centroid array). Rounds grow
-    the plan linearly; at real depth, localCheckpoint the tiny centroid
-    frame on a cadence exactly as PageRank does.
+    KMeans does the same with a driver-held centroid array). The tiny
+    centroid frame is localCheckpoint-ed every round (the PageRank/BFS
+    lineage rule) — each round references cent TWICE (assignment and
+    update), so an unchained plan doubles the centroid subplan per
+    round: 2^rounds copies of the seed build by the final assignment.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     el = tracked_persist(_emb_elements(emb))
-    cent = _label_centroids(emb, el, "k")
+    cent = checkpoint_tracked(_label_centroids(emb, el, "k"))
 
     def assign(cent_df: DataFrame) -> DataFrame:
         d = (
@@ -846,7 +853,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("e").alias("se"), F.count_distinct("vec_id").alias("n"))
             .select(F.col("k").alias("s_k"), F.col("i").alias("s_i"), "se", "n")
         )
-        cent = (
+        cent = checkpoint_tracked(
             cent.join(
                 s, (cent["k"] == s["s_k"]) & (cent["i"] == s["s_i"]), "left"
             )
