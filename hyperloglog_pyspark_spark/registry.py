@@ -266,16 +266,31 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 
 
 # Sweep-order pins. Every registered query is driver-green as of round 5,
-# so the ~50-query prefix the driver samples each round now exists to
-# RE-attest the names whose green row is OLDEST (longest-unverified code
-# paths). Front of the list: queries added this round (no driver row yet),
-# then the 33 names whose latest green is still round 1, then 15
-# category-spread names whose latest green is round 2. Pinning works: all
-# r3/r4/r5 pins were sampled and went green in the following round.
+# so the ~50-query prefix the driver samples each round exists to
+# (a) attest queries with no driver row yet, (b) RE-attest queries whose
+# OPERATOR CODE CHANGED since their last green row — changed code
+# outranks stale-but-unchanged greens — and (c) rotate the oldest greens
+# through the remaining slots. Round 6 rewrote 25 operators (the
+# scan-collapse sweep: single-scan conditional aggregations, windowed
+# funnels, persisted shared frames, checkpointed iterations), all
+# locally re-verified against their oracles at sf0.01; they take the
+# slots after the two new queries, then the oldest (round-1) greens
+# fill the rest. Pinning works: all r3/r4/r5 pins were sampled and went
+# green in the following round.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # round-6 additions (no driver row yet)
     "multimodal_decode_gif", "dedup_incremental_epochs",
-    # latest green = round 1 (33 names)
+    # round-6 operator rewrites (driver row predates the current code)
+    "graph_bfs_levels", "quality_referential_orphans", "funnel_conversion",
+    "text_pmi_collocations", "hll_merge_compat", "hll_accuracy_report",
+    "join_asof_nearest", "quality_freshness_watermark", "similarity_ivf",
+    "set_union_intersect_except", "mixture_downsample_temperature",
+    "text_bm25_topk", "retrieval_mrr_report", "retrieval_ndcg_report",
+    "retention_cohorts", "funnel_time_to_convert", "quality_psi_drift",
+    "timeseries_seasonal_index", "sample_neyman_allocation",
+    "sample_bootstrap_ci", "experiment_ab_ttest", "cms_frequency",
+    "text_repetition", "shard_manifest_balanced", "embedding_kmeans_lloyd",
+    # latest green = round 1, unchanged since (oldest rotation)
     "cdc_upsert_merge", "cross_join_dense_matrix",
     "dedup_cluster_components", "dedup_embedding_cosine", "dedup_exact",
     "dedup_fuzzy_name", "dedup_minhash_lsh", "dedup_ngram_jaccard",
@@ -284,16 +299,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "join_null_safe", "join_outer_histogram", "join_range", "join_semi",
     "join_shuffle_agg", "multimodal_dedup_digest",
     "multimodal_frame_sample", "multimodal_meta",
-    "pipeline_corpus_curation", "recursive_cte_spine",
-    "sample_deterministic", "sample_stratified", "scan_project_filter",
-    "split_train_val_test", "string_funcs", "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
-    # latest green = round 2 (15 category-spread names)
-    "approx_distinct_users_daily", "hll64_parity", "similarity_ann_lsh",
-    "similarity_ivf", "text_stats", "text_langid", "pack_sequences_greedy",
-    "sql_q3", "source_csv_roundtrip", "sink_partitioned_parquet",
-    "window_topk_per_group", "set_union_intersect_except", "udtf_bigrams",
-    "cogroup_asof_attribution", "join_bucketed_colocated",
 )
 
 
