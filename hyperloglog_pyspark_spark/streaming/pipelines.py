@@ -269,6 +269,90 @@ def heavy_users_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_AB_OUT_SCHEMA = (
+    "event_type string, n_a long, s1_a long, s2_a long,"
+    " n_b long, s1_b long, s2_b long, t_welch double"
+)
+
+
+def _ab_moments_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's observations into the metric's per-variant
+    moment state (n, Σc, Σc² per side — six exact integers), then emit
+    the refreshed Welch t readout.
+
+    Sums are COMMUTATIVE, so unlike first-touch operators (funnels,
+    cohorts) this state is exactly batch-equivalent under ANY arrival
+    order — no watermark needed for correctness, only for state TTL in
+    a metric-churning deployment.
+    """
+    if state.exists:
+        n_a, s1_a, s2_a, n_b, s1_b, s2_b = state.get
+    else:
+        n_a = s1_a = s2_a = n_b = s1_b = s2_b = 0
+    for pdf in pdfs:
+        c = pdf["c"].to_numpy()
+        mask = pdf["variant"].to_numpy() == 0
+        ca, cb = c[mask], c[~mask]
+        n_a += len(ca)
+        s1_a += int(ca.sum())
+        s2_a += int((ca * ca).sum())
+        n_b += len(cb)
+        s1_b += int(cb.sum())
+        s2_b += int((cb * cb).sum())
+    state.update((n_a, s1_a, s2_a, n_b, s1_b, s2_b))
+    t = None
+    if n_a > 1 and n_b > 1:
+        mean_a = s1_a / (n_a * 100.0)
+        mean_b = s1_b / (n_b * 100.0)
+        var_a = (s2_a - float(s1_a) * s1_a / n_a) / ((n_a - 1) * 10000.0)
+        var_b = (s2_b - float(s1_b) * s1_b / n_b) / ((n_b - 1) * 10000.0)
+        t = (mean_b - mean_a) / (var_a / n_a + var_b / n_b) ** 0.5
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": key[0],
+                "n_a": n_a,
+                "s1_a": s1_a,
+                "s2_a": s2_a,
+                "n_b": n_b,
+                "s1_b": s1_b,
+                "s2_b": s2_b,
+                "t_welch": t,
+            }
+        ]
+    )
+
+
+def ab_monitor_stream(events: DataFrame) -> DataFrame:
+    """Live A/B experiment monitor: the streaming form of
+    experiment_ab_ttest (operators/eventflow.py) — per-metric,
+    per-variant exact integer moments as applyInPandasWithState state,
+    a fresh Welch t-statistic emitted every micro-batch.
+
+    This is the streaming face of the engine's moment discipline: the
+    batch operator's conditional sums ARE this state's merge function,
+    so the dashboard's running t equals a batch recompute at every
+    barrier (asserted by tests/test_streaming.py). State is six longs
+    per metric — constant, no TTL pressure.
+    """
+    obs = events.select(
+        F.col("event_type"),
+        F.pmod("user_id", F.lit(2)).cast("int").alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    return obs.groupBy("event_type").applyInPandasWithState(
+        _ab_moments_state_fn,
+        outputStructType=_AB_OUT_SCHEMA,
+        stateStructType=(
+            "n_a long, s1_a long, s2_a long, n_b long, s1_b long, s2_b long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # transformWithState (Spark 4's arbitrary-state API — the successor to
 # applyInPandasWithState): typed named state cells per key, optional TTL,

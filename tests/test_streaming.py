@@ -869,3 +869,45 @@ def test_streaming_epochs_match_registered_manifest(spark, sf_dir, tmp_path):
         for r in REGISTRY["dedup_incremental_epochs"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_ab_monitor_stream_matches_batch_ttest(spark, sf_dir, event_batches):
+    """Streaming twin of experiment_ab_ttest: after each micro-batch the
+    monitor's state is six commutative integer moments per metric, so
+    the final emission must equal a batch recompute EXACTLY — same
+    n/Σc/Σc² per variant and the same Welch t to the same rounding —
+    under the arbitrary (event-id parity) batch split, proving the
+    order-independence the operator's docstring claims."""
+    from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+    from hyperloglog_pyspark_spark.streaming.pipelines import ab_monitor_stream
+
+    ev, first, second, src, ckpt = event_batches
+    _write_batch(spark, first, src)
+    q = (
+        ab_monitor_stream(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("ab_monitor")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, second, src)
+        q.processAllAvailable()
+        got = spark.table("ab_monitor").toPandas()
+    finally:
+        q.stop()
+    # final emission per metric = the one with the largest population
+    got["n_tot"] = got["n_a"] + got["n_b"]
+    final = got.loc[got.groupby("event_type")["n_tot"].idxmax()]
+    queries()
+    batch = {
+        r["event_type"]: r
+        for r in REGISTRY["experiment_ab_ttest"].fn(spark, sf_dir).collect()
+    }
+    assert set(final["event_type"]) == set(batch)
+    for _, row in final.iterrows():
+        b = batch[row["event_type"]]
+        assert int(row["n_a"]) == b["n_a"] and int(row["n_b"]) == b["n_b"]
+        assert round(float(row["t_welch"]), 4) == b["t_welch"]
