@@ -325,6 +325,82 @@ def _ab_moments_state_fn(
     )
 
 
+_FUNNEL_OUT_SCHEMA = "user_id long, tv long, tc long, tp long"
+
+
+def _funnel_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user first-touch funnel state (view → click → purchase) that
+    is EXACT under any arrival order — the property naive incremental
+    funnels lose: a late-arriving earlier view lowers tv, which can
+    qualify a click that was already seen and (naively) discarded.
+
+    The fix rests on monotonicity: tv = min(view ts) only decreases, so
+    the click-qualifying set {ts ≥ tv} only grows and tc = min of it
+    only decreases — likewise tp against tc. A click ABOVE the current
+    tc can therefore never become tc, but every click at or below it
+    must be retained as a candidate for future tv drops (symmetrically
+    purchases against tp). State per user = tv + the two pruned
+    candidate lists, each bounded by the events preceding the user's
+    first qualifying touch — in-order streams keep ~1 candidate. With a
+    watermark, candidates older than the horizon could be frozen out;
+    correctness does not need it.
+    """
+    import pickle
+
+    if state.exists:
+        (tv, blob) = state.get
+        clicks, purchases = pickle.loads(blob)
+        tv = None if tv == _FUNNEL_NONE else tv
+    else:
+        tv, clicks, purchases = None, [], []
+    for pdf in pdfs:
+        for etype, ts in zip(pdf["event_type"], pdf["ts_us"]):
+            ts = int(ts)
+            if etype == "view":
+                tv = ts if tv is None else min(tv, ts)
+            elif etype == "click":
+                clicks.append(ts)
+            elif etype == "purchase":
+                purchases.append(ts)
+    tc = min((t for t in clicks if tv is not None and t >= tv), default=None)
+    clicks = sorted(t for t in clicks if tc is None or t <= tc)
+    tp = min((t for t in purchases if tc is not None and t >= tc), default=None)
+    purchases = sorted(t for t in purchases if tp is None or t <= tp)
+    state.update(
+        (
+            _FUNNEL_NONE if tv is None else tv,
+            pickle.dumps((clicks, purchases)),
+        )
+    )
+    yield pd.DataFrame(
+        [{"user_id": key[0], "tv": tv, "tc": tc, "tp": tp}]
+    )
+
+
+_FUNNEL_NONE = -(1 << 62)
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming first-touch funnel: the streaming form of
+    funnel_conversion (operators/eventflow.py), emitting each touched
+    user's refreshed (tv, tc, tp) stage-entry times per micro-batch;
+    counting non-nulls over the latest emission per user reproduces the
+    batch funnel counts exactly (asserted by tests/test_streaming.py
+    under an arbitrary batch split)."""
+    obs = events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    return obs.groupBy("user_id").applyInPandasWithState(
+        _funnel_state_fn,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType="tv long, candidates binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def ab_monitor_stream(events: DataFrame) -> DataFrame:
     """Live A/B experiment monitor: the streaming form of
     experiment_ab_ttest (operators/eventflow.py) — per-metric,

@@ -911,3 +911,40 @@ def test_ab_monitor_stream_matches_batch_ttest(spark, sf_dir, event_batches):
         b = batch[row["event_type"]]
         assert int(row["n_a"]) == b["n_a"] and int(row["n_b"]) == b["n_b"]
         assert round(float(row["t_welch"]), 4) == b["t_welch"]
+
+
+def test_funnel_stream_matches_batch_counts(spark, sf_dir, event_batches):
+    """Streaming first-touch funnel parity: with the event-id-parity
+    batch split (deliberately NOT time-ordered), late-arriving earlier
+    views must still lower tv and re-qualify already-seen clicks — the
+    candidate-buffer state makes the final (tv, tc, tp) per user exact,
+    so stage populations equal funnel_conversion's batch counts. Each
+    stage time is non-increasing and never reverts to null, so the
+    latest value per user is the column-wise null-ignoring min over
+    update-mode emissions."""
+    from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+    from hyperloglog_pyspark_spark.streaming.pipelines import funnel_stream
+
+    ev, first, second, src, ckpt = event_batches
+    _write_batch(spark, first, src)
+    q = (
+        funnel_stream(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, second, src)
+        q.processAllAvailable()
+        got = spark.table("funnel_state").toPandas()
+    finally:
+        q.stop()
+    latest = got.groupby("user_id")[["tv", "tc", "tp"]].min()
+    queries()
+    b = REGISTRY["funnel_conversion"].fn(spark, sf_dir).collect()[0]
+    assert int(latest["tv"].notna().sum()) == b["n_view"]
+    assert int(latest["tc"].notna().sum()) == b["n_click"]
+    assert int(latest["tp"].notna().sum()) == b["n_purchase"]
