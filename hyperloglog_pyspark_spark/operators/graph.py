@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hyperloglog_pyspark_spark.registry import checkpoint_tracked, register, tracked_persist
+from hyperloglog_pyspark_spark.registry import checkpoint_rounds, register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 PR_SCALE = 10**12  # integer rank scale
@@ -135,7 +135,7 @@ def pagerank_scaled(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = checkpoint_tracked(ranks)
+            ranks = checkpoint_rounds(ranks)
     return ranks
 
 
@@ -328,7 +328,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = spark_sess.createDataFrame([(BFS_SOURCE, 0)], "node string, level long")
     frontier = visited
     for depth in range(1, BFS_MAX_DEPTH + 1):
-        nxt = checkpoint_tracked(
+        nxt = checkpoint_rounds(
             F.broadcast(frontier)
             .join(edges, edges["src"] == frontier["node"])
             .select(F.col("dst").alias("node"))

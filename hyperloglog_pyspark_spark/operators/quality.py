@@ -200,8 +200,14 @@ def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             if small_parent:
                 p = F.broadcast(p)
             joined = joined.join(p, joined[ckey] == p[marker], "left_outer")
+        # coalesce: sum over an EMPTY child is NULL, but an empty feed has
+        # zero orphans (and the oracle's COUNT(*) says 0) — the exact
+        # "silently empty join feed" case this audit exists to surface
         wide = joined.agg(*[
-            F.sum(F.when(F.col(f"__pk_{i}").isNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col(f"__pk_{i}").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias(f"n_{i}")
             for i in range(len(checks))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded, dot
 from hyperloglog_pyspark_spark.registry import (
     REGISTRY,
-    checkpoint_tracked,
+    checkpoint_rounds,
     register,
     tracked_persist,
 )
@@ -834,7 +834,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     el = tracked_persist(_emb_elements(emb))
-    cent = checkpoint_tracked(_label_centroids(emb, el, "k"))
+    cent = checkpoint_rounds(_label_centroids(emb, el, "k"))
 
     def assign(cent_df: DataFrame) -> DataFrame:
         d = (
@@ -853,7 +853,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("e").alias("se"), F.count_distinct("vec_id").alias("n"))
             .select(F.col("k").alias("s_k"), F.col("i").alias("s_i"), "se", "n")
         )
-        cent = checkpoint_tracked(
+        cent = checkpoint_rounds(
             cent.join(
                 s, (cent["k"] == s["s_k"]) & (cent["i"] == s["s_i"]), "left"
             )

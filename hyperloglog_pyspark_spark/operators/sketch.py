@@ -357,10 +357,16 @@ def hll_merge_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users_all"),
     )
     stderr = 1.04 / (2 ** 6.0)  # coarser sketch: lgK=12
+    # hll_union NULL-propagates; an all-one-parity input must still
+    # estimate from the populated sketch (the behavior the old
+    # union_agg form had by ignoring NULL rows)
+    merged = F.coalesce(
+        F.hll_union("s_hi", "s_lo", True), F.col("s_hi"), F.col("s_lo")
+    )
     return agg.select(
         "n_users_all",
         _tol(
-            F.hll_sketch_estimate(F.hll_union("s_hi", "s_lo", True)),
+            F.hll_sketch_estimate(merged),
             F.col("n_users_all"),
             stderr,
         ).alias("approx_ok"),

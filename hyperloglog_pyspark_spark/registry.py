@@ -108,6 +108,28 @@ def checkpoint_tracked(df: DataFrame) -> DataFrame:
     return out
 
 
+def checkpoint_rounds(df: DataFrame) -> DataFrame:
+    """Per-round lineage truncation for FIXED-iteration operators (BFS,
+    k-means, PageRank — loop count independent of the data).
+
+    At execution time (EAGER_CACHES, set by __spark_entry__ / bench /
+    the test session) this is checkpoint_tracked: each round runs on a
+    truncated lineage instead of an exponentially re-embedded subplan.
+    In plan-only mode it is a NO-OP, which keeps two invariants the
+    eager checkpoint would break: building a registered plan never runs
+    a job, and the plan audits (no-cartesian / no-global-window /
+    PLANS_FULL) see the iteration's UNROLLED interior instead of a
+    LogicalRDD stub — so a bad join introduced inside a round cannot
+    hide behind the checkpoint. Data-DRIVEN loops (connected
+    components' fixpoint) must keep checkpoint_tracked: their round
+    count requires execution anyway, and skipping truncation there
+    makes the digest loop quadratic.
+    """
+    if not EAGER_CACHES:
+        return df
+    return checkpoint_tracked(df)
+
+
 def release_caches(keep: str | None = None) -> None:
     """Unpersist tracked caches, except those owned by query ``keep``."""
     global _live_caches

@@ -286,6 +286,14 @@ def _ab_moments_state_fn(
     cohorts) this state is exactly batch-equivalent under ANY arrival
     order — no watermark needed for correctness, only for state TTL in
     a metric-churning deployment.
+
+    Exactness bound: the state columns are 64-bit, so Σc² must stay
+    below 2⁶³ (the same bound the batch operator documents — reached
+    only after ~10⁹ events of $25k magnitude on one metric). The
+    cumulative accumulation is arbitrary-precision Python int and the
+    guard below raises BEFORE the long state column would wrap, so an
+    unbounded stream fails loudly (shard or window the metric key),
+    never with a silently negative variance.
     """
     if state.exists:
         n_a, s1_a, s2_a, n_b, s1_b, s2_b = state.get
@@ -295,12 +303,20 @@ def _ab_moments_state_fn(
         c = pdf["c"].to_numpy()
         mask = pdf["variant"].to_numpy() == 0
         ca, cb = c[mask], c[~mask]
+        # squares in arbitrary-precision Python int — numpy int64 would
+        # wrap silently past 2^63 and float64 loses exactness past 2^53
         n_a += len(ca)
         s1_a += int(ca.sum())
-        s2_a += int((ca * ca).sum())
+        s2_a += sum(x * x for x in ca.tolist())
         n_b += len(cb)
         s1_b += int(cb.sum())
-        s2_b += int((cb * cb).sum())
+        s2_b += sum(x * x for x in cb.tolist())
+    if max(s2_a, s2_b) >= 1 << 62:
+        raise ValueError(
+            "ab_monitor_stream moment state near 2^63 for metric "
+            f"{key[0]!r}: shard or window the metric before the long "
+            "state column overflows"
+        )
     state.update((n_a, s1_a, s2_a, n_b, s1_b, s2_b))
     t = None
     if n_a > 1 and n_b > 1:

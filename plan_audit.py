@@ -167,6 +167,12 @@ def main() -> None:
         "— acceptable only over sample/histogram-sized frames (each such row",
         "documents which in its operator docstring); `cart` = CartesianProduct",
         "(acceptable only broadcast-scalar or dim×dim, per VERDICT audit).",
+        "FIXED-ITERATION queries (graph_bfs_levels, graph_pagerank_nations,",
+        "embedding_kmeans_lloyd) audit UNROLLED: checkpoint_rounds is a no-op",
+        "in plan-only mode so the per-round interior stays visible to the",
+        "cartesian/window guards; their `exchanges` is the TOTAL across all",
+        "rounds — at execution each round runs on a localCheckpoint-truncated",
+        "lineage, so no single runtime plan is this large.",
         "",
         "| query | exchanges | broadcast joins | python nodes | pushdown | cached | gwin | cart |",
         "|---|---|---|---|---|---|---|---|",

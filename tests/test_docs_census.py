@@ -125,4 +125,10 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
         "embedding_kmeans_lloyd",
     }
     assert set(names[2:27]) == changed, "changed-operator block drifted"
-    assert len(set(names[:50])) == 50
+    # pin-pool integrity: registry names dedupe through the dict, so
+    # assert on SWEEP_PRIORITY itself — a duplicate there silently
+    # shrinks the 50-slot rotation
+    from hyperloglog_pyspark_spark.registry import SWEEP_PRIORITY
+
+    assert len(SWEEP_PRIORITY) == 50
+    assert len(set(SWEEP_PRIORITY)) == 50, "duplicate name in SWEEP_PRIORITY"

@@ -206,8 +206,8 @@ SHUFFLE_BUDGET = {
     # derives from it, not a second fact scan) — excluded for the
     # InMemoryRelation text-inflation reason above (runtime: 2 fact scans).
     "sketch_ddsketch_quantiles": 4,   # bucket agg + extraction windows + final agg
-    "experiment_ab_ttest": 3,         # moment agg + variant-pair self-join
-    "timeseries_seasonal_index": 5,   # daily agg + dow agg + global broadcast
+    "experiment_ab_ttest": 1,         # ONE conditional moment agg, no self-join
+    "timeseries_seasonal_index": 3,   # daily agg + dow agg + 7-row window
     "temporal_point_in_time": 4,      # dim window + co-keyed interval join + agg
     "quality_psi_drift": 5,           # bin agg + totals broadcast + 10-row window
     "join_explosion_audit": 7,        # 2 key aggs + key join + actual-join probe

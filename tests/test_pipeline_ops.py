@@ -763,3 +763,52 @@ def test_png_crc_consistent_corruption_still_raises_valueerror():
     )
     with pytest.raises(ValueError):
         decode_png(bad_idat)
+
+
+def test_referential_orphans_empty_child_reports_zero_not_null(spark, sf_dir, tmp_path):
+    """The audit's reason to exist is catching a silently EMPTY feed: an
+    empty child table must report n_orphans = 0 / intact = true (the
+    oracle's COUNT(*) semantics), not NULL from summing zero rows."""
+    from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+    from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+    queries()
+    empty_dir = tmp_path / "empty_sf"
+    empty_dir.mkdir()
+    for t in ["lineitem", "orders", "customer", "events", "part", "supplier"]:
+        load_table(spark, sf_dir, t).limit(0).write.parquet(
+            str(empty_dir / f"{t}.parquet")
+        )
+    rows = REGISTRY["quality_referential_orphans"].fn(spark, str(empty_dir)).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["n_orphans"] == 0, r
+        assert r["intact"] is True, r
+
+
+def test_hll_merge_compat_single_parity_still_estimates():
+    """hll_union NULL-propagates; when every key shares one parity the
+    merge must still estimate from the populated sketch (the old
+    union_agg form's ignore-NULL behavior), not emit NULL."""
+    from pyspark.sql import functions as F
+
+    from hyperloglog_pyspark_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=4)
+    df = spark.createDataFrame([(2,), (4,), (6,)], "user_id long")
+    agg = df.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("user_id") % 2 == 0, F.col("user_id").cast("string")),
+            F.lit(14),
+        ).alias("s_hi"),
+        F.hll_sketch_agg(
+            F.when(F.col("user_id") % 2 == 1, F.col("user_id").cast("string")),
+            F.lit(12),
+        ).alias("s_lo"),
+    )
+    est = agg.select(
+        F.hll_sketch_estimate(
+            F.coalesce(F.hll_union("s_hi", "s_lo", True), F.col("s_hi"), F.col("s_lo"))
+        ).alias("est")
+    ).collect()[0]["est"]
+    assert est == 3
