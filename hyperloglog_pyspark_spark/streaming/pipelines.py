@@ -342,6 +342,7 @@ def _ab_moments_state_fn(
 
 
 _FUNNEL_OUT_SCHEMA = "user_id long, tv long, tc long, tp long"
+_FUNNEL_NONE = -(1 << 62)  # sentinel: "no view yet" in the long state cell
 
 
 def _funnel_state_fn(
@@ -393,9 +394,6 @@ def _funnel_state_fn(
     yield pd.DataFrame(
         [{"user_id": key[0], "tv": tv, "tc": tc, "tp": tp}]
     )
-
-
-_FUNNEL_NONE = -(1 << 62)
 
 
 def funnel_stream(events: DataFrame) -> DataFrame:
