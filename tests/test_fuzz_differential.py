@@ -518,3 +518,73 @@ def test_runlength_tf_matches_groupby_on_random_docs(spark):
     a = sorted(map(tuple, naive.collect()))
     b = sorted(map(tuple, runlen.collect()))
     assert a == b
+
+
+# --- streaming funnel state: order-independence property ------------------
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["view", "click", "purchase"]),
+                  st.integers(min_value=0, max_value=30)),
+        max_size=25,
+    ),
+    order_seed=st.integers(min_value=0, max_value=2**31),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=120, deadline=None, derandomize=True)
+def test_funnel_state_order_independent(events, order_seed, n_batches):
+    """Property behind funnel_stream's exactness claim: for ANY event
+    multiset, ANY shuffle, and ANY batch split, the final (tv, tc, tp)
+    equals the batch recompute — including the adversarial case a naive
+    tracker loses, where a later batch delivers an earlier view that
+    re-qualifies an already-seen click."""
+    import random
+
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.streaming.pipelines import _funnel_state_fn
+
+    # batch-semantics reference
+    views = [t for e, t in events if e == "view"]
+    tv = min(views) if views else None
+    clicks = [t for e, t in events if e == "click" and tv is not None and t >= tv]
+    tc = min(clicks) if clicks else None
+    purchases = [t for e, t in events if e == "purchase" and tc is not None and t >= tc]
+    tp = min(purchases) if purchases else None
+
+    shuffled = list(events)
+    random.Random(order_seed).shuffle(shuffled)
+    state = _FakeGroupState()
+    out = None
+    bounds = sorted(
+        random.Random(order_seed + 1).sample(range(len(shuffled) + 1), min(n_batches - 1, len(shuffled)))
+    ) if shuffled else []
+    chunks, prev = [], 0
+    for b in bounds:
+        chunks.append(shuffled[prev:b]); prev = b
+    chunks.append(shuffled[prev:])
+    for chunk in chunks:
+        pdf = pd.DataFrame(
+            {"event_type": [e for e, _ in chunk], "ts_us": [t for _, t in chunk]}
+        )
+        out = list(_funnel_state_fn((7,), iter([pdf]), state))[-1]
+    got = out.iloc[0]
+    as_py = lambda v: None if pd.isna(v) else int(v)
+    assert (as_py(got["tv"]), as_py(got["tc"]), as_py(got["tp"])) == (tv, tc, tp)
