@@ -92,11 +92,15 @@ def walk_plan(node):
         yield from walk_plan(ch.apply(i))
 
 
+FACT_TABLES = ("lineitem", "events", "documents", "embeddings")
+
+
 def audit_plan(df) -> dict:
     """Tree-walk facts for one DataFrame's executed plan (plan-only)."""
     jplan = df._jdf.queryExecution().executedPlan()
     names = []
     global_window = False
+    fact_scans: dict[str, int] = {}
     for n in walk_plan(jplan):
         nm = n.nodeName()
         names.append(nm)
@@ -106,6 +110,11 @@ def audit_plan(df) -> dict:
                     global_window = True
             except Exception:  # node variant without partitionSpec()
                 global_window = True
+        if "Scan" in nm and "InMemory" not in nm:
+            s = n.simpleString(1000)
+            for t in FACT_TABLES:
+                if f"{t}.parquet" in s:
+                    fact_scans[t] = fact_scans.get(t, 0) + 1
     plan_str = jplan.toString()
     return {
         "exchanges": sum(
@@ -123,7 +132,19 @@ def audit_plan(df) -> dict:
         and "PushedFilters: []" not in plan_str,
         "global_window": global_window,
         "cartesian": any(nm == "CartesianProduct" for nm in names),
+        # fact-table scan SITES outside InMemoryRelation subtrees — a
+        # "shared" frame referenced twice without persist re-RUNS its
+        # scan at every site (walk_plan treats a cache as a leaf, so
+        # cached builds are correctly counted once)
+        "fact_scans": fact_scans,
     }
+
+
+def _fact_scans_cell(fact_scans: dict[str, int]) -> str:
+    hot = {t: c for t, c in fact_scans.items() if c >= 2}
+    if not hot:
+        return "-"
+    return " ".join(f"{t}:{c}" for t, c in sorted(hot.items()))
 
 
 def main() -> None:
@@ -167,6 +188,13 @@ def main() -> None:
         "— acceptable only over sample/histogram-sized frames (each such row",
         "documents which in its operator docstring); `cart` = CartesianProduct",
         "(acceptable only broadcast-scalar or dim×dim, per VERDICT audit).",
+        "`multi fact scans` lists any fact table with ≥2 runtime scan sites",
+        "outside caches (`table:count`) — legitimate only for two-sided",
+        "shapes (query-vs-corpus search, event-slice joins, set ops,",
+        "correlated TPC-H forms, in-query acceptance legs) and for the",
+        "unrolled fixed-iteration rows below; the r6 scan-collapse sweep",
+        "eliminated every other multi-scan (tests/test_layout.py pins the",
+        "ceilings).",
         "FIXED-ITERATION queries (graph_bfs_levels, graph_pagerank_nations,",
         "embedding_kmeans_lloyd) audit UNROLLED: checkpoint_rounds is a no-op",
         "in plan-only mode so the per-round interior stays visible to the",
@@ -174,18 +202,19 @@ def main() -> None:
         "rounds — at execution each round runs on a localCheckpoint-truncated",
         "lineage, so no single runtime plan is this large.",
         "",
-        "| query | exchanges | broadcast joins | python nodes | pushdown | cached | gwin | cart |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | exchanges | broadcast joins | python nodes | pushdown | cached | multi fact scans | gwin | cart |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
-            "| {name} | {exchanges} | {bhj} | {py} | {pushed} | {cached} | {gw} | {ca} |".format(
+            "| {name} | {exchanges} | {bhj} | {py} | {pushed} | {cached} | {fs} | {gw} | {ca} |".format(
                 name=r["name"],
                 exchanges=r["exchanges"],
                 bhj=r["bhj"],
                 py=r["python_nodes"] or "-",
                 pushed="yes" if r["pushed"] else "-",
                 cached="cached" if r["cached"] else "-",
+                fs=_fact_scans_cell(r["fact_scans"]),
                 gw="GWIN" if r["global_window"] else "-",
                 ca="CART" if r["cartesian"] else "-",
             )
@@ -214,18 +243,19 @@ def main() -> None:
         "the same tree that no registered query plans a CartesianProduct or",
         "an empty-partition Window outside the documented allowlists.",
         "",
-        "| query | exchanges | broadcast joins | python nodes | pushdown | cached | gwin | cart |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | exchanges | broadcast joins | python nodes | pushdown | cached | multi fact scans | gwin | cart |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in all_rows:
         full.append(
-            "| {name} | {exchanges} | {bhj} | {py} | {pushed} | {cached} | {gw} | {ca} |".format(
+            "| {name} | {exchanges} | {bhj} | {py} | {pushed} | {cached} | {fs} | {gw} | {ca} |".format(
                 name=r["name"],
                 exchanges=r["exchanges"],
                 bhj=r["bhj"],
                 py=r["python_nodes"] or "-",
                 pushed="yes" if r["pushed"] else "-",
                 cached="cached" if r["cached"] else "-",
+                fs=_fact_scans_cell(r["fact_scans"]),
                 gw="GWIN" if r["global_window"] else "-",
                 ca="CART" if r["cartesian"] else "-",
             )
