@@ -31,6 +31,7 @@ from hyperloglog_pyspark_spark.sources.catalog import load_table
 @register(
     "funnel_conversion",
     category="analytics",
+    bench=True,
     oracle="""
     WITH v AS (
         SELECT user_id, MIN(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -587,6 +588,7 @@ T_CRIT = 1.96  # two-sided 95% normal critical value
 @register(
     "experiment_ab_ttest",
     category="eventflow",
+    bench=True,
     oracle=f"""
     WITH obs AS (
         SELECT event_type,

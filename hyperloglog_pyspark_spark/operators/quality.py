@@ -163,7 +163,10 @@ def _orphans_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@register("quality_referential_orphans", category="quality", oracle=_orphans_oracle())
+@register(
+    "quality_referential_orphans", category="quality", bench=True,
+    oracle=_orphans_oracle(),
+)
 def quality_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key integrity audit: orphan count per declared relation
     (child keys with no parent), plus a coverage row (parents with no
@@ -409,6 +412,7 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_freshness_watermark",
     category="quality",
+    bench=True,
     oracle="""
     WITH g AS (SELECT MAX(ts) AS gmax FROM events)
     SELECT event_type,

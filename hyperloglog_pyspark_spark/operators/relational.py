@@ -726,6 +726,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof_nearest",
     category="join",
+    bench=True,
     oracle="""
     WITH c AS (
         SELECT event_id AS click_id, user_id, ts AS c_ts

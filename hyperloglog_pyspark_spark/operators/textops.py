@@ -357,6 +357,7 @@ def corpus_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_repetition",
     category="text",
+    bench=True,
     oracle="""
     WITH w AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
