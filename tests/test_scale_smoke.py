@@ -135,6 +135,12 @@ PARTITION_INVARIANT_QUERIES = [
     "heavy_hitters_mg",
     "sessionize_gap_ids",
     "hll_sketch_rollup",
+    # r6 single-scan rewrites: windowed funnel chain, conditional-agg
+    # moments, per-key CMS cells, DataSketches accuracy sweep
+    "funnel_conversion",
+    "experiment_ab_ttest",
+    "cms_frequency",
+    "hll_accuracy_report",
 ]
 
 
