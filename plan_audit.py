@@ -81,9 +81,17 @@ def walk_plan(node):
     """Yield every node of a physical plan tree.
 
     Descends through AdaptiveSparkPlan via initialPlan() (its children()
-    is empty pre-execution); InMemoryTableScan is a natural leaf, so a
-    cached build plan is NOT revisited (that is the point)."""
+    is empty pre-execution) and into SUBQUERY plan fragments
+    (scalar/IN subqueries execute for real — their scans and exchanges
+    are runtime work, not metadata); InMemoryTableScan is a natural
+    leaf, so a cached build plan is NOT revisited (that is the point)."""
     yield node
+    try:
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            yield from walk_plan(subs.apply(i))
+    except Exception:
+        pass  # node type without subqueries()
     if node.nodeName() == "AdaptiveSparkPlan":
         yield from walk_plan(node.initialPlan())
         return
@@ -111,7 +119,17 @@ def audit_plan(df) -> dict:
             except Exception:  # node variant without partitionSpec()
                 global_window = True
         if "Scan" in nm and "InMemory" not in nm:
-            s = n.simpleString(1000)
+            # read the scan's root paths directly — simpleString truncates
+            # Location metadata at spark.sql.maxMetadataStringLength
+            # (default 100 chars), which silently zeroes the match for
+            # long data-dir paths
+            try:
+                jpaths = n.relation().location().rootPaths()
+                s = " ".join(
+                    jpaths.apply(i).toString() for i in range(jpaths.size())
+                )
+            except Exception:
+                s = n.simpleString(1000)
             for t in FACT_TABLES:
                 if f"{t}.parquet" in s:
                     fact_scans[t] = fact_scans.get(t, 0) + 1
@@ -134,8 +152,11 @@ def audit_plan(df) -> dict:
         "cartesian": any(nm == "CartesianProduct" for nm in names),
         # fact-table scan SITES outside InMemoryRelation subtrees — a
         # "shared" frame referenced twice without persist re-RUNS its
-        # scan at every site (walk_plan treats a cache as a leaf, so
-        # cached builds are correctly counted once)
+        # scan at every site. Strictly "sites outside caches": a scan
+        # that exists only inside a persisted build contributes ZERO
+        # here (walk_plan stops at InMemoryTableScan), which is the
+        # runtime-rerun truth — the build's scan runs once at
+        # materialization, not per reference.
         "fact_scans": fact_scans,
     }
 
