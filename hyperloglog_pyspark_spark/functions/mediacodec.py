@@ -298,6 +298,14 @@ def lzw_decode(data: bytes, min_code_size: int, max_len: int) -> bytes:
             prev = None
             continue
         if code == eoi:
+            # After EOI only byte-alignment padding may remain: any
+            # whole unconsumed byte in the deframed buffer is trailing
+            # garbage an encoder would never emit, and accepting it
+            # would let a flipped bit hide inside the image data
+            # sub-blocks (the trailer/after-IEND legs of the ingest
+            # audit check the other container positions).
+            if pos < len(data):
+                raise ValueError("GIF LZW data continues after EOI")
             return bytes(out)
         if prev is None:
             if code >= clear:

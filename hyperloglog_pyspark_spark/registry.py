@@ -190,6 +190,9 @@ def register(
 # re-attestation onto the names whose green row is oldest (see
 # SWEEP_PRIORITY below).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 6 greens (CORRECTNESS_r06.json) — new names only; the other 48
+    # r6 samples were re-attestations of names already listed below
+    "multimodal_decode_gif", "dedup_incremental_epochs",
     # round 5 greens (CORRECTNESS_r05.json) — new names only; the other 19
     # r5 samples were re-attestations of r1 names already listed below
     "attribution_multi_touch", "dedup_canonical_pick", "dedup_prefix_filter",
@@ -287,40 +290,46 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Sweep-order pins. Every registered query is driver-green as of round 5,
-# so the ~50-query prefix the driver samples each round exists to
-# (a) attest queries with no driver row yet, (b) RE-attest queries whose
-# OPERATOR CODE CHANGED since their last green row — changed code
-# outranks stale-but-unchanged greens — and (c) rotate the oldest greens
-# through the remaining slots. Round 6 rewrote 25 operators (the
-# scan-collapse sweep: single-scan conditional aggregations, windowed
-# funnels, persisted shared frames, checkpointed iterations), all
-# locally re-verified against their oracles at sf0.01; they take the
-# slots after the two new queries, then the oldest (round-1) greens
-# fill the rest. Pinning works: all r3/r4/r5 pins were sampled and went
-# green in the following round.
+# Sweep-order pins. Every registered query is driver-green as of round 6
+# (r6 sample: 50/50 full pass), so the ~50-query prefix the driver
+# samples each round exists to (a) attest queries with no driver row yet,
+# (b) RE-attest queries whose OPERATOR CODE CHANGED since their last
+# green row — changed code outranks stale-but-unchanged greens — and
+# (c) rotate the oldest greens through the remaining slots. Round 7
+# changed three operators (recall-report / kmeans scan collapse via a
+# persisted shared normalized-embedding frame; GIF decoder post-EOI
+# trailing-garbage rejection), locally re-verified against their oracles
+# at sf0.01; they lead, then the full oldest cohort — every name whose
+# latest green row is from round 1 or 2 (49 names, computed from
+# CORRECTNESS_r01–r06.json) — fills the remaining slots. Pinning works:
+# all r3/r4/r5/r6 pins were sampled and went green in the following
+# round.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # round-6 additions (no driver row yet)
-    "multimodal_decode_gif", "dedup_incremental_epochs",
-    # round-6 operator rewrites (driver row predates the current code)
-    "graph_bfs_levels", "quality_referential_orphans", "funnel_conversion",
-    "text_pmi_collocations", "hll_merge_compat", "hll_accuracy_report",
-    "join_asof_nearest", "quality_freshness_watermark", "similarity_ivf",
-    "set_union_intersect_except", "mixture_downsample_temperature",
-    "text_bm25_topk", "retrieval_mrr_report", "retrieval_ndcg_report",
-    "retention_cohorts", "funnel_time_to_convert", "quality_psi_drift",
-    "timeseries_seasonal_index", "sample_neyman_allocation",
-    "sample_bootstrap_ci", "experiment_ab_ttest", "cms_frequency",
-    "text_repetition", "shard_manifest_balanced", "embedding_kmeans_lloyd",
-    # latest green = round 1, unchanged since (oldest rotation)
-    "cdc_upsert_merge", "cross_join_dense_matrix",
-    "dedup_cluster_components", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_fuzzy_name", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "expr_case_arith", "filter_in_like_between",
-    "join_anti", "join_asof", "join_broadcast_dim", "join_full_outer",
-    "join_null_safe", "join_outer_histogram", "join_range", "join_semi",
-    "join_shuffle_agg", "multimodal_dedup_digest",
-    "multimodal_frame_sample", "multimodal_meta",
+    # round-7 operator rewrites (driver row predates the current code)
+    "similarity_recall_report", "embedding_kmeans_lloyd",
+    "multimodal_decode_gif",
+    # latest green = round 1 or 2, unchanged since (oldest rotation)
+    "pipeline_corpus_curation", "recursive_cte_spine",
+    "sample_deterministic", "sample_stratified", "scan_project_filter",
+    "split_train_val_test", "string_funcs", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
+    "approx_distinct_users_daily", "array_funcs",
+    "cogroup_asof_attribution", "date_funcs", "embedding_norm_quant",
+    "event_transition_matrix", "heavy_hitters_mg", "hll64_parity",
+    "hll_sketch_rollup", "join_bucketed_colocated", "json_funcs",
+    "lateral_topk", "math_funcs", "orderby_limit_topk",
+    "pack_sequences_greedy", "percentile_exact", "pivot_order_status",
+    "set_intersect_all_counts", "set_union_by_name", "similarity_ann_lsh",
+    "similarity_topk_bruteforce", "sink_partitioned_parquet",
+    "source_csv_roundtrip", "source_json_roundtrip",
+    "source_orc_roundtrip", "sql_pricing", "sql_q3",
+    "subquery_exists_notin", "subquery_scalar_avg", "text_fingerprint",
+    "text_langid", "text_stats", "text_token_freq",
+    "timeseries_anomaly_mad", "timeseries_resample_ffill", "udtf_bigrams",
+    "unpivot_nation_metrics",
+    # (window_running_sum / window_topk_per_group are the only other
+    # r2-green names; they rotate in round 8 — the pin pool is capped at
+    # 50 to match the driver's sample size.)
 )
 
 

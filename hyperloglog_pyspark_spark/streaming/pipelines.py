@@ -300,6 +300,10 @@ def _ab_moments_state_fn(
     else:
         n_a = s1_a = s2_a = n_b = s1_b = s2_b = 0
     for pdf in pdfs:
+        # null metric values reach the state fn as NaN; SQL aggregates
+        # (the batch twin's F.sum) skip nulls, so drop them here too —
+        # otherwise int(ca.sum()) raises and the states diverge
+        pdf = pdf.dropna(subset=["c"])
         c = pdf["c"].to_numpy()
         mask = pdf["variant"].to_numpy() == 0
         ca, cb = c[mask], c[~mask]
@@ -345,13 +349,12 @@ _FUNNEL_OUT_SCHEMA = "user_id long, tv long, tc long, tp long"
 _FUNNEL_NONE = -(1 << 62)  # sentinel: "no view yet" in the long state cell
 
 
-def _funnel_state_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-user first-touch funnel state (view → click → purchase) that
-    is EXACT under any arrival order — the property naive incremental
-    funnels lose: a late-arriving earlier view lowers tv, which can
-    qualify a click that was already seen and (naively) discarded.
+def _make_funnel_state_fn(horizon_us: int | None):
+    """Build the per-user first-touch funnel state fn
+    (view → click → purchase), EXACT under any arrival order — the
+    property naive incremental funnels lose: a late-arriving earlier
+    view lowers tv, which can qualify a click that was already seen and
+    (naively) discarded.
 
     The fix rests on monotonicity: tv = min(view ts) only decreases, so
     the click-qualifying set {ts ≥ tv} only grows and tc = min of it
@@ -360,54 +363,84 @@ def _funnel_state_fn(
     must be retained as a candidate for future tv drops (symmetrically
     purchases against tp). State per user = tv + the two pruned
     candidate lists, each bounded by the events preceding the user's
-    first qualifying touch — in-order streams keep ~1 candidate. With a
-    watermark, candidates older than the horizon could be frozen out;
-    correctness does not need it.
+    first qualifying touch — in-order streams keep ~1 candidate.
+
+    ``horizon_us`` bounds that state for adversarial orders (e.g. a
+    click-only user whose tv never arrives would otherwise retain every
+    click forever): candidates older than ``max seen ts − horizon`` are
+    frozen out. Sound whenever the source watermark allows at most
+    ``horizon_us`` of lateness: a pruned candidate t could only become a
+    stage time via a future view/click with ts ≤ t < cutoff, which the
+    watermark has already discarded. ``None`` keeps the exact unbounded
+    form (the batch-parity tests exercise arbitrary reorderings with no
+    watermark, so they use ``None``).
     """
-    import pickle
 
-    if state.exists:
-        (tv, blob) = state.get
-        clicks, purchases = pickle.loads(blob)
-        tv = None if tv == _FUNNEL_NONE else tv
-    else:
-        tv, clicks, purchases = None, [], []
-    for pdf in pdfs:
-        for etype, ts in zip(pdf["event_type"], pdf["ts_us"]):
-            ts = int(ts)
-            if etype == "view":
-                tv = ts if tv is None else min(tv, ts)
-            elif etype == "click":
-                clicks.append(ts)
-            elif etype == "purchase":
-                purchases.append(ts)
-    tc = min((t for t in clicks if tv is not None and t >= tv), default=None)
-    clicks = sorted(t for t in clicks if tc is None or t <= tc)
-    tp = min((t for t in purchases if tc is not None and t >= tc), default=None)
-    purchases = sorted(t for t in purchases if tp is None or t <= tp)
-    state.update(
-        (
-            _FUNNEL_NONE if tv is None else tv,
-            pickle.dumps((clicks, purchases)),
+    def _funnel_state_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pickle
+
+        if state.exists:
+            (tv, blob) = state.get
+            clicks, purchases, hi = pickle.loads(blob)
+            tv = None if tv == _FUNNEL_NONE else tv
+        else:
+            tv, clicks, purchases, hi = None, [], [], None
+        for pdf in pdfs:
+            for etype, ts in zip(pdf["event_type"], pdf["ts_us"]):
+                ts = int(ts)
+                hi = ts if hi is None else max(hi, ts)
+                if etype == "view":
+                    tv = ts if tv is None else min(tv, ts)
+                elif etype == "click":
+                    clicks.append(ts)
+                elif etype == "purchase":
+                    purchases.append(ts)
+        tc = min(
+            (t for t in clicks if tv is not None and t >= tv), default=None
         )
-    )
-    yield pd.DataFrame(
-        [{"user_id": key[0], "tv": tv, "tc": tc, "tp": tp}]
-    )
+        clicks = sorted(t for t in clicks if tc is None or t <= tc)
+        tp = min(
+            (t for t in purchases if tc is not None and t >= tc), default=None
+        )
+        purchases = sorted(t for t in purchases if tp is None or t <= tp)
+        if horizon_us is not None and hi is not None:
+            cutoff = hi - horizon_us
+            clicks = [t for t in clicks if t >= cutoff]
+            purchases = [t for t in purchases if t >= cutoff]
+        state.update(
+            (
+                _FUNNEL_NONE if tv is None else tv,
+                pickle.dumps((clicks, purchases, hi)),
+            )
+        )
+        yield pd.DataFrame(
+            [{"user_id": key[0], "tv": tv, "tc": tc, "tp": tp}]
+        )
+
+    return _funnel_state_fn
 
 
-def funnel_stream(events: DataFrame) -> DataFrame:
+# default (exact, unbounded) form — kept as a module-level name so the
+# batch-parity tests and docs can reference it directly
+_funnel_state_fn = _make_funnel_state_fn(None)
+
+
+def funnel_stream(events: DataFrame, horizon_us: int | None = None) -> DataFrame:
     """Streaming first-touch funnel: the streaming form of
     funnel_conversion (operators/eventflow.py), emitting each touched
     user's refreshed (tv, tc, tp) stage-entry times per micro-batch;
     counting non-nulls over the latest emission per user reproduces the
     batch funnel counts exactly (asserted by tests/test_streaming.py
-    under an arbitrary batch split)."""
+    under an arbitrary batch split). ``horizon_us`` caps per-user
+    candidate state to the event-time horizon — pair it with the
+    matching source watermark (see _make_funnel_state_fn)."""
     obs = events.filter(
         F.col("event_type").isin("view", "click", "purchase")
     ).select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
     return obs.groupBy("user_id").applyInPandasWithState(
-        _funnel_state_fn,
+        _make_funnel_state_fn(horizon_us),
         outputStructType=_FUNNEL_OUT_SCHEMA,
         stateStructType="tv long, candidates binary",
         outputMode="update",

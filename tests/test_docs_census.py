@@ -101,30 +101,18 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-6 contract is 2 new queries, then the 25 operators whose code
-    was rewritten this round (their driver rows predate the code), then
-    oldest-green rotation — so every changed code path gets a fresh
-    driver attestation. Locks the prefix composition against accidental
-    reordering."""
+    round-7 contract is: the 3 operators whose code changed this round
+    (their driver rows predate the code) lead, then the oldest-green
+    rotation — every name whose latest green row is from round 1 or 2.
+    Locks the prefix composition against accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
-    assert names[0] == "multimodal_decode_gif"
-    assert names[1] == "dedup_incremental_epochs"
-    changed = {
-        "graph_bfs_levels", "quality_referential_orphans",
-        "funnel_conversion", "text_pmi_collocations", "hll_merge_compat",
-        "hll_accuracy_report", "join_asof_nearest",
-        "quality_freshness_watermark", "similarity_ivf",
-        "set_union_intersect_except", "mixture_downsample_temperature",
-        "text_bm25_topk", "retrieval_mrr_report", "retrieval_ndcg_report",
-        "retention_cohorts", "funnel_time_to_convert", "quality_psi_drift",
-        "timeseries_seasonal_index", "sample_neyman_allocation",
-        "sample_bootstrap_ci", "experiment_ab_ttest", "cms_frequency",
-        "text_repetition", "shard_manifest_balanced",
-        "embedding_kmeans_lloyd",
-    }
-    assert set(names[2:27]) == changed, "changed-operator block drifted"
+    changed = [
+        "similarity_recall_report", "embedding_kmeans_lloyd",
+        "multimodal_decode_gif",
+    ]
+    assert names[:3] == changed, "changed-operator block drifted"
     # pin-pool integrity: registry names dedupe through the dict, so
     # assert on SWEEP_PRIORITY itself — a duplicate there silently
     # shrinks the 50-slot rotation

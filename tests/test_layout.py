@@ -156,7 +156,8 @@ SHUFFLE_BUDGET = {
     "event_transition_matrix": 3,     # lag window + pair agg + matrix window
     # Round-3 TPC-H additions (persisted queries — q2/q11/bitmap — are
     # excluded: InMemoryRelation reprints its child exchanges at every
-    # scan site, inflating text counts; see .claude verify notes).
+    # scan site in the rendered plan text, so a cached subtree scanned
+    # twice would double-count its exchanges and fail spuriously).
     "tpch_q4_priority_count": 2,      # semi-join + final agg
     "tpch_q12_priority_lines": 2,     # orderkey join + 2-row agg
     "tpch_q13_custdist": 3,           # outer join + custkey agg + histogram
@@ -473,15 +474,26 @@ MUST_STAY_CACHED = [
 
 
 def test_no_redundant_fact_scans(spark, sf_dir):
+    from plan_audit import audit_plan
+
     from hyperloglog_pyspark_spark.registry import lazy_caches
 
     queries()
     bad = []
     with lazy_caches():
         for name, (table, ceiling) in SCAN_SITE_CEILING.items():
-            plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
-            n = plan.count(f"{table}.parquet")
-            if n > ceiling:
+            # count scan sites via the JVM tree's rootPaths (audit_plan),
+            # not the rendered plan text — simpleString truncates
+            # Location metadata at spark.sql.maxMetadataStringLength
+            # (~100 chars), so with a long $SPARK_GRAFT_SF_DIR a text
+            # match zeroes out and the ceiling passes vacuously
+            n = audit_plan(REGISTRY[name].fn(spark, sf_dir))[
+                "fact_scans"
+            ].get(table, 0)
+            if n > ceiling or n == 0:
+                # n == 0 means the counter itself broke (every query
+                # here scans its fact table uncached at least once) —
+                # fail loudly rather than pass vacuously
                 bad.append((name, table, n, ceiling))
         for name in MUST_STAY_CACHED:
             plan = plan_of(REGISTRY[name].fn(spark, sf_dir))

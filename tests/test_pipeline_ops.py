@@ -178,6 +178,20 @@ def test_gif_roundtrip_and_integrity():
     with pytest.raises(ValueError):  # wrong-but-legal code size: misparse
         decode_gif(payload[:799] + b"\x02" + payload[800:])
     assert decode_gif(synth_gif(1, 1))["pixel_count"] == 1
+    # Trailing garbage INSIDE the image-data sub-blocks, after the EOI
+    # code, must also surface: lzw_decode rejects any whole unconsumed
+    # byte once EOI is read (only bit padding may remain), so a
+    # corrupted byte can't hide in the one container region the
+    # trailer/structure checks don't cover.
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    stream = lzw_encode(bytes(range(16)), 8)
+    assert lzw_decode(stream, 8, 16) == bytes(range(16))
+    with pytest.raises(ValueError, match="after EOI"):
+        lzw_decode(stream + b"\x00", 8, 16)
 
 
 def test_png_structural_ordering_is_enforced():

@@ -948,3 +948,87 @@ def test_funnel_stream_matches_batch_counts(spark, sf_dir, event_batches):
     assert int(latest["tv"].notna().sum()) == b["n_view"]
     assert int(latest["tc"].notna().sum()) == b["n_click"]
     assert int(latest["tp"].notna().sum()) == b["n_purchase"]
+
+
+class _FakeGroupState:
+    """Minimal stand-in for applyInPandasWithState's GroupState: exists /
+    get as properties, update(tuple) — enough to drive the state fns
+    directly without a streaming query."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def test_funnel_state_horizon_bounds_candidate_lists():
+    """The funnel state fn's candidate lists are the one unbounded-state
+    risk (a click-only user retains every click while tv stays None).
+    With horizon_us set, candidates older than max-seen-ts − horizon are
+    frozen out each fold, so state stays O(horizon's event count); the
+    default (None) form keeps them all — both pinned here by driving the
+    fn directly against a fake GroupState."""
+    import pandas as pd
+    import pickle
+
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        _make_funnel_state_fn,
+    )
+
+    def feed(fn, state, ts_list):
+        pdf = pd.DataFrame(
+            {"event_type": ["click"] * len(ts_list), "ts_us": ts_list}
+        )
+        return list(fn(("u",), iter([pdf]), state))
+
+    # click-only user, 500 clicks spread over 500s of event time
+    ts = [i * 1_000_000 for i in range(500)]
+    unbounded, bounded = _FakeGroupState(), _FakeGroupState()
+    feed(_make_funnel_state_fn(None), unbounded, ts)
+    feed(_make_funnel_state_fn(10_000_000), bounded, ts)  # 10s horizon
+    n_unbounded = len(pickle.loads(unbounded.get[1])[0])
+    n_bounded = len(pickle.loads(bounded.get[1])[0])
+    assert n_unbounded == 500
+    assert n_bounded == 11  # ts in [489s, 499s] survive (cutoff inclusive)
+    # a view within the horizon still qualifies the retained clicks
+    fn = _make_funnel_state_fn(10_000_000)
+    pdf = pd.DataFrame({"event_type": ["view"], "ts_us": [492_000_000]})
+    out = list(fn(("u",), iter([pdf]), bounded))[0]
+    assert out.loc[0, "tv"] == 492_000_000
+    assert out.loc[0, "tc"] == 492_000_000  # the click at 492s qualifies
+
+
+def test_ab_moments_state_fn_skips_null_metric_values():
+    """SQL aggregates skip nulls; the streaming moments fold must too —
+    a null events.value reaches the state fn as NaN, and before the
+    dropna guard int(ca.sum()) raised (or corrupted the exact-integer
+    state). Feed a batch with NaNs mixed in and assert the state equals
+    the null-free fold."""
+    import numpy as np
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        _ab_moments_state_fn,
+    )
+
+    state = _FakeGroupState()
+    pdf = pd.DataFrame(
+        {
+            "variant": [0, 0, 1, 1, 0, 1],
+            "c": [100.0, np.nan, 300.0, np.nan, 500.0, 700.0],
+        }
+    )
+    out = list(_ab_moments_state_fn(("purchase",), iter([pdf]), state))[0]
+    assert (out.loc[0, "n_a"], out.loc[0, "s1_a"]) == (2, 600)
+    assert out.loc[0, "s2_a"] == 100 * 100 + 500 * 500
+    assert (out.loc[0, "n_b"], out.loc[0, "s1_b"]) == (2, 1000)
+    assert out.loc[0, "s2_b"] == 300 * 300 + 700 * 700
