@@ -235,7 +235,7 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the pair keys beyond that."""
     emb = load_table(spark, sf_dir, "embeddings")
     el = tracked_persist(_emb_elements(emb))
-    cent = _label_centroids(emb, el, "k")
+    cent = _label_centroids(el, "k")
     d2 = (
         el.join(F.broadcast(cent), "i")
         .groupBy("vec_id", "k")

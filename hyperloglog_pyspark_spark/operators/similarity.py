@@ -82,10 +82,20 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries broadcast). For large |Q|, switch to similarity_ann_lsh.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe")
+    return _bruteforce_topk(
+        emb.select("vec_id", as_double("embedding").alias("e"))
     )
-    c = emb.select("vec_id", as_double("embedding").alias("ce"))
+
+
+def _bruteforce_topk(base: DataFrame) -> DataFrame:
+    """Exact cosine top-k from a prepared (vec_id, e) frame — the body of
+    similarity_topk_bruteforce, factored out so similarity_recall_report
+    can run both its legs off ONE persisted corpus frame instead of
+    re-scanning embeddings per leg."""
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = base.select("vec_id", F.col("e").alias("ce"))
     cos = cosine_rounded(F.col("qe"), F.col("ce"), 4)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -144,6 +154,13 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = emb.select(
         "vec_id", as_double("embedding").alias("e"), _bucket_expr_spark(as_double("embedding")).alias("bucket")
     )
+    return _ann_lsh_topk(bucketed)
+
+
+def _ann_lsh_topk(bucketed: DataFrame) -> DataFrame:
+    """Multi-probe LSH top-k from a prepared (vec_id, e, bucket) frame —
+    the body of similarity_ann_lsh, factored out for the same shared-
+    frame reason as ``_bruteforce_topk``."""
     probes = (
         bucketed.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -414,12 +431,22 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sampled query set to catch index drift.
 
     Scale: both sides reuse the registered constructions (broadcast
-    queries, bucketed candidates); the comparison itself is a join on
-    (query, candidate) over two k-row-per-query sets — negligible next to
-    the searches it audits.
+    queries, bucketed candidates), but run off ONE persisted corpus
+    frame (vec_id, e, bucket) — without it each leg re-scans and
+    re-normalizes the embeddings table (4 fact-scan sites through r6).
+    The comparison itself is a join on (query, candidate) over two
+    k-row-per-query sets — negligible next to the searches it audits.
     """
-    bf = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    ann = similarity_ann_lsh(spark, sf_dir).select(
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tracked_persist(
+        emb.select(
+            "vec_id",
+            as_double("embedding").alias("e"),
+            _bucket_expr_spark(as_double("embedding")).alias("bucket"),
+        )
+    )
+    bf = _bruteforce_topk(base).select("query_id", "vec_id")
+    ann = _ann_lsh_topk(base).select(
         "query_id", "vec_id", F.lit(1).alias("hit")
     )
     return (
@@ -657,11 +684,18 @@ def _emb_elements(emb: DataFrame) -> DataFrame:
     )
 
 
-def _label_centroids(emb: DataFrame, el: DataFrame, out_key: str) -> DataFrame:
+def _label_centroids(el: DataFrame, out_key: str) -> DataFrame:
     """Label-seeded integer centroids (out_key, i, c): floor-rounded
     means of the exact element sums — shared by both embedding
-    operators."""
-    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    operators. Derives per-label sizes from the persisted element frame
+    (one row per vector at i == 0) rather than re-scanning the raw
+    embeddings table, so the centroid build adds ZERO fact-scan sites —
+    everything reads through the ``el`` cache."""
+    sizes = (
+        el.filter(F.col("i") == 0)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     return (
         el.groupBy("label", "i")
         .agg(F.sum("e").alias("s"))
@@ -734,7 +768,7 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     el = tracked_persist(_emb_elements(emb))
-    cent = _label_centroids(emb, el, "c_label")
+    cent = _label_centroids(el, "c_label")
     dist = (
         el.join(F.broadcast(cent), "i")
         .groupBy("vec_id", "label", "c_label")
@@ -834,7 +868,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     el = tracked_persist(_emb_elements(emb))
-    cent = checkpoint_rounds(_label_centroids(emb, el, "k"))
+    cent = checkpoint_rounds(_label_centroids(el, "k"))
 
     def assign(cent_df: DataFrame) -> DataFrame:
         d = (

@@ -61,6 +61,50 @@ GLOBAL_WINDOW_ALLOWED = frozenset(
     }
 )
 
+#: queries allowed to plan ≥2 runtime scan sites of a fact table (outside
+#: caches): name -> (table, ceiling, structural rationale). Every entry is
+#: a genuinely two-sided shape — the two sites read DIFFERENT slices /
+#: roles of the table, so a persist would cache the full table only to
+#: filter it twice (a pessimization at 100 TB, where the two pushed-filter
+#: scans each read a pruned subset). tests/test_layout.py enforces this
+#: against the live JVM plans and tests/test_docs_census.py against the
+#: generated PLANS*.md — an unallowlisted multi-scan fails CI.
+MULTI_FACT_SCAN_ALLOWED: dict[str, tuple[str, int, str]] = {
+    # exact-vs-approx / acceptance legs: one leg computes the estimate,
+    # the other the exact check it is judged against
+    "approx_quantile_check": ("lineitem", 2, "approx-quantile leg + exact rank leg"),
+    "hll64_parity": ("events", 2, "HLL64 sketch leg + exact-distinct check leg"),
+    "hll_sketch_rollup": ("events", 2, "day-sketch rollup leg + direct-estimate check leg"),
+    # event-slice joins: left/right sides are different type/time slices
+    # of events, each with its own pushed filter
+    "attribution_multi_touch": ("events", 2, "click-slice × conversion-slice join"),
+    "join_asof": ("events", 2, "left slice as-of right slice"),
+    "join_asof_nearest": ("events", 2, "click leg + purchase leg"),
+    "join_range": ("events", 2, "probe slice × range-bucket slice"),
+    "join_interval_overlap": ("events", 2, "two interval slices overlap-joined"),
+    "join_salted_skew": ("events", 2, "skewed slice × salted replica slice"),
+    "join_explosion_audit": ("events", 2, "pre-join slice + post-join audit leg"),
+    "temporal_point_in_time": ("events", 2, "fact leg + dimension-history leg"),
+    "set_union_by_name": ("events", 2, "union of two projected slices"),
+    "set_intersect_all_counts": ("lineitem", 2, "intersect-all of two slices"),
+    "ivm_incremental_agg": ("events", 2, "base partial + delta partial"),
+    # query-vs-corpus search: the tiny query subset and the corpus are
+    # both the embeddings table in different roles
+    "similarity_topk_bruteforce": ("embeddings", 2, "query subset × corpus"),
+    "similarity_ann_lsh": ("embeddings", 2, "query probes × bucketed corpus"),
+    "similarity_ivf": ("embeddings", 2, "query probes × assigned corpus (centroids persisted)"),
+    "similarity_pq_codebook": ("embeddings", 2, "codebook seeds × corpus subvectors"),
+    "similarity_pq_adc_topk": ("embeddings", 2, "query subset × PQ-coded corpus"),
+    "similarity_hybrid_rrf": ("embeddings", 2, "dense leg query × corpus (sparse leg is documents)"),
+    "dedup_embedding_cosine": ("embeddings", 2, "bucketed self-join, two sides"),
+    "text_decontaminate": ("documents", 2, "train-split × eval-split shingles"),
+    # correlated TPC-H forms: the scalar/grouped subquery re-reads the
+    # fact table by design (the benchmark's own shape)
+    "tpch_q15_top_supplier": ("lineitem", 2, "revenue agg + max-revenue broadcast-back"),
+    "tpch_q17_small_quantity": ("lineitem", 2, "per-part avg-qty subquery + main leg"),
+    "tpch_q18_large_orders": ("lineitem", 2, "large-order HAVING subquery + main leg"),
+}
+
 #: physical node names that cross the JVM→Python boundary
 PYTHON_NODES = frozenset(
     {

@@ -61,20 +61,25 @@ def test_every_query_has_an_oracle():
     assert not missing, f"queries without oracles: {missing}"
 
 
-_PLAN_ROW = re.compile(r"^\| (\w+) \| .*\| (GWIN|-) \| (CART|-) \|$", re.M)
+_PLAN_ROW = re.compile(
+    r"^\| (\w+) \|(?:[^|]*\|){5} ([^|]+) \| (GWIN|-) \| (CART|-) \|$", re.M
+)
 
 
 def test_plans_audit_census():
-    """PLANS.md / PLANS_FULL.md drift guard (VERDICT r5 #7): the audited
-    row counts must match the live registry (full file: every registered
-    query; PLANS.md: every bench-headline query), every GWIN row must be
-    on plan_audit.GLOBAL_WINDOW_ALLOWED, and no CART row may exist. A
-    regenerated audit that picks up a new corpus-scale global window or
-    cartesian product fails here even before the live-plan test runs."""
+    """PLANS.md / PLANS_FULL.md drift guard (VERDICT r5 #7, r6 #3): the
+    audited row counts must match the live registry (full file: every
+    registered query; PLANS.md: every bench-headline query), every GWIN
+    row must be on plan_audit.GLOBAL_WINDOW_ALLOWED, no CART row may
+    exist, and every non-empty `multi fact scans` cell must be covered
+    by plan_audit.MULTI_FACT_SCAN_ALLOWED (right table, within ceiling).
+    A regenerated audit that picks up a new corpus-scale global window,
+    cartesian product, or redundant fact re-scan fails here even before
+    the live-plan test runs."""
     import sys
 
     sys.path.insert(0, REPO)
-    from plan_audit import GLOBAL_WINDOW_ALLOWED
+    from plan_audit import GLOBAL_WINDOW_ALLOWED, MULTI_FACT_SCAN_ALLOWED
 
     queries()
     bench_names = {n for n, q in REGISTRY.items() if q.bench}
@@ -91,12 +96,30 @@ def test_plans_audit_census():
             f"missing={sorted(expected - names)[:5]} "
             f"extra={sorted(names - expected)[:5]}"
         )
-        gwin = {r[0] for r in rows if r[1] == "GWIN"}
-        cart = {r[0] for r in rows if r[2] == "CART"}
+        gwin = {r[0] for r in rows if r[2] == "GWIN"}
+        cart = {r[0] for r in rows if r[3] == "CART"}
         assert gwin <= GLOBAL_WINDOW_ALLOWED, (
             f"{fname}: unallowlisted global-window rows {gwin - GLOBAL_WINDOW_ALLOWED}"
         )
         assert not cart, f"{fname}: CartesianProduct rows {cart}"
+        bad_scans = []
+        for name, fs, _, _ in rows:
+            fs = fs.strip()
+            if fs == "-":
+                continue
+            allowed = MULTI_FACT_SCAN_ALLOWED.get(name)
+            for part in fs.split():
+                table, n = part.split(":")
+                if (
+                    allowed is None
+                    or allowed[0] != table
+                    or int(n) > allowed[1]
+                ):
+                    bad_scans.append((name, part))
+        assert not bad_scans, (
+            f"{fname}: multi-fact-scan rows outside "
+            f"plan_audit.MULTI_FACT_SCAN_ALLOWED: {bad_scans}"
+        )
 
 
 def test_sweep_prefix_fronts_new_then_changed_queries():

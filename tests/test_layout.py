@@ -418,17 +418,26 @@ def test_no_row_at_a_time_python_and_arrow_only_where_declared(spark, sf_dir):
 
 
 def test_registry_plans_no_cartesian_no_unbounded_global_window(spark, sf_dir):
-    """Full-registry plan guard (VERDICT r5 #2/#7): EVERY registered query
-    — not just the bench headline — must plan without a CartesianProduct
-    and without an empty-partition Window outside the documented
-    bounded-frame allowlist (plan_audit.GLOBAL_WINDOW_ALLOWED). Walks the
-    live JVM plan tree, same counting as PLANS_FULL.md."""
-    from plan_audit import GLOBAL_WINDOW_ALLOWED, audit_plan
+    """Full-registry plan guard (VERDICT r5 #2/#7, r6 #3): EVERY
+    registered query — not just the bench headline — must plan without a
+    CartesianProduct, without an empty-partition Window outside the
+    documented bounded-frame allowlist (plan_audit.GLOBAL_WINDOW_ALLOWED),
+    and without a fact table scanned ≥2 times outside caches unless the
+    shape is structurally two-sided and allowlisted with a rationale
+    (plan_audit.MULTI_FACT_SCAN_ALLOWED). Walks the live JVM plan tree,
+    same counting as PLANS_FULL.md. Fixed-iteration queries audit
+    UNROLLED here (checkpoint_rounds is a plan-only no-op), so their
+    interior stays visible to all three guards."""
+    from plan_audit import (
+        GLOBAL_WINDOW_ALLOWED,
+        MULTI_FACT_SCAN_ALLOWED,
+        audit_plan,
+    )
 
     from hyperloglog_pyspark_spark.registry import lazy_caches
 
     queries()
-    carts, gwins = [], []
+    carts, gwins, scans = [], [], []
     with lazy_caches():
         for name, q in REGISTRY.items():
             facts = audit_plan(q.fn(spark, sf_dir))
@@ -436,8 +445,18 @@ def test_registry_plans_no_cartesian_no_unbounded_global_window(spark, sf_dir):
                 carts.append(name)
             if facts["global_window"] and name not in GLOBAL_WINDOW_ALLOWED:
                 gwins.append(name)
+            allowed = MULTI_FACT_SCAN_ALLOWED.get(name)
+            for table, n in facts["fact_scans"].items():
+                if n < 2:
+                    continue
+                if allowed is None or allowed[0] != table or n > allowed[1]:
+                    scans.append((name, table, n))
     assert not carts, f"CartesianProduct planned by: {carts}"
     assert not gwins, f"unallowlisted global window planned by: {gwins}"
+    assert not scans, (
+        "unallowlisted multi-fact-scan plans (add a rationale to "
+        f"plan_audit.MULTI_FACT_SCAN_ALLOWED or collapse the scan): {scans}"
+    )
 
 
 # Per-query ceilings on FACT-TABLE scan sites in the executed plan. A
