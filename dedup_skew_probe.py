@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Skewed-band probe for the dedup family (round-6 verdict #6).
+
+`skew_probe.py` measures sessionize/join/agg skew; this probe measures
+the flagship dedup family's own skew shape: a near-identical boilerplate
+corpus where ONE (band, band_hash) bucket owns a few percent of all
+signatures (the crawl's cookie-policy page, a license header, a
+syndicated article). That bucket is a fundamentally different hazard
+from join skew:
+
+- `_lsh_candidates` generates pairs by BUCKET AGGREGATION (collect_list
+  per bucket, explode pairs) — there is no join for AQE's
+  OptimizeSkewedJoin to split, so the whale bucket is a single task
+  emitting |bucket|²/2 pairs. AQE is NOT the answer here.
+- The pair count itself is quadratic in the bucket size — at 100 TB a
+  1% boilerplate share is billions of identical documents and the
+  pairwise output alone is astronomically large. No execution strategy
+  fixes that; the CANDIDATE GENERATION must change.
+
+The production mitigation measured here is the BUCKET CAP: buckets up to
+``CAP`` docs do exact pairwise (the LSH fast path, unchanged); larger
+buckets are boilerplate by definition and are handled with a linear
+star (every member pairs to the bucket minimum), which for identical
+documents loses nothing (duplicate clusters are equivalence classes —
+the star spans the same connected component the full clique would) and
+for near-identical ones trades a bounded amount of edge recall for
+bounded work. The capped form's xRs wall should sit near its xRu wall;
+the uncapped form's should degrade quadratically with the whale share.
+
+Corpora (documents table, sf0.1 base = 5k docs):
+
+  x1  — base corpus, every word salted with a replica suffix (same
+        per-doc compute shape as the replicas),
+  xRu — R uniform replicas; each replica's words get a distinct salt,
+        so cross-replica docs share no shingles (no accidental pairs),
+  xRs — xRu, then ~HOT_PCT% of docs' text replaced by ONE shared
+        boilerplate string (unsalted → identical across replicas).
+
+Measured per corpus: `dedup_minhash_lsh` (registered, uncapped),
+`capped_minhash_lsh` (inline, CAP=100), `dedup_incremental_probe`
+(registered — its batch probes the persisted band index, so the whale
+bucket hits the probe join too). Ratios as in skew_probe.py:
+skew_penalty = (sec_Rs/sec_1x) / (sec_Ru/sec_1x). Results recorded in
+SCALE.md §"Measured skewed decade".
+
+Run: ``python dedup_skew_probe.py [R]`` (default 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from hyperloglog_pyspark_spark import registry
+from hyperloglog_pyspark_spark.session import get_spark
+from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK_DIR = "/tmp/spark_graft_dedup_skew"
+HOT_PCT = 3  # pmod(xxhash64(doc_id), 100) < 3 → ~3% boilerplate docs
+CAP = 100    # bucket-cap: larger buckets switch to the linear star
+BOILER = (
+    "this website uses cookies to ensure you get the best experience "
+    "on our website by continuing to browse the site you are agreeing "
+    "to our use of cookies and our privacy policy which describes how "
+    "we collect store and process your personal information please "
+    "review the policy carefully before you continue to use this site"
+)
+
+
+def _salted(col, k: int):
+    """Append a per-replica suffix to EVERY word: cross-replica copies
+    share zero 3-gram shingles, so replication adds volume, not pairs."""
+    return F.array_join(
+        F.transform(F.split(col, " "), lambda w: F.concat(w, F.lit(f"x{k}"))),
+        " ",
+    )
+
+
+def build_documents(spark, out_dir: str, replicas: int, skewed: bool) -> None:
+    docs = load_table(spark, BASE_DIR, "documents")
+    parts = []
+    for k in range(replicas):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                _salted(F.col("text"), k).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    d = parts[0]
+    for p in parts[1:]:
+        d = d.union(p)
+    if skewed:
+        hot = F.pmod(F.xxhash64("doc_id"), F.lit(100)) < HOT_PCT
+        d = d.select(
+            "doc_id",
+            F.when(hot, F.lit(BOILER)).otherwise(F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    d.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def capped_minhash_lsh(spark, sf_dir: str):
+    """dedup_minhash_lsh with the bucket cap: ≤CAP buckets do exact
+    pairwise (unchanged LSH fast path); >CAP buckets emit a linear star
+    to the bucket minimum. Same verification as the registered query."""
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        JACCARD_T,
+        _band_table,
+        _minhash_sigs,
+        _shingled,
+    )
+
+    docs = _shingled(spark, sf_dir).persist()
+    buckets = (
+        _band_table(_minhash_sigs(docs))
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    small = (
+        buckets.filter(F.size("ids") <= CAP)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    star = (
+        buckets.filter(F.size("ids") > CAP)
+        .select(
+            F.element_at("ids", 1).alias("doc_a"),
+            F.explode(F.slice("ids", 2, F.size("ids"))).alias("doc_b"),
+        )
+    )
+    cand = small.union(star).distinct()
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
+    )
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("dedup-skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.EAGER_CACHES = True
+    registry.queries()
+
+    dirs = {"x1": (1, False), "xRu": (replicas, False), "xRs": (replicas, True)}
+    shutil.rmtree(WORK_DIR, ignore_errors=True)
+    for tag, (r, skewed) in dirs.items():
+        build_documents(spark, os.path.join(WORK_DIR, tag), r, skewed)
+
+    runs = [
+        ("minhash_lsh", "uncapped", registry.REGISTRY["dedup_minhash_lsh"].fn),
+        ("minhash_lsh", "capped", capped_minhash_lsh),
+        ("incremental_probe", "registered",
+         registry.REGISTRY["dedup_incremental_probe"].fn),
+    ]
+    results = []
+    for op, form, fn in runs:
+        secs = {}
+        for tag in dirs:
+            best = None
+            for _ in range(2):  # min of 2: drop one-off JIT/IO noise
+                registry.release_caches()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, os.path.join(WORK_DIR, tag)).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            secs[tag] = round(best, 2)
+        r_u = round(secs["xRu"] / max(secs["x1"], 0.05), 2)
+        r_s = round(secs["xRs"] / max(secs["x1"], 0.05), 2)
+        row = {
+            "op": op,
+            "form": form,
+            "replicas": replicas,
+            "hot_pct": HOT_PCT,
+            "cap": CAP,
+            "sec_1x": secs["x1"],
+            "sec_Ru": secs["xRu"],
+            "sec_Rs": secs["xRs"],
+            "ratio_uniform": r_u,
+            "ratio_skew": r_s,
+            "skew_penalty": round(r_s / max(r_u, 0.01), 2),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    capped_pen = [r["skew_penalty"] for r in results if r["form"] == "capped"]
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_skew_capped_penalty",
+                "value": capped_pen[0] if capped_pen else None,
+                "replicas": replicas,
+                "hot_pct": HOT_PCT,
+                "cap": CAP,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

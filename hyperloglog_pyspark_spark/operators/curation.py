@@ -476,7 +476,7 @@ def _rrf_oracle() -> str:
     """
 
 
-@register("similarity_hybrid_rrf", category="similarity", oracle=_rrf_oracle())
+@register("similarity_hybrid_rrf", category="similarity", bench=True, oracle=_rrf_oracle())
 def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal rank fusion: the BM25 lexical
     top-{RRF_TOPK} (text_bm25_topk's ranking, shared query ids) fused

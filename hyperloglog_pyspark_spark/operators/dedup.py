@@ -1061,6 +1061,7 @@ _EPOCHS = 3  # arrival order: doc_id % 3 = epoch 0 (seed), 1, 2
 @register(
     "dedup_incremental_epochs",
     category="dedup",
+    bench=True,
     oracle=f"""
     WITH docs AS ({_SHINGLED_SQL}),
     hashes AS (

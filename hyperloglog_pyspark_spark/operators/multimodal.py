@@ -272,6 +272,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_gif",
     category="multimodal",
+    bench=True,
     oracle="""
     SELECT doc_id,
            CASE WHEN doc_id % 11 = 0 THEN 'corrupt' ELSE 'ok' END AS status,

@@ -846,7 +846,7 @@ def _kmeans_oracle() -> str:
     return sql
 
 
-@register("embedding_kmeans_lloyd", category="similarity", oracle=_kmeans_oracle())
+@register("embedding_kmeans_lloyd", category="similarity", bench=True, oracle=_kmeans_oracle())
 def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means via Lloyd's algorithm over the embedding corpus: label-
     seeded integer centroids, KM_ITERS assignment+update rounds, then a
