@@ -78,18 +78,25 @@ def main() -> None:
         f.write("\n")
     spark.stop()
     # Summary LAST on stdout, guaranteed under the 2000-char tail window.
-    slowest = dict(
-        sorted(times.items(), key=lambda kv: -kv[1])[:10]
-    )
-    print(json.dumps({
+    print(summary_line(payload))
+
+
+def summary_line(payload: dict) -> str:
+    """The one-line stdout summary: total, count, the 10 slowest entries
+    at 2 decimals, and the pointer to the full payload file. Size is
+    bounded by construction (10 names max); tests/test_docs_census.py
+    locks it under the driver's 2000-char tail window."""
+    times = payload["queries"]
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    return json.dumps({
         "metric": payload["metric"],
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
         "n_queries": len(times),
         "queries": {n: round(t, 2) for n, t in slowest.items()},
         "all_queries_file": "BENCH_LOCAL.json",
-    }, separators=(",", ":")))
+    }, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -115,45 +115,19 @@ def build_documents(spark, out_dir: str, replicas: int, skewed: bool) -> None:
 
 
 def capped_minhash_lsh(spark, sf_dir: str):
-    """dedup_minhash_lsh with the bucket cap: ≤CAP buckets do exact
+    """dedup_minhash_lsh with the engine's bucket cap
+    (``_lsh_candidates(..., bucket_cap=CAP)``): ≤CAP buckets do exact
     pairwise (unchanged LSH fast path); >CAP buckets emit a linear star
     to the bucket minimum. Same verification as the registered query."""
     from hyperloglog_pyspark_spark.operators.dedup import (
         JACCARD_T,
-        _band_table,
+        _lsh_candidates,
         _minhash_sigs,
         _shingled,
     )
 
     docs = _shingled(spark, sf_dir).persist()
-    buckets = (
-        _band_table(_minhash_sigs(docs))
-        .groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    small = (
-        buckets.filter(F.size("ids") <= CAP)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-    )
-    star = (
-        buckets.filter(F.size("ids") > CAP)
-        .select(
-            F.element_at("ids", 1).alias("doc_a"),
-            F.explode(F.slice("ids", 2, F.size("ids"))).alias("doc_b"),
-        )
-    )
-    cand = small.union(star).distinct()
+    cand = _lsh_candidates(_minhash_sigs(docs), bucket_cap=CAP)
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -147,7 +147,9 @@ def _band_table(sigs: DataFrame, band_r: int = BAND_R) -> DataFrame:
     )
 
 
-def _lsh_candidates(sigs: DataFrame, band_r: int = BAND_R) -> DataFrame:
+def _lsh_candidates(
+    sigs: DataFrame, band_r: int = BAND_R, bucket_cap: int | None = None
+) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) from band-hash bucket collisions.
 
     Candidates by bucket aggregation, not a self-join: one shuffle of
@@ -155,7 +157,21 @@ def _lsh_candidates(sigs: DataFrame, band_r: int = BAND_R) -> DataFrame:
     to the join formulation but scans/builds the signature table once —
     and bucket size IS the LSH knob that bounds the quadratic work.
     ``band_r`` = signature rows per band: fewer rows → looser buckets →
-    higher recall at lower similarity (the (b, r) S-curve knob)."""
+    higher recall at lower similarity (the (b, r) S-curve knob).
+
+    ``bucket_cap`` is the boilerplate-corpus skew guard (measured by
+    ``dedup_skew_probe.py``, SCALE.md §skewed band): a bucket larger
+    than the cap is near-certainly a shared-boilerplate equivalence
+    class (a cookie banner, a license header) — its |b|²/2 pairwise
+    explode is ONE task's work that no engine mitigation can split
+    (this is an aggregation, not a join, so AQE's skew-join splitter
+    never sees it). Capped buckets emit a linear STAR to the bucket
+    minimum instead: for identical documents the star spans exactly the
+    clique's connected component (dedup clusters are equivalence
+    classes, so downstream CC/canonical-pick results are unchanged);
+    for merely-similar members it trades bounded edge recall for
+    bounded work. ``None`` (the registered queries' default — no
+    testdata bucket comes near any sensible cap) keeps full pairwise."""
     bands = _band_table(sigs, band_r)
     ids_sorted = F.sort_array(F.collect_list("doc_id"))
     pair_structs = F.flatten(
@@ -167,14 +183,24 @@ def _lsh_candidates(sigs: DataFrame, band_r: int = BAND_R) -> DataFrame:
             ),
         )
     )
-    return (
+    buckets = (
         bands.groupBy("band", "band_hash")
         .agg(ids_sorted.alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    pairwise = buckets
+    if bucket_cap is not None:
+        pairwise = buckets.filter(F.size("ids") <= bucket_cap)
+    pairs = pairwise.select(F.explode(pair_structs).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
+    if bucket_cap is not None:
+        star = buckets.filter(F.size("ids") > bucket_cap).select(
+            F.element_at("ids", 1).alias("doc_a"),
+            F.explode(F.slice("ids", 2, F.size("ids"))).alias("doc_b"),
+        )
+        pairs = pairs.union(star)
+    return pairs.distinct()
 
 
 @register(

@@ -143,3 +143,31 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
 
     assert len(SWEEP_PRIORITY) == 50
     assert len(set(SWEEP_PRIORITY)) == 50, "duplicate name in SWEEP_PRIORITY"
+
+
+def test_bench_summary_line_fits_driver_tail_window():
+    """The per-round driver keeps only the LAST 2000 chars of bench.py's
+    stdout (BENCH_r06.json lost 16 of 80 per-query numbers that way).
+    bench.summary_line is bounded by construction — 10 slowest entries
+    only — but a registry of longer names or a format change could
+    regrow it; lock it against the worst case: every bench query at a
+    4-digit wall."""
+    import bench
+
+    queries()
+    times = {n: 9999.99 for n, q in REGISTRY.items() if q.bench}
+    line = bench.summary_line(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(times.values()), 4),
+            "unit": "sec",
+            "queries": times,
+            "sf": 0.1,
+        }
+    )
+    assert len(line) < 1500, f"bench summary line grew to {len(line)} chars"
+    import json as _json
+
+    parsed = _json.loads(line)
+    assert parsed["n_queries"] == len(times)
+    assert len(parsed["queries"]) == 10

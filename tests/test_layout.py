@@ -489,6 +489,11 @@ MUST_STAY_CACHED = [
     "similarity_ivf", "set_union_intersect_except",
     "mixture_downsample_temperature", "cms_frequency",
     "shard_manifest_balanced",
+    # r7 scan collapse: recall-report runs both legs off one persisted
+    # (vec_id, e, bucket) frame; the embedding operators read everything
+    # through the persisted element frame (sizes included)
+    "similarity_recall_report", "embedding_kmeans_lloyd",
+    "embedding_centroid_confusion", "semdedup_centroid_prune",
 ]
 
 

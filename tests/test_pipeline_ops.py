@@ -826,3 +826,57 @@ def test_hll_merge_compat_single_parity_still_estimates():
         ).alias("est")
     ).collect()[0]["est"]
     assert est == 3
+
+
+def test_lsh_bucket_cap_stars_oversized_buckets(spark):
+    """The boilerplate-skew guard (dedup_skew_probe.py / SCALE.md): an
+    over-cap bucket must emit a linear star to its minimum instead of
+    the |b|²/2 clique, while ≤cap buckets keep exact pairwise — and for
+    identical documents the star spans the SAME connected component as
+    the clique, so cluster-level dedup results are unchanged."""
+    from pyspark.sql import functions as F
+
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        _lsh_candidates,
+        _minhash_sigs,
+    )
+    from hyperloglog_pyspark_spark.functions.texttools import word_shingles
+
+    boiler = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, boiler) for i in range(20)]  # 20 identical docs → whale
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]  # small near-dup
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    )
+    sigs = _minhash_sigs(docs)
+    full = {tuple(r) for r in _lsh_candidates(sigs).collect()}
+    capped = {tuple(r) for r in _lsh_candidates(sigs, bucket_cap=5).collect()}
+
+    whale_full = {p for p in full if p[0] < 100}
+    whale_capped = {p for p in capped if p[0] < 100 or p[1] < 100}
+    assert len(whale_full) == 20 * 19 // 2  # clique
+    assert whale_capped == {(0, b) for b in range(1, 20)}  # star to min
+    # small buckets are untouched by the cap
+    assert {p for p in capped if p[0] >= 100} == {
+        p for p in full if p[0] >= 100
+    }
+
+    # same connected components either way (star preserves the class)
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups = {}
+        for n in parent:
+            groups.setdefault(find(n), set()).add(n)
+        return {frozenset(g) for g in groups.values()}
+
+    assert components(full) == components(capped)
