@@ -140,6 +140,109 @@ def capped_minhash_lsh(spark, sf_dir: str):
     )
 
 
+def capped_incremental_probe(spark, sf_dir: str):
+    """dedup_incremental_probe with the index-side bucket cap: hist
+    index buckets up to CAP keep the registered pairwise probe; larger
+    buckets (boilerplate by definition) switch to an exact-digest route
+    — each batch doc that probes an oversized bucket is compared by
+    shingle-set digest against the DISTINCT digests of that bucket's
+    hist members, a linear equi-join instead of a member-enumerating
+    explode. The keep/drop verdict is identical for byte-identical
+    boilerplate (digest equality ⇒ Jaccard 1); per-doc candidate counts
+    for boilerplate docs summarize (distinct digests, not members) —
+    the production trade, mirrored from ``_lsh_candidates(bucket_cap)``."""
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        _INC_NEW,
+        JACCARD_T,
+        _band_table,
+        _minhash_sigs,
+        _shingled,
+    )
+
+    docs = _shingled(spark, sf_dir).persist()
+    bands = _band_table(_minhash_sigs(docs)).persist()
+    is_new = F.expr(_INC_NEW)
+    hist = bands.filter(~is_new)
+    sizes = hist.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    hist = hist.join(sizes, ["band", "band_hash"])
+    batch = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "band_hash"
+    )
+    # small-bucket route: the registered pairwise probe
+    cand = (
+        hist.filter(F.col("bsz") <= CAP)
+        .join(F.broadcast(batch), ["band", "band_hash"])
+        .select("new_id", F.col("doc_id").alias("hist_id"))
+        .distinct()
+    )
+    dn = docs.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
+    )
+    dh = docs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
+    inter = F.size(F.array_intersect("sh_n", "sh_h"))
+    conf = (
+        cand.join(F.broadcast(dn), "new_id")
+        .join(dh, "hist_id")
+        .withColumn(
+            "j", inter.cast("double") / (F.size("sh_n") + F.size("sh_h") - inter)
+        )
+        .filter(F.col("j") >= JACCARD_T)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_confirmed"))
+    )
+    cand_counts = cand.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    # oversized-bucket route: exact-digest comparison, linear both sides
+    dig = docs.select(
+        "doc_id", F.md5(F.array_join("sh", "|")).alias("dg")
+    )
+    big_keys = sizes.filter(F.col("bsz") > CAP).select("band", "band_hash")
+    big_new = (
+        batch.join(F.broadcast(big_keys), ["band", "band_hash"])
+        .select("new_id")
+        .distinct()
+    )
+    hist_digests = (
+        dig.filter(~is_new).select("dg").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    big_conf = (
+        dig.join(F.broadcast(big_new), dig["doc_id"] == big_new["new_id"])
+        .join(hist_digests, "dg", "left")
+        .groupBy("new_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_digest_hits"))
+    )
+    base = docs.filter(is_new).select("doc_id")
+    return (
+        base.join(
+            F.broadcast(cand_counts), base["doc_id"] == cand_counts["new_id"], "left"
+        )
+        .drop("new_id")
+        .join(F.broadcast(conf), base["doc_id"] == conf["new_id"], "left")
+        .drop("new_id")
+        .join(F.broadcast(big_conf), base["doc_id"] == big_conf["new_id"], "left")
+        .drop("new_id")
+        .select(
+            "doc_id",
+            (
+                F.coalesce("n_candidates", F.lit(0))
+                + F.coalesce("n_digest_hits", F.lit(0))
+            ).alias("n_candidates"),
+            (
+                F.coalesce("n_confirmed", F.lit(0))
+                + F.coalesce("n_digest_hits", F.lit(0))
+            ).alias("n_confirmed"),
+            (
+                (F.coalesce("n_confirmed", F.lit(0))
+                 + F.coalesce("n_digest_hits", F.lit(0))) > 0
+            ).alias("is_dup"),
+        )
+    )
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("dedup-skew-probe")
@@ -157,6 +260,7 @@ def main() -> None:
         ("minhash_lsh", "capped", capped_minhash_lsh),
         ("incremental_probe", "registered",
          registry.REGISTRY["dedup_incremental_probe"].fn),
+        ("incremental_probe", "capped", capped_incremental_probe),
     ]
     results = []
     for op, form, fn in runs:
@@ -195,8 +299,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "dedup_skew_capped_penalty",
-                "value": capped_pen[0] if capped_pen else None,
+                "metric": "dedup_skew_capped_worst_penalty",
+                "value": max(capped_pen) if capped_pen else None,
                 "replicas": replicas,
                 "hot_pct": HOT_PCT,
                 "cap": CAP,
