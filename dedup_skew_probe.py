@@ -141,106 +141,17 @@ def capped_minhash_lsh(spark, sf_dir: str):
 
 
 def capped_incremental_probe(spark, sf_dir: str):
-    """dedup_incremental_probe with the index-side bucket cap: hist
-    index buckets up to CAP keep the registered pairwise probe; larger
-    buckets (boilerplate by definition) switch to an exact-digest route
-    — each batch doc that probes an oversized bucket is compared by
-    shingle-set digest against the DISTINCT digests of that bucket's
-    hist members, a linear equi-join instead of a member-enumerating
-    explode. The keep/drop verdict is identical for byte-identical
-    boilerplate (digest equality ⇒ Jaccard 1); per-doc candidate counts
-    for boilerplate docs summarize (distinct digests, not members) —
-    the production trade, mirrored from ``_lsh_candidates(bucket_cap)``."""
+    """The product knob: ``dedup_incremental_probe(bucket_cap=CAP)``
+    (operators/dedup.py ``_incremental_probe_frame``) — index buckets up
+    to CAP keep the registered pairwise probe; larger buckets
+    (boilerplate by definition) route their probing batch docs through
+    an exact-digest equi-join instead of the member-enumerating explode.
+    See the function's docstring for the verdict/count contract."""
     from hyperloglog_pyspark_spark.operators.dedup import (
-        _INC_NEW,
-        JACCARD_T,
-        _band_table,
-        _minhash_sigs,
-        _shingled,
+        dedup_incremental_probe,
     )
 
-    docs = _shingled(spark, sf_dir).persist()
-    bands = _band_table(_minhash_sigs(docs)).persist()
-    is_new = F.expr(_INC_NEW)
-    hist = bands.filter(~is_new)
-    sizes = hist.groupBy("band", "band_hash").agg(
-        F.count(F.lit(1)).alias("bsz")
-    )
-    hist = hist.join(sizes, ["band", "band_hash"])
-    batch = bands.filter(is_new).select(
-        F.col("doc_id").alias("new_id"), "band", "band_hash"
-    )
-    # small-bucket route: the registered pairwise probe
-    cand = (
-        hist.filter(F.col("bsz") <= CAP)
-        .join(F.broadcast(batch), ["band", "band_hash"])
-        .select("new_id", F.col("doc_id").alias("hist_id"))
-        .distinct()
-    )
-    dn = docs.filter(is_new).select(
-        F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
-    )
-    dh = docs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
-    inter = F.size(F.array_intersect("sh_n", "sh_h"))
-    conf = (
-        cand.join(F.broadcast(dn), "new_id")
-        .join(dh, "hist_id")
-        .withColumn(
-            "j", inter.cast("double") / (F.size("sh_n") + F.size("sh_h") - inter)
-        )
-        .filter(F.col("j") >= JACCARD_T)
-        .groupBy("new_id")
-        .agg(F.count(F.lit(1)).alias("n_confirmed"))
-    )
-    cand_counts = cand.groupBy("new_id").agg(
-        F.count(F.lit(1)).alias("n_candidates")
-    )
-    # oversized-bucket route: exact-digest comparison, linear both sides
-    dig = docs.select(
-        "doc_id", F.md5(F.array_join("sh", "|")).alias("dg")
-    )
-    big_keys = sizes.filter(F.col("bsz") > CAP).select("band", "band_hash")
-    big_new = (
-        batch.join(F.broadcast(big_keys), ["band", "band_hash"])
-        .select("new_id")
-        .distinct()
-    )
-    hist_digests = (
-        dig.filter(~is_new).select("dg").distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    big_conf = (
-        dig.join(F.broadcast(big_new), dig["doc_id"] == big_new["new_id"])
-        .join(hist_digests, "dg", "left")
-        .groupBy("new_id")
-        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_digest_hits"))
-    )
-    base = docs.filter(is_new).select("doc_id")
-    return (
-        base.join(
-            F.broadcast(cand_counts), base["doc_id"] == cand_counts["new_id"], "left"
-        )
-        .drop("new_id")
-        .join(F.broadcast(conf), base["doc_id"] == conf["new_id"], "left")
-        .drop("new_id")
-        .join(F.broadcast(big_conf), base["doc_id"] == big_conf["new_id"], "left")
-        .drop("new_id")
-        .select(
-            "doc_id",
-            (
-                F.coalesce("n_candidates", F.lit(0))
-                + F.coalesce("n_digest_hits", F.lit(0))
-            ).alias("n_candidates"),
-            (
-                F.coalesce("n_confirmed", F.lit(0))
-                + F.coalesce("n_digest_hits", F.lit(0))
-            ).alias("n_confirmed"),
-            (
-                (F.coalesce("n_confirmed", F.lit(0))
-                 + F.coalesce("n_digest_hits", F.lit(0))) > 0
-            ).alias("is_dup"),
-        )
-    )
+    return dedup_incremental_probe(spark, sf_dir, bucket_cap=CAP)
 
 
 def main() -> None:

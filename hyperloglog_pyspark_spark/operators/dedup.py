@@ -1016,7 +1016,9 @@ _INC_NEW = "doc_id % 5 = 0"
     WHERE d.{_INC_NEW}
     """,
 )
-def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_incremental_probe(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Incremental near-dup screening: an incoming batch (every 5th
     doc_id) is probed against the historical corpus' MinHash band index —
     the ingestion-time shape of dedup, where each new batch is checked
@@ -1031,14 +1033,62 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the BATCH side broadcast — per-ingest cost is proportional to
     the batch, never the corpus. Exact verification joins shingles only
     for collided pairs.
+
+    ``bucket_cap`` is the index-side twin of
+    ``_lsh_candidates(bucket_cap=...)`` — the boilerplate-corpus skew
+    guard (measured in SCALE.md §skewed band: registered form degrades
+    3.07× under a 3 %-whale corpus, capped form 1.02×). ``None`` (the
+    registered default — no testdata bucket comes near any sensible cap)
+    keeps the exact probe and the exact registered plan.
     """
-    docs = tracked_persist(_shingled(spark, sf_dir))
+    return _incremental_probe_frame(_shingled(spark, sf_dir), bucket_cap)
+
+
+def _incremental_probe_frame(
+    shingled: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """Core of ``dedup_incremental_probe`` over an already-shingled
+    corpus ``(doc_id, sh)`` — split out so tests can inject a synthetic
+    whale corpus directly.
+
+    When ``bucket_cap`` is set, the probe consults an index-side bucket
+    census (one aggregation over the persisted index; production keeps
+    this histogram alongside the index): buckets up to the cap keep the
+    registered member-enumerating probe join, while larger buckets —
+    boilerplate by definition — route their probing batch docs through
+    an exact-DIGEST comparison (shingle-set md5 equi-joined against the
+    corpus' DISTINCT digests), linear on both sides. Digest equality ⇔
+    Jaccard 1, so the route adds no false positives and every doc it
+    flags is one the exact probe would flag (identical docs collide in
+    every band); near-but-not-identical whale-bucket members are caught
+    through their OTHER, small, bands or deliberately traded away —
+    bounded recall for bounded work, same contract as the LSH star.
+    Per-doc counts for digest-routed docs summarize distinct digests,
+    not bucket members."""
+    docs = tracked_persist(shingled)
     bands = _band_table(_minhash_sigs(docs))
     is_new = F.expr(_INC_NEW)
+    if bucket_cap is not None:
+        # The census + the probe + the big-key route all read the band
+        # table — pay its signature pass once.
+        bands = tracked_persist(bands)
     hist = bands.filter(~is_new)
     batch = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "band_hash"
     )
+    big_keys = None
+    if bucket_cap is not None:
+        sizes = hist.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        big_keys = sizes.filter(F.col("bsz") > bucket_cap).select(
+            "band", "band_hash"
+        )
+        hist = (
+            hist.join(sizes, ["band", "band_hash"])
+            .filter(F.col("bsz") <= bucket_cap)
+            .drop("bsz")
+        )
     cand = (
         hist.join(F.broadcast(batch), ["band", "band_hash"])
         .select("new_id", F.col("doc_id").alias("hist_id"))
@@ -1065,18 +1115,55 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand_counts = cand.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
     base = docs.filter(is_new).select("doc_id")
-    return (
+    counts = (
         base.join(
             F.broadcast(cand_counts), base["doc_id"] == cand_counts["new_id"], "left"
         )
         .drop("new_id")
         .join(F.broadcast(conf), base["doc_id"] == conf["new_id"], "left")
         .drop("new_id")
-        .select(
+    )
+    if bucket_cap is None:
+        return counts.select(
             "doc_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
             F.coalesce("n_confirmed", F.lit(0)).alias("n_confirmed"),
             (F.coalesce("n_confirmed", F.lit(0)) > 0).alias("is_dup"),
+        )
+    # Digest route for batch docs that probed an over-cap bucket: linear
+    # equi-join on the shingle-set digest instead of the |bucket|-wide
+    # member enumeration (the whale bucket never gets exploded).
+    dig = docs.select("doc_id", F.md5(F.array_join("sh", "|")).alias("dg"))
+    big_new = (
+        batch.join(F.broadcast(big_keys), ["band", "band_hash"])
+        .select("new_id")
+        .distinct()
+    )
+    hist_digests = (
+        dig.filter(~is_new).select("dg").distinct().withColumn("hit", F.lit(1))
+    )
+    big_conf = (
+        dig.join(F.broadcast(big_new), dig["doc_id"] == big_new["new_id"])
+        .join(hist_digests, "dg", "left")
+        .groupBy("new_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_digest_hits"))
+    )
+    n_conf = F.coalesce("n_confirmed", F.lit(0)) + F.coalesce(
+        "n_digest_hits", F.lit(0)
+    )
+    return (
+        counts.join(
+            F.broadcast(big_conf), counts["doc_id"] == big_conf["new_id"], "left"
+        )
+        .drop("new_id")
+        .select(
+            "doc_id",
+            (
+                F.coalesce("n_candidates", F.lit(0))
+                + F.coalesce("n_digest_hits", F.lit(0))
+            ).alias("n_candidates"),
+            n_conf.alias("n_confirmed"),
+            (n_conf > 0).alias("is_dup"),
         )
     )
 

@@ -880,3 +880,49 @@ def test_lsh_bucket_cap_stars_oversized_buckets(spark):
         return {frozenset(g) for g in groups.values()}
 
     assert components(full) == components(capped)
+
+
+def test_incremental_probe_bucket_cap_digest_route(spark):
+    """Index-side twin of the LSH bucket cap (SCALE.md §skewed band):
+    (a) with every bucket under the cap, the capped probe reduces to the
+    uncapped result exactly; (b) with a whale index bucket, batch docs
+    probing it are routed through the exact-digest leg — byte-identical
+    boilerplate keeps its is_dup verdict, nothing the exact probe would
+    admit gets flagged, and the whale bucket is never pair-exploded
+    (candidate counts collapse from |bucket| members to distinct
+    digests)."""
+    from hyperloglog_pyspark_spark.functions.texttools import word_shingles
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        _incremental_probe_frame,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(30))
+    uniq = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, boiler) for i in range(20)]  # ids 0,5,10,15 = batch; 16 hist
+    rows += [(100, uniq), (101, uniq)]  # 100 = batch, identical hist twin
+    rows += [(200, "one lone document with entirely novel words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    )
+
+    def run(cap):
+        return {
+            r["doc_id"]: (r["n_candidates"], r["n_confirmed"], r["is_dup"])
+            for r in _incremental_probe_frame(docs, cap).collect()
+        }
+
+    full = run(None)
+    assert run(100) == full  # whale bucket (16) under cap → exact reduction
+    capped = run(5)
+    assert set(capped) == set(full)
+    # verdicts agree on every doc: whale batch docs stay dropped (digest
+    # hit), the identical unique pair stays dropped (pairwise route
+    # untouched), the novel doc stays admitted
+    assert {d: v[2] for d in full for v in [full[d]]} == {
+        d: v[2] for d in capped for v in [capped[d]]
+    }
+    for whale_id in (0, 5, 10, 15):
+        assert full[whale_id][0] == 16  # uncapped enumerates the bucket
+        assert capped[whale_id] == (1, 1, True)  # one distinct digest
+    assert capped[100] == full[100]  # small bucket: same pairwise numbers
+    assert capped[200] == (0, 0, False)
