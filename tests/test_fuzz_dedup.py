@@ -1,0 +1,156 @@
+"""Property fuzzing for the MinHash/LSH dedup family: random small
+corpora with forced duplication, checking the invariants the fixed
+oracle suite can't sweep —
+
+- candidate SOUNDNESS: ``_lsh_candidates`` emits only ordered (a < b)
+  pairs of real doc ids, never a self-pair;
+- identical-doc COMPLETENESS: byte-identical documents share every band,
+  so every identical pair must surface as a candidate (MinHash's one
+  exact guarantee — J = 1 ⇒ collision probability 1);
+- cap INVARIANCE: the bucket-cap star rewires edges but never splits or
+  merges a candidate-graph component (a bucket's members stay mutually
+  reachable whether clique- or star-connected), for ANY corpus and ANY
+  cap — the graph-level contract behind
+  ``test_lsh_bucket_cap_stars_oversized_buckets``'s fixed example;
+- capped-probe VERDICT soundness (``_incremental_probe_frame``): the
+  digest route never flags a batch doc the exact probe would admit
+  (capped is_dup ⊆ uncapped is_dup), and a batch doc with a
+  byte-identical hist twin stays flagged under any cap.
+
+Corpora are tiny (≤ 18 docs) — each example is a real Spark round-trip,
+so example counts are kept low; ``derandomize=True`` keeps CI stable.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from hyperloglog_pyspark_spark import registry
+from hyperloglog_pyspark_spark.functions.texttools import word_shingles
+from hyperloglog_pyspark_spark.operators.dedup import (
+    _incremental_probe_frame,
+    _lsh_candidates,
+    _minhash_sigs,
+)
+
+_WORDS = [f"w{i}" for i in range(8)]
+
+
+@st.composite
+def corpora(draw):
+    """List of doc texts with duplication pressure: a handful of base
+    texts over a tiny alphabet, then each slot either copies an earlier
+    slot (forcing identical pairs and whale buckets) or takes a fresh
+    draw."""
+    n = draw(st.integers(6, 18))
+    texts: list[str] = []
+    for i in range(n):
+        if i > 0 and draw(st.booleans()):
+            texts.append(texts[draw(st.integers(0, i - 1))])
+        else:
+            words = draw(st.lists(st.sampled_from(_WORDS), min_size=3, max_size=8))
+            texts.append(" ".join(words))
+    return texts
+
+
+def _shingle_df(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).select("doc_id", word_shingles("text", 3).alias("sh"))
+
+
+def _components(pairs, all_ids):
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    groups: dict[int, set[int]] = {}
+    for n in all_ids:
+        groups.setdefault(find(n), set()).add(n)
+    return {frozenset(g) for g in groups.values()}
+
+
+@given(texts=corpora(), cap=st.integers(1, 6))
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lsh_candidates_sound_complete_and_cap_invariant(texts, cap, spark):
+    docs = _shingle_df(spark, texts)
+    sigs = _minhash_sigs(docs).persist()
+    try:
+        full = {tuple(r) for r in _lsh_candidates(sigs).collect()}
+        capped = {tuple(r) for r in _lsh_candidates(sigs, bucket_cap=cap).collect()}
+    finally:
+        sigs.unpersist()
+    ids = set(range(len(texts)))
+    # soundness: ordered pairs of real ids only
+    for a, b in full | capped:
+        assert a in ids and b in ids and a < b
+    # completeness on the exact guarantee: identical docs always collide
+    by_text: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    identical = {
+        (g[i], g[j])
+        for g in by_text.values()
+        for i in range(len(g))
+        for j in range(i + 1, len(g))
+    }
+    assert identical <= full
+    assert identical <= {
+        (a, b) for comp in _components(capped, ids) for a in comp for b in comp
+    }
+    # cap invariance: star vs clique never changes the candidate graph's
+    # connected components
+    assert _components(capped, ids) == _components(full, ids)
+    # the capped edge set never invents a cross-component edge
+    assert capped <= {
+        (a, b)
+        for comp in _components(full, ids)
+        for a in comp
+        for b in comp
+        if a < b
+    }
+
+
+@given(texts=corpora(), cap=st.integers(1, 6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_probe_cap_verdict_sound(texts, cap, spark):
+    try:
+        full = {
+            r["doc_id"]: r["is_dup"]
+            for r in _incremental_probe_frame(_shingle_df(spark, texts)).collect()
+        }
+        capped = {
+            r["doc_id"]: r["is_dup"]
+            for r in _incremental_probe_frame(
+                _shingle_df(spark, texts), cap
+            ).collect()
+        }
+    finally:
+        registry.release_caches()
+    assert set(capped) == set(full)  # same batch membership either way
+    # no false positives: the digest/star route only ever flags docs the
+    # exact probe also flags
+    assert {d for d, dup in capped.items() if dup} <= {
+        d for d, dup in full.items() if dup
+    }
+    # byte-identical hist twin ⇒ flagged under any cap
+    hist_texts = {t for i, t in enumerate(texts) if i % 5 != 0}
+    for d in full:
+        if texts[d] in hist_texts:
+            assert capped[d] and full[d]
