@@ -115,29 +115,13 @@ def build_documents(spark, out_dir: str, replicas: int, skewed: bool) -> None:
 
 
 def capped_minhash_lsh(spark, sf_dir: str):
-    """dedup_minhash_lsh with the engine's bucket cap
-    (``_lsh_candidates(..., bucket_cap=CAP)``): ≤CAP buckets do exact
-    pairwise (unchanged LSH fast path); >CAP buckets emit a linear star
-    to the bucket minimum. Same verification as the registered query."""
-    from hyperloglog_pyspark_spark.operators.dedup import (
-        JACCARD_T,
-        _lsh_candidates,
-        _minhash_sigs,
-        _shingled,
-    )
+    """The product knob: ``dedup_minhash_lsh(bucket_cap=CAP)`` — ≤CAP
+    buckets do exact pairwise (unchanged LSH fast path); >CAP buckets
+    emit a linear star to the bucket minimum. Same verification as the
+    registered query."""
+    from hyperloglog_pyspark_spark.operators.dedup import dedup_minhash_lsh
 
-    docs = _shingled(spark, sf_dir).persist()
-    cand = _lsh_candidates(_minhash_sigs(docs), bucket_cap=CAP)
-    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .filter(jac >= JACCARD_T)
-        .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
-    )
+    return dedup_minhash_lsh(spark, sf_dir, bucket_cap=CAP)
 
 
 def capped_incremental_probe(spark, sf_dir: str):

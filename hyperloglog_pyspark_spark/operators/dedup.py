@@ -242,14 +242,19 @@ def _lsh_candidates(
           / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) >= {JACCARD_T}
     """,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (word 3-gram shingles, 12
     universal-hash minhash permutations over one md5 per shingle, 4 bands
     × 3 rows), verified with exact Jaccard ≥ 0.8.
 
     Candidate generation is an equi-join on (band, band_hash) — the only
     pairs ever materialized are bucket collisions, which is what keeps
-    near-dup detection feasible on a 100 TB corpus.
+    near-dup detection feasible on a 100 TB corpus. ``bucket_cap``
+    passes through to ``_lsh_candidates`` (the boilerplate-whale-bucket
+    skew guard, measured in SCALE.md §skewed band); ``None`` — the
+    registered default — keeps exact pairwise in every bucket.
     """
     # The shingled corpus feeds signature generation AND pair verification;
     # persist it so the expensive shingle+md5 pass runs once, not once per
@@ -257,7 +262,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature table every production LSH pipeline materializes). Tracked:
     # released when a different query runs (registry.release_caches).
     docs = tracked_persist(_shingled(spark, sf_dir))
-    cand = _lsh_candidates(_minhash_sigs(docs))
+    cand = _lsh_candidates(_minhash_sigs(docs), bucket_cap=bucket_cap)
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
