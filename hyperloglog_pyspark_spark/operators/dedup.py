@@ -1259,7 +1259,9 @@ _EPOCHS = 3  # arrival order: doc_id % 3 = epoch 0 (seed), 1, 2
     WHERE d.doc_id % {_EPOCHS} = 2
     """,
 )
-def dedup_incremental_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_incremental_epochs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Multi-epoch ingest-time dedup — the batch-checkable form of the
     streaming foreachBatch pipeline (`tests/test_streaming.py`'s
     incremental-dedup twin): docs arrive in 3 epochs (epoch = doc_id %
@@ -1276,18 +1278,48 @@ def dedup_incremental_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-epoch cost proportional to the batch, never the corpus; the
     index grows by appending the admitted batch's bands (in production,
     an append to the persisted index table, no recompute).
+    ``bucket_cap`` applies the family's whale-bucket guard to EACH
+    epoch's probe (same census + exact-digest route as
+    ``_incremental_probe_frame``, with digests restricted to the docs
+    in that epoch's index); ``None`` — the registered default — keeps
+    the exact probe and the exact registered plan.
     """
-    docs = tracked_persist(_shingled(spark, sf_dir))
+    return _incremental_epochs_frame(_shingled(spark, sf_dir), bucket_cap)
+
+
+def _incremental_epochs_frame(
+    shingled: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """Core of ``dedup_incremental_epochs`` over an already-shingled
+    corpus ``(doc_id, sh)`` — split out so tests can inject a synthetic
+    whale corpus directly (see ``_incremental_probe_frame`` for the
+    bucket-cap contract)."""
+    docs = tracked_persist(shingled)
     bands = tracked_persist(_band_table(_minhash_sigs(docs)))
     dh = docs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
+    dig = docs.select("doc_id", F.md5(F.array_join("sh", "|")).alias("dg"))
 
     def probe(e: int, index_bands: DataFrame) -> DataFrame:
         in_epoch = F.col("doc_id") % _EPOCHS == e
         batch = bands.filter(in_epoch).select(
             F.col("doc_id").alias("new_id"), "band", "band_hash"
         )
+        probed = index_bands
+        big_keys = None
+        if bucket_cap is not None:
+            sizes = index_bands.groupBy("band", "band_hash").agg(
+                F.count(F.lit(1)).alias("bsz")
+            )
+            big_keys = sizes.filter(F.col("bsz") > bucket_cap).select(
+                "band", "band_hash"
+            )
+            probed = (
+                index_bands.join(sizes, ["band", "band_hash"])
+                .filter(F.col("bsz") <= bucket_cap)
+                .drop("bsz")
+            )
         cand = (
-            index_bands.join(F.broadcast(batch), ["band", "band_hash"])
+            probed.join(F.broadcast(batch), ["band", "band_hash"])
             .select("new_id", F.col("doc_id").alias("hist_id"))
             .distinct()
         )
@@ -1307,17 +1339,56 @@ def dedup_incremental_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cnt = cand.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
         base = docs.filter(in_epoch).select("doc_id")
-        return (
+        counts = (
             base.join(F.broadcast(cnt), base["doc_id"] == cnt["new_id"], "left")
             .drop("new_id")
             .join(F.broadcast(conf), base["doc_id"] == conf["new_id"], "left")
             .drop("new_id")
-            .select(
+        )
+        if bucket_cap is None:
+            return counts.select(
                 "doc_id",
                 F.lit(e).cast("bigint").alias("epoch"),
                 F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
                 F.coalesce("n_confirmed", F.lit(0)).alias("n_confirmed"),
                 (F.coalesce("n_confirmed", F.lit(0)) == 0).alias("admitted"),
+            )
+        # Digest route for batch docs probing an over-cap index bucket,
+        # against the digests of THIS epoch's index members only.
+        big_new = (
+            batch.join(F.broadcast(big_keys), ["band", "band_hash"])
+            .select("new_id")
+            .distinct()
+        )
+        index_digests = (
+            dig.join(index_bands.select("doc_id").distinct(), "doc_id")
+            .select("dg")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        big_conf = (
+            dig.join(F.broadcast(big_new), dig["doc_id"] == big_new["new_id"])
+            .join(index_digests, "dg", "left")
+            .groupBy("new_id")
+            .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_digest_hits"))
+        )
+        n_conf = F.coalesce("n_confirmed", F.lit(0)) + F.coalesce(
+            "n_digest_hits", F.lit(0)
+        )
+        return (
+            counts.join(
+                F.broadcast(big_conf), counts["doc_id"] == big_conf["new_id"], "left"
+            )
+            .drop("new_id")
+            .select(
+                "doc_id",
+                F.lit(e).cast("bigint").alias("epoch"),
+                (
+                    F.coalesce("n_candidates", F.lit(0))
+                    + F.coalesce("n_digest_hits", F.lit(0))
+                ).alias("n_candidates"),
+                n_conf.alias("n_confirmed"),
+                (n_conf == 0).alias("admitted"),
             )
         )
 

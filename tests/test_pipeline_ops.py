@@ -926,3 +926,54 @@ def test_incremental_probe_bucket_cap_digest_route(spark):
         assert capped[whale_id] == (1, 1, True)  # one distinct digest
     assert capped[100] == full[100]  # small bucket: same pairwise numbers
     assert capped[200] == (0, 0, False)
+
+
+def test_incremental_epochs_bucket_cap_digest_route(spark):
+    """The epochs flow's whale guard: per-epoch census + digest route.
+    (a) caps above every bucket reduce exactly to the uncapped result;
+    (b) a whale seed bucket keeps rejecting identical later-epoch docs
+    under a small cap (digest hit), admission verdicts never diverge
+    from the exact probe; (c) epoch chaining still works through the
+    capped path — an epoch-1 admit rejects its epoch-2 twin."""
+    from hyperloglog_pyspark_spark.functions.texttools import word_shingles
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        _incremental_epochs_frame,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(30))
+    uniq = "alpha beta gamma delta epsilon zeta eta theta"
+    chain = "kappa lambda mu nu xi omicron pi rho"
+    rows = [(i, boiler) for i in range(18)]  # 6 whale docs per epoch
+    rows += [(99, uniq), (100, uniq)]  # seed + identical epoch-1 twin
+    rows += [(103, chain), (104, chain)]  # epoch-1 admit + epoch-2 twin
+    rows += [(200, "one lone document with entirely novel words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    )
+
+    def run(cap):
+        return {
+            r["doc_id"]: (
+                r["epoch"],
+                r["n_candidates"],
+                r["n_confirmed"],
+                r["admitted"],
+            )
+            for r in _incremental_epochs_frame(docs, cap).collect()
+        }
+
+    full = run(None)
+    assert run(100) == full  # whale bucket (6) under cap → exact reduction
+    capped = run(3)
+    assert set(capped) == set(full)
+    assert {d: v[3] for d, v in full.items()} == {
+        d: v[3] for d, v in capped.items()
+    }  # admission verdicts identical
+    for whale_id in (1, 4, 7, 10, 13, 16):  # epoch-1 whales
+        assert full[whale_id][1:] == (6, 6, False)  # uncapped enumerates
+        assert capped[whale_id] == (1, 1, 1, False)  # one distinct digest
+    for whale_id in (2, 5, 8, 11, 14, 17):  # epoch-2 whales stay rejected
+        assert not capped[whale_id][3]
+    assert capped[100] == full[100] == (1, 1, 1, False)  # pairwise route
+    assert capped[103][3] and capped[104] == (2, 1, 1, False)  # chaining
+    assert capped[200] == (2, 0, 0, True)
