@@ -22,6 +22,17 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact integer dot product over ``array<long>`` columns — the
+    bit-deterministic twin of ``dot`` for milli-unit embeddings (every
+    engine sums the same integers; no accumulation-order ulps)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

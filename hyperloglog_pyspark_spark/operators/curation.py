@@ -30,10 +30,11 @@ from hyperloglog_pyspark_spark.operators.dedup import (
     connected_components,
     dedup_minhash_lsh,
 )
+from hyperloglog_pyspark_spark.functions.vector import dot_long
 from hyperloglog_pyspark_spark.operators.similarity import (
-    _emb_elements,
     _km_el_sql,
-    _label_centroids,
+    _label_centroid_arrays,
+    as_milli,
 )
 from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
@@ -225,62 +226,64 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = dot/(√n2a·√n2b) where sqrt and division are IEEE-exact on
     identical integer inputs, rounded to 4dp before thresholding.
 
-    Scale: the centroid table broadcasts; assignment is one broadcast
-    join + per-vector argmin. The within-cluster pair join keys on
-    (cluster, dim-index) so its volume is Σ|cluster|²·d — production
-    SemDedup sizes k ≈ √N exactly so this stays linear-ish; the cluster
-    count is the knob, not the code shape. The per-vector norm table is
-    corpus-sized, so its joins onto the (bounded) pair set carry no
-    broadcast hint — the planner broadcasts while it fits and shuffles
-    on the pair keys beyond that."""
+    Scale: vectors stay ARRAY-NATIVE (exact milli-unit array<long>, dots
+    via zip_with/aggregate — JVM codegen), so every shuffle carries one
+    row per vector, never one per (vector, dim). The centroid table is
+    #labels rows of arrays (tiny — broadcast); assignment is a broadcast
+    nested-loop over the k candidates + per-vector min(struct). The
+    within-cluster pair join keys on cluster so its row volume is
+    Σ|cluster|² — a factor dim smaller than the exploded formulation —
+    and production SemDedup sizes k ≈ √N exactly so this stays
+    linear-ish; the cluster count is the knob, not the code shape.
+    Norms ride along inside the pair rows (computed once per vector in
+    the persisted frame), so no norm-table join exists at all."""
     emb = load_table(spark, sf_dir, "embeddings")
-    el = tracked_persist(_emb_elements(emb))
-    cent = _label_centroids(el, "k")
-    d2 = (
-        el.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "k")
-        .agg(F.sum((F.col("e") - F.col("c")) * (F.col("e") - F.col("c"))).alias("d2"))
+    ev = tracked_persist(
+        emb.select("vec_id", "label", as_milli("embedding").alias("mv"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("k"))
+    cent = _label_centroid_arrays(ev, "k")
+    d2 = F.aggregate(
+        F.zip_with(F.col("mv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     assign = (
-        d2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "k")
+        ev.crossJoin(F.broadcast(cent))
+        .select("vec_id", "k", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "k")).alias("best"))
+        .select("vec_id", F.col("best.k").alias("k"))
     )
-    ae = tracked_persist(assign.join(el.select("vec_id", "i", "e"), "vec_id"))
-    n2 = ae.groupBy("vec_id").agg(F.sum(F.col("e") * F.col("e")).alias("n2"))
+    ae = tracked_persist(
+        assign.join(ev, "vec_id").select(
+            "k", "vec_id", "mv", dot_long(F.col("mv"), F.col("mv")).alias("n2")
+        )
+    )
     a = ae.select(
-        F.col("k"), F.col("vec_id").alias("va"), F.col("i"), F.col("e").alias("ea")
+        "k",
+        F.col("vec_id").alias("va"),
+        F.col("mv").alias("ma"),
+        F.col("n2").alias("n2a"),
     )
     b = ae.select(
         F.col("k").alias("kb"),
         F.col("vec_id").alias("vb"),
-        F.col("i").alias("ib"),
-        F.col("e").alias("eb"),
+        F.col("mv").alias("mb"),
+        F.col("n2").alias("n2b"),
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("k") == F.col("kb"))
-            & (F.col("i") == F.col("ib"))
-            & (F.col("va") < F.col("vb")),
-        )
-        .groupBy("k", "va", "vb")
-        .agg(F.sum(F.col("ea") * F.col("eb")).alias("dot"))
-    )
-    na = n2.select(F.col("vec_id").alias("va"), F.col("n2").alias("n2a"))
-    nb = n2.select(F.col("vec_id").alias("vb"), F.col("n2").alias("n2b"))
     cos = F.round(
-        F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))), 4
+        dot_long(F.col("ma"), F.col("mb"))
+        / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))),
+        4,
     )
     return (
-        pairs.join(na, "va")
-        .join(nb, "vb")
-        .filter(cos >= SEMDEDUP_TAU)
+        a.join(b, (F.col("k") == F.col("kb")) & (F.col("va") < F.col("vb")))
+        .select("k", "vb", cos.alias("cos"))
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
         .groupBy(F.col("k").cast("int").alias("cluster"), F.col("vb").alias("pruned_vec"))
         .agg(
             F.count(F.lit(1)).alias("n_dup_partners"),
-            F.max(cos).cast("double").alias("max_cos"),
+            F.max("cos").cast("double").alias("max_cos"),
         )
     )
 

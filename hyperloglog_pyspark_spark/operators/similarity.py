@@ -665,45 +665,77 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENT_SCALE = 1000  # element milli-units: exact BIGINT arithmetic throughout
 
 
-def _emb_elements(emb: DataFrame) -> DataFrame:
-    """(vec_id, label, i, e): embedding elements as exact integer
-    milli-units — floor(x·CENT_SCALE + 0.5) after a cast to DOUBLE (the
-    float32→double cast must happen BEFORE scaling; single-precision
-    scaling rounds differently and broke the oracle hash at sf0.1). The
-    ONE definition shared by the centroid-confusion and k-means
-    operators; ``_km_el_sql`` is its oracle twin."""
-    return emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("i", "elv")
-    ).select(
-        "vec_id",
-        "label",
-        "i",
-        F.floor(F.col("elv").cast("double") * CENT_SCALE + F.lit(0.5))
-        .cast("long")
-        .alias("e"),
+def as_milli(col: str | Column) -> Column:
+    """``array<long>`` milli-unit embedding: floor(x·CENT_SCALE + 0.5)
+    after a cast to DOUBLE (the float32→double cast must happen BEFORE
+    scaling; single-precision scaling rounds differently and broke the
+    oracle hash at sf0.1). ``_km_el_sql`` is its per-element oracle twin.
+    Operators that pair vectors keep the whole vector in one row and
+    compute dots with ``dot_long`` (zip_with/aggregate — JVM codegen),
+    so their shuffles carry N rows instead of N·dim element rows."""
+    return F.transform(
+        as_double(col),
+        lambda x: F.floor(x * CENT_SCALE + F.lit(0.5)).cast("long"),
     )
 
 
-def _label_centroids(el: DataFrame, out_key: str) -> DataFrame:
-    """Label-seeded integer centroids (out_key, i, c): floor-rounded
-    means of the exact element sums — shared by both embedding
-    operators. Derives per-label sizes from the persisted element frame
-    (one row per vector at i == 0) rather than re-scanning the raw
-    embeddings table, so the centroid build adds ZERO fact-scan sites —
-    everything reads through the ``el`` cache."""
-    sizes = (
-        el.filter(F.col("i") == 0)
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        el.groupBy("label", "i")
-        .agg(F.sum("e").alias("s"))
-        .join(F.broadcast(sizes), "label")
+def _label_centroid_arrays(ev: DataFrame, out_key: str) -> DataFrame:
+    """Label-seeded integer centroids as ARRAYS (out_key, cv) from a
+    milli-unit vector frame ``(vec_id, label, mv)``: exact BIGINT
+    element sums, floor(s/n + 0.5) rounding — bit-identical to the
+    oracle's per-(label, i) CTE. The element explode here feeds only the
+    centroid build (labels × dim rows out, one map-side partial agg in);
+    vectors themselves are never exploded, and everything reads through
+    the persisted ``ev`` cache so the build adds ZERO fact-scan sites."""
+    cent_el = (
+        ev.select("label", F.posexplode("mv").alias("i", "e"))
+        .groupBy("label", "i")
+        .agg(F.sum("e").alias("s"), F.count(F.lit(1)).alias("n"))
         .select(
-            F.col("label").alias(out_key),
+            "label",
             "i",
             F.floor(F.col("s") * 1.0 / F.col("n") + F.lit(0.5)).cast("long").alias("c"),
+        )
+    )
+    return (
+        cent_el.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select(
+            F.col("label").alias(out_key),
+            F.transform("ic", lambda s: s["c"]).alias("cv"),
+        )
+    )
+
+
+def _centroid_set(cent: DataFrame, key: str = "k") -> DataFrame:
+    """Collapse a (key, cv) centroid-array frame into ONE broadcastable
+    row holding array<struct<k, cv>> sorted by key. The whole model ships
+    to every task, so nearest-centroid assignment becomes a
+    BroadcastNestedLoopJoin against a single row plus a per-row argmin —
+    ZERO shuffles of the vector corpus."""
+    return cent.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(key).alias("k"), "cv"))
+        ).alias("cents")
+    )
+
+
+def _nearest_centroid(mv: Column) -> Column:
+    """struct(d2, k) of the nearest centroid in the broadcast ``cents``
+    array: exact integer Σ(a−b)² per candidate (nested zip_with /
+    aggregate — JVM codegen), argmin via array_min's struct ordering,
+    which is (d2 ASC, k ASC) — the oracle's ROW_NUMBER tie-break."""
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(mv, c["cv"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array_min(
+        F.transform(
+            F.col("cents"), lambda c: F.struct(d2(c).alias("d2"), c["k"].alias("k"))
         )
     )
 
@@ -760,28 +792,27 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer Σ(e−c)² — the argmin cannot drift between engines, and ties
     break on the smaller label.
 
-    Scale: the centroid table is #labels × dim rows (tiny — broadcast);
-    assignment is one broadcast join over the exploded elements plus a
-    per-vector argmin window; both aggregations are map-side partial.
-    The same shape is the Lloyd-iteration assignment step, so this is
-    also the k-means building block (seeded by label centroids).
+    Scale: vectors stay ARRAY-NATIVE (milli-unit array<long>); the whole
+    #labels-row centroid model collapses into one broadcast row, so
+    assignment is a BroadcastNestedLoopJoin + per-row array_min argmin —
+    ZERO shuffles of the corpus; the only exchange is the final
+    (true, pred) count's map-side-partial aggregation. The same shape is
+    the Lloyd-iteration assignment step, so this is also the k-means
+    building block (seeded by label centroids).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    el = tracked_persist(_emb_elements(emb))
-    cent = _label_centroids(el, "c_label")
-    dist = (
-        el.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "label", "c_label")
-        .agg(F.sum((F.col("e") - F.col("c")) * (F.col("e") - F.col("c"))).alias("d2"))
+    ev = tracked_persist(
+        emb.select("vec_id", "label", as_milli("embedding").alias("mv"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    cent = _label_centroid_arrays(ev, "k")
+    best = _nearest_centroid(F.col("mv"))
     return (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy(
+        ev.crossJoin(F.broadcast(_centroid_set(cent)))
+        .select(
             F.col("label").cast("int").alias("true_label"),
-            F.col("c_label").cast("int").alias("pred_label"),
+            best["k"].cast("int").alias("pred_label"),
         )
+        .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -856,51 +887,72 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so the unrolled CTE oracle matches
     exactly; empty clusters keep their previous centroid).
 
-    Scale: the element table (rows × dim) is persisted once and reused by
-    every round; each round is ONE broadcast join against the
-    #clusters × dim centroid table + a per-vector argmin window + one
-    centroid re-aggregation — the standard Spark k-means shape (MLlib's
-    KMeans does the same with a driver-held centroid array). The tiny
-    centroid frame is localCheckpoint-ed every round (the PageRank/BFS
-    lineage rule) — each round references cent TWICE (assignment and
-    update), so an unchained plan doubles the centroid subplan per
-    round: 2^rounds copies of the seed build by the final assignment.
+    Scale: the milli-unit vector frame is persisted once and reused by
+    every round. Vectors stay ARRAY-NATIVE: the whole #clusters-row
+    centroid model collapses into one broadcast row, so each round's
+    assignment is a BroadcastNestedLoopJoin + per-row array_min argmin —
+    ZERO shuffles of the corpus (MLlib's KMeans does the same with a
+    driver-held centroid array); the centroid update explodes only the
+    ASSIGNED rows in-task and its (k, dim)-grain aggregation is map-side
+    partial, so per-round shuffled bytes are model-sized, never
+    corpus-sized. Empty clusters keep their previous centroid via a
+    whole-array coalesce (a cluster with members contributes every
+    dimension, so per-dim and per-array coalesce agree — matching the
+    oracle's per-(k, i) LEFT JOIN). The tiny centroid frame is
+    localCheckpoint-ed every round (the PageRank/BFS lineage rule) —
+    each round references cent TWICE (assignment and update), so an
+    unchained plan doubles the centroid subplan per round: 2^rounds
+    copies of the seed build by the final assignment.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    el = tracked_persist(_emb_elements(emb))
-    cent = checkpoint_rounds(_label_centroids(el, "k"))
+    ev = tracked_persist(
+        emb.select("vec_id", "label", as_milli("embedding").alias("mv"))
+    )
+    # the looped state IS the one-row centroid set: the model stays
+    # collapsed between rounds, so no per-round re-collection and no
+    # (k, cv)-grain join exist — each round is assignment + ONE
+    # model-sized aggregation + a 1-row × 1-row merge
+    cent = checkpoint_rounds(_centroid_set(_label_centroid_arrays(ev, "k")))
 
-    def assign(cent_df: DataFrame) -> DataFrame:
-        d = (
-            el.join(F.broadcast(cent_df), "i")
-            .groupBy("vec_id", "k")
-            .agg(F.sum((F.col("e") - F.col("c")) * (F.col("e") - F.col("c"))).alias("d2"))
+    def assign(cents_row: DataFrame) -> DataFrame:
+        best = _nearest_centroid(F.col("mv"))
+        return ev.crossJoin(F.broadcast(cents_row)).select(
+            "vec_id", "mv", best["d2"].alias("d2"), best["k"].alias("k")
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("k"))
-        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    def merged_cv(c):
+        # this cluster's updated centroid: its (i, u) entries sorted by
+        # dimension; an empty cluster has no entries and keeps c.cv
+        mine = F.array_sort(F.filter(F.col("ents"), lambda t: t["k"] == c["k"]))
+        newv = F.transform(mine, lambda t: t["u"])
+        return F.when(F.size(newv) == 0, c["cv"]).otherwise(newv)
 
     for _ in range(KM_ITERS):
-        a = assign(cent).select("vec_id", "k")
-        s = (
-            el.join(a, "vec_id")
+        upd = (
+            assign(cent)
+            .select("k", F.posexplode("mv").alias("i", "e"))
             .groupBy("k", "i")
-            .agg(F.sum("e").alias("se"), F.count_distinct("vec_id").alias("n"))
-            .select(F.col("k").alias("s_k"), F.col("i").alias("s_i"), "se", "n")
+            .agg(
+                F.floor(F.sum("e") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
+                .cast("long")
+                .alias("u")
+            )
+            .groupBy()
+            .agg(F.collect_list(F.struct("k", "i", "u")).alias("ents"))
         )
         cent = checkpoint_rounds(
-            cent.join(
-                s, (cent["k"] == s["s_k"]) & (cent["i"] == s["s_i"]), "left"
-            )
-            .select(
-                "k",
-                "i",
-                F.coalesce(
-                    F.floor(F.col("se") * 1.0 / F.col("n") + F.lit(0.5)).cast("long"),
-                    F.col("c"),
-                ).alias("c"),
+            cent.crossJoin(F.broadcast(upd)).select(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        c["k"].alias("k"), merged_cv(c).alias("cv")
+                    ),
+                ).alias("cents")
             )
         )
     final = assign(cent)
-    return final.groupBy("k").agg(
-        F.count(F.lit(1)).alias("n_members"), F.sum("d2").alias("inertia")
-    ).select(F.col("k").alias("cluster"), "n_members", "inertia")
+    return (
+        final.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("d2").alias("inertia"))
+        .select(F.col("k").alias("cluster"), "n_members", "inertia")
+    )
