@@ -459,6 +459,40 @@ def test_registry_plans_no_cartesian_no_unbounded_global_window(spark, sf_dir):
     )
 
 
+def test_embedding_family_stays_array_native(spark, sf_dir):
+    """The r7 array-native rewrite's execution-truth guard: with caches
+    eager (the session default), the embedding family's runtime plans
+    must keep model-sized exchange counts — the pre-rewrite exploded
+    plans sat at 7/7/31 — and assignment must ride the broadcast
+    one-row centroid model (a BroadcastNestedLoopJoin), never a corpus
+    shuffle. Counts come from plan_audit's JVM tree walk (InMemoryRelation
+    text inflation doesn't apply; the walk stops at InMemoryTableScan).
+    semdedup's assignment lives inside its persisted ae build, so its
+    post-cache plan shows the pair join only (no BNLJ node)."""
+    from plan_audit import audit_plan, walk_plan
+
+    queries()
+    budgets = {
+        # name: (exchange ceiling, BNLJ required in post-cache plan)
+        "semdedup_centroid_prune": (2, False),
+        "embedding_centroid_confusion": (5, True),
+        "embedding_kmeans_lloyd": (3, True),
+    }
+    bad = []
+    for name, (ceiling, needs_bnlj) in budgets.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        a = audit_plan(df)
+        nodes = [
+            n.nodeName()
+            for n in walk_plan(df._jdf.queryExecution().executedPlan())
+        ]
+        if a["exchanges"] > ceiling or not a["cached"]:
+            bad.append((name, "exchanges", a["exchanges"], ceiling, a["cached"]))
+        if needs_bnlj and "BroadcastNestedLoopJoin" not in nodes:
+            bad.append((name, "missing broadcast-model BNLJ assignment"))
+    assert not bad, f"embedding family drifted off the array-native plan: {bad}"
+
+
 # Per-query ceilings on FACT-TABLE scan sites in the executed plan. A
 # subplan that is referenced twice without persist() re-embeds (and
 # re-RUNS) its scan at every reference — the r6 scan-collapse sweep cut
