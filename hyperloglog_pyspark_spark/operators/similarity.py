@@ -231,35 +231,44 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector assigned to its nearest centroid by dot product, queries
     probe their 2 nearest centroid lists, exact cosine re-rank inside.
 
-    Scale: assignment is one broadcast pass over the corpus (centroids are
-    tiny); the inverted lists ARE a partitioning of the corpus, so a probe
-    reads |corpus|/n_cent · n_probes vectors instead of all of them. At
+    Scale: scoring happens inside a whole-stage-codegen projection over
+    a broadcast of the tiny centroid table; assignment is a map-side-
+    partial min(struct) argmin, so the one corpus exchange carries ONE
+    row per vector — the pre-r7 form shuffled corpus × n_cent scored
+    rows through a per-vector window with no partial aggregation. The
+    inverted lists ARE a partitioning of the corpus, so a probe reads
+    |corpus|/n_cent · n_probes vectors instead of all of them. At
     100 TB the assignment output is written bucketed by cent_id, making
     each probe a pruned scan.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     # centroid subset persisted: the modulo filter can't push to parquet,
-    # so each of its two crossJoin uses would otherwise re-scan the full
+    # so the assignment and probe legs would otherwise re-scan the full
     # corpus to rebuild a |corpus|/100-sized frame
     cent = tracked_persist(
         emb.filter(F.col("vec_id") % N_CENT_MOD == 0).select(
             F.col("vec_id").alias("cent_id"), as_double("embedding").alias("ce")
         )
     )
+    # (−score, cent_id) ascending == (score DESC, cent_id ASC): double
+    # negation is IEEE-exact, so min(struct) / ORDER BY ns matches the
+    # oracle's ROW_NUMBER tie-break bit-for-bit
     scored = (
         emb.select("vec_id", as_double("embedding").alias("ev"))
         .crossJoin(F.broadcast(cent))
-        .withColumn("score", dot(F.col("ev"), F.col("ce")))
+        .select(
+            "vec_id", "ev", "cent_id", (-dot(F.col("ev"), F.col("ce"))).alias("ns")
+        )
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "cent_id")
     assign = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "ev", "cent_id")
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("ns", "cent_id")).alias("b"), F.max("ev").alias("ev"))
+        .select("vec_id", "ev", F.col("b.cent_id").alias("cent_id"))
     )
+    w_probe = Window.partitionBy("vec_id").orderBy("ns", "cent_id")
     qprobe = (
         scored.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(w_assign))
+        .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= N_PROBES)
         .select(
             F.col("vec_id").alias("query_id"),

@@ -124,21 +124,21 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-7 contract is: the 5 operators whose code changed this round
+    round-7 contract is: the 6 operators whose code changed this round
     (their driver rows predate the code — the scan-collapse pair, the
-    GIF decoder, and the array-native embedding-family rewrites) lead,
-    then the oldest-green rotation — the names whose latest green row is
-    from round 1 or 2. Locks the prefix composition against accidental
-    reordering."""
+    GIF decoder, and the array-native / shuffle-shape rewrites of the
+    embedding-and-IVF family) lead, then the oldest-green rotation —
+    the names whose latest green row is from round 1 or 2. Locks the
+    prefix composition against accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
     changed = [
         "similarity_recall_report", "embedding_kmeans_lloyd",
         "semdedup_centroid_prune", "embedding_centroid_confusion",
-        "multimodal_decode_gif",
+        "similarity_ivf", "multimodal_decode_gif",
     ]
-    assert names[:5] == changed, "changed-operator block drifted"
+    assert names[:6] == changed, "changed-operator block drifted"
     # pin-pool integrity: registry names dedupe through the dict, so
     # assert on SWEEP_PRIORITY itself — a duplicate there silently
     # shrinks the 50-slot rotation
