@@ -559,6 +559,22 @@ def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_len_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, dl) document lengths for BM25, computed
+    MAP-SIDE from a thin documents scan: dl = size(split(text)) — the
+    same value as SUM(tf) over the doc's term-frequency rows (run
+    lengths partition the token array), without re-reading the
+    corpus-token-scale tf table and shuffling it down to doc grain.
+    Persisted because the BM25 plan references it twice (the N/avgdl
+    scalar and the per-doc norm join) — doc-grain, two longs per row."""
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    return tracked_persist(
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+        )
+    )
+
+
 BM25_QUERIES = [
     (0, "hash"), (0, "join"), (0, "merge"),
     (1, "scan"), (1, "filter"), (1, "column"),
@@ -566,6 +582,24 @@ BM25_QUERIES = [
 ]
 
 _BM25_Q_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+
+
+def _tfq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (term, doc_id, tf): the tf table restricted to the
+    distinct BM25 query terms — docs-containing-query-terms scale, the
+    ONE corpus-token-scale pass the whole retrieval-eval family (BM25 /
+    MRR / NDCG / hybrid-RRF) pays. Each consumer joins the broadcast
+    (query_id, term) map back on; before this was factored out, every
+    report re-read the full tf cache for the same restriction."""
+    terms = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, t in BM25_QUERIES})], "term string"
+    )
+    tf = _tf_table(spark, sf_dir)
+    return tracked_persist(
+        tf.join(F.broadcast(terms), tf["token"] == terms["term"]).select(
+            "term", "doc_id", "tf"
+        )
+    )
 
 
 @register(
@@ -616,21 +650,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (doc, token); the QUERY-TERM semi-restriction happens before any
     doc-level join, so everything downstream of the broadcast query join
     is bounded by docs-containing-query-terms, not corpus size. Document
-    lengths fold from the tf table (one extra reduction of tf-scale
-    rows); N/avgdl ride a broadcast scalar; df per query term comes from
-    the restricted table. Ties and float-sum order are pinned
+    lengths come MAP-SIDE from a thin documents scan (dl = token count —
+    no tf-scale re-read or reduction; see ``_doc_len_table``); N/avgdl
+    ride a broadcast scalar; df per query term comes from the restricted
+    table. Ties and float-sum order are pinned
     cross-engine by ranking on (round(score,4), doc_id). The final
     per-query top-k is a window over query-id partitions — at production
     scale swap in a two-phase TakeOrdered (per-partition local top-k,
     then merge) if the candidate sets stop fitting a partition.
     """
-    tf = _tf_table(spark, sf_dir)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dl = _doc_len_table(spark, sf_dir)
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
-    tfq = tf.join(F.broadcast(qterms), tf["token"] == qterms["term"]).select(
+    tfq = _tfq_table(spark, sf_dir).join(F.broadcast(qterms), "term").select(
         "query_id", "term", "doc_id", "tf"
     )
     dfq = tfq.groupBy("term").agg(
@@ -1010,11 +1044,11 @@ def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     after an index or scoring change, next to similarity_recall_report
     on the dense side.
 
-    Scale: the relevance set comes from the SAME persisted tf table the
-    BM25 call builds (one corpus tokenization, reused via the
-    plan-canonical cache), restricted by the broadcast query terms —
-    never corpus × queries; the metric join runs over the top-k rows
-    only. Every query id appears in the output — a query with zero
+    Scale: the relevance set reads the SAME persisted query-term-
+    restricted tf rows the BM25 call uses (``_tfq_table`` — one corpus
+    tokenization + one restriction pass, reused via the plan-canonical
+    cache) — never corpus × queries; the metric join runs over the
+    top-k rows only. Every query id appears in the output — a query with zero
     relevant documents (or zero index hits) reports n_rel_total = 0 and
     reciprocal_rank = 0 instead of silently vanishing, which would
     overstate MRR. The relevance threshold is each query's OWN term
@@ -1023,9 +1057,9 @@ def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = text_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
     qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
     qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
-    tf = _tf_table(spark, sf_dir)
     rel = (
-        tf.join(F.broadcast(qterms), tf.token == qterms.term)
+        _tfq_table(spark, sf_dir)
+        .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count_distinct("term").alias("nt"))
         .join(F.broadcast(qn), "query_id")
@@ -1152,13 +1186,12 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     query terms."""
     lex = text_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
     qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
-    # Restrict the corpus-scale tf table by the broadcast query terms
-    # FIRST (the MRR/rel pattern) — the left grade join then runs over
-    # docs-containing-query-terms, never the full tf table.
-    tfq = _tf_table(spark, sf_dir).join(
-        F.broadcast(qterms.select("term").distinct()),
-        F.col("token") == F.col("term"),
-    ).select(F.col("doc_id").alias("td"), F.col("token").alias("tt"))
+    # The grade join runs over the persisted query-term-restricted tf
+    # rows (docs-containing-query-terms scale, shared with BM25/MRR via
+    # the plan-canonical cache) — never the full tf table.
+    tfq = _tfq_table(spark, sf_dir).select(
+        F.col("doc_id").alias("td"), F.col("term").alias("tt")
+    )
     matches = (
         lex.join(F.broadcast(qterms), "query_id")
         .join(

@@ -310,11 +310,13 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # broadcast centroid set; zero corpus shuffles in assignment)
     "similarity_recall_report", "embedding_kmeans_lloyd",
     "semdedup_centroid_prune", "embedding_centroid_confusion",
-    "similarity_ivf", "multimodal_decode_gif",
+    "similarity_ivf", "text_bm25_topk", "retrieval_mrr_report",
+    "retrieval_ndcg_report", "similarity_hybrid_rrf",
+    "multimodal_decode_gif",
     # latest green = round 1 or 2, unchanged since (oldest rotation)
     "pipeline_corpus_curation", "recursive_cte_spine",
     "sample_deterministic", "sample_stratified", "scan_project_filter",
-    "split_train_val_test", "string_funcs", "tpch_q10_returned_items",
+    "split_train_val_test", "string_funcs",
     "approx_distinct_users_daily", "array_funcs",
     "cogroup_asof_attribution", "date_funcs", "embedding_norm_quant",
     "event_transition_matrix", "heavy_hitters_mg", "hll64_parity",
@@ -327,11 +329,12 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_orc_roundtrip", "sql_pricing", "sql_q3",
     "subquery_exists_notin", "subquery_scalar_avg", "text_fingerprint",
     "text_langid", "text_stats", "text_token_freq",
-    "timeseries_anomaly_mad", "timeseries_resample_ffill", "udtf_bigrams",
-    # (window_running_sum / window_topk_per_group / tpch_q14_promo_revenue /
-    # tpch_q18_large_orders / unpivot_nation_metrics are the only other
-    # r1/r2-green names; they rotate in round 8 — the pin pool is capped
-    # at 50 to match the driver's sample size.)
+    # (window_running_sum / window_topk_per_group / tpch_q10_returned_items /
+    # tpch_q14_promo_revenue / tpch_q18_large_orders /
+    # unpivot_nation_metrics / timeseries_anomaly_mad /
+    # timeseries_resample_ffill / udtf_bigrams are the remaining r1/r2
+    # greens; they rotate in round 8 — the pin pool is capped at 50 to
+    # match the driver's sample size.)
 )
 
 
