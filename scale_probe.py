@@ -62,10 +62,21 @@ PROBE_OPS = [
     "pipeline_curation_v2",
     "semdedup_centroid_prune",
     "dedup_incremental_epochs",  # r6: chained-epoch probe joins
+    # r7: the retrieval composite — fixed query set over a growing
+    # corpus; output rows stay constant (8 queries), so the wall ratio
+    # isolates the corpus-scale passes (tokenization, term restriction,
+    # doc-length map) from the bounded scoring/eval stages
+    "retrieval_ndcg_report",
 ]
 
 
 def _salted_docs(docs, k: int):
+    # replica 0 is the NATURAL corpus (no suffix) so fixed-term
+    # retrieval queries (BM25) hit real postings; replicas k ≥ 1 share
+    # no vocabulary with it or each other, so near-dup pairs and
+    # postings lists never cross a salt boundary
+    if k == 0:
+        return docs.select("doc_id", "text", "lang", "source", "n_chars")
     words = F.split("text", " ")
     return docs.select(
         (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
