@@ -1,0 +1,158 @@
+"""Property fuzzing for the array-native vector layer behind the r7
+embedding-family rewrite (semdedup / k-means / centroid-confusion /
+IVF), checking the exactness claims the end-to-end oracles rely on but
+random corpus data rarely stresses —
+
+- ``dot_long`` is the EXACT integer dot product (bit-equal to Python
+  bigint arithmetic, including negatives and zero-length arrays);
+- ``as_milli`` quantizes exactly like the oracle twin: float32 → double
+  FIRST, then floor(x·1000 + 0.5) — pinned against a numpy reference
+  per element, including negative values where floor(+0.5) differs
+  from round-half-away;
+- ``_nearest_centroid`` over ``_centroid_set`` implements the
+  (d2 ASC, k ASC) argmin EXACTLY — fuzzed with deliberately DUPLICATED
+  centroids so exact d2 ties occur (random reals never tie) and the
+  smaller k must win, matching the oracle's ROW_NUMBER tie-break;
+- ``_label_centroid_arrays`` equals the per-element reference:
+  floor(sum/n + 0.5) of exact integer element sums per (label, dim).
+
+Corpora are tiny — each example is a real Spark round-trip, so example
+counts are kept low; ``derandomize=True`` keeps CI stable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hyperloglog_pyspark_spark.functions.vector import dot_long
+from hyperloglog_pyspark_spark.operators.similarity import (
+    _centroid_set,
+    _label_centroid_arrays,
+    _nearest_centroid,
+    as_milli,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_longs = st.integers(-10_000, 10_000)
+
+
+@st.composite
+def long_vec_pairs(draw):
+    d = draw(st.integers(1, 8))
+    a = draw(st.lists(_longs, min_size=d, max_size=d))
+    b = draw(st.lists(_longs, min_size=d, max_size=d))
+    return a, b
+
+
+@given(pair=long_vec_pairs())
+@_SETTINGS
+def test_dot_long_is_exact_integer_dot(pair, spark):
+    a, b = pair
+    df = spark.createDataFrame([(a, b)], "a array<long>, b array<long>")
+    got = df.select(dot_long(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
+    assert got == sum(x * y for x, y in zip(a, b))
+
+
+_floats = st.floats(
+    min_value=-2.0, max_value=2.0, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+@given(vals=st.lists(_floats, min_size=1, max_size=8))
+@_SETTINGS
+def test_as_milli_matches_float32_then_double_floor(vals, spark):
+    df = spark.createDataFrame([(vals,)], "embedding array<float>")
+    got = df.select(as_milli("embedding").alias("mv")).collect()[0]["mv"]
+    # reference: parquet/DataFrame stores float32; the cast to double
+    # happens BEFORE scaling (the oracle-hash-breaking order)
+    ref = [int(math.floor(float(np.float32(v)) * 1000 + 0.5)) for v in vals]
+    assert got == ref
+
+
+@st.composite
+def corpus_and_centroids(draw):
+    """Milli-unit vectors + centroid arrays with DUPLICATION pressure:
+    some centroids copy earlier ones (exact d2 ties), and some vectors
+    copy a centroid exactly (d2 = 0 at multiple ks when duplicated)."""
+    d = draw(st.integers(1, 5))
+    n_cent = draw(st.integers(2, 5))
+    cents: list[list[int]] = []
+    for i in range(n_cent):
+        if i > 0 and draw(st.booleans()):
+            cents.append(cents[draw(st.integers(0, i - 1))])
+        else:
+            cents.append(draw(st.lists(_longs, min_size=d, max_size=d)))
+    n_vec = draw(st.integers(2, 8))
+    vecs: list[list[int]] = []
+    for _ in range(n_vec):
+        if draw(st.booleans()):
+            vecs.append(cents[draw(st.integers(0, n_cent - 1))])
+        else:
+            vecs.append(draw(st.lists(_longs, min_size=d, max_size=d)))
+    return vecs, cents
+
+
+@given(data=corpus_and_centroids())
+@_SETTINGS
+def test_nearest_centroid_argmin_ties_break_on_smaller_k(data, spark):
+    vecs, cents = data
+    ev = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, mv array<long>"
+    )
+    cent = spark.createDataFrame(
+        [(k, c) for k, c in enumerate(cents)], "k long, cv array<long>"
+    )
+    best = _nearest_centroid(F.col("mv"))
+    got = {
+        r["vec_id"]: (r["d2"], r["k"])
+        for r in ev.crossJoin(F.broadcast(_centroid_set(cent)))
+        .select("vec_id", best["d2"].alias("d2"), best["k"].alias("k"))
+        .collect()
+    }
+    for i, v in enumerate(vecs):
+        ref = min(
+            (sum((a - b) * (a - b) for a, b in zip(v, c)), k)
+            for k, c in enumerate(cents)
+        )
+        assert got[i] == ref
+
+
+@st.composite
+def labeled_vectors(draw):
+    d = draw(st.integers(1, 5))
+    n = draw(st.integers(2, 10))
+    rows = [
+        (i, draw(st.integers(0, 2)), draw(st.lists(_longs, min_size=d, max_size=d)))
+        for i in range(n)
+    ]
+    return rows
+
+
+@given(rows=labeled_vectors())
+@_SETTINGS
+def test_label_centroid_arrays_matches_reference(rows, spark):
+    ev = spark.createDataFrame(rows, "vec_id long, label long, mv array<long>")
+    got = {
+        r["k"]: r["cv"]
+        for r in _label_centroid_arrays(ev, "k").collect()
+    }
+    by_label: dict[int, list[list[int]]] = {}
+    for _, lbl, v in rows:
+        by_label.setdefault(lbl, []).append(v)
+    for lbl, vs in by_label.items():
+        n = len(vs)
+        ref = [
+            int(math.floor(sum(v[i] for v in vs) / n + 0.5))
+            for i in range(len(vs[0]))
+        ]
+        assert got[lbl] == ref
