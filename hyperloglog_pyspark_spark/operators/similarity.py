@@ -920,7 +920,11 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the looped state IS the one-row centroid set: the model stays
     # collapsed between rounds, so no per-round re-collection and no
     # (k, cv)-grain join exist — each round is assignment + ONE
-    # model-sized aggregation + a 1-row × 1-row merge
+    # model-sized aggregation + a 1-row × 1-row merge. The merge's
+    # per-cluster filter is O(k²·d) on one core — at the production
+    # k ≈ √N sizing that stays minutes-below the corpus pass each round
+    # already pays; if k outgrows that, swap the merge for a
+    # map_from_entries lookup (one extra model-sized aggregation)
     cent = checkpoint_rounds(_centroid_set(_label_centroid_arrays(ev, "k")))
 
     def assign(cents_row: DataFrame) -> DataFrame:

@@ -477,6 +477,12 @@ def test_embedding_family_stays_array_native(spark, sf_dir):
         "semdedup_centroid_prune": (2, False),
         "embedding_centroid_confusion": (5, True),
         "embedding_kmeans_lloyd": (3, True),
+        # ivf scores in a codegen broadcast-join projection (hash join,
+        # not BNLJ) with a min(struct) partial-agg argmin — exchanges
+        # are the assignment agg, the tiny probe window, the re-rank
+        # window, and broadcasts; the pre-r7 corpus × n_cent window
+        # plan sat at the same count but with no partial aggregation
+        "similarity_ivf": (6, False),
     }
     bad = []
     for name, (ceiling, needs_bnlj) in budgets.items():
