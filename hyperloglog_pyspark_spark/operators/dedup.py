@@ -608,28 +608,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in range (ANSI mode raises ARITHMETIC_OVERFLOW past that, a loud
     # failure, not silent corruption; enforce a document-length cap
     # upstream when corpora can exceed ~32k distinct tokens per doc).
+    # The packed sums, 48 majority votes, and band array are built as
+    # SQL strings parsed JVM-side in a handful of calls: composing them
+    # as Column objects costs hundreds of py4j round-trips and ~1.2 s of
+    # DRIVER time per invocation (measured — the plan built slower than
+    # it executed).
     lanes = N_SIM_BITS // 4  # 12 packed sums, 4 counters each
     packed = [
-        F.sum(
-            sum(
-                F.shiftleft(
-                    F.shiftright("h", 4 * g + j).bitwiseAND(1).cast("long"), 16 * j
-                )
-                for j in range(4)
-            )
-        ).alias(f"s{g}")
+        "SUM("
+        + " + ".join(
+            f"shiftleft(CAST(shiftright(h, {4 * g + j}) & 1 AS BIGINT), {16 * j})"
+            for j in range(4)
+        )
+        + f") AS s{g}"
         for g in range(lanes)
     ]
-    cnt = F.count(F.lit(1)).alias("n_tok")
-
-    def vote(b: int) -> F.Column:
-        cnt_b = F.shiftright(F.col(f"s{b // 4}"), 16 * (b % 4)).bitwiseAND(0xFFFF)
-        return F.when(cnt_b * 2 > F.col("n_tok"), F.lit(1 << b).cast("long")).otherwise(0)
-
+    votes = " + ".join(
+        f"(CASE WHEN (shiftright(s{b // 4}, {16 * (b % 4)}) & 65535) * 2 > n_tok"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(N_SIM_BITS)
+    )
     sim = (
         th.groupBy("doc_id")
-        .agg(cnt, *packed)
-        .select("doc_id", sum(vote(b) for b in range(N_SIM_BITS)).alias("simhash"))
+        .agg(F.count(F.lit(1)).alias("n_tok"), *[F.expr(p) for p in packed])
+        .select("doc_id", F.expr(votes).alias("simhash"))
     )
     # The banded self-join consumes the fingerprint table twice; without a
     # persist each side re-runs the token explode + 48-vote aggregation
@@ -643,17 +645,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     if registry_mod.EAGER_CACHES:
         sim.count()
     band_w = N_SIM_BITS // SIM_BANDS
+    band_arr = ", ".join(
+        f"shiftright(simhash, {b * band_w}) & {(1 << band_w) - 1}"
+        for b in range(SIM_BANDS)
+    )
     bands = sim.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", b * band_w).bitwiseAND((1 << band_w) - 1)
-                    for b in range(SIM_BANDS)
-                ]
-            )
-        ).alias("band", "band_val"),
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band", "band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -723,7 +722,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("e")
-    ).withColumn("bucket", _bucket_expr_spark(F.col("e")))
+    ).withColumn("bucket", _bucket_expr_spark("e"))
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         "label",

@@ -312,18 +312,18 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "semdedup_centroid_prune", "embedding_centroid_confusion",
     "similarity_ivf", "text_bm25_topk", "retrieval_mrr_report",
     "retrieval_ndcg_report", "similarity_hybrid_rrf",
+    "dedup_simhash", "dedup_embedding_cosine", "similarity_ann_lsh",
     "multimodal_decode_gif",
     # latest green = round 1 or 2, unchanged since (oldest rotation)
     "pipeline_corpus_curation", "recursive_cte_spine",
     "sample_deterministic", "sample_stratified", "scan_project_filter",
-    "split_train_val_test", "string_funcs",
     "approx_distinct_users_daily", "array_funcs",
     "cogroup_asof_attribution", "date_funcs", "embedding_norm_quant",
     "event_transition_matrix", "heavy_hitters_mg", "hll64_parity",
     "hll_sketch_rollup", "join_bucketed_colocated", "json_funcs",
     "lateral_topk", "math_funcs", "orderby_limit_topk",
     "pack_sequences_greedy", "percentile_exact", "pivot_order_status",
-    "set_intersect_all_counts", "set_union_by_name", "similarity_ann_lsh",
+    "set_intersect_all_counts", "set_union_by_name",
     "similarity_topk_bruteforce", "sink_partitioned_parquet",
     "source_csv_roundtrip", "source_json_roundtrip",
     "source_orc_roundtrip", "sql_pricing", "sql_q3",

@@ -124,13 +124,14 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-7 contract is: the 10 operators whose code changed this round
+    round-7 contract is: the 13 operators whose code changed this round
     (their driver rows predate the code — the scan-collapse pair, the
     GIF decoder, the array-native / shuffle-shape rewrites of the
-    embedding-and-IVF family, and the retrieval family's shared
-    restricted-tf / map-side-doc-length factoring) lead, then the
-    oldest-green rotation — the names whose latest green row is from
-    round 1 or 2. Locks the prefix composition against accidental
+    embedding-and-IVF family, the retrieval family's shared
+    restricted-tf / map-side-doc-length factoring, and the
+    SQL-string expression builds of the simhash/LSH-bucket family) lead,
+    then the oldest-green rotation — the names whose latest green row is
+    from round 1 or 2. Locks the prefix composition against accidental
     reordering."""
     import __spark_entry__ as E
 
@@ -140,9 +141,10 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
         "semdedup_centroid_prune", "embedding_centroid_confusion",
         "similarity_ivf", "text_bm25_topk", "retrieval_mrr_report",
         "retrieval_ndcg_report", "similarity_hybrid_rrf",
+        "dedup_simhash", "dedup_embedding_cosine", "similarity_ann_lsh",
         "multimodal_decode_gif",
     ]
-    assert names[:10] == changed, "changed-operator block drifted"
+    assert names[:13] == changed, "changed-operator block drifted"
     # pin-pool integrity: registry names dedupe through the dict, so
     # assert on SWEEP_PRIORITY itself — a duplicate there silently
     # shrinks the 50-slot rotation
