@@ -237,7 +237,10 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-ish; the cluster count is the knob, not the code shape.
     Norms ride along inside the pair rows (computed once per vector in
     the persisted frame), so no norm-table join exists at all."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread_scan: the single-row-group scan plans to ONE task, which
+    # would serialize the interpreted nearest-centroid pass; the
+    # repartition lives inside the cache build (post-cache plan unchanged)
+    emb = load_table(spark, sf_dir, "embeddings", spread_scan=True)
     ev = tracked_persist(
         emb.select("vec_id", "label", as_milli("embedding").alias("mv"))
     )

@@ -822,7 +822,10 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Lloyd-iteration assignment step, so this is also the k-means
     building block (seeded by label centroids).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread_scan: the single-row-group scan plans to ONE task, which
+    # would serialize the interpreted nearest-centroid pass; the
+    # repartition lives inside the cache build (post-cache plan unchanged)
+    emb = load_table(spark, sf_dir, "embeddings", spread_scan=True)
     ev = tracked_persist(
         emb.select("vec_id", "label", as_milli("embedding").alias("mv"))
     )
@@ -926,7 +929,10 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchained plan doubles the centroid subplan per round: 2^rounds
     copies of the seed build by the final assignment.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread_scan: the single-row-group scan plans to ONE task, which
+    # would serialize the interpreted nearest-centroid pass; the
+    # repartition lives inside the cache build (post-cache plan unchanged)
+    emb = load_table(spark, sf_dir, "embeddings", spread_scan=True)
     ev = tracked_persist(
         emb.select("vec_id", "label", as_milli("embedding").alias("mv"))
     )
