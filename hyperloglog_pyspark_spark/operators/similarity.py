@@ -944,7 +944,10 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k ≈ √N sizing that stays minutes-below the corpus pass each round
     # already pays; if k outgrows that, swap the merge for a
     # map_from_entries lookup (one extra model-sized aggregation)
-    cent = checkpoint_rounds(_centroid_set(_label_centroid_arrays(ev, "k")))
+    # seed goes unchained: round 1's two references to it dedupe via
+    # exchange reuse, and the first round's checkpoint resets lineage —
+    # a seed checkpoint only adds a materialization job (measured)
+    cent = _centroid_set(_label_centroid_arrays(ev, "k"))
 
     def assign(cents_row: DataFrame) -> DataFrame:
         best = _nearest_centroid(F.col("mv"))
