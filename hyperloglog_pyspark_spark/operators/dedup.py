@@ -849,6 +849,20 @@ def _cc_stats(e: DataFrame) -> tuple:
     return (row.n, row.h)
 
 
+#: session-scoped memo of fixpoint results, keyed by (application id,
+#: semantic hash of the edge plan). The fixpoint's output rides
+#: checkpoint-truncated lineage, so two invocations over the SAME edges
+#: can never be plan-canonical-equal and tracked_persist's cache lookup
+#: can't dedupe them — yet three registered queries (cluster components,
+#: canonical pick, the curation pipeline) all run CC over the same LSH
+#: pair graph. Entries are node-sized frames over "_memo"-owned
+#: checkpoint blocks (registry.checkpoint_memoized) that survive the
+#: per-query cache release; a FULL release_caches() frees the blocks and
+#: empties this dict (it is registered in registry.SESSION_MEMOS).
+_CC_MEMO: dict[tuple[str, int], tuple] = {}  # key -> (analyzed jplan, frame)
+registry_mod.SESSION_MEMOS.append(_CC_MEMO)
+
+
 def connected_components(edges: DataFrame) -> DataFrame:
     """Connected components of an undirected graph given as (u, v) pairs;
     returns (node, component) with component = min node id reachable.
@@ -858,8 +872,22 @@ def connected_components(edges: DataFrame) -> DataFrame:
     lineage depth stays O(1) so round N costs the same as round 1.
     Rounds are O(log² n) in component size — not O(diameter) like plain
     label propagation — and the loop raises rather than returning
-    silently-wrong labels if CC_MAX_ROUNDS is ever hit.
+    silently-wrong labels if CC_MAX_ROUNDS is ever hit. Results memoize
+    per (session, edge-plan) — see ``_CC_MEMO``.
     """
+    try:
+        jplan = edges._jdf.queryExecution().analyzed()
+        key = (
+            edges.sparkSession.sparkContext.applicationId,
+            jplan.canonicalized().semanticHash(),
+        )
+    except Exception:  # unexpected py4j surface change: skip memoization
+        jplan, key = None, None
+    hit = _CC_MEMO.get(key) if key is not None else None
+    # sameResult guards the (unlikely) semanticHash collision: a hash hit
+    # over a DIFFERENT edge plan must recompute, never alias
+    if hit is not None and hit[0].sameResult(jplan):
+        return hit[1]
     e = _cc_materialize(
         edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -879,11 +907,17 @@ def connected_components(edges: DataFrame) -> DataFrame:
             f"connected_components did not converge in {CC_MAX_ROUNDS} rounds"
         )
     # Fixpoint = stars: (u, root) for every non-root u; roots label themselves.
-    return (
+    out = (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
         .distinct()
     )
+    if key is not None:
+        # checkpoint_memoized detaches the result from `e`'s round blocks
+        # (released when the NEXT query runs) so the memo stays servable
+        out = registry_mod.checkpoint_memoized(out)
+        _CC_MEMO[key] = (jplan, out)
+    return out
 
 
 @register(

@@ -130,12 +130,39 @@ def checkpoint_rounds(df: DataFrame) -> DataFrame:
     return checkpoint_tracked(df)
 
 
+#: cross-query memo dicts (e.g. dedup's connected-components fixpoint
+#: results). Their frames ride "_memo"-owned checkpoint blocks that
+#: SURVIVE the per-query release (several queries share one fixpoint),
+#: so the dicts must be emptied exactly when those blocks are freed —
+#: release_caches(keep=None) does both.
+SESSION_MEMOS: list[dict] = []
+
+
+def checkpoint_memoized(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint owned by "_memo": survives the per-query
+    release_caches(keep=<query>) sweep (cross-query memo results would
+    otherwise point at unpersisted, non-recomputable checkpoint blocks);
+    freed only by a full release_caches(). Memo entries must be
+    model/pair-graph-sized — this is a deliberate session-long hold."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    new_ids = tuple(
+        k for k in jsc.getPersistentRDDs().keySet().toArray() if k not in before
+    )
+    _live_caches.append(("_memo", out, new_ids))
+    return out
+
+
 def release_caches(keep: str | None = None) -> None:
-    """Unpersist tracked caches, except those owned by query ``keep``."""
+    """Unpersist tracked caches, except those owned by query ``keep``;
+    "_memo"-owned entries (cross-query memos) survive unless this is a
+    FULL release (keep is None), which also empties every registered
+    SESSION_MEMOS dict so no memo hands out a frame over freed blocks."""
     global _live_caches
     kept: list[tuple[str, DataFrame, tuple[int, ...]]] = []
     for owner, df, rdd_ids in _live_caches:
-        if keep is not None and owner == keep:
+        if keep is not None and owner in (keep, "_memo"):
             kept.append((owner, df, rdd_ids))
             continue
         df.unpersist()
@@ -144,6 +171,9 @@ def release_caches(keep: str | None = None) -> None:
             for rid in rdd_ids:
                 if jmap.containsKey(rid):
                     jmap.get(rid).unpersist()
+    if keep is None:
+        for memo in SESSION_MEMOS:
+            memo.clear()
     _live_caches = kept
 
 
@@ -313,10 +343,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "similarity_ivf", "text_bm25_topk", "retrieval_mrr_report",
     "retrieval_ndcg_report", "similarity_hybrid_rrf",
     "dedup_simhash", "dedup_embedding_cosine", "similarity_ann_lsh",
+    "dedup_cluster_components", "dedup_canonical_pick",
+    "pipeline_curation_v2", "split_leakage_audit",
     "multimodal_decode_gif",
     # latest green = round 1 or 2, unchanged since (oldest rotation)
-    "pipeline_corpus_curation", "recursive_cte_spine",
-    "sample_deterministic", "sample_stratified", "scan_project_filter",
+    "pipeline_corpus_curation",
     "approx_distinct_users_daily", "array_funcs",
     "cogroup_asof_attribution", "date_funcs", "embedding_norm_quant",
     "event_transition_matrix", "heavy_hitters_mg", "hll64_parity",
@@ -332,9 +363,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # (window_running_sum / window_topk_per_group / tpch_q10_returned_items /
     # tpch_q14_promo_revenue / tpch_q18_large_orders /
     # unpivot_nation_metrics / timeseries_anomaly_mad /
-    # timeseries_resample_ffill / udtf_bigrams are the remaining r1/r2
-    # greens; they rotate in round 8 — the pin pool is capped at 50 to
-    # match the driver's sample size.)
+    # timeseries_resample_ffill / udtf_bigrams / recursive_cte_spine /
+    # sample_deterministic / sample_stratified / scan_project_filter are
+    # the remaining r1/r2 greens; they rotate in round 8 — the pin pool
+    # is capped at 50 to match the driver's sample size.)
 )
 
 

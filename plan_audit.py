@@ -266,6 +266,12 @@ def main() -> None:
         "cartesian/window guards; their `exchanges` is the TOTAL across all",
         "rounds — at execution each round runs on a localCheckpoint-truncated",
         "lineage, so no single runtime plan is this large.",
+        "DATA-DRIVEN fixpoints (connected components) MEMOIZE per",
+        "(session, edge-plan): the first CC consumer audited in a session",
+        "records the full fixpoint plan; later consumers (canonical pick /",
+        "cluster components / curation pipeline / leakage audit share one",
+        "LSH pair graph) record a checkpointed-RDD scan instead, so their",
+        "rows are audit-order-dependent and deliberately small.",
         "",
         "| query | exchanges | broadcast joins | python nodes | pushdown | cached | multi fact scans | gwin | cart |",
         "|---|---|---|---|---|---|---|---|---|",

@@ -124,15 +124,16 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-7 contract is: the 13 operators whose code changed this round
-    (their driver rows predate the code — the scan-collapse pair, the
-    GIF decoder, the array-native / shuffle-shape rewrites of the
-    embedding-and-IVF family, the retrieval family's shared
-    restricted-tf / map-side-doc-length factoring, and the
-    SQL-string expression builds of the simhash/LSH-bucket family) lead,
-    then the oldest-green rotation — the names whose latest green row is
-    from round 1 or 2. Locks the prefix composition against accidental
-    reordering."""
+    round-7 contract is: the 17 operators whose code or execution path
+    changed this round (their driver rows predate the code — the
+    scan-collapse pair, the GIF decoder, the array-native /
+    shuffle-shape rewrites of the embedding-and-IVF family, the
+    retrieval family's shared restricted-tf / map-side-doc-length
+    factoring, the SQL-string expression builds of the simhash /
+    LSH-bucket family, and the connected-components memo's consumers)
+    lead, then the oldest-green rotation — the names whose latest green
+    row is from round 1 or 2. Locks the prefix composition against
+    accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
@@ -142,9 +143,11 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
         "similarity_ivf", "text_bm25_topk", "retrieval_mrr_report",
         "retrieval_ndcg_report", "similarity_hybrid_rrf",
         "dedup_simhash", "dedup_embedding_cosine", "similarity_ann_lsh",
+        "dedup_cluster_components", "dedup_canonical_pick",
+        "pipeline_curation_v2", "split_leakage_audit",
         "multimodal_decode_gif",
     ]
-    assert names[:13] == changed, "changed-operator block drifted"
+    assert names[:17] == changed, "changed-operator block drifted"
     # pin-pool integrity: registry names dedupe through the dict, so
     # assert on SWEEP_PRIORITY itself — a duplicate there silently
     # shrinks the 50-slot rotation

@@ -977,3 +977,50 @@ def test_incremental_epochs_bucket_cap_digest_route(spark):
     assert capped[100] == full[100] == (1, 1, 1, False)  # pairwise route
     assert capped[103][3] and capped[104] == (2, 1, 1, False)  # chaining
     assert capped[200] == (2, 0, 0, True)
+
+
+def test_connected_components_memo_survives_query_release(spark):
+    """The CC fixpoint memo contract: (a) a second call over a
+    semantically-equal edge plan returns the memoized frame (no fixpoint
+    re-run); (b) different edges never false-hit; (c) the memoized frame
+    stays SERVABLE after another registered query's invocation releases
+    per-query caches (its blocks are "_memo"-owned); (d) a FULL
+    release_caches() empties the memo and a fresh call recomputes."""
+    from hyperloglog_pyspark_spark import registry
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        _CC_MEMO,
+        connected_components,
+    )
+
+    registry.release_caches()  # start clean
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "u long, v long"
+    )
+    cc1 = connected_components(e1)
+    got1 = {(r["node"], r["component"]) for r in cc1.collect()}
+    assert got1 == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert connected_components(e1) is cc1  # same plan -> memo hit
+    # (two createDataFrame calls make distinct local RDD plans and must
+    # MISS — the real dedup flow derives edges from canonical parquet
+    # scans, whose re-built plans ARE semantically equal; that hit is
+    # exercised by the registered queries below)
+    e2 = spark.createDataFrame([(5, 6)], "u long, v long")
+    got2 = {(r["node"], r["component"]) for r in connected_components(e2).collect()}
+    assert got2 == {(5, 5), (6, 5)}  # no false hit
+    # another query's invocation releases per-query caches; memo survives
+    ALL["text_stats"](spark, "/root/testdata/sf0.001").collect()
+    assert {(r["node"], r["component"]) for r in cc1.collect()} == got1
+    # real flow: the registered dedup queries derive their edge plans
+    # from canonical parquet scans, so re-invocation memo-HITS (one
+    # entry serves cluster_components AND canonical_pick)
+    n_before = len(_CC_MEMO)
+    ALL["dedup_cluster_components"](spark, "/root/testdata/sf0.001").collect()
+    assert len(_CC_MEMO) == n_before + 1
+    ALL["dedup_cluster_components"](spark, "/root/testdata/sf0.001").collect()
+    ALL["dedup_canonical_pick"](spark, "/root/testdata/sf0.001").collect()
+    assert len(_CC_MEMO) == n_before + 1
+    registry.release_caches()  # full release empties the memo
+    assert not _CC_MEMO
+    cc3 = connected_components(e1)
+    assert cc3 is not cc1
+    assert {(r["node"], r["component"]) for r in cc3.collect()} == got1
