@@ -298,12 +298,17 @@ def lzw_decode(data: bytes, min_code_size: int, max_len: int) -> bytes:
             prev = None
             continue
         if code == eoi:
-            # After EOI only byte-alignment padding may remain: any
-            # whole unconsumed byte in the deframed buffer is trailing
-            # garbage an encoder would never emit, and accepting it
-            # would let a flipped bit hide inside the image data
-            # sub-blocks (the trailer/after-IEND legs of the ingest
-            # audit check the other container positions).
+            # After EOI only byte-alignment padding may remain. THIS
+            # framework's encoder (tests/ fixtures) never emits a whole
+            # unconsumed byte there, so for the self-encoded corpus any
+            # such byte is trailing garbage — rejecting it keeps a
+            # flipped bit from hiding inside the image-data sub-blocks
+            # (the trailer/after-IEND legs of the ingest audit check
+            # the other container positions). The GIF spec itself does
+            # NOT forbid post-EOI padding inside sub-blocks and some
+            # foreign encoders emit zero-byte padding; if foreign GIFs
+            # are ever ingested, relax this to tolerate trailing zero
+            # bytes while still rejecting nonzero residue.
             if pos < len(data):
                 raise ValueError("GIF LZW data continues after EOI")
             return bytes(out)

@@ -862,6 +862,26 @@ def _cc_stats(e: DataFrame) -> tuple:
 _CC_MEMO: dict[tuple[str, int], tuple] = {}  # key -> (analyzed jplan, frame)
 registry_mod.SESSION_MEMOS.append(_CC_MEMO)
 
+#: entry bound: a long exploratory session can run CC over many DISTINCT
+#: edge plans; beyond this many memoized fixpoints the oldest entry's
+#: checkpoint blocks are unpersisted (FIFO — the registered queries share
+#: ONE pair graph, so any sensible cap keeps their hit rate intact).
+_CC_MEMO_CAP = 8
+
+
+def _cc_memo_store(key: tuple, jplan, out: DataFrame) -> None:
+    """Insert/replace a memo entry, releasing evicted frames' blocks: a
+    replaced entry (semanticHash collision recompute) and FIFO overflow
+    beyond _CC_MEMO_CAP both unpersist through release_memo_frame — the
+    memo never strands "_memo"-owned blocks in _live_caches."""
+    old = _CC_MEMO.pop(key, None)
+    if old is not None:
+        registry_mod.release_memo_frame(old[1])
+    while len(_CC_MEMO) >= _CC_MEMO_CAP:
+        _, evicted = _CC_MEMO.pop(next(iter(_CC_MEMO)))
+        registry_mod.release_memo_frame(evicted)
+    _CC_MEMO[key] = (jplan, out)
+
 
 def connected_components(edges: DataFrame) -> DataFrame:
     """Connected components of an undirected graph given as (u, v) pairs;
@@ -916,7 +936,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
         # checkpoint_memoized detaches the result from `e`'s round blocks
         # (released when the NEXT query runs) so the memo stays servable
         out = registry_mod.checkpoint_memoized(out)
-        _CC_MEMO[key] = (jplan, out)
+        _cc_memo_store(key, jplan, out)
     return out
 
 
@@ -1102,7 +1122,9 @@ def _incremental_probe_frame(
     through their OTHER, small, bands or deliberately traded away —
     bounded recall for bounded work, same contract as the LSH star.
     Per-doc counts for digest-routed docs summarize distinct digests,
-    not bucket members."""
+    not bucket members; digests already represented among the doc's
+    pairwise-confirmed hists are excluded so a duplicate reachable
+    through both routes is counted once, matching the exact probe."""
     docs = tracked_persist(shingled)
     bands = _band_table(_minhash_sigs(docs))
     is_new = F.expr(_INC_NEW)
@@ -1139,7 +1161,7 @@ def _incremental_probe_frame(
     )
     dh = docs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
     inter = F.size(F.array_intersect("sh_n", "sh_h"))
-    conf = (
+    conf_pairs = (
         cand.join(F.broadcast(dn), "new_id")
         .join(dh, "hist_id")
         .withColumn(
@@ -1148,8 +1170,21 @@ def _incremental_probe_frame(
             / (F.size("sh_n") + F.size("sh_h") - inter),
         )
         .filter(F.col("j") >= JACCARD_T)
-        .groupBy("new_id")
-        .agg(F.count(F.lit(1)).alias("n_confirmed"))
+    )
+    if bucket_cap is not None:
+        # the confirmed pair list is read twice below (counts + the
+        # digest-route exclusion set) — persist the batch-sized frame so
+        # the corpus-side shingle join runs once, and carry the hist
+        # doc's digest (computable from sh_h in place, no extra join)
+        conf_pairs = tracked_persist(
+            conf_pairs.select(
+                "new_id",
+                "hist_id",
+                F.md5(F.array_join("sh_h", "|")).alias("dg"),
+            )
+        )
+    conf = conf_pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_confirmed")
     )
     cand_counts = cand.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
     base = docs.filter(is_new).select("doc_id")
@@ -1180,8 +1215,19 @@ def _incremental_probe_frame(
     hist_digests = (
         dig.filter(~is_new).select("dg").distinct().withColumn("hit", F.lit(1))
     )
+    # Cross-route exclusion: an identical historical dup collides in
+    # EVERY band, so a batch doc can reach it through an under-cap
+    # bucket (pair route) AND an over-cap one (digest route); counting
+    # both would report n_confirmed = 2 where the exact probe says 1.
+    # A digest hit whose digest already belongs to one of this doc's
+    # pairwise-confirmed hists IS that same doc — anti-join it away
+    # (non-identical confirmed hists have different digests and never
+    # mask a legitimate hit).
+    conf_dgs = conf_pairs.select("new_id", "dg").distinct()
     big_conf = (
         dig.join(F.broadcast(big_new), dig["doc_id"] == big_new["new_id"])
+        .select("new_id", "dg")
+        .join(F.broadcast(conf_dgs), ["new_id", "dg"], "left_anti")
         .join(hist_digests, "dg", "left")
         .groupBy("new_id")
         .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_digest_hits"))

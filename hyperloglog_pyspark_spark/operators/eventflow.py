@@ -598,7 +598,7 @@ T_CRIT = 1.96  # two-sided 95% normal critical value
     ),
     stats AS (
         SELECT event_type, variant,
-               COUNT(*) AS n,
+               COUNT(c) AS n,
                CAST(SUM(c) AS BIGINT) AS s1,
                CAST(SUM(c * c) AS BIGINT) AS s2
         FROM obs GROUP BY event_type, variant
@@ -646,7 +646,12 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(v: int, suffix: str):
         on = F.col("variant") == v
         return [
-            F.sum(F.when(on, 1).otherwise(0)).alias(f"n_{suffix}"),
+            # COUNT over the when-expression skips nulls twice over:
+            # other-variant rows AND null metric values. A null reading
+            # is not an observation — n, Σc and Σc² must agree on the
+            # denominator (and the streaming twin's dropna fold,
+            # streaming/pipelines.py, counts exactly the same rows)
+            F.count(F.when(on, F.col("c"))).alias(f"n_{suffix}"),
             F.sum(F.when(on, F.col("c"))).alias(f"s1_{suffix}"),
             F.sum(F.when(on, F.col("c") * F.col("c"))).alias(f"s2_{suffix}"),
         ]

@@ -142,8 +142,14 @@ def checkpoint_memoized(df: DataFrame) -> DataFrame:
     """Eager localCheckpoint owned by "_memo": survives the per-query
     release_caches(keep=<query>) sweep (cross-query memo results would
     otherwise point at unpersisted, non-recomputable checkpoint blocks);
-    freed only by a full release_caches(). Memo entries must be
-    model/pair-graph-sized — this is a deliberate session-long hold."""
+    freed by a full release_caches() or by release_memo_frame() when the
+    owning memo replaces/evicts the entry. Memo entries must be
+    model/pair-graph-sized — this is a deliberate session-long hold.
+    Caveat: localCheckpoint blocks are NON-RELIABLE — on a real cluster
+    an executor loss makes a later memo hit FAIL rather than recompute
+    (lineage was truncated), so long-lived multi-tenant sessions should
+    size memo TTLs below their executor-churn horizon or use reliable
+    checkpoints for memoized frames."""
     jsc = df.sparkSession.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
     out = df.localCheckpoint(eager=True)
@@ -152,6 +158,27 @@ def checkpoint_memoized(df: DataFrame) -> DataFrame:
     )
     _live_caches.append(("_memo", out, new_ids))
     return out
+
+
+def release_memo_frame(df: DataFrame) -> None:
+    """Unpersist ONE tracked frame (typically "_memo"-owned) and drop its
+    _live_caches row — the eviction path for memo dicts that replace or
+    age out an entry mid-session. Without this, an overwritten memo
+    entry's checkpoint blocks would linger until the next FULL
+    release_caches()."""
+    global _live_caches
+    kept: list[tuple[str, DataFrame, tuple[int, ...]]] = []
+    for owner, cdf, rdd_ids in _live_caches:
+        if cdf is not df:
+            kept.append((owner, cdf, rdd_ids))
+            continue
+        cdf.unpersist()
+        if rdd_ids:
+            jmap = cdf.sparkSession.sparkContext._jsc.getPersistentRDDs()
+            for rid in rdd_ids:
+                if jmap.containsKey(rid):
+                    jmap.get(rid).unpersist()
+    _live_caches = kept
 
 
 def release_caches(keep: str | None = None) -> None:

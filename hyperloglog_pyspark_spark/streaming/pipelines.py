@@ -371,9 +371,14 @@ def _make_funnel_state_fn(horizon_us: int | None):
     frozen out. Sound whenever the source watermark allows at most
     ``horizon_us`` of lateness: a pruned candidate t could only become a
     stage time via a future view/click with ts ≤ t < cutoff, which the
-    watermark has already discarded. ``None`` keeps the exact unbounded
-    form (the batch-parity tests exercise arbitrary reorderings with no
-    watermark, so they use ``None``).
+    watermark has already discarded. That argument covers CANDIDATES
+    only, so the COMMITTED stage times (tc, tp) are persisted in the
+    state tuple alongside tv and folded back in as floors on every
+    recompute — they are never in the candidate lists and the horizon
+    prune can never touch them (a converted funnel must stay converted
+    no matter how far event time advances). ``None`` keeps the exact
+    unbounded form (the batch-parity tests exercise arbitrary
+    reorderings with no watermark, so they use ``None``).
     """
 
     def _funnel_state_fn(
@@ -383,10 +388,10 @@ def _make_funnel_state_fn(horizon_us: int | None):
 
         if state.exists:
             (tv, blob) = state.get
-            clicks, purchases, hi = pickle.loads(blob)
+            clicks, purchases, hi, tc0, tp0 = pickle.loads(blob)
             tv = None if tv == _FUNNEL_NONE else tv
         else:
-            tv, clicks, purchases, hi = None, [], [], None
+            tv, clicks, purchases, hi, tc0, tp0 = None, [], [], None, None, None
         for pdf in pdfs:
             for etype, ts in zip(pdf["event_type"], pdf["ts_us"]):
                 ts = int(ts)
@@ -397,14 +402,21 @@ def _make_funnel_state_fn(horizon_us: int | None):
                     clicks.append(ts)
                 elif etype == "purchase":
                     purchases.append(ts)
+        # committed values are floors: tv only decreases, so a committed
+        # tc (≥ the tv it qualified under) keeps qualifying forever —
+        # only a retained candidate strictly below it can replace it
         tc = min(
             (t for t in clicks if tv is not None and t >= tv), default=None
         )
-        clicks = sorted(t for t in clicks if tc is None or t <= tc)
+        if tc0 is not None and (tc is None or tc0 < tc):
+            tc = tc0
+        clicks = sorted(t for t in clicks if tc is None or t < tc)
         tp = min(
             (t for t in purchases if tc is not None and t >= tc), default=None
         )
-        purchases = sorted(t for t in purchases if tp is None or t <= tp)
+        if tp0 is not None and (tp is None or tp0 < tp):
+            tp = tp0
+        purchases = sorted(t for t in purchases if tp is None or t < tp)
         if horizon_us is not None and hi is not None:
             cutoff = hi - horizon_us
             clicks = [t for t in clicks if t >= cutoff]
@@ -412,7 +424,7 @@ def _make_funnel_state_fn(horizon_us: int | None):
         state.update(
             (
                 _FUNNEL_NONE if tv is None else tv,
-                pickle.dumps((clicks, purchases, hi)),
+                pickle.dumps((clicks, purchases, hi, tc, tp)),
             )
         )
         yield pd.DataFrame(

@@ -132,11 +132,11 @@ def test_lsh_candidates_sound_complete_and_cap_invariant(texts, cap, spark):
 def test_incremental_probe_cap_verdict_sound(texts, cap, spark):
     try:
         full = {
-            r["doc_id"]: r["is_dup"]
+            r["doc_id"]: (r["is_dup"], r["n_confirmed"])
             for r in _incremental_probe_frame(_shingle_df(spark, texts)).collect()
         }
         capped = {
-            r["doc_id"]: r["is_dup"]
+            r["doc_id"]: (r["is_dup"], r["n_confirmed"])
             for r in _incremental_probe_frame(
                 _shingle_df(spark, texts), cap
             ).collect()
@@ -146,11 +146,16 @@ def test_incremental_probe_cap_verdict_sound(texts, cap, spark):
     assert set(capped) == set(full)  # same batch membership either way
     # no false positives: the digest/star route only ever flags docs the
     # exact probe also flags
-    assert {d for d, dup in capped.items() if dup} <= {
-        d for d, dup in full.items() if dup
+    assert {d for d, (dup, _) in capped.items() if dup} <= {
+        d for d, (dup, _) in full.items() if dup
     }
+    # the capped probe trades recall, never inflates: a dup reachable
+    # through both the pair and digest routes must be counted ONCE, so
+    # capped n_confirmed can never exceed the exact probe's
+    for d, (_, n) in capped.items():
+        assert n <= full[d][1]
     # byte-identical hist twin ⇒ flagged under any cap
     hist_texts = {t for i, t in enumerate(texts) if i % 5 != 0}
     for d in full:
         if texts[d] in hist_texts:
-            assert capped[d] and full[d]
+            assert capped[d][0] and full[d][0]

@@ -930,6 +930,47 @@ def test_incremental_probe_bucket_cap_digest_route(spark):
     assert capped[200] == (0, 0, False)
 
 
+def test_incremental_probe_cross_route_counts_once(spark):
+    """A duplicate reachable through BOTH probe routes is counted once:
+    doc 0 (batch) has a byte-identical hist twin (doc 1) that shares its
+    under-cap band buckets (pairwise confirmation) while a whale of
+    low-Jaccard one-word variants floods ONE band over the cap, routing
+    doc 0 through the digest leg — which hits the same twin's digest.
+    Pre-fix n_confirmed = 2 (pair + digest) where the exact probe says 1;
+    the digest route now anti-joins away digests already represented
+    among the doc's pairwise-confirmed hists. (Texts pinned from a
+    search over one-word variants; the minhash permutations are fixed,
+    so the band split is deterministic.)"""
+    from hyperloglog_pyspark_spark.functions.texttools import word_shingles
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        _incremental_probe_frame,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota"
+    variants = [
+        "alpha beta gamma delta epsilon %s eta theta iota" % w
+        for w in ("xi", "pi", "rho", "phi", "chi", "v0", "v4")
+    ]
+    rows = [(0, base), (1, base)] + list(zip([2, 3, 4, 6, 7, 8, 9], variants))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    )
+
+    def run(cap):
+        return {
+            r["doc_id"]: (r["n_candidates"], r["n_confirmed"], r["is_dup"])
+            for r in _incremental_probe_frame(docs, cap).collect()
+        }
+
+    full = run(None)
+    assert full == {0: (8, 1, True)}  # exact: 8 candidates, twin confirmed once
+    capped = run(5)
+    # whale band (twin + 7 variants = 8 > cap) digest-routed; under-cap
+    # bands confirm the twin pairwise; the digest hit is excluded
+    assert capped[0][1] == 1  # counted ONCE (pre-fix: 2)
+    assert capped[0][2] and capped[0][1] <= full[0][1]
+
+
 def test_incremental_epochs_bucket_cap_digest_route(spark):
     """The epochs flow's whale guard: per-epoch census + digest route.
     (a) caps above every bucket reduce exactly to the uncapped result;
@@ -1026,3 +1067,49 @@ def test_connected_components_memo_survives_query_release(spark):
     cc3 = connected_components(e1)
     assert cc3 is not cc1
     assert {(r["node"], r["component"]) for r in cc3.collect()} == got1
+    registry.release_caches()
+
+
+def test_connected_components_memo_evicts_replaced_and_overflow(spark):
+    """Memo hygiene: (a) FIFO overflow beyond _CC_MEMO_CAP unpersists the
+    evicted entry's "_memo"-owned checkpoint blocks and drops its
+    _live_caches row (a long exploratory session over many distinct edge
+    plans must not accumulate blocks unboundedly); (b) replacing an
+    existing key releases the old frame's blocks too."""
+    from hyperloglog_pyspark_spark import registry
+    from hyperloglog_pyspark_spark.operators import dedup
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        _CC_MEMO,
+        _cc_memo_store,
+        connected_components,
+    )
+
+    registry.release_caches()  # start clean
+
+    def n_memo_rows():
+        return sum(1 for owner, *_ in registry._live_caches if owner == "_memo")
+
+    old_cap = dedup._CC_MEMO_CAP
+    dedup._CC_MEMO_CAP = 2
+    try:
+        frames = []
+        for i in range(3):  # 3 distinct edge plans > cap of 2
+            e = spark.createDataFrame([(10 * i + 1, 10 * i + 2)], "u long, v long")
+            frames.append(connected_components(e))
+            frames[-1].collect()
+        assert len(_CC_MEMO) == 2  # FIFO evicted the first entry
+        assert n_memo_rows() == 2  # ...and released its _live_caches row
+        # the survivors still serve
+        assert {tuple(r) for r in frames[1].collect()} == {(11, 11), (12, 11)}
+        assert {tuple(r) for r in frames[2].collect()} == {(21, 21), (22, 21)}
+        # replacement under an existing key releases the old frame
+        key = next(iter(_CC_MEMO))
+        jplan, old_frame = _CC_MEMO[key]
+        _cc_memo_store(key, jplan, registry.checkpoint_memoized(old_frame.limit(1)))
+        assert len(_CC_MEMO) == 2
+        assert n_memo_rows() == 2
+    finally:
+        dedup._CC_MEMO_CAP = old_cap
+        registry.release_caches()
+    assert n_memo_rows() == 0
+    assert not spark.sparkContext._jsc.getPersistentRDDs().size()

@@ -1007,6 +1007,108 @@ def test_funnel_state_horizon_bounds_candidate_lists():
     assert out.loc[0, "tc"] == 492_000_000  # the click at 492s qualifies
 
 
+def test_funnel_state_horizon_never_unconverts():
+    """Horizon pruning may only touch CANDIDATES, never the committed
+    stage times: a user who converted must stay converted no matter how
+    far event time advances. Regression for the prune deleting the
+    established tc/tp from the candidate lists — the next fold then
+    recomputed tc as a later click or None, silently un-converting the
+    funnel. Committed values now persist in the state tuple as floors."""
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        _make_funnel_state_fn,
+    )
+
+    fn = _make_funnel_state_fn(10_000_000)  # 10s horizon
+    state = _FakeGroupState()
+
+    def feed(events):
+        pdf = pd.DataFrame(
+            {"event_type": [e for e, _ in events], "ts_us": [t for _, t in events]}
+        )
+        return list(fn(("u",), iter([pdf]), state))[0]
+
+    # batch 1: full conversion at 100/101/102s
+    out = feed([("view", 100_000_000), ("click", 101_000_000), ("purchase", 102_000_000)])
+    assert (out.loc[0, "tv"], out.loc[0, "tc"], out.loc[0, "tp"]) == (
+        100_000_000, 101_000_000, 102_000_000,
+    )
+    # batch 2: an event far beyond the horizon advances the prune cutoff
+    out = feed([("view", 400_000_000)])
+    assert (out.loc[0, "tv"], out.loc[0, "tc"], out.loc[0, "tp"]) == (
+        100_000_000, 101_000_000, 102_000_000,
+    )
+    # batch 3: the fold after the prune must still see the committed
+    # values (pre-fix they were recomputed from the emptied lists)
+    out = feed([("view", 401_000_000)])
+    assert (out.loc[0, "tv"], out.loc[0, "tc"], out.loc[0, "tp"]) == (
+        100_000_000, 101_000_000, 102_000_000,
+    )
+    # a still-earlier qualifying candidate may lower a committed value
+    # (monotone non-increasing), it just can never raise or null it
+    fn2 = _make_funnel_state_fn(None)
+    s2 = _FakeGroupState()
+    pdf = pd.DataFrame(
+        {"event_type": ["view", "click", "click"], "ts_us": [100, 300, 200]}
+    )
+    out = list(fn2(("u",), iter([pdf]), s2))[0]
+    assert out.loc[0, "tc"] == 200
+    pdf = pd.DataFrame({"event_type": ["view"], "ts_us": [50]})
+    out = list(fn2(("u",), iter([pdf]), s2))[0]
+    assert out.loc[0, "tc"] == 200  # 300 was discarded above the old tc
+    pdf = pd.DataFrame({"event_type": ["click"], "ts_us": [60]})
+    out = list(fn2(("u",), iter([pdf]), s2))[0]
+    assert out.loc[0, "tc"] == 60  # new qualifying candidate lowers tc
+
+
+def test_ab_ttest_batch_streaming_null_parity(spark, tmp_path):
+    """Batch/streaming parity WITH null metric values present: the batch
+    operator's n must count only non-null observations (COUNT over the
+    when-expression), matching the streaming fold's dropna — pre-fix the
+    batch counted every variant row into n while its sums skipped nulls,
+    so means and t diverged whenever value was null."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyperloglog_pyspark_spark.registry import REGISTRY
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        _ab_moments_state_fn,
+    )
+
+    rows = [
+        # (event_id, user_id, value): even user_id = variant 0
+        (1, 0, 1.0), (2, 2, None), (3, 4, 5.0), (4, 6, 3.0),
+        (5, 1, 2.0), (6, 3, 4.0), (7, 5, None), (8, 7, None), (9, 9, 8.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["purchase"] * len(rows)),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    b = REGISTRY["experiment_ab_ttest"].fn(spark, str(tmp_path)).collect()[0]
+    # streaming fold over the same observations (variant = user_id % 2,
+    # c = round(value*100); nulls arrive as NaN)
+    state = _FakeGroupState()
+    pdf = pd.DataFrame(
+        {
+            "variant": [r[1] % 2 for r in rows],
+            "c": [None if r[2] is None else round(r[2] * 100) for r in rows],
+        }
+    )
+    s = list(_ab_moments_state_fn(("purchase",), iter([pdf]), state))[0]
+    assert (b["n_a"], b["n_b"]) == (s.loc[0, "n_a"], s.loc[0, "n_b"]) == (3, 3)
+    # batch emits t rounded to 4dp; the streaming readout is unrounded
+    assert abs(float(b["t_welch"]) - float(s.loc[0, "t_welch"])) < 1e-4
+
+
 def test_ab_moments_state_fn_skips_null_metric_values():
     """SQL aggregates skip nulls; the streaming moments fold must too —
     a null events.value reaches the state fn as NaN, and before the
