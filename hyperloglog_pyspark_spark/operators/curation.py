@@ -441,22 +441,22 @@ RRF_K = 60  # reciprocal-rank-fusion constant (Cormack et al. 2009)
 RRF_TOPK = 10  # fused list depth; both input rankings use the same depth
 
 
-def _rrf_oracle() -> str:
+def _rrf_oracle(dense_query: str = "similarity_topk_bruteforce") -> str:
     # curation loads before textops alphabetically; importing it here
     # registers text_bm25_topk so its oracle is reusable as a CTE.
     from hyperloglog_pyspark_spark.operators import textops as _textops  # noqa: F401
     from hyperloglog_pyspark_spark.registry import REGISTRY as _REG
 
     bm25 = _REG["text_bm25_topk"].oracle
-    # The dense side IS similarity_topk_bruteforce's contract (queries
+    # The dense side IS the named similarity query's contract (queries
     # 0..2 ⊂ its query set, RRF_TOPK ≤ its TOP_K) — reuse its oracle so
-    # the ranking definition lives in exactly one place.
-    bruteforce = _REG["similarity_topk_bruteforce"].oracle
+    # each ranking definition lives in exactly one place.
+    dense_sql = _REG[dense_query].oracle
     return f"""
     WITH lex AS ({bm25}),
     dense AS (
         SELECT query_id, vec_id AS doc_id, rank
-        FROM ({bruteforce})
+        FROM ({dense_sql})
         WHERE query_id <= 2 AND rank <= {RRF_TOPK}
     ),
     fused AS (
@@ -504,28 +504,59 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hyperloglog_pyspark_spark.operators.similarity import (
         similarity_topk_bruteforce,
     )
-    from hyperloglog_pyspark_spark.operators.textops import text_bm25_topk
 
-    lex = text_bm25_topk(spark, sf_dir).select(
-        "query_id", "doc_id", F.col("rank").alias("lex_rank")
-    )
     # Dense side = the bruteforce baseline's own ranking, restricted to
     # the shared query ids — one copy of the cosine/tie-break contract.
-    dense = (
-        similarity_topk_bruteforce(spark, sf_dir)
-        .filter((F.col("query_id") <= 2) & (F.col("rank") <= RRF_TOPK))
-        .select("query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
-    )
-    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").select(
+    return _rrf_fuse(spark, sf_dir, similarity_topk_bruteforce(spark, sf_dir))
+
+
+def _rrf_fuse(spark: SparkSession, sf_dir: str, dense_ranking: DataFrame) -> DataFrame:
+    """RRF fusion body shared by the exact and ANN-dense hybrid forms:
+    BM25 lexical top-k ⊕ the given (query_id, vec_id, rank) dense
+    ranking, both depth-{RRF_TOPK}, fused per (query, doc).
+
+    The fusion is a union + one (query, doc) aggregation rather than a
+    full-outer join: each ranking holds a (query, doc) at most once, so
+    min-over-union is exactly the join's coalesce semantics for HALF the
+    shuffles (a full outer can't broadcast either side, so it costs one
+    exchange per input; the union costs one total)."""
+    from hyperloglog_pyspark_spark.operators.textops import text_bm25_topk
+
+    nolong = F.lit(None).cast("long")
+    lex = text_bm25_topk(spark, sf_dir).select(
         "query_id",
         "doc_id",
-        "lex_rank",
-        "dense_rank",
-        F.round(
-            F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
-            + F.coalesce(1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0)),
-            6,
-        ).alias("rrf"),
+        F.col("rank").cast("long").alias("lex_rank"),
+        nolong.alias("dense_rank"),
+    )
+    dense = (
+        dense_ranking
+        .filter((F.col("query_id") <= 2) & (F.col("rank") <= RRF_TOPK))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            nolong.alias("lex_rank"),
+            F.col("rank").cast("long").alias("dense_rank"),
+        )
+    )
+    fused = (
+        lex.unionByName(dense)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.min("lex_rank").alias("lex_rank"),
+            F.min("dense_rank").alias("dense_rank"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
     return (
@@ -540,3 +571,33 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dense_rank").cast("long").alias("dense_rank"),
         )
     )
+
+
+@register(
+    "similarity_hybrid_rrf_ann",
+    category="similarity",
+    bench=True,
+    oracle=_rrf_oracle("similarity_ann_lsh"),
+)
+def similarity_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with a BUCKETED dense leg: the same RRF fusion as
+    similarity_hybrid_rrf, but the dense ranking is similarity_ann_lsh's
+    multi-probe LSH top-k instead of the exact corpus scan — the 100 TB
+    production form the exact query's docstring promises (the exact twin
+    stays registered as the oracle anchor for the fusion contract).
+
+    Scale: the dense leg's candidate generation is an equi-join of
+    (query × probes) against the LSH-bucketed corpus — probed buckets
+    only, never the full scan — and the fusion still sees a bounded
+    top-k per ranking, so the whole plan is bounded work over ONE corpus
+    bucketing pass plus the shared BM25 inverted-index pass. Recall
+    follows the ANN leg's contract (multi-probe over uniform-random
+    embeddings is LSH's worst case; tests assert the recall floor), and
+    fused ranks shift only where the ANN leg's candidate set differs
+    from exact — the oracle composes the ANN oracle verbatim, so the
+    driver checks THIS form's semantics, not exact-leg parity."""
+    from hyperloglog_pyspark_spark.operators.similarity import (
+        similarity_ann_lsh,
+    )
+
+    return _rrf_fuse(spark, sf_dir, similarity_ann_lsh(spark, sf_dir))

@@ -920,7 +920,9 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-held centroid array); the centroid update explodes only the
     ASSIGNED rows in-task and its (k, dim)-grain aggregation is map-side
     partial, so per-round shuffled bytes are model-sized, never
-    corpus-sized. Empty clusters keep their previous centroid via a
+    corpus-sized; the round's merge reads the updates through a k-entry
+    map (element_at lookup per centroid — O(k²) total, no ·d factor in
+    the one-row task). Empty clusters keep their previous centroid via a
     whole-array coalesce (a cluster with members contributes every
     dimension, so per-dim and per-array coalesce agree — matching the
     oracle's per-(k, i) LEFT JOIN). The tiny centroid frame is
@@ -938,12 +940,17 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the looped state IS the one-row centroid set: the model stays
     # collapsed between rounds, so no per-round re-collection and no
-    # (k, cv)-grain join exist — each round is assignment + ONE
-    # model-sized aggregation + a 1-row × 1-row merge. The merge's
-    # per-cluster filter is O(k²·d) on one core — at the production
-    # k ≈ √N sizing that stays minutes-below the corpus pass each round
-    # already pays; if k outgrows that, swap the merge for a
-    # map_from_entries lookup (one extra model-sized aggregation)
+    # (k, cv)-grain join exist — each round is assignment + per-centroid
+    # partial sums + a 1-row × 1-row merge. The merge reads the round's
+    # updates through a k-entry map (map_from_entries over per-centroid
+    # rows): each centroid's new vector is ONE element_at lookup — O(k²)
+    # key scans total, no ·d factor — so the single-task merge stays
+    # trivially under the corpus pass each round already pays even at
+    # the production k ≈ √N sizing. The pre-r8 per-cluster filter over a
+    # flat (k, i, u) entry list was O(k²·d) in that one task — the last
+    # documented would-change-at-100× plan; interleaved A/B at sf0.1
+    # (3×3 runs) shows the two merges wall-clock-equal at k=10, so the
+    # asymptotic fix costs nothing here
     # seed goes unchained: round 1's two references to it dedupe via
     # exchange reuse, and the first round's checkpoint resets lineage —
     # a seed checkpoint only adds a materialization job (measured)
@@ -955,14 +962,11 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "mv", best["d2"].alias("d2"), best["k"].alias("k")
         )
 
-    def merged_cv(c):
-        # this cluster's updated centroid: its (i, u) entries sorted by
-        # dimension; an empty cluster has no entries and keeps c.cv
-        mine = F.array_sort(F.filter(F.col("ents"), lambda t: t["k"] == c["k"]))
-        newv = F.transform(mine, lambda t: t["u"])
-        return F.when(F.size(newv) == 0, c["cv"]).otherwise(newv)
-
     for _ in range(KM_ITERS):
+        # per-centroid updated vectors: (k, i)-grain map-side partial
+        # sums (the only corpus-width pass), re-assembled per centroid,
+        # then ONE k-entry map row — the exchange after the (k, i) agg
+        # carries k·d rows, the map build k rows
         upd = (
             assign(cent)
             .select("k", F.posexplode("mv").alias("i", "e"))
@@ -972,15 +976,25 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("u")
             )
+            .groupBy("k")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "u"))),
+                    lambda t: t["u"],
+                ).alias("uv")
+            )
             .groupBy()
-            .agg(F.collect_list(F.struct("k", "i", "u")).alias("ents"))
+            .agg(F.map_from_entries(F.collect_list(F.struct("k", "uv"))).alias("m"))
         )
+        # empty clusters have no map entry and keep their previous
+        # centroid (the oracle's per-(k, i) LEFT JOIN + COALESCE)
         cent = checkpoint_rounds(
             cent.crossJoin(F.broadcast(upd)).select(
                 F.transform(
                     F.col("cents"),
                     lambda c: F.struct(
-                        c["k"].alias("k"), merged_cv(c).alias("cv")
+                        c["k"].alias("k"),
+                        F.coalesce(F.element_at("m", c["k"]), c["cv"]).alias("cv"),
                     ),
                 ).alias("cents")
             )

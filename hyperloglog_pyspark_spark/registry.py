@@ -352,48 +352,49 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # samples each round exists to (a) attest queries with no driver row yet,
 # (b) RE-attest queries whose OPERATOR CODE CHANGED since their last
 # green row — changed code outranks stale-but-unchanged greens — and
-# (c) rotate the oldest greens through the remaining slots. Round 7
-# changed three operators (recall-report / kmeans scan collapse via a
-# persisted shared normalized-embedding frame; GIF decoder post-EOI
-# trailing-garbage rejection), locally re-verified against their oracles
-# at sf0.01; they lead, then the full oldest cohort — every name whose
-# latest green row is from round 1 or 2 (49 names, computed from
-# CORRECTNESS_r01–r06.json) — fills the remaining slots. Pinning works:
-# all r3/r4/r5/r6 pins were sampled and went green in the following
-# round.
+# (c) rotate the oldest greens through the remaining slots. Round 8:
+# the new ANN-dense hybrid leads (no driver row), then the five operators
+# whose code changed this round (kmeans map-merge, ab-ttest null
+# counting + oracle, the incremental-probe family's cross-route fix,
+# the hybrid fusion refactor), then the FULL remaining r1/r2-stale
+# cohort (15 names — closes the oldest-attestation gap), then the r3
+# cohort fills to 50.
+#
+# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r8 = r1/r2
+# stragglers + 29 of the 45 r3 greens; r9 = the remaining 16 r3 names +
+# the oldest ~34 r4 greens; r10 = the last r4 names + the r5 cohort +
+# the oldest r6; after that the cohorts cycle (~50/round).
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # round-7 operator rewrites (driver row predates the current code):
-    # the embedding family went array-native (milli-unit array<long> +
-    # broadcast centroid set; zero corpus shuffles in assignment)
-    "similarity_recall_report", "embedding_kmeans_lloyd",
-    "semdedup_centroid_prune", "embedding_centroid_confusion",
-    "similarity_ivf", "text_bm25_topk", "retrieval_mrr_report",
-    "retrieval_ndcg_report", "similarity_hybrid_rrf",
-    "dedup_simhash", "dedup_embedding_cosine", "similarity_ann_lsh",
-    "dedup_cluster_components", "dedup_canonical_pick",
-    "pipeline_curation_v2", "split_leakage_audit",
-    "multimodal_decode_gif",
-    # latest green = round 1 or 2, unchanged since (oldest rotation)
-    "pipeline_corpus_curation",
-    "approx_distinct_users_daily", "array_funcs",
-    "cogroup_asof_attribution", "date_funcs", "embedding_norm_quant",
-    "event_transition_matrix", "heavy_hitters_mg", "hll64_parity",
-    "hll_sketch_rollup", "join_bucketed_colocated", "json_funcs",
-    "lateral_topk", "math_funcs", "orderby_limit_topk",
-    "pack_sequences_greedy", "percentile_exact", "pivot_order_status",
-    "set_intersect_all_counts", "set_union_by_name",
-    "similarity_topk_bruteforce", "sink_partitioned_parquet",
-    "source_csv_roundtrip", "source_json_roundtrip",
-    "source_orc_roundtrip", "sql_pricing", "sql_q3",
-    "subquery_exists_notin", "subquery_scalar_avg", "text_fingerprint",
-    "text_langid", "text_stats", "text_token_freq",
-    # (window_running_sum / window_topk_per_group / tpch_q10_returned_items /
-    # tpch_q14_promo_revenue / tpch_q18_large_orders /
-    # unpivot_nation_metrics / timeseries_anomaly_mad /
-    # timeseries_resample_ffill / udtf_bigrams / recursive_cte_spine /
-    # sample_deterministic / sample_stratified / scan_project_filter are
-    # the remaining r1/r2 greens; they rotate in round 8 — the pin pool
-    # is capped at 50 to match the driver's sample size.)
+    # new query (no driver row yet) + round-8 operator changes (driver
+    # row predates the current code), locally re-verified at sf0.01
+    "similarity_hybrid_rrf_ann", "embedding_kmeans_lloyd",
+    "experiment_ab_ttest", "dedup_incremental_probe",
+    "dedup_incremental_epochs", "similarity_hybrid_rrf",
+    # latest green = round 1 or 2 (the full remaining stale cohort)
+    "scan_project_filter", "string_funcs", "recursive_cte_spine",
+    "sample_deterministic", "split_train_val_test", "sample_stratified",
+    "window_running_sum", "window_topk_per_group", "udtf_bigrams",
+    "unpivot_nation_metrics", "timeseries_anomaly_mad",
+    "timeseries_resample_ffill", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
+    # latest green = round 3 (oldest 29 of 45; the rest rotate in r9)
+    "approx_quantile_check", "array_higher_order",
+    "bitmap_distinct_rollup", "bitwise_funcs", "bloom_membership",
+    "theta_set_algebra", "corpus_dashboard", "corpus_overlap_grams",
+    "curriculum_quality_bins", "embedding_quantize_int8",
+    "event_path_mining", "explode_positional", "hll_set_intersection",
+    "json_variant", "map_funcs", "map_higher_order",
+    "null_safe_arithmetic", "profile_table", "sample_weighted_systematic",
+    "scalar_serde_roundtrip", "scd2_status_history", "sessionize_gap_ids",
+    "sink_python_datasink", "source_python_datasource",
+    "source_text_roundtrip", "text_decontaminate", "text_outlier_zscore",
+    "text_pii_redact", "text_token_bpe",
+    # (remaining r3 greens queued for r9:
+    # tpch_q12/q13/q15/q17/q19/q21/q22/q4, window_distribution,
+    # window_lag_lead, window_range_frame, window_range_interval,
+    # window_rank_dense_ntile, window_session, window_sliding,
+    # window_tumbling — the pin pool is capped at 50 to match the
+    # driver's sample size.)
 )
 
 

@@ -96,6 +96,7 @@ MULTI_FACT_SCAN_ALLOWED: dict[str, tuple[str, int, str]] = {
     "similarity_pq_codebook": ("embeddings", 2, "codebook seeds × corpus subvectors"),
     "similarity_pq_adc_topk": ("embeddings", 2, "query subset × PQ-coded corpus"),
     "similarity_hybrid_rrf": ("embeddings", 2, "dense leg query × corpus (sparse leg is documents)"),
+    "similarity_hybrid_rrf_ann": ("embeddings", 2, "dense leg query probes × bucketed corpus (sparse leg is documents)"),
     "dedup_embedding_cosine": ("embeddings", 2, "bucketed self-join, two sides"),
     "text_decontaminate": ("documents", 2, "train-split × eval-split shingles"),
     # correlated TPC-H forms: the scalar/grouped subquery re-reads the

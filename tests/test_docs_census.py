@@ -43,6 +43,34 @@ def test_coverage_census_matches_registry():
     )
 
 
+def test_coverage_test_census_matches_collection():
+    """COVERAGE.md's "<N> collected tests" must equal a live pytest
+    collection (the r7 verdict caught it drifting 384 → 398 silently):
+    re-collect this very suite in a subprocess and compare. Cheap
+    (collection only, ~1-2 s) and self-correcting — adding a test
+    without refreshing the census line fails here."""
+    import subprocess
+    import sys
+
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    m = re.search(r"(\d+) collected tests", text)
+    assert m, "COVERAGE.md lost its test-census phrase"
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
+         "-p", "no:cacheprovider"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    tail = re.search(r"(\d+) tests collected", out.stdout)
+    assert tail, f"could not parse collection output: {out.stdout[-300:]}"
+    assert int(m.group(1)) == int(tail.group(1)), (
+        f"COVERAGE.md says {m.group(1)} tests, collection found "
+        f"{tail.group(1)} — refresh the census line"
+    )
+
+
 def test_no_other_engine_doc_states_a_query_count():
     import glob
 
@@ -124,30 +152,22 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-7 contract is: the 17 operators whose code or execution path
-    changed this round (their driver rows predate the code — the
-    scan-collapse pair, the GIF decoder, the array-native /
-    shuffle-shape rewrites of the embedding-and-IVF family, the
-    retrieval family's shared restricted-tf / map-side-doc-length
-    factoring, the SQL-string expression builds of the simhash /
-    LSH-bucket family, and the connected-components memo's consumers)
-    lead, then the oldest-green rotation — the names whose latest green
-    row is from round 1 or 2. Locks the prefix composition against
+    round-8 contract is: the NEW query (similarity_hybrid_rrf_ann — no
+    driver row yet) leads, then the five operators whose code changed
+    this round (kmeans map-entry merge, ab-ttest non-null n counting +
+    oracle, the incremental-probe family's cross-route count fix, the
+    hybrid fusion refactor), then the full remaining r1/r2-stale cohort,
+    then the oldest r3 greens. Locks the prefix composition against
     accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
     changed = [
-        "similarity_recall_report", "embedding_kmeans_lloyd",
-        "semdedup_centroid_prune", "embedding_centroid_confusion",
-        "similarity_ivf", "text_bm25_topk", "retrieval_mrr_report",
-        "retrieval_ndcg_report", "similarity_hybrid_rrf",
-        "dedup_simhash", "dedup_embedding_cosine", "similarity_ann_lsh",
-        "dedup_cluster_components", "dedup_canonical_pick",
-        "pipeline_curation_v2", "split_leakage_audit",
-        "multimodal_decode_gif",
+        "similarity_hybrid_rrf_ann", "embedding_kmeans_lloyd",
+        "experiment_ab_ttest", "dedup_incremental_probe",
+        "dedup_incremental_epochs", "similarity_hybrid_rrf",
     ]
-    assert names[:17] == changed, "changed-operator block drifted"
+    assert names[:6] == changed, "changed-operator block drifted"
     # pin-pool integrity: registry names dedupe through the dict, so
     # assert on SWEEP_PRIORITY itself — a duplicate there silently
     # shrinks the 50-slot rotation

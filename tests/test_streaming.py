@@ -512,17 +512,37 @@ def _have_protobuf() -> bool:
         return False
 
 
-def _transform_with_state_running_spend(spark, event_batches):
+# Exact environment gate for the transformWithStateInPandas e2e leg:
+# pyspark 4.1.2's generated state-server stubs
+# (pyspark/sql/streaming/proto/StateMessage_pb2.py) call
+# ValidateProtobufRuntimeVersion(PUBLIC, 6.33.0, ...), so the e2e path
+# needs google.protobuf with runtime >= 6.33.0 — absent in this
+# container (no protobuf at all). The processor SEMANTICS run everywhere
+# via the fake-handle contract tests (test_spend_tracker_processor_
+# contract / test_cusum_monitor_processor_contract); only the protobuf
+# state-server transport is environment-gated. On a standard Spark
+# cluster image (protobuf present) the skip lifts with no code change.
+_PROTOBUF_SKIP = pytest.mark.skipif(
+    not _have_protobuf(),
+    reason=(
+        "transformWithStateInPandas e2e needs google.protobuf runtime "
+        ">= 6.33.0 (pyspark 4.1.2 StateMessage_pb2 stubs); not installed "
+        "in this container — processor semantics covered by the "
+        "fake-handle contract tests"
+    ),
+)
+
+
+@_PROTOBUF_SKIP
+def test_transform_with_state_running_spend(spark, event_batches):
     """transformWithState parity: after both micro-batches, each user's
     latest emitted running total equals the batch aggregate over the full
     input (exact, via integer-cent state).
 
-    Environment gate: transformWithStateInPandas speaks a protobuf-based
-    state-server protocol (pyspark/sql/streaming/transform_with_state_
-    driver_worker.py imports google.protobuf); this container ships no
-    protobuf, so the end-to-end path is collected only where the
-    dependency exists (a standard Spark cluster image). The processor
-    semantics run everywhere via test_spend_tracker_processor_contract."""
+    Environment gate: see _PROTOBUF_SKIP above — the e2e transport needs
+    google.protobuf runtime >= 6.33.0; where it is absent this test
+    SKIPS with that pinned reason, and the processor semantics still run
+    everywhere via test_spend_tracker_processor_contract."""
     from hyperloglog_pyspark_spark.streaming.pipelines import user_spend_stream
 
     # transformWithState requires the RocksDB state store.
@@ -565,10 +585,6 @@ def _transform_with_state_running_spend(spark, event_batches):
         want.sort_values(key).reset_index(drop=True)[["user_id", "n_events", "total_value"]],
         check_like=True,
     )
-
-
-if _have_protobuf():
-    test_transform_with_state_running_spend = _transform_with_state_running_spend
 
 
 def test_python_streaming_datasource_exact_drain(spark, tmp_path):
