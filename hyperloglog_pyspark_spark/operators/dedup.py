@@ -1406,15 +1406,27 @@ def _incremental_epochs_frame(
             F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
         )
         inter = F.size(F.array_intersect("sh_n", "sh_h"))
-        conf = (
+        conf_pairs = (
             cand.join(F.broadcast(dn), "new_id")
             .join(dh, "hist_id")
             .filter(
                 inter.cast("double") / (F.size("sh_n") + F.size("sh_h") - inter)
                 >= JACCARD_T
             )
-            .groupBy("new_id")
-            .agg(F.count(F.lit(1)).alias("n_confirmed"))
+        )
+        if bucket_cap is not None:
+            # read twice (counts + digest-route exclusion) — persist the
+            # batch-sized confirmed pairs; same cross-route-once contract
+            # as _incremental_probe_frame
+            conf_pairs = tracked_persist(
+                conf_pairs.select(
+                    "new_id",
+                    "hist_id",
+                    F.md5(F.array_join("sh_h", "|")).alias("dg"),
+                )
+            )
+        conf = conf_pairs.groupBy("new_id").agg(
+            F.count(F.lit(1)).alias("n_confirmed")
         )
         cnt = cand.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
         base = docs.filter(in_epoch).select("doc_id")
@@ -1445,8 +1457,14 @@ def _incremental_epochs_frame(
             .distinct()
             .withColumn("hit", F.lit(1))
         )
+        # cross-route exclusion (see _incremental_probe_frame): a digest
+        # hit already represented among this doc's pairwise-confirmed
+        # index members would double-count the same duplicate
+        conf_dgs = conf_pairs.select("new_id", "dg").distinct()
         big_conf = (
             dig.join(F.broadcast(big_new), dig["doc_id"] == big_new["new_id"])
+            .select("new_id", "dg")
+            .join(F.broadcast(conf_dgs), ["new_id", "dg"], "left_anti")
             .join(index_digests, "dg", "left")
             .groupBy("new_id")
             .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_digest_hits"))

@@ -1022,6 +1022,41 @@ def test_incremental_epochs_bucket_cap_digest_route(spark):
     assert capped[200] == (2, 0, 0, True)
 
 
+def test_incremental_epochs_cross_route_counts_once(spark):
+    """Epochs twin of test_incremental_probe_cross_route_counts_once:
+    the same pinned band-split corpus re-keyed onto the epoch layout
+    (doc 1 = epoch-1 batch, doc 0 + the variants = epoch-0 index). The
+    identical twin reachable through both an under-cap band (pairwise)
+    and the whale band (digest) must count once."""
+    from hyperloglog_pyspark_spark.functions.texttools import word_shingles
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        _incremental_epochs_frame,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota"
+    variants = [
+        "alpha beta gamma delta epsilon %s eta theta iota" % w
+        for w in ("xi", "pi", "rho", "phi", "chi", "v0", "v4")
+    ]
+    rows = [(1, base), (0, base)]  # 1 = epoch-1 batch, 0 = identical seed
+    rows += list(zip([3, 6, 9, 12, 15, 18, 21], variants))  # epoch-0 whale
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    )
+
+    def run(cap):
+        return {
+            r["doc_id"]: (r["n_candidates"], r["n_confirmed"], r["admitted"])
+            for r in _incremental_epochs_frame(docs, cap).collect()
+        }
+
+    full = run(None)
+    assert full[1] == (8, 1, False)  # exact: twin confirmed once
+    capped = run(5)
+    assert capped[1][1] == 1  # counted ONCE across routes (pre-fix: 2)
+    assert not capped[1][2] and capped[1][1] <= full[1][1]
+
+
 def test_connected_components_memo_survives_query_release(spark):
     """The CC fixpoint memo contract: (a) a second call over a
     semantically-equal edge plan returns the memoized frame (no fixpoint
