@@ -1023,6 +1023,75 @@ def test_funnel_state_horizon_bounds_candidate_lists():
     assert out.loc[0, "tc"] == 492_000_000  # the click at 492s qualifies
 
 
+def test_funnel_stream_horizon_never_unconverts_e2e(spark, tmp_path):
+    """End-to-end twin of test_funnel_state_horizon_never_unconverts:
+    a real funnel_stream(horizon_us=10s) query over three parquet
+    micro-batches — a full conversion, then events far beyond the
+    horizon. The committed stage times must survive the prune through
+    the real applyInPandasWithState state round-trip (the pre-fix bug
+    only surfaced on the SECOND fold after the prune)."""
+    import datetime
+
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        funnel_stream,
+        read_events_stream,
+    )
+
+    def ev_df(rows):
+        # (event_id, seconds, user_id, event_type)
+        return spark.createDataFrame(
+            [
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+                    uid,
+                    et,
+                    1.0,
+                    "{}",
+                )
+                for eid, s, uid, et in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    # batch 1 (written before start — the file source needs the path):
+    # user 7 converts at 100/101/102s
+    _write_batch(spark, ev_df([(1, 100, 7, "view"), (2, 101, 7, "click"),
+                               (3, 102, 7, "purchase")]), src)
+    q = (
+        funnel_stream(read_events_stream(spark, src), horizon_us=10_000_000)
+        .writeStream.format("memory")
+        .queryName("funnel_horizon")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batches 2+3: far-future events advance the horizon cutoff
+        _write_batch(spark, ev_df([(4, 5000, 7, "view")]), src)
+        q.processAllAvailable()
+        _write_batch(spark, ev_df([(5, 5001, 7, "view")]), src)
+        q.processAllAvailable()
+        got = spark.table("funnel_horizon").toPandas()
+    finally:
+        q.stop()
+    base = datetime.datetime(2024, 1, 1).replace(
+        tzinfo=datetime.timezone.utc
+    ).timestamp()
+    want = {
+        "tv": int((base + 100) * 1_000_000),
+        "tc": int((base + 101) * 1_000_000),
+        "tp": int((base + 102) * 1_000_000),
+    }
+    last = got.tail(1).iloc[0]  # one user -> last emission is the latest
+    assert (last["tv"], last["tc"], last["tp"]) == (
+        want["tv"], want["tc"], want["tp"],
+    )
+
+
 def test_funnel_state_horizon_never_unconverts():
     """Horizon pruning may only touch CANDIDATES, never the committed
     stage times: a user who converted must stay converted no matter how
