@@ -966,7 +966,12 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-centroid updated vectors: (k, i)-grain map-side partial
         # sums (the only corpus-width pass), re-assembled per centroid,
         # then ONE k-entry map row — the exchange after the (k, i) agg
-        # carries k·d rows, the map build k rows
+        # carries k·d rows, the map build k rows. (Measured alternative:
+        # d per-dimension sum(mv[i]) aggregates skip the explode and one
+        # exchange but plan/codegen a d+1-wide agg per round — 3×
+        # interleaved A/B at sf0.1 showed it consistently SLOWER; the
+        # explode shape wins while per-round cost is stage-overhead-
+        # bound, and both are model-sized at any corpus scale)
         upd = (
             assign(cent)
             .select("k", F.posexplode("mv").alias("i", "e"))

@@ -67,6 +67,11 @@ PROBE_OPS = [
     # isolates the corpus-scale passes (tokenization, term restriction,
     # doc-length map) from the bounded scoring/eval stages
     "retrieval_ndcg_report",
+    # r8: the hybrid with the BUCKETED dense leg — both corpora grow
+    # (documents for BM25, embeddings for the LSH probes) while the
+    # fused output stays 3 queries × top-10, so the ratio isolates the
+    # bucketing + probe-join passes from the bounded fusion
+    "similarity_hybrid_rrf_ann",
 ]
 
 
