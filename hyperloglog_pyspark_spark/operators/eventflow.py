@@ -612,6 +612,7 @@ T_CRIT = 1.96  # two-sided 95% normal critical value
                (b.s2 - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / ((b.n - 1) * 10000.0) AS var_b
         FROM stats a JOIN stats b
           ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+        WHERE a.n > 0 AND b.n > 0
     )
     SELECT event_type,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
@@ -656,8 +657,9 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(on, F.col("c") * F.col("c"))).alias(f"s2_{suffix}"),
         ]
 
-    # the oracle's variant inner join drops metrics missing a side —
-    # mirror that on the single agg row
+    # the oracle's variant inner join + n > 0 guard drops metrics
+    # missing a side (including a side whose metric values are ALL
+    # null) — mirror that on the single agg row
     paired = (
         obs.groupBy("event_type")
         .agg(*side(0, "a"), *side(1, "b"))
