@@ -873,7 +873,16 @@ def _cc_memo_store(key: tuple, jplan, out: DataFrame) -> None:
     """Insert/replace a memo entry, releasing evicted frames' blocks: a
     replaced entry (semanticHash collision recompute) and FIFO overflow
     beyond _CC_MEMO_CAP both unpersist through release_memo_frame — the
-    memo never strands "_memo"-owned blocks in _live_caches."""
+    memo never strands "_memo"-owned blocks in _live_caches.
+
+    Eviction invalidates HELD handles: an evicted frame rides
+    checkpoint-truncated lineage, so a caller that kept the DataFrame
+    across > _CC_MEMO_CAP distinct later CC edge plans cannot collect it
+    again (missing blocks, no recompute path) — the standard cache-
+    eviction contract. The registered queries are safe by construction:
+    each invocation re-calls connected_components (a memo hit returns
+    the live frame) and consumes it within the query, never holding a
+    result across other queries' CC calls."""
     old = _CC_MEMO.pop(key, None)
     if old is not None:
         registry_mod.release_memo_frame(old[1])

@@ -612,7 +612,7 @@ T_CRIT = 1.96  # two-sided 95% normal critical value
                (b.s2 - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / ((b.n - 1) * 10000.0) AS var_b
         FROM stats a JOIN stats b
           ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
-        WHERE a.n > 0 AND b.n > 0
+        WHERE a.n > 1 AND b.n > 1
     )
     SELECT event_type,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
@@ -657,13 +657,15 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(on, F.col("c") * F.col("c"))).alias(f"s2_{suffix}"),
         ]
 
-    # the oracle's variant inner join + n > 0 guard drops metrics
-    # missing a side (including a side whose metric values are ALL
-    # null) — mirror that on the single agg row
+    # the oracle's variant inner join + n > 1 guard drops metrics
+    # missing a side, a side with only null values, AND a side with a
+    # single observation — Welch variance divides by n−1, so n = 1
+    # would be an ANSI DIVIDE_BY_ZERO crash, not a statistic (the
+    # streaming twin emits t = NULL below the same threshold)
     paired = (
         obs.groupBy("event_type")
         .agg(*side(0, "a"), *side(1, "b"))
-        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
     )
     mean_a = F.col("s1_a") / (F.col("n_a") * 100.0)
     mean_b = F.col("s1_b") / (F.col("n_b") * 100.0)

@@ -388,7 +388,13 @@ def _make_funnel_state_fn(horizon_us: int | None):
 
         if state.exists:
             (tv, blob) = state.get
-            clicks, purchases, hi, tc0, tp0 = pickle.loads(blob)
+            # len-based unpack migrates checkpoints written by the
+            # pre-committed-floor blob format (3-tuple, no tc/tp): a
+            # restarted query resumes with floors unset and recomputes
+            # them from the retained candidates on the first fold
+            parts = pickle.loads(blob)
+            clicks, purchases, hi = parts[:3]
+            tc0, tp0 = parts[3:5] if len(parts) >= 5 else (None, None)
             tv = None if tv == _FUNNEL_NONE else tv
         else:
             tv, clicks, purchases, hi, tc0, tp0 = None, [], [], None, None, None

@@ -504,11 +504,19 @@ def test_spend_tracker_processor_contract():
 
 
 def _have_protobuf() -> bool:
+    """True only when google.protobuf is importable AND its runtime
+    accepts pyspark 4.1.2's generated StateMessage stubs (gencode
+    6.33.0) — an older runtime (e.g. protobuf 5.x from a TF/grpc stack)
+    would fail ValidateProtobufRuntimeVersion at import, so presence
+    alone must not lift the skip."""
     try:
-        import importlib.util
+        from google.protobuf import runtime_version
 
-        return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
+        runtime_version.ValidateProtobufRuntimeVersion(
+            runtime_version.Domain.PUBLIC, 6, 33, 0, "", "StateMessage.proto"
+        )
+        return True
+    except Exception:
         return False
 
 
@@ -1130,6 +1138,18 @@ def test_funnel_state_horizon_never_unconverts():
     assert (out.loc[0, "tv"], out.loc[0, "tc"], out.loc[0, "tp"]) == (
         100_000_000, 101_000_000, 102_000_000,
     )
+    # legacy-checkpoint migration: a state blob written by the
+    # pre-committed-floor format (3-tuple, no tc/tp) unpacks with the
+    # floors unset and the fold recomputes them from the candidates
+    import pickle
+
+    legacy = _FakeGroupState()
+    legacy.update((100, pickle.dumps(([150], [], 150))))
+    pdf = pd.DataFrame({"event_type": ["click"], "ts_us": [120]})
+    out = list(_make_funnel_state_fn(None)(("u",), iter([pdf]), legacy))[0]
+    assert (out.loc[0, "tv"], out.loc[0, "tc"]) == (100, 120)
+    assert len(pickle.loads(legacy.get[1])) == 5  # re-written as 5-tuple
+
     # a still-earlier qualifying candidate may lower a committed value
     # (monotone non-increasing), it just can never raise or null it
     fn2 = _make_funnel_state_fn(None)
@@ -1157,28 +1177,40 @@ def test_ab_ttest_batch_streaming_null_parity(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from hyperloglog_pyspark_spark.registry import REGISTRY
+    from hyperloglog_pyspark_spark.registry import REGISTRY, queries
     from hyperloglog_pyspark_spark.streaming.pipelines import (
         _ab_moments_state_fn,
     )
+
+    queries()  # populate the lazy registry (file may run in isolation)
 
     rows = [
         # (event_id, user_id, value): even user_id = variant 0
         (1, 0, 1.0), (2, 2, None), (3, 4, 5.0), (4, 6, 3.0),
         (5, 1, 2.0), (6, 3, 4.0), (7, 5, None), (8, 7, None), (9, 9, 8.0),
     ]
+    # a second metric whose variant-0 side has exactly ONE non-null
+    # observation: Welch variance divides by n−1, so without the n > 1
+    # guard this was an ANSI DIVIDE_BY_ZERO crash of the whole query
+    n1_rows = [(10, 0, 5.0), (11, 2, None), (12, 1, 1.0), (13, 3, 2.0)]
+    allr = rows + n1_rows
     tbl = pa.table(
         {
-            "event_id": pa.array([r[0] for r in rows], pa.int64()),
-            "ts": pa.array([1_700_000_000_000_000 + r[0] for r in rows], pa.timestamp("us")),
-            "user_id": pa.array([r[1] for r in rows], pa.int64()),
-            "event_type": pa.array(["purchase"] * len(rows)),
-            "value": pa.array([r[2] for r in rows], pa.float64()),
-            "props": pa.array(["{}"] * len(rows)),
+            "event_id": pa.array([r[0] for r in allr], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + r[0] for r in allr], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in allr], pa.int64()),
+            "event_type": pa.array(
+                ["purchase"] * len(rows) + ["click"] * len(n1_rows)
+            ),
+            "value": pa.array([r[2] for r in allr], pa.float64()),
+            "props": pa.array(["{}"] * len(allr)),
         }
     )
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
-    b = REGISTRY["experiment_ab_ttest"].fn(spark, str(tmp_path)).collect()[0]
+    out = REGISTRY["experiment_ab_ttest"].fn(spark, str(tmp_path)).collect()
+    # the n=1 metric is dropped (not crashed on, not emitted as NULLs)
+    assert [r["event_type"] for r in out] == ["purchase"]
+    b = out[0]
     # streaming fold over the same observations (variant = user_id % 2,
     # c = round(value*100); nulls arrive as NaN)
     state = _FakeGroupState()
