@@ -1167,6 +1167,90 @@ def test_funnel_state_horizon_never_unconverts():
     assert out.loc[0, "tc"] == 60  # new qualifying candidate lowers tc
 
 
+def test_funnel_state_fuzz_exact_and_horizon_sound():
+    """Property fuzz of the funnel state fn (pure Python — no Spark):
+    for random event sequences, random arrival orders and random
+    micro-batch splits,
+
+    - horizon=None reproduces the batch-exact (tv, tc, tp) under ANY
+      arrival order (the candidate-buffer exactness claim);
+    - a finite horizon reproduces batch-exact under any order whose
+      lateness is bounded by the horizon (arrival key = ts + jitter,
+      jitter < H — the watermark-soundness model: when an event arrives,
+      hi ≤ its ts + H, so it is never below the prune cutoff), including
+      orders where conversion commits early and later events advance the
+      cutoff far past the committed stage times.
+    """
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        _make_funnel_state_fn,
+    )
+
+    H = 10
+
+    def exact(events):
+        views = [t for e, t in events if e == "view"]
+        clicks = [t for e, t in events if e == "click"]
+        purchases = [t for e, t in events if e == "purchase"]
+        tv = min(views) if views else None
+        tc = min((t for t in clicks if tv is not None and t >= tv), default=None)
+        tp = min((t for t in purchases if tc is not None and t >= tc), default=None)
+        return tv, tc, tp
+
+    def fold(fn, ordered, cuts):
+        state = _FakeGroupState()
+        out = None
+        bounds = [0] + sorted(cuts) + [len(ordered)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            batch = ordered[lo:hi]
+            if not batch:
+                continue
+            pdf = pd.DataFrame(
+                {"event_type": [e for e, _ in batch], "ts_us": [t for _, t in batch]}
+            )
+            out = list(fn(("u",), iter([pdf]), state))[0]
+        return (
+            (None, None, None)
+            if out is None
+            else tuple(
+                None if pd.isna(v) else int(v)
+                for v in (out.loc[0, "tv"], out.loc[0, "tc"], out.loc[0, "tp"])
+            )
+        )
+
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.sampled_from(["view", "click", "purchase"]),
+                st.integers(0, 60),
+            ),
+            min_size=1,
+            max_size=14,
+        ),
+        order_seed=st.randoms(use_true_random=False),
+        jitter=st.lists(st.integers(0, H - 1), min_size=14, max_size=14),
+        cuts=st.lists(st.integers(0, 14), max_size=4),
+    )
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    def run(events, order_seed, jitter, cuts):
+        want = exact(events)
+        # unbounded form: ANY arrival order is exact
+        shuffled = list(events)
+        order_seed.shuffle(shuffled)
+        assert fold(_make_funnel_state_fn(None), shuffled, cuts) == want
+        # horizon form: exact under horizon-bounded lateness
+        keyed = sorted(
+            (t + jitter[i % len(jitter)], i, (e, t))
+            for i, (e, t) in enumerate(events)
+        )
+        bounded_order = [ev for _, _, ev in keyed]
+        assert fold(_make_funnel_state_fn(H), bounded_order, cuts) == want
+
+    run()
+
+
 def test_ab_ttest_batch_streaming_null_parity(spark, tmp_path):
     """Batch/streaming parity WITH null metric values present: the batch
     operator's n must count only non-null observations (COUNT over the
