@@ -617,9 +617,12 @@ T_CRIT = 1.96  # two-sided 95% normal critical value
     SELECT event_type,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
-           ROUND((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b), 4) AS t_welch,
-           ABS((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b)) > {T_CRIT}
-               AS significant
+           CASE WHEN var_a / n_a + var_b / n_b > 0
+                THEN ROUND((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b), 4)
+           END AS t_welch,
+           CASE WHEN var_a / n_a + var_b / n_b > 0
+                THEN ABS((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b)) > {T_CRIT}
+           END AS significant
     FROM sides
     """,
 )
@@ -675,7 +678,12 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_b = (F.col("s2_b") - F.col("s1_b").cast("double") * F.col("s1_b") / F.col("n_b")) / (
         (F.col("n_b") - 1) * 10000.0
     )
-    t = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    # zero pooled variance (both sides constant) has no t statistic —
+    # without the guard the division is an ANSI DIVIDE_BY_ZERO crash;
+    # emit null t/significant like the oracle's CASE (and the streaming
+    # twin's den > 0 guard)
+    den = var_a / F.col("n_a") + var_b / F.col("n_b")
+    t = F.when(den > 0, (mean_b - mean_a) / F.sqrt(den))
     return paired.select(
         "event_type",
         "n_a",

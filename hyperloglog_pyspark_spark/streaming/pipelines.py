@@ -96,7 +96,19 @@ def _distinct_users_state_fn(
     else:
         regs, seen = hll64.empty_registers(_HLL_P), 0
     for pdf in pdfs:
-        hll64.update_registers(regs, pdf["user_id"].astype(str).to_numpy(), _HLL_P)
+        # Canonicalize exactly like the batch path's CAST(user_id AS
+        # STRING) (functions/hll64_spark.py): integer ids stringify
+        # WITHOUT a decimal point and nulls stay None (update_registers
+        # str()s them to 'None'). A bare astype(str) breaks both the
+        # moment a micro-batch contains one null — Arrow hands the
+        # column over as float64, so every id becomes '123.0' and nulls
+        # 'nan', splitting each user into two distinct sketch elements.
+        ids = pdf["user_id"]
+        mask = ids.isna().to_numpy()
+        vals = np.full(len(ids), None, dtype=object)
+        if (~mask).any():
+            vals[~mask] = ids[~mask].astype("int64").astype(str).to_numpy(dtype=object)
+        hll64.update_registers(regs, vals, _HLL_P)
         seen += len(pdf)
     state.update((hll64.serialize(regs), seen))
     yield pd.DataFrame(
@@ -301,20 +313,29 @@ def _ab_moments_state_fn(
         n_a = s1_a = s2_a = n_b = s1_b = s2_b = 0
     for pdf in pdfs:
         # null metric values reach the state fn as NaN; SQL aggregates
-        # (the batch twin's F.sum) skip nulls, so drop them here too —
-        # otherwise int(ca.sum()) raises and the states diverge
-        pdf = pdf.dropna(subset=["c"])
+        # (the batch twin's F.sum) skip nulls, so drop them here too.
+        # A null user_id makes variant NaN — the batch twin's
+        # F.when(variant == v) matches NEITHER side for null, so those
+        # rows must not land anywhere (NaN == 0 is False, which would
+        # silently dump them into variant B).
+        pdf = pdf.dropna(subset=["variant", "c"])
         c = pdf["c"].to_numpy()
         mask = pdf["variant"].to_numpy() == 0
         ca, cb = c[mask], c[~mask]
-        # squares in arbitrary-precision Python int — numpy int64 would
-        # wrap silently past 2^63 and float64 loses exactness past 2^53
-        n_a += len(ca)
-        s1_a += int(ca.sum())
-        s2_a += sum(x * x for x in ca.tolist())
-        n_b += len(cb)
-        s1_b += int(cb.sum())
-        s2_b += sum(x * x for x in cb.tolist())
+        # per-element int() BEFORE any arithmetic: once a batch carried
+        # a null, the column is float64, and float sums/squares lose
+        # exactness at 2^53 — 512× below the 2^62 state guard; each
+        # element itself is an exact integer (round(value·100)), so the
+        # conversion is lossless and the accumulation stays pure-Python
+        # arbitrary-precision int (numpy int64 would wrap past 2^63)
+        ia = [int(x) for x in ca.tolist()]
+        ib = [int(x) for x in cb.tolist()]
+        n_a += len(ia)
+        s1_a += sum(ia)
+        s2_a += sum(x * x for x in ia)
+        n_b += len(ib)
+        s1_b += sum(ib)
+        s2_b += sum(x * x for x in ib)
     if max(s2_a, s2_b) >= 1 << 62:
         raise ValueError(
             "ab_monitor_stream moment state near 2^63 for metric "
@@ -328,7 +349,14 @@ def _ab_moments_state_fn(
         mean_b = s1_b / (n_b * 100.0)
         var_a = (s2_a - float(s1_a) * s1_a / n_a) / ((n_a - 1) * 10000.0)
         var_b = (s2_b - float(s1_b) * s1_b / n_b) / ((n_b - 1) * 10000.0)
-        t = (mean_b - mean_a) / (var_a / n_a + var_b / n_b) ** 0.5
+        # zero pooled variance (both sides constant) has no t statistic:
+        # dividing would raise ZeroDivisionError and poison the query on
+        # every checkpoint restart, and float cancellation can leave the
+        # sum epsilon-NEGATIVE, where Python's **0.5 silently returns a
+        # COMPLEX number that fails Arrow conversion — emit null, like
+        # the batch twin's den > 0 guard
+        den = var_a / n_a + var_b / n_b
+        t = (mean_b - mean_a) / den ** 0.5 if den > 0 else None
     yield pd.DataFrame(
         [
             {
@@ -400,6 +428,11 @@ def _make_funnel_state_fn(horizon_us: int | None):
             tv, clicks, purchases, hi, tc0, tp0 = None, [], [], None, None, None
         for pdf in pdfs:
             for etype, ts in zip(pdf["event_type"], pdf["ts_us"]):
+                if pd.isna(ts):
+                    # a null timestamp reaches the fold as NaN; the
+                    # batch twin's MIN/WHEN aggregates ignore null ts —
+                    # int(NaN) would instead crash the query permanently
+                    continue
                 ts = int(ts)
                 hi = ts if hi is None else max(hi, ts)
                 if etype == "view":
@@ -509,6 +542,17 @@ from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
 SPEND_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 
 
+def _half_up_units(v: np.ndarray, scale: int) -> np.ndarray:
+    """Sign-aware HALF-UP integer-unit rounding of a float array —
+    matches Spark's F.round (HALF_UP, away from zero) for negative
+    values (refunds, below-target deviations) too. pandas .round() is
+    banker's (half-even), which diverges on exact .5 units, and a bare
+    astype('int64') truncates toward zero, which diverges on negatives.
+    Shared by SpendTracker (cents) and CusumMonitor (micro-units) so the
+    rounding discipline cannot drift between the two processors."""
+    return (np.sign(v) * np.floor(np.abs(v) * scale + 0.5)).astype("int64")
+
+
 class SpendTracker(StatefulProcessor):
     """Per-user running spend: ValueState = (event count, total in integer
     cents). Cents keep the cross-batch accumulation exact — the same
@@ -524,15 +568,8 @@ class SpendTracker(StatefulProcessor):
         n, cents = prev if prev else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            # Half-away-from-zero cent rounding, sign-aware — matches
-            # Spark's F.round (HALF_UP) for refunds (negative values) too;
-            # pandas .round() is banker's (half-even), which would diverge
-            # on exact .5 cents, and astype('int64') alone truncates
-            # toward zero, which would diverge on negatives.
             v = pdf["value"].fillna(0.0).to_numpy()
-            cents += int(
-                (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64").sum()
-            )
+            cents += int(_half_up_units(v, 100).sum())
         self._stats.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
@@ -598,25 +635,28 @@ class CusumMonitor(StatefulProcessor):
         prev = self._st.get()
         s, mx, n_alerts = prev if prev else (0, 0, 0)
         h_units = int(CUSUM_STREAM_H * 1_000_000)
-        for pdf in rows:
-            # Missing readings are SKIPPED, not treated as observations of
-            # zero — a null would otherwise apply a full -target deviation
-            # and clear an active alarm (the batch twin's hourly SUM
-            # likewise ignores NULLs). Contrast SpendTracker, where null
-            # spend = 0 genuinely is neutral.
-            v = pdf["value"].dropna().to_numpy()
-            # Same sign-aware HALF_UP unit rounding as SpendTracker, at
-            # micro-unit resolution (matches the batch twin's discipline).
-            d = (
-                np.sign(v - CUSUM_STREAM_TARGET)
-                * np.floor(np.abs(v - CUSUM_STREAM_TARGET) * 1_000_000 + 0.5)
-            ).astype("int64")
-            for du in d:
-                s = max(0, s + int(du))
-                if s > mx:
-                    mx = s
-                if s > h_units:
-                    n_alerts += 1
+        # The CUSUM recursion s = max(0, s + d) is ORDER-SENSITIVE —
+        # unlike the funnel/A-B folds, which were engineered order-free.
+        # Post-shuffle row order within a micro-batch is nondeterministic,
+        # so concatenate the batch's rows and sort by EVENT TIME (value as
+        # tie-break; equal (ts, value) rows commute through the fold).
+        # Cross-batch order follows arrival, bounded by the watermark the
+        # deployment pairs with this monitor.
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "value"], kind="stable")
+        # Missing readings are SKIPPED, not treated as observations of
+        # zero — a null would otherwise apply a full -target deviation
+        # and clear an active alarm (the batch twin's hourly SUM
+        # likewise ignores NULLs). Contrast SpendTracker, where null
+        # spend = 0 genuinely is neutral.
+        v = batch["value"].dropna().to_numpy()
+        d = _half_up_units(v - CUSUM_STREAM_TARGET, 1_000_000)
+        for du in d:
+            s = max(0, s + int(du))
+            if s > mx:
+                mx = s
+            if s > h_units:
+                n_alerts += 1
         self._st.update((s, mx, n_alerts))
         yield pd.DataFrame(
             {
@@ -635,9 +675,11 @@ class CusumMonitor(StatefulProcessor):
 def cusum_stream(events: DataFrame) -> DataFrame:
     """Per-event-type streaming drift monitor via transformWithStateInPandas
     (same environment note as user_spend_stream: the end-to-end form needs
-    google.protobuf; semantics are pinned by the fake-handle contract test)."""
+    google.protobuf; semantics are pinned by the fake-handle contract test).
+    Event time rides along because the CUSUM recursion is order-sensitive —
+    the processor sorts each micro-batch by ts before folding."""
     return (
-        events.select("event_type", "value")
+        events.select("event_type", "value", F.unix_micros("ts").alias("ts_us"))
         .groupBy("event_type")
         .transformWithStateInPandas(
             CusumMonitor(),

@@ -674,8 +674,11 @@ def test_python_streaming_datasource_recovers_from_checkpoint(spark, tmp_path):
 def test_cusum_monitor_processor_contract():
     """CusumMonitor semantics without the protobuf transport: the recursion
     must match a plain-Python replay across micro-batch boundaries (state
-    carries over), alerts count rows above threshold, and the statistic
-    clamps at zero (never negative) when values run below target."""
+    carries over), alerts count rows above threshold, the statistic
+    clamps at zero (never negative) when values run below target, and —
+    because the recursion is ORDER-SENSITIVE — the processor must sort
+    each micro-batch by event time, so a shuffle-scrambled batch yields
+    the same result as the in-order one."""
     import pandas as pd
 
     from hyperloglog_pyspark_spark.streaming.pipelines import (
@@ -684,19 +687,24 @@ def test_cusum_monitor_processor_contract():
         CusumMonitor,
     )
 
-    mon = CusumMonitor()
-    mon.init(_FakeHandle())
-
     batches = [
         [400.0, 900.0, 50.0],            # drives s up
         [1200.0, None, None, 10.0],      # spike; nulls are SKIPPED, not zero
         [10.0, 10.0],                     # decay
         [1.0] * 12,                       # long run below target -> clamp at 0
     ]
-    # plain replay (nulls dropped — a missing reading is not an observation)
+    # event times: strictly increasing across the whole stream
+    t = 0
+    timed = []
+    for batch in batches:
+        ts = list(range(t, t + len(batch)))
+        t += len(batch)
+        timed.append((batch, ts))
+    # plain replay in event-time order (nulls dropped — a missing
+    # reading is not an observation)
     s = mx = n_alerts = 0
     h = int(CUSUM_STREAM_H * 1e6)
-    for batch in batches:
+    for batch, _ in timed:
         for v in batch:
             if v is None:
                 continue
@@ -705,11 +713,26 @@ def test_cusum_monitor_processor_contract():
             s = max(0, s + du)
             mx = max(mx, s)
             n_alerts += s > h
-    outs = []
-    for batch in batches:
-        outs.extend(
-            mon.handleInputRows(("view",), [pd.DataFrame({"value": batch})], None)
-        )
+
+    def drive(scramble):
+        mon = CusumMonitor()
+        mon.init(_FakeHandle())
+        outs = []
+        for batch, ts in timed:
+            pdf = pd.DataFrame({"value": batch, "ts_us": ts})
+            if scramble:
+                pdf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+            outs.extend(mon.handleInputRows(("view",), [pdf], None))
+        return outs
+
+    outs = drive(scramble=False)
+    # post-shuffle arrival order is nondeterministic: a scrambled batch
+    # must fold identically (the processor sorts by ts before the
+    # recursion)
+    scrambled = drive(scramble=True)
+    assert [o.to_dict("records") for o in scrambled] == [
+        o.to_dict("records") for o in outs
+    ]
     last = outs[-1].iloc[0]
     assert last.cusum == s / 1e6
     assert last.max_cusum == mx / 1e6
@@ -1277,7 +1300,11 @@ def test_ab_ttest_batch_streaming_null_parity(spark, tmp_path):
     # observation: Welch variance divides by n−1, so without the n > 1
     # guard this was an ANSI DIVIDE_BY_ZERO crash of the whole query
     n1_rows = [(10, 0, 5.0), (11, 2, None), (12, 1, 1.0), (13, 3, 2.0)]
-    allr = rows + n1_rows
+    # a third metric constant on BOTH sides: pooled variance is exactly
+    # zero — no t statistic exists; the den > 0 guard must emit null
+    # t/significant instead of an ANSI DIVIDE_BY_ZERO crash
+    const_rows = [(14, 0, 1.0), (15, 2, 1.0), (16, 1, 1.0), (17, 3, 1.0)]
+    allr = rows + n1_rows + const_rows
     tbl = pa.table(
         {
             "event_id": pa.array([r[0] for r in allr], pa.int64()),
@@ -1285,16 +1312,19 @@ def test_ab_ttest_batch_streaming_null_parity(spark, tmp_path):
             "user_id": pa.array([r[1] for r in allr], pa.int64()),
             "event_type": pa.array(
                 ["purchase"] * len(rows) + ["click"] * len(n1_rows)
+                + ["signup"] * len(const_rows)
             ),
             "value": pa.array([r[2] for r in allr], pa.float64()),
             "props": pa.array(["{}"] * len(allr)),
         }
     )
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
-    out = REGISTRY["experiment_ab_ttest"].fn(spark, str(tmp_path)).collect()
-    # the n=1 metric is dropped (not crashed on, not emitted as NULLs)
-    assert [r["event_type"] for r in out] == ["purchase"]
-    b = out[0]
+    out = {r["event_type"]: r for r in REGISTRY["experiment_ab_ttest"].fn(spark, str(tmp_path)).collect()}
+    # the n=1 metric is dropped (not crashed on, not emitted as NULLs);
+    # the constant metric is emitted with null t/significant
+    assert set(out) == {"purchase", "signup"}
+    assert out["signup"]["t_welch"] is None and out["signup"]["significant"] is None
+    b = out["purchase"]
     # streaming fold over the same observations (variant = user_id % 2,
     # c = round(value*100); nulls arrive as NaN)
     state = _FakeGroupState()
@@ -1308,6 +1338,67 @@ def test_ab_ttest_batch_streaming_null_parity(spark, tmp_path):
     assert (b["n_a"], b["n_b"]) == (s.loc[0, "n_a"], s.loc[0, "n_b"]) == (3, 3)
     # batch emits t rounded to 4dp; the streaming readout is unrounded
     assert abs(float(b["t_welch"]) - float(s.loc[0, "t_welch"])) < 1e-4
+
+
+def test_streaming_folds_null_robustness():
+    """The micro-batch folds must survive (and match batch semantics on)
+    null-bearing columns, which Arrow hands over as float64/NaN:
+
+    - ab moments: zero pooled variance → t is None (not a
+      ZeroDivisionError poison pill, not a complex number); null variant
+      (null user_id) rows land in NEITHER side, like the batch twin's
+      F.when(variant == v); float64 c values accumulate via per-element
+      int() so the exact-integer state discipline survives a null in
+      the batch;
+    - funnel: a null ts row is ignored, like the batch MIN/WHEN;
+    - HLL distinct: a micro-batch containing a null user_id must not
+      re-tokenize integer ids as '123.0' — registers match the batch
+      canonicalization (CAST AS STRING: '123' and None)."""
+    import numpy as np
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.functions import hll64
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        _HLL_P,
+        _ab_moments_state_fn,
+        _distinct_users_state_fn,
+        _make_funnel_state_fn,
+    )
+
+    # zero-variance: both variants constant -> t None, no crash
+    state = _FakeGroupState()
+    pdf = pd.DataFrame({"variant": [0, 0, 1, 1], "c": [100.0, 100.0, 100.0, 100.0]})
+    out = list(_ab_moments_state_fn(("signup",), iter([pdf]), state))[0]
+    assert out.loc[0, "t_welch"] is None or pd.isna(out.loc[0, "t_welch"])
+    # null variant rows (null user_id) land in NEITHER side
+    state = _FakeGroupState()
+    pdf = pd.DataFrame(
+        {"variant": [0.0, 1.0, np.nan], "c": [100.0, 200.0, 999.0]}
+    )
+    out = list(_ab_moments_state_fn(("m",), iter([pdf]), state))[0]
+    assert (out.loc[0, "n_a"], out.loc[0, "n_b"]) == (1, 1)
+    assert (out.loc[0, "s1_a"], out.loc[0, "s1_b"]) == (100, 200)
+    # exact-integer accumulation from a float64 column (one null forced
+    # the dtype): python ints, not floats, reach the state tuple
+    assert isinstance(state.get[1], int) and isinstance(state.get[2], int)
+
+    # funnel: null ts ignored like the batch aggregates
+    state = _FakeGroupState()
+    pdf = pd.DataFrame(
+        {"event_type": ["view", "click"], "ts_us": [np.nan, 50.0]}
+    )
+    out = list(_make_funnel_state_fn(None)(("u",), iter([pdf]), state))[0]
+    assert pd.isna(out.loc[0, "tv"]) and pd.isna(out.loc[0, "tc"])
+
+    # HLL: ids with a null in the batch tokenize like CAST(id AS STRING)
+    state = _FakeGroupState()
+    pdf = pd.DataFrame({"user_id": [123, 456, None]})
+    list(_distinct_users_state_fn(("view",), iter([pdf]), state))
+    want = hll64.empty_registers(_HLL_P)
+    hll64.update_registers(
+        want, np.array(["123", "456", None], dtype=object), _HLL_P
+    )
+    assert hll64.deserialize(state.get[0]).tolist() == want.tolist()
 
 
 def test_ab_moments_state_fn_skips_null_metric_values():
