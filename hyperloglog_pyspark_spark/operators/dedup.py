@@ -20,7 +20,7 @@ functions/texttools.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.texttools import (
     md5_long,
@@ -697,7 +697,7 @@ def _emb_cosine_oracle() -> str:
     """
 
 
-_EMB_PROBE_MASKS: list[int] = []  # filled below; exact bucket + 1-bit flips
+_EMB_PROBE_MASKS: list[int] = []  # filled below; probes out to hamming ≤ 2
 
 
 @register(
@@ -708,13 +708,15 @@ _EMB_PROBE_MASKS: list[int] = []  # filled below; exact bucket + 1-bit flips
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ 0.4 within
-    (label, LSH-bucket) blocks, multi-probed across 1-bit bucket flips.
+    (label, LSH-bucket) blocks, multi-probed out to hamming ≤ 2 bucket
+    flips (exact bucket + 6 one-bit + 15 two-bit = 22 probes/vector,
+    see _EMB_PROBE_MASKS below).
 
     Blocking on label alone is O(n²/L) per block — with a handful of
     labels that is quadratic at scale. The random-hyperplane bucket
     (shared with similarity.py, 2^6 buckets) bounds block size
-    independent of label cardinality; probing the exact bucket plus all
-    1-bit flips keeps candidate recall high for high-cosine pairs (a
+    independent of label cardinality; probing the hamming ≤ 2
+    neighborhood keeps candidate recall high for high-cosine pairs (a
     near-dup pair disagrees on few hyperplanes). Candidates come from an
     equi-join on (label, bucket) — never an unblocked self-join."""
     from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded
@@ -1111,63 +1113,69 @@ def dedup_incremental_probe(
     return _incremental_probe_frame(_shingled(spark, sf_dir), bucket_cap)
 
 
-def _incremental_probe_frame(
-    shingled: DataFrame, bucket_cap: int | None = None
-) -> DataFrame:
-    """Core of ``dedup_incremental_probe`` over an already-shingled
-    corpus ``(doc_id, sh)`` — split out so tests can inject a synthetic
-    whale corpus directly.
+def _sh_digest(col: str | Column) -> Column:
+    """INJECTIVE shingle-set digest: md5 over the per-element md5s,
+    joined. Fixed-width hex elements make the join unambiguous, so
+    digest equality ⇔ identical shingle set even when tokens contain
+    the separator — a plain md5(array_join(sh, '|')) was NOT injective
+    (different sets can join to one string when tokens contain '|',
+    which would let the capped digest route flag a non-identical doc
+    and break its documented no-false-positives contract)."""
+    return F.md5(F.array_join(F.transform(col, F.md5), "|"))
 
-    When ``bucket_cap`` is set, the probe consults an index-side bucket
-    census (one aggregation over the persisted index; production keeps
-    this histogram alongside the index): buckets up to the cap keep the
-    registered member-enumerating probe join, while larger buckets —
-    boilerplate by definition — route their probing batch docs through
-    an exact-DIGEST comparison (shingle-set md5 equi-joined against the
-    corpus' DISTINCT digests), linear on both sides. Digest equality ⇔
-    Jaccard 1, so the route adds no false positives and every doc it
-    flags is one the exact probe would flag (identical docs collide in
-    every band); near-but-not-identical whale-bucket members are caught
-    through their OTHER, small, bands or deliberately traded away —
-    bounded recall for bounded work, same contract as the LSH star.
-    Per-doc counts for digest-routed docs summarize distinct digests,
-    not bucket members; digests already represented among the doc's
-    pairwise-confirmed hists are excluded so a duplicate reachable
+
+def _capped_probe_counts(
+    docs: DataFrame,
+    batch_bands: DataFrame,
+    index_bands: DataFrame,
+    dn: DataFrame,
+    batch_ids: DataFrame,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Shared core of the incremental probes (one-shot
+    ``_incremental_probe_frame`` and per-epoch
+    ``_incremental_epochs_frame``): band-collision candidates of
+    ``batch_bands`` (new_id, band, band_hash) against ``index_bands``
+    (doc_id, band, band_hash), exact-Jaccard confirmation through the
+    batch docs' broadcast shingles ``dn`` (new_id, sh_n), and — when
+    ``bucket_cap`` is set — the over-cap digest route with cross-route
+    exclusion. Returns one row per ``batch_ids`` doc:
+    (doc_id, n_candidates, n_confirmed), zero-coalesced.
+
+    Cap semantics: buckets up to the cap keep the member-enumerating
+    probe join; larger buckets — boilerplate by definition — route
+    their probing batch docs through an exact-DIGEST comparison
+    (injective shingle-set digest, ``_sh_digest``, equi-joined against
+    the index members' DISTINCT digests), linear on both sides. Digest
+    equality ⇔ identical shingle set ⇒ Jaccard 1, so the route adds no
+    false positives; near-but-not-identical whale-bucket members are
+    caught through their OTHER, small, bands or deliberately traded
+    away — bounded recall for bounded work, same contract as the LSH
+    star. Digest-routed counts summarize distinct digests, not bucket
+    members; digests already represented among the doc's
+    pairwise-confirmed hits are excluded so a duplicate reachable
     through both routes is counted once, matching the exact probe."""
-    docs = tracked_persist(shingled)
-    bands = _band_table(_minhash_sigs(docs))
-    is_new = F.expr(_INC_NEW)
-    if bucket_cap is not None:
-        # The census + the probe + the big-key route all read the band
-        # table — pay its signature pass once.
-        bands = tracked_persist(bands)
-    hist = bands.filter(~is_new)
-    batch = bands.filter(is_new).select(
-        F.col("doc_id").alias("new_id"), "band", "band_hash"
-    )
+    probed = index_bands
     big_keys = None
     if bucket_cap is not None:
-        sizes = hist.groupBy("band", "band_hash").agg(
+        sizes = index_bands.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("bsz")
         )
         big_keys = sizes.filter(F.col("bsz") > bucket_cap).select(
             "band", "band_hash"
         )
-        hist = (
-            hist.join(sizes, ["band", "band_hash"])
+        probed = (
+            index_bands.join(sizes, ["band", "band_hash"])
             .filter(F.col("bsz") <= bucket_cap)
             .drop("bsz")
         )
     cand = (
-        hist.join(F.broadcast(batch), ["band", "band_hash"])
+        probed.join(F.broadcast(batch_bands), ["band", "band_hash"])
         .select("new_id", F.col("doc_id").alias("hist_id"))
         .distinct()
     )
     # Only batch docs ever appear as new_id — broadcast just their
     # shingles (the corpus side streams through the hist_id join).
-    dn = docs.filter(is_new).select(
-        F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
-    )
     dh = docs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
     inter = F.size(F.array_intersect("sh_n", "sh_h"))
     conf_pairs = (
@@ -1187,22 +1195,21 @@ def _incremental_probe_frame(
         # doc's digest (computable from sh_h in place, no extra join)
         conf_pairs = tracked_persist(
             conf_pairs.select(
-                "new_id",
-                "hist_id",
-                F.md5(F.array_join("sh_h", "|")).alias("dg"),
+                "new_id", "hist_id", _sh_digest("sh_h").alias("dg")
             )
         )
     conf = conf_pairs.groupBy("new_id").agg(
         F.count(F.lit(1)).alias("n_confirmed")
     )
     cand_counts = cand.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
-    base = docs.filter(is_new).select("doc_id")
     counts = (
-        base.join(
-            F.broadcast(cand_counts), base["doc_id"] == cand_counts["new_id"], "left"
+        batch_ids.join(
+            F.broadcast(cand_counts),
+            batch_ids["doc_id"] == cand_counts["new_id"],
+            "left",
         )
         .drop("new_id")
-        .join(F.broadcast(conf), base["doc_id"] == conf["new_id"], "left")
+        .join(F.broadcast(conf), batch_ids["doc_id"] == conf["new_id"], "left")
         .drop("new_id")
     )
     if bucket_cap is None:
@@ -1210,39 +1217,38 @@ def _incremental_probe_frame(
             "doc_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
             F.coalesce("n_confirmed", F.lit(0)).alias("n_confirmed"),
-            (F.coalesce("n_confirmed", F.lit(0)) > 0).alias("is_dup"),
         )
     # Digest route for batch docs that probed an over-cap bucket: linear
     # equi-join on the shingle-set digest instead of the |bucket|-wide
     # member enumeration (the whale bucket never gets exploded).
-    dig = docs.select("doc_id", F.md5(F.array_join("sh", "|")).alias("dg"))
+    dig = docs.select("doc_id", _sh_digest("sh").alias("dg"))
     big_new = (
-        batch.join(F.broadcast(big_keys), ["band", "band_hash"])
+        batch_bands.join(F.broadcast(big_keys), ["band", "band_hash"])
         .select("new_id")
         .distinct()
     )
-    hist_digests = (
-        dig.filter(~is_new).select("dg").distinct().withColumn("hit", F.lit(1))
+    index_digests = (
+        dig.join(index_bands.select("doc_id").distinct(), "doc_id")
+        .select("dg")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    # Cross-route exclusion: an identical historical dup collides in
-    # EVERY band, so a batch doc can reach it through an under-cap
-    # bucket (pair route) AND an over-cap one (digest route); counting
-    # both would report n_confirmed = 2 where the exact probe says 1.
-    # A digest hit whose digest already belongs to one of this doc's
-    # pairwise-confirmed hists IS that same doc — anti-join it away
-    # (non-identical confirmed hists have different digests and never
+    # Cross-route exclusion: an identical index dup collides in EVERY
+    # band, so a batch doc can reach it through an under-cap bucket
+    # (pair route) AND an over-cap one (digest route); counting both
+    # would report n_confirmed = 2 where the exact probe says 1. A
+    # digest hit whose digest already belongs to one of this doc's
+    # pairwise-confirmed hits IS that same doc — anti-join it away
+    # (non-identical confirmed hits have different digests and never
     # mask a legitimate hit).
     conf_dgs = conf_pairs.select("new_id", "dg").distinct()
     big_conf = (
         dig.join(F.broadcast(big_new), dig["doc_id"] == big_new["new_id"])
         .select("new_id", "dg")
         .join(F.broadcast(conf_dgs), ["new_id", "dg"], "left_anti")
-        .join(hist_digests, "dg", "left")
+        .join(index_digests, "dg", "left")
         .groupBy("new_id")
         .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_digest_hits"))
-    )
-    n_conf = F.coalesce("n_confirmed", F.lit(0)) + F.coalesce(
-        "n_digest_hits", F.lit(0)
     )
     return (
         counts.join(
@@ -1255,9 +1261,53 @@ def _incremental_probe_frame(
                 F.coalesce("n_candidates", F.lit(0))
                 + F.coalesce("n_digest_hits", F.lit(0))
             ).alias("n_candidates"),
-            n_conf.alias("n_confirmed"),
-            (n_conf > 0).alias("is_dup"),
+            (
+                F.coalesce("n_confirmed", F.lit(0))
+                + F.coalesce("n_digest_hits", F.lit(0))
+            ).alias("n_confirmed"),
         )
+    )
+
+
+def _incremental_probe_frame(
+    shingled: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """Core of ``dedup_incremental_probe`` over an already-shingled
+    corpus ``(doc_id, sh)`` — split out so tests can inject a synthetic
+    whale corpus directly. The candidate/confirm/digest machinery is
+    ``_capped_probe_counts`` (shared verbatim with the epochs flow; see
+    its docstring for the ``bucket_cap`` contract): here the index is
+    the whole historical corpus (every non-batch doc) and the batch is
+    every 5th doc_id.
+
+    ``bucket_cap`` is the index-side twin of
+    ``_lsh_candidates(bucket_cap=...)`` — the boilerplate-corpus skew
+    guard (measured in SCALE.md §skewed band). ``None`` (the registered
+    default) keeps the exact probe and the exact registered plan."""
+    docs = tracked_persist(shingled)
+    bands = _band_table(_minhash_sigs(docs))
+    is_new = F.expr(_INC_NEW)
+    if bucket_cap is not None:
+        # The census + the probe + the big-key route all read the band
+        # table — pay its signature pass once.
+        bands = tracked_persist(bands)
+    counts = _capped_probe_counts(
+        docs,
+        bands.filter(is_new).select(
+            F.col("doc_id").alias("new_id"), "band", "band_hash"
+        ),
+        bands.filter(~is_new),
+        docs.filter(is_new).select(
+            F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
+        ),
+        docs.filter(is_new).select("doc_id"),
+        bucket_cap,
+    )
+    return counts.select(
+        "doc_id",
+        "n_candidates",
+        "n_confirmed",
+        (F.col("n_confirmed") > 0).alias("is_dup"),
     )
 
 
@@ -1384,118 +1434,30 @@ def _incremental_epochs_frame(
     bucket-cap contract)."""
     docs = tracked_persist(shingled)
     bands = tracked_persist(_band_table(_minhash_sigs(docs)))
-    dh = docs.select(F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h"))
-    dig = docs.select("doc_id", F.md5(F.array_join("sh", "|")).alias("dg"))
 
     def probe(e: int, index_bands: DataFrame) -> DataFrame:
+        # One epoch's probe against the accumulated admitted index —
+        # the shared candidate/confirm/digest core, with the digest
+        # route scoped to THIS epoch's index members only.
         in_epoch = F.col("doc_id") % _EPOCHS == e
-        batch = bands.filter(in_epoch).select(
-            F.col("doc_id").alias("new_id"), "band", "band_hash"
+        counts = _capped_probe_counts(
+            docs,
+            bands.filter(in_epoch).select(
+                F.col("doc_id").alias("new_id"), "band", "band_hash"
+            ),
+            index_bands,
+            docs.filter(in_epoch).select(
+                F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
+            ),
+            docs.filter(in_epoch).select("doc_id"),
+            bucket_cap,
         )
-        probed = index_bands
-        big_keys = None
-        if bucket_cap is not None:
-            sizes = index_bands.groupBy("band", "band_hash").agg(
-                F.count(F.lit(1)).alias("bsz")
-            )
-            big_keys = sizes.filter(F.col("bsz") > bucket_cap).select(
-                "band", "band_hash"
-            )
-            probed = (
-                index_bands.join(sizes, ["band", "band_hash"])
-                .filter(F.col("bsz") <= bucket_cap)
-                .drop("bsz")
-            )
-        cand = (
-            probed.join(F.broadcast(batch), ["band", "band_hash"])
-            .select("new_id", F.col("doc_id").alias("hist_id"))
-            .distinct()
-        )
-        dn = docs.filter(in_epoch).select(
-            F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
-        )
-        inter = F.size(F.array_intersect("sh_n", "sh_h"))
-        conf_pairs = (
-            cand.join(F.broadcast(dn), "new_id")
-            .join(dh, "hist_id")
-            .filter(
-                inter.cast("double") / (F.size("sh_n") + F.size("sh_h") - inter)
-                >= JACCARD_T
-            )
-        )
-        if bucket_cap is not None:
-            # read twice (counts + digest-route exclusion) — persist the
-            # batch-sized confirmed pairs; same cross-route-once contract
-            # as _incremental_probe_frame
-            conf_pairs = tracked_persist(
-                conf_pairs.select(
-                    "new_id",
-                    "hist_id",
-                    F.md5(F.array_join("sh_h", "|")).alias("dg"),
-                )
-            )
-        conf = conf_pairs.groupBy("new_id").agg(
-            F.count(F.lit(1)).alias("n_confirmed")
-        )
-        cnt = cand.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
-        base = docs.filter(in_epoch).select("doc_id")
-        counts = (
-            base.join(F.broadcast(cnt), base["doc_id"] == cnt["new_id"], "left")
-            .drop("new_id")
-            .join(F.broadcast(conf), base["doc_id"] == conf["new_id"], "left")
-            .drop("new_id")
-        )
-        if bucket_cap is None:
-            return counts.select(
-                "doc_id",
-                F.lit(e).cast("bigint").alias("epoch"),
-                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-                F.coalesce("n_confirmed", F.lit(0)).alias("n_confirmed"),
-                (F.coalesce("n_confirmed", F.lit(0)) == 0).alias("admitted"),
-            )
-        # Digest route for batch docs probing an over-cap index bucket,
-        # against the digests of THIS epoch's index members only.
-        big_new = (
-            batch.join(F.broadcast(big_keys), ["band", "band_hash"])
-            .select("new_id")
-            .distinct()
-        )
-        index_digests = (
-            dig.join(index_bands.select("doc_id").distinct(), "doc_id")
-            .select("dg")
-            .distinct()
-            .withColumn("hit", F.lit(1))
-        )
-        # cross-route exclusion (see _incremental_probe_frame): a digest
-        # hit already represented among this doc's pairwise-confirmed
-        # index members would double-count the same duplicate
-        conf_dgs = conf_pairs.select("new_id", "dg").distinct()
-        big_conf = (
-            dig.join(F.broadcast(big_new), dig["doc_id"] == big_new["new_id"])
-            .select("new_id", "dg")
-            .join(F.broadcast(conf_dgs), ["new_id", "dg"], "left_anti")
-            .join(index_digests, "dg", "left")
-            .groupBy("new_id")
-            .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_digest_hits"))
-        )
-        n_conf = F.coalesce("n_confirmed", F.lit(0)) + F.coalesce(
-            "n_digest_hits", F.lit(0)
-        )
-        return (
-            counts.join(
-                F.broadcast(big_conf), counts["doc_id"] == big_conf["new_id"], "left"
-            )
-            .drop("new_id")
-            .select(
-                "doc_id",
-                F.lit(e).cast("bigint").alias("epoch"),
-                (
-                    F.coalesce("n_candidates", F.lit(0))
-                    + F.coalesce("n_digest_hits", F.lit(0))
-                ).alias("n_candidates"),
-                n_conf.alias("n_confirmed"),
-                (n_conf == 0).alias("admitted"),
-            )
+        return counts.select(
+            "doc_id",
+            F.lit(e).cast("bigint").alias("epoch"),
+            "n_candidates",
+            "n_confirmed",
+            (F.col("n_confirmed") == 0).alias("admitted"),
         )
 
     index_bands = bands.filter(F.col("doc_id") % _EPOCHS == 0)

@@ -971,6 +971,24 @@ def test_incremental_probe_cross_route_counts_once(spark):
     assert capped[0][2] and capped[0][1] <= full[0][1]
 
 
+def test_sh_digest_is_injective_over_separator_bearing_tokens(spark):
+    """The capped probe's digest route claims digest equality ⇔
+    identical shingle set; a plain md5(array_join(sh, '|')) broke that
+    for tokens containing '|' — ['x|y', 'z'] and ['x', 'y|z'] join to
+    the same string. The per-element-md5 digest keeps them distinct
+    (fixed-width hex elements make the join unambiguous) while still
+    mapping identical sets to one digest."""
+    from hyperloglog_pyspark_spark.operators.dedup import _sh_digest
+
+    df = spark.createDataFrame(
+        [(1, ["x|y", "z"]), (2, ["x", "y|z"]), (3, ["x|y", "z"])],
+        "doc_id long, sh array<string>",
+    ).select("doc_id", _sh_digest("sh").alias("dg"))
+    got = {r["doc_id"]: r["dg"] for r in df.collect()}
+    assert got[1] != got[2]  # old encoding collided these
+    assert got[1] == got[3]  # identical sets still share one digest
+
+
 def test_incremental_epochs_bucket_cap_digest_route(spark):
     """The epochs flow's whale guard: per-epoch census + digest route.
     (a) caps above every bucket reduce exactly to the uncapped result;
