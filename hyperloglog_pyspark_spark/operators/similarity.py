@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded, dot
 from hyperloglog_pyspark_spark.registry import (
@@ -211,7 +211,7 @@ N_PROBES = 2
     ),
     scored AS (
         SELECT e.vec_id, e.embedding AS ev, c.cent_id,
-               list_dot_product(e.embedding::DOUBLE[], c.ce::DOUBLE[]) AS score
+               round(list_dot_product(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 4) AS score
         FROM embeddings e CROSS JOIN cent c
     ),
     assign AS (
@@ -263,14 +263,23 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cent_id"), as_double("embedding").alias("ce")
         )
     )
-    # (−score, cent_id) ascending == (score DESC, cent_id ASC): double
-    # negation is IEEE-exact, so min(struct) / ORDER BY ns matches the
-    # oracle's ROW_NUMBER tie-break bit-for-bit
+    # (−score, cent_id) ascending == (score DESC, cent_id ASC): negation
+    # of the ROUNDED score is IEEE-exact and symmetric, so min(struct) /
+    # ORDER BY ns matches the oracle's ROW_NUMBER tie-break bit-for-bit.
+    # The 4dp rounding BEFORE ranking is the module's round-before-rank
+    # discipline (functions/vector.py): it absorbs last-ulp
+    # accumulation-order differences between Spark's left-fold dot and
+    # whatever summation order a future DuckDB list_dot_product uses —
+    # without it, a sub-ulp score tie could assign a vector to different
+    # centroids on the two engines
     scored = (
         emb.select("vec_id", as_double("embedding").alias("ev"))
         .crossJoin(F.broadcast(cent))
         .select(
-            "vec_id", "ev", "cent_id", (-dot(F.col("ev"), F.col("ce"))).alias("ns")
+            "vec_id",
+            "ev",
+            "cent_id",
+            (-F.round(dot(F.col("ev"), F.col("ce")), 4)).alias("ns"),
         )
     )
     assign = (
@@ -308,9 +317,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT label,
                sqrt(list_aggregate(list_transform(embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2,
-               list_aggregate(list_transform(embedding,
-                        x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS l2
         FROM embeddings
     ),
     q AS (
@@ -400,8 +407,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = as_double("embedding")
+    # only label/vd/maxabs feed the error rollup — carrying vec_id or the
+    # raw float vector would double the per-row payload for nothing
     s = emb.select(
-        "vec_id", "label", F.col("embedding").alias("orig"),
+        "label",
         v.alias("vd"),
         F.array_max(F.transform(v, lambda x: F.abs(x))).alias("maxabs"),
     ).filter(F.col("maxabs") > 0)
