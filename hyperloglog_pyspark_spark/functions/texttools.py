@@ -63,3 +63,35 @@ def normalized_text(col: str | Column = "text") -> Column:
 NORMALIZED_SQL = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 )
+
+
+def run_boundaries(col: str) -> Column:
+    """Boundary indexes of the equal-element runs of a SORTED array
+    column (by NAME — this is an F.expr SQL string, the cheap-to-build
+    form; see dedup's py4j note), with the array size appended as the
+    terminating boundary: run k spans [b[k], b[k+1]) and its length is
+    b[k+1] − b[k]. Shared by the map-side term-frequency pass
+    (textops._tf_table) and the repetition signals (text_repetition) —
+    one copy of the boundary arithmetic. CAUTION: the i−1 probe is safe
+    at i = 0 ONLY because the disjunction short-circuits (the left
+    disjunct accepts the row first); try_element_at itself RAISES
+    INVALID_INDEX_OF_ZERO at index 0 — never reorder the disjuncts."""
+    return F.expr(
+        f"concat(filter(sequence(0, size({col}) - 1),"
+        f"              i -> i = 0 OR {col}[i] != try_element_at({col}, i)),"
+        f"       array(size({col})))"
+    )
+
+
+def adjacent_pairs(col: str, combine: str) -> Column:
+    """One element per ADJACENT pair of the array column (by name):
+    zip_with of the array against its shift-by-one self, combined by the
+    SQL lambda body ``combine`` over (x, y). Entirely map-side — the
+    explode+self-join form shuffles one row per token. Shared by
+    text_repetition (bigram strings) and text_pmi_collocations
+    (bigram structs)."""
+    return F.expr(
+        f"zip_with(slice({col}, 1, size({col}) - 1),"
+        f"         slice({col}, 2, size({col}) - 1),"
+        f"         (x, y) -> {combine})"
+    )

@@ -12,7 +12,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from hyperloglog_pyspark_spark.functions.texttools import (
     NORMALIZED_SQL,
     STOPWORDS,
+    adjacent_pairs,
     normalized_text,
+    run_boundaries,
     shingles_sql,
     word_shingles,
 )
@@ -290,13 +292,22 @@ Z_CUT = 1.5
     SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(round((n_tokens - mu) / sigma, 4) AS DOUBLE) AS z
     FROM stats
-    WHERE abs((n_tokens - mu) / sigma) > {Z_CUT}
+    WHERE sigma > 0 AND abs(round((n_tokens - mu) / sigma, 4)) > {Z_CUT}
     """,
 )
 def text_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-outlier documents per language: |z-score| > 2.5 against the
-    per-language token-count distribution — the cheap statistical filter
-    that catches truncated/concatenated documents before training.
+    """Length-outlier documents per language: |z-score| > Z_CUT against
+    the per-language token-count distribution — the cheap statistical
+    filter that catches truncated/concatenated documents before training.
+
+    Determinism/robustness: the filter tests the 4dp-ROUNDED z (the
+    registry's round-before-compare discipline — a borderline doc whose
+    unrounded z differs from the oracle's by ulps of stddev accumulation
+    order must not flip the row set), and sigma > 0 guards both the
+    degenerate constant-length language (under ANSI the division would
+    CRASH Spark while DuckDB emits inf/NaN rows — neither is an outlier
+    verdict) and single-doc languages (sigma NULL, dropped on both
+    engines).
 
     Scale: one window over lang (a handful of partitions — salt if a
     language dominates); no second scan, the stats ride the same pass.
@@ -311,14 +322,21 @@ def text_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(n).over(w).alias("mu"),
         F.stddev_samp(n).over(w).alias("sigma"),
     )
-    z = (F.col("n_tokens") - F.col("mu")) / F.col("sigma")
+    # the division lives INSIDE the when branch: a bare filter
+    # conjunction could be reordered by the optimizer, re-exposing the
+    # ANSI divide-by-zero; CaseWhen never evaluates the branch unless
+    # the condition holds
+    z = F.when(
+        F.col("sigma") > 0,
+        F.round((F.col("n_tokens") - F.col("mu")) / F.col("sigma"), 4),
+    )
     return (
         stats.filter(F.abs(z) > Z_CUT)
         .select(
             "doc_id",
             "lang",
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.round(z, 4).cast("double").alias("z"),
+            z.cast("double").alias("z"),
         )
     )
 
@@ -412,14 +430,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("words"))
         .filter(F.size("words") > 1)  # the oracle's bigram join drops 1-token docs
         .withColumn("s", F.array_sort("words"))
-        .withColumn(
-            "b",
-            F.expr(
-                "concat(filter(sequence(0, size(s) - 1),"
-                "              i -> i = 0 OR s[i] != try_element_at(s, i)),"
-                "       array(size(s)))"
-            ),
-        )
+        .withColumn("b", run_boundaries("s"))
         .select(
             "doc_id",
             F.size("words").cast("long").alias("n_words"),
@@ -428,13 +439,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_word_cnt"),
             (F.size("words") - 1).cast("long").alias("n_bigrams"),
             F.size(
-                F.array_distinct(
-                    F.expr(
-                        "zip_with(slice(words, 1, size(words) - 1),"
-                        "         slice(words, 2, size(words) - 1),"
-                        "         (x, y) -> concat(x, ' ', y))"
-                    )
-                )
+                F.array_distinct(adjacent_pairs("words", "concat(x, ' ', y)"))
             ).cast("long").alias("n_distinct_bigrams"),
         )
     )
@@ -530,21 +535,16 @@ def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs, explode. The explode+groupBy form shuffles one row per
     token occurrence (corpus-token-scale — the single largest exchange
     in the BM25/MRR/NDCG family at 100 TB); this form's only exchange
-    is whatever the consumer adds. try_element_at guards the i-1 probe
-    at i=0 (ANSI mode): the OR's left side already accepts that row.
+    is whatever the consumer adds. The run-boundary arithmetic lives in
+    texttools.run_boundaries (shared with text_repetition) — see its
+    docstring for the i = 0 short-circuit caution.
     """
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     sorted_toks = docs.select(
         "doc_id", F.array_sort(F.split("text", " ")).alias("s")
     )
     bounded = sorted_toks.select(
-        "doc_id",
-        "s",
-        F.expr(
-            "concat(filter(sequence(0, size(s) - 1),"
-            "              i -> i = 0 OR s[i] != try_element_at(s, i)),"
-            "       array(size(s)))"
-        ).alias("b"),
+        "doc_id", "s", run_boundaries("s").alias("b")
     )
     return tracked_persist(
         bounded.select(
@@ -566,10 +566,14 @@ def _doc_len_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths partition the token array), without re-reading the
     corpus-token-scale tf table and shuffling it down to doc grain.
     Persisted because the BM25 plan references it twice (the N/avgdl
-    scalar and the per-doc norm join) — doc-grain, two longs per row."""
+    scalar and the per-doc norm join) — doc-grain, two longs per row.
+    NULL-text docs are excluded to keep n_docs/avgdl aligned with the
+    oracle's tf-derived dl CTE (unnest(NULL) yields zero rows there;
+    keeping them here would count them into n_docs but not avgdl and
+    shift every idf)."""
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     return tracked_persist(
-        docs.select(
+        docs.filter(F.col("text").isNotNull()).select(
             "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
         )
     )
@@ -752,11 +756,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nu = uc.agg(F.sum("c").alias("n_uni"))
     bi = toks.select(
         F.explode(
-            F.expr(
-                "zip_with(slice(toks, 1, size(toks) - 1),"
-                "         slice(toks, 2, size(toks) - 1),"
-                "         (x, y) -> named_struct('w1', x, 'w2', y))"
-            )
+            adjacent_pairs("toks", "named_struct('w1', x, 'w2', y)")
         ).alias("p")
     ).select("p.w1", "p.w2")
     bc = tracked_persist(bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")))
@@ -1105,8 +1105,15 @@ def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 NDCG_DISCOUNT_MICRO = [1000000, 630930, 500000, 430677, 386853,
                        356207, 333333, 315465, 301030, 289065]
 # The rank joins silently drop ranks beyond this table in BOTH engines
-# (the oracle could not catch it) — fail fast instead.
-assert len(NDCG_DISCOUNT_MICRO) >= BM25_TOPK
+# (the oracle could not catch it) — fail fast instead. A bare assert
+# would be stripped under python -O, exactly when the silent truncation
+# could ship.
+if len(NDCG_DISCOUNT_MICRO) < BM25_TOPK:
+    raise ValueError(
+        f"NDCG_DISCOUNT_MICRO covers {len(NDCG_DISCOUNT_MICRO)} ranks but "
+        f"BM25_TOPK={BM25_TOPK}: extend the discount table or NDCG will "
+        "silently drop the deeper ranks in both engines"
+    )
 
 _NDCG_D_VALUES = ", ".join(
     f"({r + 1}, {d})" for r, d in enumerate(NDCG_DISCOUNT_MICRO)
