@@ -99,12 +99,20 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("tc").alias("n_click"),
         F.count("tp").alias("n_purchase"),
     )
+    # an empty upstream stage has no conversion RATE — the oracle's
+    # x*1.0/0 yields NULL in DuckDB, while an unguarded Spark division
+    # is an ANSI DIVIDE_BY_ZERO crash; when() emits the matching null
     return counts.select(
         F.col("n_view").cast("long").alias("n_view"),
         F.col("n_click").cast("long").alias("n_click"),
         F.col("n_purchase").cast("long").alias("n_purchase"),
-        F.round(F.col("n_click") / F.col("n_view"), 6).alias("view_to_click"),
-        F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("click_to_purchase"),
+        F.when(
+            F.col("n_view") > 0, F.round(F.col("n_click") / F.col("n_view"), 6)
+        ).alias("view_to_click"),
+        F.when(
+            F.col("n_click") > 0,
+            F.round(F.col("n_purchase") / F.col("n_click"), 6),
+        ).alias("click_to_purchase"),
     )
 
 
@@ -232,15 +240,19 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated medians with bit-identical IEEE arithmetic, verified
     exact cross-engine, so even the threshold comparison hash-matches.
 
-    Two keyed aggregations (median, then MAD over deviations) with the
-    per-user frames broadcast back — the event stream shuffles on user_id
-    once per pass and never self-joins."""
+    Two keyed aggregations (median, then MAD over deviations) joined
+    back on the SHARED user_id partitioning (the groupBy outputs arrive
+    hash-partitioned on the join key, so the joins add no exchange
+    beyond the one event shuffle). Deliberately NOT broadcast: the
+    per-user frames' cardinality is the user population — unbounded at
+    100 TB, unlike the alphabet-sized rate/threshold broadcasts
+    elsewhere in this module."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     med = ev.groupBy("user_id").agg(F.percentile("value", 0.5).alias("med"))
     # Persisted (tracked): deviations feed both the MAD aggregate and the
     # threshold count — one events pass for scoring, not two.
     scored = tracked_persist(
-        ev.join(F.broadcast(med), "user_id").select(
+        ev.join(med, "user_id").select(
             "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
         )
     )
@@ -249,7 +261,7 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("dev", 0.5).alias("mad"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    flagged = scored.join(F.broadcast(mads.select("user_id", "mad")), "user_id").groupBy(
+    flagged = scored.join(mads.select("user_id", "mad"), "user_id").groupBy(
         "user_id"
     ).agg(
         F.sum(
@@ -300,25 +312,34 @@ _SESSIONIZE_ORACLE = f"""
 )
 def sessionize_gap_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-rule sessionization with explicit session ids: a session breaks
-    after {SESSION_GAP_MIN} minutes of inactivity; session_id is the
+    after SESSION_GAP_MIN (30) minutes of inactivity; session_id is the
     running count of breaks (lag → flag → running sum — the standard
     islands construction, assignment-level output that session_window's
     aggregate form doesn't give you). One user_id shuffle serves both
-    windows and the final per-session rollup."""
+    windows and the final per-session rollup.
+
+    Precision: the gap compares MICROSECOND timestamps — ts has
+    sub-second precision, so a cast-to-long (whole-second) difference
+    under-measures gaps in the (gap, gap+1s) band and merges sessions
+    the oracle's interval comparison splits. Outputs use unix_millis
+    (exact), never a double round-trip."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_new = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > SESSION_GAP_MIN * 60),
+        | (
+            F.unix_micros("ts") - F.unix_micros(prev)
+            > SESSION_GAP_MIN * 60 * 1_000_000
+        ),
         1,
     ).otherwise(0)
     sessions = ev.withColumn("is_new", is_new).withColumn(
         "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return sessions.groupBy("user_id", "session_id").agg(
-        (F.min("ts").cast("double") * 1000).cast("long").alias("session_start_ms"),
-        (F.max("ts").cast("double") * 1000).cast("long").alias("session_end_ms"),
+        F.unix_millis(F.min("ts")).alias("session_start_ms"),
+        F.unix_millis(F.max("ts")).alias("session_end_ms"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -337,7 +358,7 @@ def sessionize_salted_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle, but a whale user (bot, ingestion replay) at 100 TB lands
     an entire timeline in one task. Salt-and-stitch bounds that:
 
-    1. SALT: slice the timeline into fixed {SESSION_SLICE_SEC//3600}-hour
+    1. SALT: slice the timeline into fixed SESSION_SLICE_SEC (6-hour)
        blocks (slice = epoch div slice_len — pure arithmetic, any width
        strictly greater than the session gap works). The islands window
        runs per (user_id, slice), so per-task state is one user-slice,
@@ -351,17 +372,23 @@ def sessionize_salted_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
        chains spanning many slices fuse transitively — the window state
        here is bounded by sessions-per-user, orders of magnitude below
        events-per-user (a 6-hour slice emits at most a handful).
+
+    Precision: every ordering and gap comparison runs at MICROSECONDS —
+    the oracle's interval arithmetic — so this and gap_ids classify the
+    identical session set (a millisecond-truncated compare could merge a
+    gap the oracle splits, and ms-tied events could order differently);
+    the output ms columns are exact integer div of the us extremes.
     """
-    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        (F.col("ts").cast("double") * 1000).cast("long").alias("ts_ms"),
+        F.unix_micros("ts").alias("ts_us"),
         F.expr(f"cast(ts as long) div {SESSION_SLICE_SEC}").alias("slice"),
     )
-    w_salt = Window.partitionBy("user_id", "slice").orderBy("ts_ms", "event_id")
-    prev = F.lag("ts_ms").over(w_salt)
-    local_new = F.when(prev.isNull() | (F.col("ts_ms") - prev > gap_ms), 1).otherwise(0)
+    w_salt = Window.partitionBy("user_id", "slice").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w_salt)
+    local_new = F.when(prev.isNull() | (F.col("ts_us") - prev > gap_us), 1).otherwise(0)
     local = (
         ev.withColumn("is_new", local_new)
         .withColumn(
@@ -370,24 +397,42 @@ def sessionize_salted_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "slice", "local_sid")
         .agg(
-            F.min("ts_ms").alias("start_ms"),
-            F.max("ts_ms").alias("end_ms"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    w_user = Window.partitionBy("user_id").orderBy("start_ms", "end_ms")
-    prev_end = F.lag("end_ms").over(w_user)
+    w_user = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+    prev_end = F.lag("end_us").over(w_user)
     stitched_new = F.when(
-        prev_end.isNull() | (F.col("start_ms") - prev_end > gap_ms), 1
+        prev_end.isNull() | (F.col("start_us") - prev_end > gap_us), 1
     ).otherwise(0)
     stitched = local.withColumn("is_new", stitched_new).withColumn(
         "session_id",
         F.sum("is_new").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return stitched.groupBy("user_id", "session_id").agg(
-        F.min("start_ms").alias("session_start_ms"),
-        F.max("end_ms").alias("session_end_ms"),
+        F.expr("min(start_us) div 1000").alias("session_start_ms"),
+        F.expr("max(end_us) div 1000").alias("session_end_ms"),
         F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+def _scd2_intervals(ev: DataFrame) -> DataFrame:
+    """Lag-filter-lead SCD2 interval construction — the single copy
+    shared by scd2_status_history and temporal_point_in_time: collapse
+    consecutive same-type events per user into half-open
+    [valid_from, valid_to) validity intervals (valid_to NULL = current
+    state). The (ts, event_id) tie-break totals each user's timeline;
+    LEAD re-evaluates over the FILTERED change rows — exactly the rows
+    the oracles' starts/dim CTEs see. Input: (user_id, event_type, ts,
+    event_id); output: (user_id, event_type, valid_from, valid_to)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    return changes.withColumn("valid_to", F.lead("ts").over(w)).select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"), "valid_to"
     )
 
 
@@ -418,20 +463,19 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse consecutive same-type events per user into validity intervals
     [valid_from, valid_to), open-ended on the current state — the
     lag-filter-lead construction every warehouse uses to turn change
-    events into point-in-time-queryable dimension history. Two windows
-    over one user_id shuffle; interval count is bounded by the number of
-    actual state changes, not events."""
+    events into point-in-time-queryable dimension history
+    (``_scd2_intervals``, shared with temporal_point_in_time). Two
+    windows over one user_id shuffle; interval count is bounded by the
+    number of actual state changes, not events."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
-        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
-    )
-    starts = changes.withColumn("valid_to", F.lead("ts").over(w))
-    return starts.select(
+    return _scd2_intervals(ev).select(
         "user_id",
         "event_type",
-        (F.col("ts").cast("double") * 1000).cast("long").alias("valid_from_ms"),
-        (F.col("valid_to").cast("double") * 1000).cast("long").alias("valid_to_ms"),
+        # unix_millis is exact (integer us div 1000); the double
+        # round-trip (cast double * 1000) can truncate an exact-ms
+        # timestamp to k-1 on unlucky bit patterns
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.unix_millis("valid_to").alias("valid_to_ms"),
         F.col("valid_to").isNull().alias("is_current"),
     )
 
@@ -477,7 +521,13 @@ def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("e3").isNotNull())
     return (
         seq.select(
-            F.concat_ws(">", "event_type", "e2", "e3").alias("path"), "user_id"
+            # F.concat propagates NULL like the oracle's || — concat_ws
+            # would silently SKIP a null component and group 'b>c' where
+            # the oracle groups NULL
+            F.concat(
+                "event_type", F.lit(">"), "e2", F.lit(">"), "e3"
+            ).alias("path"),
+            "user_id",
         )
         .groupBy("path")
         .agg(
@@ -808,22 +858,17 @@ def temporal_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one user's handful of intervals.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.filter(F.expr(f"event_type IN {_STATUS_TYPES}"))
-        .withColumn("prev_type", F.lag("event_type").over(w))
-    )
-    dim = (
-        changes.filter(
-            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    # the change-marker intervals are the shared SCD2 construction
+    # (_scd2_intervals) over the status-event slice
+    dim = _scd2_intervals(
+        ev.filter(F.expr(f"event_type IN {_STATUS_TYPES}")).select(
+            "user_id", "event_type", "ts", "event_id"
         )
-        .withColumn("valid_to", F.lead("ts").over(w))
-        .select(
-            F.col("user_id").alias("d_user"),
-            F.col("event_type").alias("status"),
-            F.col("ts").alias("valid_from"),
-            "valid_to",
-        )
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        "valid_from",
+        "valid_to",
     )
     facts = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.round(F.col("value") * 100, 0).cast("long").alias("cents")

@@ -370,7 +370,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "similarity_hybrid_rrf_ann", "embedding_kmeans_lloyd",
     "experiment_ab_ttest", "dedup_incremental_probe",
     "dedup_incremental_epochs", "similarity_hybrid_rrf",
-    "similarity_ivf",
+    "similarity_ivf", "sessionize_salted_stitch",
+    "temporal_point_in_time", "funnel_conversion",
     # latest green = round 1 or 2 (the full remaining stale cohort)
     "scan_project_filter", "string_funcs", "recursive_cte_spine",
     "sample_deterministic", "split_train_val_test", "sample_stratified",
@@ -387,10 +388,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "json_variant", "map_funcs", "map_higher_order",
     "null_safe_arithmetic", "profile_table", "sample_weighted_systematic",
     "scalar_serde_roundtrip", "scd2_status_history", "sessionize_gap_ids",
-    "sink_python_datasink", "source_python_datasource",
-    "source_text_roundtrip", "text_decontaminate", "text_outlier_zscore",
+    "text_decontaminate", "text_outlier_zscore",
     "text_pii_redact",
     # (remaining r3 greens queued for r9: text_token_bpe,
+    # sink_python_datasink, source_python_datasource,
+    # source_text_roundtrip,
     # tpch_q12/q13/q15/q17/q19/q21/q22/q4, window_distribution,
     # window_lag_lead, window_range_frame, window_range_interval,
     # window_rank_dense_ntile, window_session, window_sliding,

@@ -166,9 +166,10 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
         "similarity_hybrid_rrf_ann", "embedding_kmeans_lloyd",
         "experiment_ab_ttest", "dedup_incremental_probe",
         "dedup_incremental_epochs", "similarity_hybrid_rrf",
-        "similarity_ivf",
+        "similarity_ivf", "sessionize_salted_stitch",
+        "temporal_point_in_time", "funnel_conversion",
     ]
-    assert names[:7] == changed, "changed-operator block drifted"
+    assert names[:10] == changed, "changed-operator block drifted"
     # pin-pool integrity: registry names dedupe through the dict, so
     # assert on SWEEP_PRIORITY itself — a duplicate there silently
     # shrinks the 50-slot rotation
