@@ -447,24 +447,24 @@ def quality_freshness_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     gmax = per_type.agg(F.max("max_ts").alias("gmax"))
+    last24 = (
+        ev.join(F.broadcast(gmax))
+        .filter(F.col("ts") >= F.col("gmax") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy(F.col("event_type").alias("et24"))
+        .agg(F.count(F.lit(1)).alias("n_last_24h"))
+    )
+    base = per_type.crossJoin(F.broadcast(gmax)).select(
+        "event_type",
+        "n_events",
+        "last_seen_ms",
+        F.expr("(unix_millis(gmax) - last_seen_ms) div 60000").alias("lag_minutes"),
+    )
     return (
-        per_type.crossJoin(F.broadcast(gmax))
-        .select(
-            "event_type",
-            "n_events",
-            "last_seen_ms",
-            F.expr("(unix_millis(gmax) - last_seen_ms) div 60000").alias("lag_minutes"),
-            F.col("max_ts"),
-            F.col("gmax"),
-        )
-        .join(
-            ev.join(F.broadcast(gmax))
-            .filter(F.col("ts") >= F.col("gmax") - F.expr("INTERVAL 24 HOURS"))
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_last_24h")),
-            "event_type",
-            "left",
-        )
+        # null-SAFE key match: a NULL event_type group exists on both
+        # sides (the oracle's GROUP BY keeps it as one group and counts
+        # its 24h rows); a plain equi-join can never match NULL = NULL
+        # and would zero that group's n_last_24h
+        base.join(last24, base["event_type"].eqNullSafe(last24["et24"]), "left")
         .select(
             "event_type",
             "n_events",
@@ -600,7 +600,10 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = obs.groupBy("bin").agg(
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("n_b"),
+        # otherwise(1), NOT when(~in_a): a NULL ts makes in_a NULL, and
+        # ~NULL is NULL — the row would land in NEITHER period while the
+        # oracle's CASE ... ELSE 'b' assigns it to b
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("n_b"),
     )
     from pyspark.sql import Window
 
@@ -787,7 +790,12 @@ def _keys_oracle() -> str:
     parts = []
     for combo in _KEY_CANDIDATES:
         label = "+".join(combo)
-        tup = "(" + ", ".join(combo) + ")"
+        # ROW(...) forces struct distinct-semantics for 1-column combos
+        # too: COUNT(DISTINCT (event_id)) parses as a PLAIN column and
+        # drops NULLs, while Spark's count_distinct(struct(col)) counts
+        # a NULL tuple as a value — verified: over (1, 2, NULL, NULL)
+        # the bare form counts 2, ROW counts 3 like struct
+        tup = "ROW(" + ", ".join(combo) + ")"
         parts.append(f"""
     SELECT '{label}' AS candidate,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -933,15 +941,17 @@ def governance_erasure_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_purged"),
         F.count(F.lit(1)).alias("n_total"),
     )
-    erased_orders = orders_flag.filter(F.col("hit") == 1).select("o_orderkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    # INNER join against ALL flagged orders, mirroring the oracle's
+    # `lineitem JOIN eo`: n_total counts lineitems whose parent order
+    # exists — a referential-orphan lineitem belongs to no erasure chain
+    # and must not count (a left join against just the erased orders
+    # kept orphans in n_total and diverged on dirty data)
     li_hit = li.join(
-        erased_orders.withColumn("ohit", F.lit(1)),
-        li.l_orderkey == erased_orders.o_orderkey,
-        "left",
+        orders_flag, li["l_orderkey"] == orders_flag["o_orderkey"]
     ).agg(
         F.lit("lineitem").alias("table_name"),
-        F.sum(F.coalesce(F.col("ohit"), F.lit(0))).alias("n_purged"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_purged"),
         F.count(F.lit(1)).alias("n_total"),
     )
     ev = load_table(spark, sf_dir, "events").select("user_id")
@@ -1030,7 +1040,12 @@ def quality_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = tracked_persist(
         base.groupBy("grp", "cents").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    wcum = Window.partitionBy("grp").orderBy("cents")  # histogram-sized
+    # asc_nulls_last matches DuckDB's default NULL ordering — Spark's
+    # bare asc sorts a NULL-cents histogram row FIRST, inflating every
+    # real value's cum by the null count and shifting both thresholds
+    wcum = Window.partitionBy("grp").orderBy(
+        F.col("cents").asc_nulls_last()
+    )  # histogram-sized
     cum = hist.select(
         "grp",
         "cents",
