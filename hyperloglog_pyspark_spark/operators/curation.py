@@ -22,18 +22,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from hyperloglog_pyspark_spark.functions.texttools import md5_long, md5_long_sql
 from hyperloglog_pyspark_spark.operators.dedup import (
     _SHINGLED_SQL,
     _minhash_oracle_cte,
     _shingled,
-    connected_components,
+    dedup_cluster_components,
     dedup_minhash_lsh,
 )
 from hyperloglog_pyspark_spark.functions.vector import dot_long
 from hyperloglog_pyspark_spark.operators.similarity import (
+    _centroid_set,
     _km_el_sql,
     _label_centroid_arrays,
+    _nearest_centroid,
     as_milli,
 )
 from hyperloglog_pyspark_spark.registry import register, tracked_persist
@@ -244,22 +245,19 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tracked_persist(
         emb.select("vec_id", "label", as_milli("embedding").alias("mv"))
     )
-    cent = _label_centroid_arrays(ev, "k")
-    d2 = F.aggregate(
-        F.zip_with(F.col("mv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    assign = (
-        ev.crossJoin(F.broadcast(cent))
-        .select("vec_id", "k", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "k")).alias("best"))
-        .select("vec_id", F.col("best.k").alias("k"))
-    )
+    # assignment = the kmeans/confusion helpers: one-row broadcast
+    # centroid model + per-row array_min argmin (same (d2 ASC, k ASC)
+    # tie-break as the previous min(struct) form) — a groupBy(vec_id)
+    # over N×k scored rows plus a join-back would add two corpus-scale
+    # exchanges to the cache build for the identical result
+    best = _nearest_centroid(F.col("mv"))
     ae = tracked_persist(
-        assign.join(ev, "vec_id").select(
-            "k", "vec_id", "mv", dot_long(F.col("mv"), F.col("mv")).alias("n2")
+        ev.crossJoin(F.broadcast(_centroid_set(_label_centroid_arrays(ev, "k"))))
+        .select(
+            best["k"].alias("k"),
+            "vec_id",
+            "mv",
+            dot_long(F.col("mv"), F.col("mv")).alias("n2"),
         )
     )
     a = ae.select(
@@ -291,14 +289,13 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _split_case_sql(doc: str) -> str:
-    b = f"{md5_long_sql(f'CAST({doc} AS VARCHAR)')} % 100"
-    return f"CASE WHEN {b} < 90 THEN 'train' WHEN {b} < 95 THEN 'val' ELSE 'test' END"
-
-
-def _split_expr(doc: F.Column) -> F.Column:
-    b = md5_long(doc.cast("string")) % 100
-    return F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+# THE split rule lives in sampling.py (split_train_val_test's rule);
+# importing it here is what makes the leakage audit audit the SHIPPED
+# split — a local copy could silently drift.
+from hyperloglog_pyspark_spark.operators.sampling import (  # noqa: E402
+    split_case_sql as _split_case_sql,
+    split_expr as _split_expr,
+)
 
 
 @register(
@@ -400,10 +397,11 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny component map broadcast. The canonical election is a single
     max-of-struct aggregation per cluster — no window over the corpus,
     no second shuffle."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    # the cluster map IS dedup_cluster_components' output — calling the
+    # raw operator (not the registry wrapper) keeps the edge
+    # construction and column contract in exactly one place; the CC memo
+    # makes the shared fixpoint free across both consumers
+    comp = dedup_cluster_components(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
@@ -453,7 +451,9 @@ def _rrf_oracle(dense_query: str = "similarity_topk_bruteforce") -> str:
     # each ranking definition lives in exactly one place.
     dense_sql = _REG[dense_query].oracle
     return f"""
-    WITH lex AS ({bm25}),
+    WITH lex AS (
+        SELECT * FROM ({bm25}) WHERE rank <= {RRF_TOPK}
+    ),
     dense AS (
         SELECT query_id, vec_id AS doc_id, rank
         FROM ({dense_sql})
@@ -523,11 +523,19 @@ def _rrf_fuse(spark: SparkSession, sf_dir: str, dense_ranking: DataFrame) -> Dat
     from hyperloglog_pyspark_spark.operators.textops import text_bm25_topk
 
     nolong = F.lit(None).cast("long")
-    lex = text_bm25_topk(spark, sf_dir).select(
-        "query_id",
-        "doc_id",
-        F.col("rank").cast("long").alias("lex_rank"),
-        nolong.alias("dense_rank"),
+    # explicit depth clamp on BOTH legs: the lexical side happens to
+    # arrive BM25_TOPK-deep (= RRF_TOPK today), but the fusion contract
+    # is "both rankings at the same depth k" and must survive a deeper
+    # BM25 cut
+    lex = (
+        text_bm25_topk(spark, sf_dir)
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("lex_rank"),
+            nolong.alias("dense_rank"),
+        )
     )
     dense = (
         dense_ranking

@@ -49,6 +49,21 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_case_sql(doc: str) -> str:
+    """The 90/5/5 doc-hash split rule as DuckDB SQL — the canonical
+    definition (split_train_val_test's rule). curation.split_leakage_audit
+    composes this into its oracle so a future percentage/hash change here
+    automatically changes what the audit audits."""
+    b = f"{md5_long_sql(f'CAST({doc} AS VARCHAR)')} % 100"
+    return f"CASE WHEN {b} < 90 THEN 'train' WHEN {b} < 95 THEN 'val' ELSE 'test' END"
+
+
+def split_expr(doc: F.Column) -> F.Column:
+    """Spark twin of ``split_case_sql`` — one rule, two engines."""
+    b = md5_long(doc.cast("string")) % 100
+    return F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+
+
 @register(
     "split_train_val_test",
     category="sampling",
@@ -67,12 +82,15 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """90/5/5 train/val/test split by doc_id hash bucket, with token
     accounting per split. Hash-bucket assignment keeps every document in
     the same split forever (append-only corpora never leak val→train on
-    re-runs)."""
+    re-runs). ``split_expr``/``split_case_sql`` below are THE canonical
+    split-rule definition — curation's leakage audit imports them, so the
+    audited split can never silently drift from the shipped one."""
     docs = load_table(spark, sf_dir, "documents")
-    b = md5_long(F.col("doc_id").cast("string")) % 100
-    split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
     return (
-        docs.select(split.alias("split"), F.size(F.split("text", " ")).alias("toks"))
+        docs.select(
+            split_expr(F.col("doc_id")).alias("split"),
+            F.size(F.split("text", " ")).alias("toks"),
+        )
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -374,7 +374,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "temporal_point_in_time", "funnel_conversion",
     "quality_key_discovery", "quality_freshness_watermark",
     "quality_psi_drift", "quality_winsorize_clamp",
-    "governance_erasure_sweep",
+    "governance_erasure_sweep", "semdedup_centroid_prune",
+    "dedup_canonical_pick",
     # latest green = round 1 or 2 (the full remaining stale cohort)
     "scan_project_filter", "string_funcs", "recursive_cte_spine",
     "sample_deterministic", "split_train_val_test", "sample_stratified",
@@ -384,8 +385,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpch_q14_promo_revenue", "tpch_q18_large_orders",
     # latest green = round 3 (oldest 29 of 45; the rest rotate in r9)
     "approx_quantile_check", "array_higher_order",
-    "bitmap_distinct_rollup", "bloom_membership",
-    "theta_set_algebra", "corpus_dashboard", "corpus_overlap_grams",
+    "bitmap_distinct_rollup",
+    "corpus_dashboard", "corpus_overlap_grams",
     "curriculum_quality_bins", "embedding_quantize_int8",
     "event_path_mining", "hll_set_intersection",
     "null_safe_arithmetic", "profile_table", "sample_weighted_systematic",
@@ -395,7 +396,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # (remaining r3 greens queued for r9: text_token_bpe,
     # sink_python_datasink, source_python_datasource,
     # source_text_roundtrip, bitwise_funcs, explode_positional,
-    # json_variant, map_funcs, map_higher_order,
+    # json_variant, map_funcs, map_higher_order, bloom_membership,
+    # theta_set_algebra,
     # tpch_q12/q13/q15/q17/q19/q21/q22/q4, window_distribution,
     # window_lag_lead, window_range_frame, window_range_interval,
     # window_rank_dense_ntile, window_session, window_sliding,

@@ -170,9 +170,10 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
         "temporal_point_in_time", "funnel_conversion",
         "quality_key_discovery", "quality_freshness_watermark",
         "quality_psi_drift", "quality_winsorize_clamp",
-        "governance_erasure_sweep",
+        "governance_erasure_sweep", "semdedup_centroid_prune",
+        "dedup_canonical_pick",
     ]
-    assert names[:15] == changed, "changed-operator block drifted"
+    assert names[:17] == changed, "changed-operator block drifted"
     # pin-pool integrity: registry names dedupe through the dict, so
     # assert on SWEEP_PRIORITY itself — a duplicate there silently
     # shrinks the 50-slot rotation
