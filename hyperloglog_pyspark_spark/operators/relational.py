@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.money import disc_price, sum_money
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 
@@ -351,9 +351,18 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Oracle uses DuckDB's native ASOF JOIN as an independent check.)
     """
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    clicks = ev.filter(F.col("event_type") == "click")
+    # ASOF's ON clause is NULL-REJECTING on both user_id and ts: a
+    # NULL-keyed click can never be anyone's as-of match. The window
+    # form instead groups NULL users into one partition and sorts
+    # NULL-ts rows first, so without this filter a NULL-keyed purchase
+    # would inherit a NULL-keyed click the oracle never pairs.
+    # (Purchases stay unfiltered — the LEFT side keeps its rows with a
+    # NULL click on both engines.)
+    clicks = ev.filter(
+        (F.col("event_type") == "click")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     # Dedupe clicks at identical (user, ts) — keeps the as-of target unique
     # so both engines pick the same row.
     w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
@@ -565,12 +574,11 @@ def cross_join_dense_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup and similarity operators use LSH bucketing precisely to avoid
     them.
     """
-    reg = load_table(spark, sf_dir, "region").select("r_name")
+    region = load_table(spark, sf_dir, "region")
     segs = load_table(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("seg")).distinct()
-    grid = reg.crossJoin(segs)
+    grid = region.select("r_name").crossJoin(segs)
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     actual = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -694,32 +702,47 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-scoped by construction, incidents are hour-grained) — an
     equi-join on day with the overlap as a residual filter; same
     banding discipline as join_range. Both sides are aggregates of one
-    fact scan; the incident side is tiny and broadcasts."""
+    fact scan; the incident side is tiny and broadcasts — as the BUILD
+    side of an INNER count join (an outer join cannot broadcast its
+    preserved side: LeftOuter only builds right, so the old
+    incidents-LEFT-JOIN-activity form silently broadcast the
+    user×day-cardinality ACTIVITY aggregate instead), with the
+    zero-affected incidents restored by a broadcast left join of the
+    incident-sized count table back onto incidents."""
     ev = load_table(spark, sf_dir, "events")
     activity = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
     hour = F.date_trunc("hour", "ts")
-    incidents = (
+    # persisted: referenced twice (the overlap probe and the final
+    # zero-restoring left join) — without the cache the incident
+    # subplan's events scan re-embeds at both sites
+    incidents = tracked_persist(
         ev.filter(F.col("event_type") == "error")
         .groupBy(hour.alias("i_start"))
         .agg(F.count(F.lit(1)).alias("n_errors"))
         .filter(F.col("n_errors") >= INCIDENT_ERRORS_PER_HOUR)
         .withColumn("i_end", F.col("i_start") + F.expr("INTERVAL 1 HOUR"))
     )
-    joined = F.broadcast(incidents).join(
-        activity,
-        (activity["day"] == incidents["i_start"].cast("date"))
-        & (activity["a_start"] < incidents["i_end"])
-        & (incidents["i_start"] <= activity["a_end"]),
-        "left",
+    overlaps = (
+        activity.join(
+            F.broadcast(incidents),
+            (activity["day"] == incidents["i_start"].cast("date"))
+            & (activity["a_start"] < incidents["i_end"])
+            & (incidents["i_start"] <= activity["a_end"]),
+        )
+        .groupBy("i_start")
+        .agg(F.count(F.lit(1)).alias("n_affected_users"))
     )
-    return joined.groupBy("i_start", "n_errors").agg(
-        F.count("user_id").alias("n_affected_users")
-    ).select(
-        F.unix_millis("i_start").alias("incident_start_ms"),
-        F.col("n_errors").cast("long").alias("n_errors"),
-        F.col("n_affected_users").cast("long").alias("n_affected_users"),
+    return (
+        incidents.join(F.broadcast(overlaps), "i_start", "left")
+        .select(
+            F.unix_millis("i_start").alias("incident_start_ms"),
+            F.col("n_errors").cast("long").alias("n_errors"),
+            F.coalesce("n_affected_users", F.lit(0))
+            .cast("long")
+            .alias("n_affected_users"),
+        )
     )
 
 

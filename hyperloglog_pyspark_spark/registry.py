@@ -375,7 +375,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "quality_key_discovery", "quality_freshness_watermark",
     "quality_psi_drift", "quality_winsorize_clamp",
     "governance_erasure_sweep", "semdedup_centroid_prune",
-    "dedup_canonical_pick",
+    "dedup_canonical_pick", "join_asof", "join_interval_overlap",
+    # r6/r7-rewritten operators whose driver row predates the rewrite
+    # (changed code outranks unchanged-stale greens):
+    "join_asof_nearest", "hll_merge_compat", "hll_accuracy_report",
+    "set_union_intersect_except", "mixture_downsample_temperature",
     # latest green = round 1 or 2 (the full remaining stale cohort)
     "scan_project_filter", "string_funcs", "recursive_cte_spine",
     "sample_deterministic", "split_train_val_test", "sample_stratified",
@@ -388,16 +392,16 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "bitmap_distinct_rollup",
     "corpus_dashboard", "corpus_overlap_grams",
     "curriculum_quality_bins", "embedding_quantize_int8",
-    "event_path_mining", "hll_set_intersection",
-    "null_safe_arithmetic", "profile_table", "sample_weighted_systematic",
-    "scalar_serde_roundtrip", "scd2_status_history", "sessionize_gap_ids",
-    "text_decontaminate", "text_outlier_zscore",
-    "text_pii_redact",
+    "event_path_mining",
+    "scd2_status_history", "sessionize_gap_ids",
+    "text_outlier_zscore",
     # (remaining r3 greens queued for r9: text_token_bpe,
     # sink_python_datasink, source_python_datasource,
     # source_text_roundtrip, bitwise_funcs, explode_positional,
     # json_variant, map_funcs, map_higher_order, bloom_membership,
-    # theta_set_algebra,
+    # theta_set_algebra, hll_set_intersection, null_safe_arithmetic,
+    # profile_table, sample_weighted_systematic, scalar_serde_roundtrip,
+    # text_decontaminate, text_pii_redact,
     # tpch_q12/q13/q15/q17/q19/q21/q22/q4, window_distribution,
     # window_lag_lead, window_range_frame, window_range_interval,
     # window_rank_dense_ntile, window_session, window_sliding,

@@ -171,9 +171,11 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
         "quality_key_discovery", "quality_freshness_watermark",
         "quality_psi_drift", "quality_winsorize_clamp",
         "governance_erasure_sweep", "semdedup_centroid_prune",
-        "dedup_canonical_pick",
+        "dedup_canonical_pick", "join_asof", "join_interval_overlap",
+        "join_asof_nearest", "hll_merge_compat", "hll_accuracy_report",
+        "set_union_intersect_except", "mixture_downsample_temperature",
     ]
-    assert names[:17] == changed, "changed-operator block drifted"
+    assert names[: len(changed)] == changed, "changed-operator block drifted"
     # pin-pool integrity: registry names dedupe through the dict, so
     # assert on SWEEP_PRIORITY itself — a duplicate there silently
     # shrinks the 50-slot rotation

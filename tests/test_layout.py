@@ -189,7 +189,10 @@ SHUFFLE_BUDGET = {
     "pivot_multi_value": 2,           # pre-agg + pivot agg (two-pass pivot)
     "sql_scalar_udf": 1,              # UDF inlined -> one partial+final agg
     "sql_parameterized": 1,           # bound literals -> one agg, full pushdown
-    "join_interval_overlap": 4,       # 2 side aggs + broadcast + final agg
+    # 2 side aggs + broadcast + final agg; the persisted incidents
+    # frame's InMemoryRelation reprints its build exchanges at both
+    # scan sites (string count 6 ≈ runtime 4, PLANS_FULL row)
+    "join_interval_overlap": 6,
     # timeseries_interpolate_linear / timeseries_drift_cusum /
     # hll_sliding_distinct / dedup_containment persist their
     # series/postings frames — excluded like the persisted queries above.
@@ -220,7 +223,7 @@ SHUFFLE_BUDGET = {
     "sample_bootstrap_ci": 4,         # replicate agg + orig agg + CI agg
     "event_pattern_cep": 2,           # one user window pass + scalar report
     "quality_schema_drift": 2,        # one two-period conditional-agg scan
-    "join_asof_nearest": 3,           # user-keyed join + argmin window + left join
+    "join_asof_nearest": 2,           # user-keyed left join + argmin agg (r7 rewrite dropped the join-back)
     "quality_key_discovery": 2,       # ONE scan: all candidates in one wide agg
     "sample_neyman_allocation": 4,    # moment agg + weight-total broadcast
     # Curation additions (unigram-logprob / dup-shingle / semdedup /
