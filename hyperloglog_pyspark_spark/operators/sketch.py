@@ -39,6 +39,14 @@ RSD = 0.02  # approx_count_distinct accuracy knob
 LG_K = 14  # DataSketches lgConfigK → stderr ≈ 1.04/√2^14 ≈ 0.81%
 
 
+def _stderr(lg_k: int) -> float:
+    """HLL/Theta relative standard error 1.04/√2^lg_k — the one formula
+    every acceptance band derives from (inline pre-reduced literals like
+    1.04/2**6.0 drifted from their claimed precisions before; see the
+    ACC_RSDS header note)."""
+    return 1.04 / (2 ** (lg_k / 2.0))
+
+
 def _tol(est: F.Column, exact: F.Column, stderr: float) -> F.Column:
     return (F.abs(est.cast("double") - exact) / exact) <= (3 * stderr)
 
@@ -100,7 +108,7 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
     )
     exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
-    stderr = 1.04 / (2 ** (LG_K / 2.0))
+    stderr = _stderr(LG_K)
     return exact.join(rolled, "event_type").select(
         "event_type",
         "n_users",
@@ -133,7 +141,7 @@ def hll64_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = hll64_sketch(ev, ["event_type"], "user_id", k=2**12)
     est = hll64_estimate_col(sketches, alias="approx_users")
     exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
-    stderr = 1.04 / (2**6.0)
+    stderr = _stderr(12)
     return exact.join(est.select("event_type", "approx_users"), "event_type").select(
         "event_type",
         "n_users",
@@ -198,17 +206,32 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRICE_CUT = 450000.0
 YEAR_B = 1997
 
+#: shared A/B set-definition CTE for hll_set_intersection AND
+#: theta_set_algebra — the two docstrings promise directly comparable
+#: contracts, which only a single definition enforces.
+_AB_FLAGS_CTE = f"""flags AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN o_totalprice > {PRICE_CUT} THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN year(o_orderdate) = {YEAR_B} THEN 1 ELSE 0 END) AS in_b
+        FROM orders GROUP BY o_custkey
+    )"""
+
+
+def _ab_flags(od: DataFrame) -> DataFrame:
+    """Spark twin of _AB_FLAGS_CTE: one row per customer with A/B
+    membership flags (A = ever ordered above PRICE_CUT, B = ever ordered
+    in YEAR_B) — shared by the HLL and Theta set-algebra queries."""
+    return od.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_totalprice") > PRICE_CUT, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.year("o_orderdate") == YEAR_B, 1).otherwise(0)).alias("in_b"),
+    )
+
 
 @register(
     "hll_set_intersection",
     category="sketch",
     oracle=f"""
-    WITH flags AS (
-        SELECT o_custkey,
-               MAX(CASE WHEN o_totalprice > {PRICE_CUT} THEN 1 ELSE 0 END) AS in_a,
-               MAX(CASE WHEN year(o_orderdate) = {YEAR_B} THEN 1 ELSE 0 END) AS in_b
-        FROM orders GROUP BY o_custkey
-    )
+    WITH {_AB_FLAGS_CTE}
     SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
            CAST(SUM(in_b) AS BIGINT) AS n_b,
            CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter_exact,
@@ -234,10 +257,7 @@ def hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that deduped frame — constant-size state regardless of input.
     """
     od = load_table(spark, sf_dir, "orders")
-    flags = od.groupBy("o_custkey").agg(
-        F.max(F.when(F.col("o_totalprice") > PRICE_CUT, 1).otherwise(0)).alias("in_a"),
-        F.max(F.when(F.year("o_orderdate") == YEAR_B, 1).otherwise(0)).alias("in_b"),
-    )
+    flags = _ab_flags(od)
     key = F.col("o_custkey").cast("string")
     agg = flags.agg(
         F.sum("in_a").cast("long").alias("n_a"),
@@ -246,7 +266,7 @@ def hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg(F.when(F.col("in_a") == 1, key), F.lit(LG_K)).alias("sk_a"),
         F.hll_sketch_agg(F.when(F.col("in_b") == 1, key), F.lit(LG_K)).alias("sk_b"),
     )
-    stderr = 1.04 / (2 ** (LG_K / 2.0))
+    stderr = _stderr(LG_K)
     est = agg.select(
         "n_a",
         "n_b",
@@ -356,17 +376,15 @@ def hll_merge_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_lo"),
         F.count_distinct("user_id").alias("n_users_all"),
     )
-    stderr = 1.04 / (2 ** 6.0)  # coarser sketch: lgK=12
-    # hll_union NULL-propagates; an all-one-parity input must still
-    # estimate from the populated sketch (the behavior the old
-    # union_agg form had by ignoring NULL rows)
-    merged = F.coalesce(
-        F.hll_union("s_hi", "s_lo", True), F.col("s_hi"), F.col("s_lo")
-    )
+    stderr = _stderr(12)  # coarser sketch: lgK=12
+    # hll_sketch_agg returns an EMPTY sketch (never NULL) over an
+    # all-NULL input, and hll_union(empty, full) estimates correctly —
+    # verified on Spark 4.1.2 — so no coalesce fallback is needed for
+    # an all-one-parity input
     return agg.select(
         "n_users_all",
         _tol(
-            F.hll_sketch_estimate(merged),
+            F.hll_sketch_estimate(F.hll_union("s_hi", "s_lo", True)),
             F.col("n_users_all"),
             stderr,
         ).alias("approx_ok"),
@@ -512,8 +530,11 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark's runtime bloom-filter join does exactly this inside Catalyst;
     see tests/test_layout.py's might_contain assertion).
 
-    Scale: build = one DISTINCT over ≤ k·|keys| ints, bounded by the bit
-    width; probe = broadcast join, no shuffle of the probed table.
+    Scale: build = dedupe the keys ONCE (the persisted distinct-key
+    frame feeds both the bit set — ≤ k·|keys| hash rows — and the exact
+    membership side, so the fact table scans once and the k-way
+    explosion runs over keys, not qualifying rows); probe = broadcast
+    join, no shuffle of the probed table.
     """
     from hyperloglog_pyspark_spark.functions.texttools import md5_long
 
@@ -527,9 +548,12 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(BLOOM_BITS),
         )
 
+    keys = tracked_persist(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
     bits = (
-        orders.crossJoin(F.broadcast(ks))
-        .select(bit(F.col("k"), F.col("o_custkey")).alias("bit"))
+        keys.crossJoin(F.broadcast(ks))
+        .select(bit(F.col("k"), F.col("c_custkey")).alias("bit"))
         .distinct()
         .withColumn("set_bit", F.lit(1))
     )
@@ -541,9 +565,7 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg((F.count("set_bit") == BLOOM_K).alias("in_bloom"))
     )
-    exact = orders.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn(
-        "in_exact_flag", F.lit(1)
-    )
+    exact = keys.withColumn("in_exact_flag", F.lit(1))
     return (
         verdict.join(F.broadcast(exact), "c_custkey", "left")
         .select(
@@ -609,12 +631,7 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "theta_set_algebra",
     category="sketch",
     oracle=f"""
-    WITH flags AS (
-        SELECT o_custkey,
-               MAX(CASE WHEN o_totalprice > {PRICE_CUT} THEN 1 ELSE 0 END) AS in_a,
-               MAX(CASE WHEN year(o_orderdate) = {YEAR_B} THEN 1 ELSE 0 END) AS in_b
-        FROM orders GROUP BY o_custkey
-    )
+    WITH {_AB_FLAGS_CTE}
     SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
            CAST(SUM(in_b) AS BIGINT) AS n_b,
            CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter_exact,
@@ -637,10 +654,7 @@ def theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     a constant-size global aggregate carrying two KB-scale sketches.
     """
     od = load_table(spark, sf_dir, "orders")
-    flags = od.groupBy("o_custkey").agg(
-        F.max(F.when(F.col("o_totalprice") > PRICE_CUT, 1).otherwise(0)).alias("in_a"),
-        F.max(F.when(F.year("o_orderdate") == YEAR_B, 1).otherwise(0)).alias("in_b"),
-    )
+    flags = _ab_flags(od)
     key = F.col("o_custkey").cast("string")
     agg = flags.agg(
         F.sum("in_a").cast("long").alias("n_a"),
@@ -663,7 +677,7 @@ def theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Theta at lgK=14 over |A|,|B| ~ 1e3 keys retains every hash (exact
     # regime, theta = 1) — still accept a 3-sigma band on the larger
     # operand to stay valid when sf scales the sets past 2^14.
-    stderr = 1.04 / (2 ** (THETA_LG_K / 2.0))
+    stderr = _stderr(THETA_LG_K)
     bound_i = 3 * stderr * (F.col("n_a") + F.col("n_b"))
     bound_d = 3 * stderr * (F.col("n_a") + F.col("n_b"))
     return est.select(
@@ -680,7 +694,7 @@ def theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 # formula, HLL/HyperLogLog.py:86) — the earlier rounded values 0.026 /
 # 0.0065 mapped to different precisions than the labels claimed.
 ACC_PS = (8, 12, 16)
-ACC_RSDS = [1.04 / 2 ** (p / 2.0) for p in ACC_PS]
+ACC_RSDS = [_stderr(p) for p in ACC_PS]
 
 
 @register(
@@ -805,7 +819,7 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("n_users_exact"))
     )
-    stderr = 1.04 / (2 ** (LG_K / 2.0))
+    stderr = _stderr(LG_K)
     return exact.join(merged, "day").select(
         "day",
         F.col("n_days_merged").cast("long").alias("n_days_merged"),
@@ -832,7 +846,6 @@ def _dd_boundaries() -> list[tuple[int, int, int]]:
     # ever silently dropped from the sketch population.
     rows, i, lo = [(-1, -(1 << 62), 1)], 0, 1
     while lo <= DD_MAX_CENTS:
-        hi = lo
         g = 1.0
         while int(g * lo) <= lo:  # next strictly-larger integer boundary
             g *= DD_GAMMA

@@ -380,6 +380,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # (changed code outranks unchanged-stale greens):
     "join_asof_nearest", "hll_merge_compat", "hll_accuracy_report",
     "set_union_intersect_except", "mixture_downsample_temperature",
+    "bloom_membership", "hll_set_intersection", "theta_set_algebra",
     # latest green = round 1 or 2 (the full remaining stale cohort)
     "scan_project_filter", "string_funcs", "recursive_cte_spine",
     "sample_deterministic", "split_train_val_test", "sample_stratified",
@@ -387,11 +388,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "unpivot_nation_metrics", "timeseries_anomaly_mad",
     "timeseries_resample_ffill", "tpch_q10_returned_items",
     "tpch_q14_promo_revenue", "tpch_q18_large_orders",
-    # latest green = round 3 (oldest 29 of 45; the rest rotate in r9)
-    "approx_quantile_check", "array_higher_order",
+    # latest green = round 3 (the rest rotate in r9)
     "bitmap_distinct_rollup",
     "corpus_dashboard", "corpus_overlap_grams",
-    "curriculum_quality_bins", "embedding_quantize_int8",
+    "embedding_quantize_int8",
     "event_path_mining",
     "scd2_status_history", "sessionize_gap_ids",
     "text_outlier_zscore",
@@ -401,7 +401,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # json_variant, map_funcs, map_higher_order, bloom_membership,
     # theta_set_algebra, hll_set_intersection, null_safe_arithmetic,
     # profile_table, sample_weighted_systematic, scalar_serde_roundtrip,
-    # text_decontaminate, text_pii_redact,
+    # text_decontaminate, text_pii_redact, approx_quantile_check,
+    # array_higher_order, curriculum_quality_bins,
     # tpch_q12/q13/q15/q17/q19/q21/q22/q4, window_distribution,
     # window_lag_lead, window_range_frame, window_range_interval,
     # window_rank_dense_ntile, window_session, window_sliding,

@@ -173,7 +173,11 @@ SHUFFLE_BUDGET = {
     # cms_frequency persists its per-key rollup (cells and probes both
     # derive from it) — excluded for the InMemoryRelation text-inflation
     # reason above (runtime: ONE fact scan + cell/probe aggs).
-    "bloom_membership": 8,            # bit distinct + probe + verdict + matrix
+    # key distinct (persisted, feeds bits + exact) + bit distinct +
+    # probe + verdict + matrix; the persisted key frame's
+    # InMemoryRelation reprints its build exchange at both scan sites
+    # (string count 9 ≈ runtime 8 minus the dropped second orders scan)
+    "bloom_membership": 9,
     "theta_set_algebra": 2,           # custkey dedup + global sketch agg
     "hll_accuracy_report": 6,         # one scan, three-knob agg, 3-way union
     # Round-4 additions (persisted queries — cooccurrence/triangles — are
