@@ -732,7 +732,11 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (incidents["i_start"] <= activity["a_end"]),
         )
         .groupBy("i_start")
-        .agg(F.count(F.lit(1)).alias("n_affected_users"))
+        # COUNT(activity.user_id), not COUNT(*): the oracle's
+        # COUNT(a.user_id) skips NULL-keyed activity rows, and a NULL
+        # user_id group survives the groupBy above (grouping keys keep
+        # NULLs) — count the joined side's key to match on dirty data.
+        .agg(F.count(activity["user_id"]).alias("n_affected_users"))
     )
     return (
         incidents.join(F.broadcast(overlaps), "i_start", "left")

@@ -99,15 +99,23 @@ def _distinct_users_state_fn(
         # Canonicalize exactly like the batch path's CAST(user_id AS
         # STRING) (functions/hll64_spark.py): integer ids stringify
         # WITHOUT a decimal point and nulls stay None (update_registers
-        # str()s them to 'None'). A bare astype(str) breaks both the
-        # moment a micro-batch contains one null — Arrow hands the
-        # column over as float64, so every id becomes '123.0' and nulls
-        # 'nan', splitting each user into two distinct sketch elements.
+        # str()s them to 'None'). distinct_users_stream casts JVM-side,
+        # so the column normally arrives as strings already — the only
+        # path exact for ids above 2^53, where a null-triggered
+        # Arrow-float64 round-trip would silently corrupt the id before
+        # any pandas-side recovery. The integer branch below is a
+        # defensive twin for direct callers: a nullable Int64 view, NOT
+        # astype('int64') on a float64 frame (which both crashes on NaN
+        # and re-tokenizes '123.0').
         ids = pdf["user_id"]
-        mask = ids.isna().to_numpy()
-        vals = np.full(len(ids), None, dtype=object)
-        if (~mask).any():
-            vals[~mask] = ids[~mask].astype("int64").astype(str).to_numpy(dtype=object)
+        if ids.dtype == object:
+            vals = ids.to_numpy(dtype=object)
+            vals[pd.isna(vals)] = None
+        else:
+            iv = ids.astype("Int64")
+            vals = np.array(
+                [None if x is pd.NA else str(x) for x in iv], dtype=object
+            )
         hll64.update_registers(regs, vals, _HLL_P)
         seen += len(pdf)
     state.update((hll64.serialize(regs), seen))
@@ -126,7 +134,11 @@ def distinct_users_stream(events: DataFrame) -> DataFrame:
     makes running distinct counts viable on an unbounded stream.
     """
     return (
-        events.select("event_type", "user_id")
+        # CAST(user_id AS STRING) JVM-side, mirroring the batch sketch
+        # path: the state fn then never sees the Arrow float64 round-trip
+        # a nullable long column takes (exact for ALL int64 ids, not
+        # just those under 2^53).
+        events.select("event_type", F.col("user_id").cast("string").alias("user_id"))
         .groupBy("event_type")
         .applyInPandasWithState(
             _distinct_users_state_fn,
@@ -642,14 +654,21 @@ class CusumMonitor(StatefulProcessor):
         # tie-break; equal (ts, value) rows commute through the fold).
         # Cross-batch order follows arrival, bounded by the watermark the
         # deployment pairs with this monitor.
-        batch = pd.concat(list(rows), ignore_index=True)
-        batch = batch.sort_values(["ts_us", "value"], kind="stable")
-        # Missing readings are SKIPPED, not treated as observations of
-        # zero — a null would otherwise apply a full -target deviation
-        # and clear an active alarm (the batch twin's hourly SUM
-        # likewise ignores NULLs). Contrast SpendTracker, where null
-        # spend = 0 genuinely is neutral.
-        v = batch["value"].dropna().to_numpy()
+        # An empty row iterator (possible once timers are configured, and
+        # legal per the transformWithState contract) must be a no-op fold,
+        # not a pd.concat ValueError that poisons the query permanently.
+        pdfs = list(rows)
+        if pdfs:
+            batch = pd.concat(pdfs, ignore_index=True)
+            batch = batch.sort_values(["ts_us", "value"], kind="stable")
+            # Missing readings are SKIPPED, not treated as observations
+            # of zero — a null would otherwise apply a full -target
+            # deviation and clear an active alarm (the batch twin's
+            # hourly SUM likewise ignores NULLs). Contrast SpendTracker,
+            # where null spend = 0 genuinely is neutral.
+            v = batch["value"].dropna().to_numpy()
+        else:
+            v = np.empty(0)
         d = _half_up_units(v - CUSUM_STREAM_TARGET, 1_000_000)
         for du in d:
             s = max(0, s + int(du))

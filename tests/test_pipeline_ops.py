@@ -1166,3 +1166,51 @@ def test_connected_components_memo_evicts_replaced_and_overflow(spark):
         registry.release_caches()
     assert n_memo_rows() == 0
     assert not spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_interval_overlap_null_user_ids_match_oracle(spark, sf_dir, tmp_path):
+    """n_affected_users must be COUNT(a.user_id) — the oracle skips
+    NULL-keyed activity rows, so a NULL user_id active during an incident
+    hour must NOT inflate the count (a COUNT(*) over the joined rows
+    would). Latent on the stock testdata (zero null user_ids); this
+    fixture nulls every 5th id to force the divergence class."""
+    import duckdb
+
+    from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+    from hyperloglog_pyspark_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    from tests.helpers import compare
+
+    queries()
+    nulled = tmp_path / "nulled_sf"
+    nulled.mkdir()
+    # sf0.001 has no hour with >= 7 errors, so synthesize the incident:
+    # 8 error rows in one hour plus per-user activity spanning it — ids
+    # 5/10 nulled (every 5th), both ACTIVE during the incident window.
+    rows = [
+        (100 + i, f"2024-03-01 10:{i:02d}:00", 999, "error", 1.0, "{}")
+        for i in range(8)
+    ] + [
+        (200 + u, f"2024-03-01 10:0{u % 6}:00", u, "click", 1.0, "{}")
+        for u in range(1, 13)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("user_id") % 5 != 0, F.col("user_id")).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.write.parquet(str(nulled / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{nulled}/events.parquet/*.parquet')"
+    )
+    q = REGISTRY["join_interval_overlap"]
+    df = q.fn(spark, str(nulled))
+    assert df.count() > 0, "fixture must actually produce incidents"
+    compare(df, con, q.oracle, "join_interval_overlap[nulled]")

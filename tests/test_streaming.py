@@ -741,6 +741,26 @@ def test_cusum_monitor_processor_contract():
     assert last.cusum == 0.0, "run below target must clamp the statistic at zero"
 
 
+def test_cusum_monitor_empty_row_iterator_is_noop():
+    """transformWithState may invoke the handler with ZERO input rows for
+    a key (e.g. a timer fire); the fold must re-emit the current state,
+    not raise pd.concat's 'No objects to concatenate' ValueError — which
+    would poison the query permanently."""
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.streaming.pipelines import CusumMonitor
+
+    mon = CusumMonitor()
+    mon.init(_FakeHandle())
+    first = list(
+        mon.handleInputRows(
+            ("view",), [pd.DataFrame({"value": [900.0], "ts_us": [1]})], None
+        )
+    )[0]
+    empty = list(mon.handleInputRows(("view",), iter([]), None))[0]
+    assert empty.to_dict("records") == first.to_dict("records")
+
+
 def test_streaming_incremental_dedup_index_grows(spark, sf_dir, tmp_path):
     """Ingestion-time near-dup screening as a stream: each micro-batch of
     documents is probed against the persisted MinHash band index
