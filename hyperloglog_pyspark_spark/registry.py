@@ -247,6 +247,9 @@ def register(
 # re-attestation onto the names whose green row is oldest (see
 # SWEEP_PRIORITY below).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 8 greens (CORRECTNESS_r08.json) — new names only; the other 49
+    # r8 samples were re-attestations of names already listed below
+    "similarity_hybrid_rrf_ann",
     # round 6 greens (CORRECTNESS_r06.json) — new names only; the other 48
     # r6 samples were re-attestations of names already listed below
     "multimodal_decode_gif", "dedup_incremental_epochs",
@@ -347,67 +350,58 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Sweep-order pins. Every registered query is driver-green as of round 6
-# (r6 sample: 50/50 full pass), so the ~50-query prefix the driver
+# Sweep-order pins. Every registered query is driver-green as of round 8
+# (r8 sample: 50/50 full pass), so the ~50-query prefix the driver
 # samples each round exists to (a) attest queries with no driver row yet,
 # (b) RE-attest queries whose OPERATOR CODE CHANGED since their last
 # green row — changed code outranks stale-but-unchanged greens — and
-# (c) rotate the oldest greens through the remaining slots. Round 8:
-# the new ANN-dense hybrid leads (no driver row), then the five operators
-# whose code changed this round (kmeans map-merge, ab-ttest null
-# counting + oracle, the incremental-probe family's cross-route fix,
-# the hybrid fusion refactor), then the FULL remaining r1/r2-stale
-# cohort (15 names — closes the oldest-attestation gap), then the r3
-# cohort fills to 50.
+# (c) rotate the oldest greens through the remaining slots. Round 9:
+# the operators whose code changed this round lead, then the FULL
+# remaining r3-stale cohort (34 names — the oldest attestation age in
+# the registry), then the oldest r4 block fills to 50.
 #
-# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r8 = r1/r2
-# stragglers + 29 of the 45 r3 greens; r9 = the remaining 16 r3 names +
-# the oldest ~34 r4 greens; r10 = the last r4 names + the r5 cohort +
-# the oldest r6; after that the cohorts cycle (~50/round).
+# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r9 = the 34
+# remaining r3 names + the oldest 15 r4 greens; r10 = the remaining
+# ~22 r4 names + the r5 cohort's oldest; after that the cohorts cycle
+# (~50/round). Latest-green ages are computed from the CORRECTNESS_r*
+# artifacts (see the r9 rotation script in git history).
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # new query (no driver row yet) + round-8 operator changes (driver
+    # round-9 new queries (no driver row yet) + operator changes (driver
     # row predates the current code), locally re-verified at sf0.01
-    "similarity_hybrid_rrf_ann", "embedding_kmeans_lloyd",
-    "experiment_ab_ttest", "dedup_incremental_probe",
-    "dedup_incremental_epochs", "similarity_hybrid_rrf",
-    "similarity_ivf", "sessionize_salted_stitch",
-    "temporal_point_in_time", "funnel_conversion",
-    "quality_key_discovery", "quality_freshness_watermark",
-    "quality_psi_drift", "quality_winsorize_clamp",
-    "governance_erasure_sweep", "semdedup_centroid_prune",
-    "dedup_canonical_pick", "join_asof", "join_interval_overlap",
-    # r6/r7-rewritten operators whose driver row predates the rewrite
-    # (changed code outranks unchanged-stale greens):
-    "join_asof_nearest", "hll_merge_compat", "hll_accuracy_report",
-    "set_union_intersect_except", "mixture_downsample_temperature",
-    "bloom_membership", "hll_set_intersection", "theta_set_algebra",
-    # latest green = round 1 or 2 (the full remaining stale cohort)
-    "scan_project_filter", "string_funcs", "recursive_cte_spine",
-    "sample_deterministic", "split_train_val_test", "sample_stratified",
-    "window_running_sum", "window_topk_per_group", "udtf_bigrams",
-    "unpivot_nation_metrics", "timeseries_anomaly_mad",
-    "timeseries_resample_ffill", "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
-    # latest green = round 3 (the rest rotate in r9)
-    "bitmap_distinct_rollup",
-    "corpus_dashboard", "corpus_overlap_grams",
-    "embedding_quantize_int8",
-    "event_path_mining",
-    "scd2_status_history", "sessionize_gap_ids",
-    "text_outlier_zscore",
-    # (remaining r3 greens queued for r9: text_token_bpe,
-    # sink_python_datasink, source_python_datasource,
-    # source_text_roundtrip, bitwise_funcs, explode_positional,
-    # json_variant, map_funcs, map_higher_order, bloom_membership,
-    # theta_set_algebra, hll_set_intersection, null_safe_arithmetic,
-    # profile_table, sample_weighted_systematic, scalar_serde_roundtrip,
-    # text_decontaminate, text_pii_redact, approx_quantile_check,
-    # array_higher_order, curriculum_quality_bins,
-    # tpch_q12/q13/q15/q17/q19/q21/q22/q4, window_distribution,
-    # window_lag_lead, window_range_frame, window_range_interval,
-    # window_rank_dense_ntile, window_session, window_sliding,
-    # window_tumbling — the pin pool is capped at 50 to match the
-    # driver's sample size.)
+    "join_interval_overlap",
+    # latest green = round 3 (the full remaining stale cohort)
+    "approx_quantile_check", "array_higher_order", "bitwise_funcs",
+    "curriculum_quality_bins", "explode_positional", "json_variant",
+    "map_funcs", "map_higher_order", "null_safe_arithmetic",
+    "profile_table", "sample_weighted_systematic",
+    "scalar_serde_roundtrip", "sink_python_datasink",
+    "source_python_datasource", "source_text_roundtrip",
+    "text_decontaminate", "text_pii_redact", "text_token_bpe",
+    "tpch_q12_priority_lines", "tpch_q13_custdist",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_balances", "tpch_q4_priority_count",
+    "window_distribution", "window_lag_lead", "window_range_frame",
+    "window_range_interval", "window_rank_dense_ntile",
+    "window_session", "window_sliding", "window_tumbling",
+    # latest green = round 4 (oldest alphabetical block; the rest queue
+    # for r10: sample_exact_k_stratified, sample_weighted_reservoir,
+    # scalar_try_errors, similarity_pq_adc_topk, similarity_pq_codebook,
+    # sink_dynamic_partition_overwrite, sketch_ddsketch_quantiles,
+    # skew_key_audit, source_schema_evolution, source_xml_roundtrip,
+    # sql_parameterized, sql_scalar_udf, text_bm25_topk,
+    # text_dup_shingle_ratio, text_unigram_logprob,
+    # timeseries_drift_cusum, timeseries_interpolate_linear,
+    # timeseries_seasonal_index, tpch_q11/q16/q20/q2/q9,
+    # zorder_morton_buckets — pool capped at 50 to match the driver's
+    # sample size.)
+    "agg_histogram_equiwidth", "chunk_documents_overlap",
+    "dedup_containment", "dedup_minhash_accuracy",
+    "event_cooccurrence_lift", "graph_pagerank_nations",
+    "graph_triangle_count", "hll_sliding_distinct", "join_salted_skew",
+    "layout_skipping_report", "mixture_budget_rates",
+    "multimodal_decode", "pivot_multi_value",
+    "quality_constraint_audit", "quality_k_anonymity",
 )
 
 

@@ -152,30 +152,23 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-8 contract is: the NEW query (similarity_hybrid_rrf_ann — no
-    driver row yet) leads, then the five operators whose code changed
-    this round (kmeans map-entry merge, ab-ttest non-null n counting +
-    oracle, the incremental-probe family's cross-route count fix, the
-    hybrid fusion refactor), then the full remaining r1/r2-stale cohort,
-    then the oldest r3 greens. Locks the prefix composition against
-    accidental reordering."""
+    round-9 contract is: queries with no driver row yet lead (new this
+    round), then the operators whose code changed this round
+    (join_interval_overlap's null-key count fix), then the full
+    remaining r3-stale cohort, then the oldest r4 greens. Locks the
+    prefix composition against accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
     changed = [
-        "similarity_hybrid_rrf_ann", "embedding_kmeans_lloyd",
-        "experiment_ab_ttest", "dedup_incremental_probe",
-        "dedup_incremental_epochs", "similarity_hybrid_rrf",
-        "similarity_ivf", "sessionize_salted_stitch",
-        "temporal_point_in_time", "funnel_conversion",
-        "quality_key_discovery", "quality_freshness_watermark",
-        "quality_psi_drift", "quality_winsorize_clamp",
-        "governance_erasure_sweep", "semdedup_centroid_prune",
-        "dedup_canonical_pick", "join_asof", "join_interval_overlap",
-        "join_asof_nearest", "hll_merge_compat", "hll_accuracy_report",
-        "set_union_intersect_except", "mixture_downsample_temperature",
+        "join_interval_overlap",
     ]
-    assert names[: len(changed)] == changed, "changed-operator block drifted"
+    from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
+
+    n_new = sum(1 for n in names if n not in DRIVER_VERIFIED)
+    assert names[n_new : n_new + len(changed)] == changed, (
+        "changed-operator block drifted"
+    )
     # pin-pool integrity: registry names dedupe through the dict, so
     # assert on SWEEP_PRIORITY itself — a duplicate there silently
     # shrinks the 50-slot rotation
