@@ -467,3 +467,81 @@ def decode_media(payload: bytes) -> dict:
     if payload[:6] in GIF_MAGICS:
         return decode_gif(payload)
     raise ValueError("unsupported container (JPEG/MP4 codecs need PIL/ffmpeg)")
+
+
+def synth_bmp_gray(grid: list[list[int]]) -> bytes:
+    """A valid 24bpp BMP whose pixels are the gray levels in ``grid``
+    (``grid[0]`` is the TOP row; BMP stores rows bottom-up, positive
+    height). Each gray level v becomes the BGR triple (v, v, v)."""
+    height, width = len(grid), len(grid[0])
+    stride = bmp_row_stride(width)
+    rows = []
+    for r in range(height - 1, -1, -1):
+        row = bytearray()
+        for v in grid[r]:
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    size = BMP_HEADER_LEN + stride * height
+    file_header = struct.pack("<2sIHHI", b"BM", size, 0, 0, BMP_HEADER_LEN)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, stride * height, 2835, 2835, 0, 0,
+    )
+    return file_header + info_header + pixels
+
+
+def bmp_gray_grid(payload: bytes) -> list[list[float]]:
+    """REAL pixel decode: validate the container via ``decode_bmp``, then
+    extract the pixel array as a top-down grayscale grid (mean of the
+    B, G, R channels per pixel)."""
+    meta = decode_bmp(payload)
+    if meta["bpp"] != 24:
+        raise ValueError(f"bmp_gray_grid expects 24bpp, got {meta['bpp']}")
+    w, h = meta["width"], meta["height"]
+    stride = bmp_row_stride(w)
+    grid: list[list[float]] = []
+    for r in range(h):
+        off = BMP_HEADER_LEN + (h - 1 - r) * stride
+        row = payload[off : off + 3 * w]
+        grid.append(
+            [(row[3 * c] + row[3 * c + 1] + row[3 * c + 2]) / 3.0 for c in range(w)]
+        )
+    return grid
+
+
+def dhash_bands(gray: list[list[float]]) -> tuple[int, int, int, int]:
+    """64-bit perceptual difference hash (dHash) of a grayscale grid,
+    returned as four 16-bit band integers (the LSH bucket keys).
+
+    Classic dHash: average-pool the image to 8 rows x 9 columns (block
+    means over index buckets), then bit(r, c) = pooled[r][c+1] >
+    pooled[r][c] for c in 0..7 — 64 gradient-sign bits, invariant to
+    uniform brightness/contrast shifts. Band b packs bits
+    [16b, 16b+16) LSB-first: band_b = sum(bit_i << (i - 16b)) with
+    i = 8*r + c."""
+    h, w = len(gray), len(gray[0])
+    if h < 8 or w < 9:
+        raise ValueError(f"dhash needs >= 9x8 pixels, got {w}x{h}")
+    row_edges = [r * h // 8 for r in range(9)]
+    col_edges = [c * w // 9 for c in range(10)]
+    pooled = [
+        [
+            sum(
+                gray[rr][cc]
+                for rr in range(row_edges[r], row_edges[r + 1])
+                for cc in range(col_edges[c], col_edges[c + 1])
+            )
+            / ((row_edges[r + 1] - row_edges[r]) * (col_edges[c + 1] - col_edges[c]))
+            for c in range(9)
+        ]
+        for r in range(8)
+    ]
+    bands = [0, 0, 0, 0]
+    for r in range(8):
+        for c in range(8):
+            i = 8 * r + c
+            if pooled[r][c + 1] > pooled[r][c]:
+                bands[i // 16] |= 1 << (i % 16)
+    return tuple(bands)

@@ -26,13 +26,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hyperloglog_pyspark_spark.functions.mediacodec import (
+    bmp_gray_grid,
     decode_media,
+    dhash_bands,
     synth_bmp,
+    synth_bmp_gray,
     synth_gif,
     synth_png,
     synth_wav,
 )
-from hyperloglog_pyspark_spark.registry import register
+from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 
@@ -432,4 +435,182 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, media_type string, width long, height long, "
             "sample_rate long, duration_ms long, n_bytes long"
         ),
+    )
+
+
+# --- perceptual near-dup ----------------------------------------------------
+# Planted near-dup structure: docs come in groups of 4 (g = doc_id DIV 4);
+# member j = doc_id % 4 renders the group's base image with j-dependent
+# bit flips, so within a group the pairwise dHash Hamming distances are
+# (j0,j1)=1, (j0,j2)=2, (j1,j2)=1 (near-dups at T=3) while j3 sits 4-6
+# bits away from everyone (a planted negative). With T=3 and 4 bands of
+# 16 bits, banding is EXACT by pigeonhole: <= 3 differing bits can dirty
+# at most 3 bands, so every qualifying pair shares a clean band — the
+# banded join finds the same pairs an all-pairs scan would.
+PERC_HAMMING_T = 3
+_PERC_FLIP_OFFSETS = {1: (0,), 2: (0, 21), 3: (5, 13, 29, 43)}
+
+
+def _perc_bits(doc_id: int) -> int:
+    """The 64 dHash bits doc ``doc_id``'s synthetic image encodes.
+
+    Base bit i of group g: (g % (i+2)) in the lower half of its cycle —
+    per-bit periods 2..65, so the combined pattern has period
+    lcm(2..65) and band values do not repeat over any realistic corpus
+    (a short-period pattern would pile docs into whale buckets). Member
+    j then XORs the offsets in _PERC_FLIP_OFFSETS (mod 64, pairwise
+    distinct). The oracle recomputes exactly this arithmetic."""
+    g, j = doc_id // 4, doc_id % 4
+    bits = 0
+    for i in range(64):
+        if (g % (i + 2)) * 2 < (i + 2):
+            bits |= 1 << i
+    for off in _PERC_FLIP_OFFSETS.get(j, ()):
+        bits ^= 1 << ((g + off) % 64)
+    return bits
+
+
+def _perc_grid(doc_id: int) -> list[list[int]]:
+    """Render the 64 bits as a 9x8 gray image: each row walks a ±7 ramp
+    from 128, so dHash's gradient sign at (r, c) recovers bit 8r+c."""
+    bits = _perc_bits(doc_id)
+    grid = []
+    for r in range(8):
+        v, row = 128, [128]
+        for c in range(8):
+            v += 7 if (bits >> (8 * r + c)) & 1 else -7
+            row.append(v)
+        grid.append(row)
+    return grid
+
+
+@register(
+    "multimodal_dedup_perceptual",
+    category="multimodal",
+    bench=True,
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS j FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, i,
+               CASE WHEN ((g % (i + 2)) * 2 < (i + 2)) <> (
+                         (j = 1 AND i = g % 64)
+                      OR (j = 2 AND (i = g % 64 OR i = (g + 21) % 64))
+                      OR (j = 3 AND (i = (g + 5) % 64 OR i = (g + 13) % 64
+                                  OR i = (g + 29) % 64 OR i = (g + 43) % 64))
+                    ) THEN 1 ELSE 0 END AS bit
+        FROM d CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b3
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, band,
+               CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv,
+               b0, b1, b2, b3
+        FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {PERC_HAMMING_T}
+    """,
+)
+def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate media pairs: dHash over REAL decoded
+    pixels, Hamming-matched via a band-bucketed self-join — the
+    resized/re-encoded/brightness-shifted-copy catcher that byte-digest
+    dedup (``multimodal_dedup_digest``) structurally cannot be.
+
+    Pipeline: synthesize a 9x8 gray BMP per document whose pixel ramps
+    encode arithmetically-derivable gradient signs (mapInPandas), decode
+    the pixels back (``bmp_gray_grid`` — container validation + pixel
+    extraction), average-pool + difference-hash to 64 bits
+    (``dhash_bands``), split into 4x16-bit bands, equi-join on
+    (band, value), verify candidates with exact Hamming distance <= 3
+    JVM-side (``bit_count(xor)``) and emit distinct pairs.
+
+    With threshold 3 and 4 bands the banded join is provably exhaustive
+    (pigeonhole: 3 dirty bits leave >= 1 clean band), so the oracle —
+    which recomputes the planted bits arithmetically and bands the same
+    way — is equality, not approximation.
+
+    Scale: the only shuffle keys are 16-bit band values + doc ids; pixel
+    payloads never leave their scan partition (same posture as the
+    MinHash-LSH family, ``operators/dedup.py``). Bucket skew on
+    whale bands (a corpus-wide boilerplate image) would use the same
+    cap-and-star guard as ``_lsh_candidates``; the planted pattern's
+    per-bit periods (2..65, combined lcm astronomically large) keep
+    testdata buckets tiny — measured in scale_probe.py."""
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_bmp_gray(_perc_grid(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands = [dhash_bands(bmp_gray_grid(bytes(p))) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "b0": [b[0] for b in bands],
+                    "b1": [b[1] for b in bands],
+                    "b2": [b[2] for b in bands],
+                    "b3": [b[3] for b in bands],
+                }
+            )
+
+    # Persisted: the bands self-join consumes the hash table on BOTH
+    # sides — without the cache the synth+decode+dHash mapInPandas chain
+    # (and the documents scan under it) re-executes per side. At
+    # warehouse scale this is the materialized fingerprint table every
+    # perceptual-dedup pipeline checkpoints; it is 5 ints per doc.
+    hashes = tracked_persist(
+        blobs.mapInPandas(
+            hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+        )
+    )
+    bands = hashes.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))) for i in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PERC_HAMMING_T)
+        .distinct()
     )

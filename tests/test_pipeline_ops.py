@@ -1214,3 +1214,73 @@ def test_interval_overlap_null_user_ids_match_oracle(spark, sf_dir, tmp_path):
     df = q.fn(spark, str(nulled))
     assert df.count() > 0, "fixture must actually produce incidents"
     compare(df, con, q.oracle, "join_interval_overlap[nulled]")
+
+
+def test_dhash_roundtrip_planted_distances_and_invariance():
+    """The perceptual layer under multimodal_dedup_perceptual:
+
+    - encode/decode identity: dHash of the rendered 9x8 gray BMP
+      recovers _perc_bits(doc_id) exactly for a spread of ids;
+    - planted group structure: within a 4-doc group the (j0,j1), (j0,j2),
+      (j1,j2) distances are 1/2/1 (near-dups at T=3) and j3 is >= 4 bits
+      from every sibling (the planted negative);
+    - perceptual invariance (what byte-digest dedup can never give):
+      a uniform brightness shift changes every payload byte but NO dHash
+      bit — gradient signs are shift-invariant.
+    """
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        bmp_gray_grid,
+        dhash_bands,
+        synth_bmp_gray,
+    )
+    from hyperloglog_pyspark_spark.operators.multimodal import (
+        _perc_bits,
+        _perc_grid,
+    )
+
+    def hash64(doc):
+        b = dhash_bands(bmp_gray_grid(synth_bmp_gray(_perc_grid(doc))))
+        return b[0] | b[1] << 16 | b[2] << 32 | b[3] << 48
+
+    for doc in [0, 1, 2, 3, 63, 64, 255, 499, 4999, 123456]:
+        assert hash64(doc) == _perc_bits(doc), doc
+
+    def dist(a, b):
+        return bin(_perc_bits(a) ^ _perc_bits(b)).count("1")
+
+    for g in range(50):
+        base = 4 * g
+        assert dist(base, base + 1) == 1
+        assert dist(base, base + 2) == 2
+        assert dist(base + 1, base + 2) == 1
+        for j in range(3):
+            assert dist(base + j, base + 3) >= 4
+
+    # brightness invariance: +25 on every pixel, same 64 bits
+    grid = _perc_grid(77)
+    shifted = [[v + 25 for v in row] for row in grid]
+    assert dhash_bands(bmp_gray_grid(synth_bmp_gray(shifted))) == dhash_bands(
+        bmp_gray_grid(synth_bmp_gray(grid))
+    )
+
+
+def test_dhash_average_pool_reduces_larger_images():
+    """dhash_bands must be a real average-pooling dHash, not a 9x8-only
+    shortcut: a 18x16 image built by 2x2-duplicating a 9x8 grid pools
+    back to the same 8x9 means, hence the identical 64-bit hash."""
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        bmp_gray_grid,
+        dhash_bands,
+        synth_bmp_gray,
+    )
+    from hyperloglog_pyspark_spark.operators.multimodal import _perc_grid
+
+    grid = _perc_grid(321)
+    big = []
+    for row in grid:
+        wide = [v for v in row for _ in (0, 1)]
+        big.append(wide)
+        big.append(list(wide))
+    assert dhash_bands(bmp_gray_grid(synth_bmp_gray(big))) == dhash_bands(
+        bmp_gray_grid(synth_bmp_gray(grid))
+    )
