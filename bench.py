@@ -35,6 +35,16 @@ from hyperloglog_pyspark_spark.session import get_spark
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+# Adjudicated correctness/architecture-over-toy-scale-speed trades whose
+# elevated ratios are EXPECTED (BASELINE.md §"Standing trades" holds the
+# rationale and the re-opening rule). Annotated into the bench summary so
+# a round reading the artifact doesn't re-investigate them.
+STANDING_TRADES = (
+    "embedding_kmeans_lloyd",
+    "similarity_hybrid_rrf",
+    "governance_erasure_sweep",
+)
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -95,6 +105,7 @@ def summary_line(payload: dict) -> str:
         "sf": payload["sf"],
         "n_queries": len(times),
         "queries": {n: round(t, 2) for n, t in slowest.items()},
+        "standing_trades": [n for n in STANDING_TRADES if n in times],
         "all_queries_file": "BENCH_LOCAL.json",
     }, separators=(",", ":"))
 

@@ -29,6 +29,7 @@ from hyperloglog_pyspark_spark.operators.dedup import (
     dedup_cluster_components,
     dedup_minhash_lsh,
 )
+from hyperloglog_pyspark_spark.functions import texttools
 from hyperloglog_pyspark_spark.functions.vector import dot_long
 from hyperloglog_pyspark_spark.operators.similarity import (
     _centroid_set,
@@ -164,6 +165,102 @@ def text_dup_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_dup_shingles") * 1.0 / F.col("n_shingles"), 6)
             .cast("double")
             .alias("dup_ratio"),
+        )
+    )
+
+
+SPAN_W = 20  # tokens per repeated-span window ("long span" at this corpus's 10-100 token docs)
+# Window stride. 1 is ALIGNMENT-EXACT: any shared SPAN_W-token run is
+# caught wherever it sits in each doc (a stride s > 1 only matches spans
+# whose start offsets agree mod s — a silent recall hole). Cost at
+# stride 1 is one posting row per token position, the same exchange
+# cardinality as the tf/explode passes textops already pays; a 100 TB
+# deployment trading recall for volume would raise this knob.
+SPAN_S = 1
+
+
+@register(
+    "text_repeated_spans",
+    category="text",
+    bench=True,
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(array_to_string(
+                   list_slice(tk, i, i + {SPAN_W - 1}), ' ')), 1, 15) AS BIGINT) AS wk
+        FROM (
+            SELECT doc_id, tk,
+                   unnest(range(1, len(tk) - {SPAN_W} + 2, {SPAN_S})) AS i
+            FROM t WHERE len(tk) >= {SPAN_W}
+        )
+    ),
+    dfq AS (SELECT wk, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY wk)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           CAST(round(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                AS DOUBLE) AS dup_span_ratio
+    FROM w JOIN dfq USING (wk)
+    GROUP BY doc_id
+    """,
+)
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated long-span signal (the Lee-et-al substring-dedup cut):
+    per document, the fraction of its fixed-stride {SPAN_W}-token
+    windows whose exact token content appears in at least one OTHER
+    document. This is the curation signal between doc-level near-dup
+    (whole documents too similar) and 3-gram boilerplate ratio
+    (text_dup_shingle_ratio): a doc can be globally unique yet carry a
+    long syndicated span — this flags the span carrier so a filter can
+    drop or trim it.
+
+    Semantics that differ from text_dup_shingle_ratio, deliberately:
+    windows are POSITIONAL (every token position starts one, not
+    per-doc distinct — a doc whose second half repeats a syndicated
+    span 3× counts each occurrence's windows), so the stride-1 grid is
+    alignment-exact (see SPAN_S), and duplication counts DISTINCT documents
+    (COUNT(DISTINCT doc_id) >= 2), so self-repetition alone never marks
+    a window — that is text_repetition's job. Docs shorter than
+    {SPAN_W} tokens have no windows and are span-clean by construction
+    (absent from the output, like every window-less doc in the
+    reference pipelines).
+
+    Scale: one map-side window pass (sequence+transform, no explode
+    until the posting list), one inverted-index shuffle on the 60-bit
+    window key to count distinct docs, one shuffle back to doc grain —
+    the text_dup_shingle_ratio plan family, never pairwise. The
+    posting list is ~n_tokens/{SPAN_S} rows per doc of (id, 60-bit
+    key): at 100 TB the exchange carries fixed-width keys, not text;
+    decade leg measured in scale_probe.py."""
+    t = texttools.tokens("text")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(SPAN_W - 1), F.lit(SPAN_S)),
+        lambda i: texttools.md5_long(F.concat_ws(" ", F.slice(t, i, SPAN_W))),
+    )
+    post = tracked_persist(
+        load_table(spark, sf_dir, "documents", spread_scan=True)
+        .filter(F.size(t) >= SPAN_W)
+        .select("doc_id", F.explode(wins).alias("wk"))
+    )
+    dfq = post.groupBy("wk").agg(F.count_distinct("doc_id").alias("ndocs"))
+    dup = (F.col("ndocs") >= 2).cast("long")
+    return (
+        post.join(dfq, "wk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(dup).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") * 1.0 / F.col("n_windows"), 6)
+            .cast("double")
+            .alias("dup_span_ratio"),
         )
     )
 

@@ -368,7 +368,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 SWEEP_PRIORITY: tuple[str, ...] = (
     # round-9 new queries (no driver row yet) + operator changes (driver
     # row predates the current code), locally re-verified at sf0.01
-    "multimodal_dedup_perceptual",
+    "multimodal_dedup_perceptual", "text_repeated_spans",
     "join_interval_overlap",
     # latest green = round 3 (the full remaining stale cohort)
     "approx_quantile_check", "array_higher_order", "bitwise_funcs",
@@ -386,7 +386,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "window_range_interval", "window_rank_dense_ntile",
     "window_session", "window_sliding", "window_tumbling",
     # latest green = round 4 (oldest alphabetical block; the rest queue
-    # for r10: quality_k_anonymity,
+    # for r10: quality_constraint_audit, quality_k_anonymity,
     # sample_exact_k_stratified, sample_weighted_reservoir,
     # scalar_try_errors, similarity_pq_adc_topk, similarity_pq_codebook,
     # sink_dynamic_partition_overwrite, sketch_ddsketch_quantiles,
@@ -403,7 +403,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "graph_triangle_count", "hll_sliding_distinct", "join_salted_skew",
     "layout_skipping_report", "mixture_budget_rates",
     "multimodal_decode", "pivot_multi_value",
-    "quality_constraint_audit",
 )
 
 

@@ -72,6 +72,11 @@ PROBE_OPS = [
     # fused output stays 3 queries × top-10, so the ratio isolates the
     # bucketing + probe-join passes from the bounded fusion
     "similarity_hybrid_rrf_ann",
+    # r9: the stride-1 repeated-span signal — posting list one row per
+    # token position, inverted-index distinct-doc count on the window
+    # key; word-salted replicas share no windows, so dup structure (and
+    # per-key bucket sizes) stay constant while the posting volume is R×
+    "text_repeated_spans",
 ]
 
 

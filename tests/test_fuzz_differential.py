@@ -588,3 +588,161 @@ def test_funnel_state_order_independent(events, order_seed, n_batches):
     got = out.iloc[0]
     as_py = lambda v: None if pd.isna(v) else int(v)
     assert (as_py(got["tv"]), as_py(got["tc"]), as_py(got["tp"])) == (tv, tc, tp)
+
+
+# --- streaming CUSUM: exact under micro-batch re-chunking ------------------
+
+
+class _FakeValueStateF:
+    def __init__(self):
+        self._v = None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandleF:
+    def __init__(self):
+        self.cells = {}
+
+    def getValueState(self, name, schema):  # noqa: N802
+        return self.cells.setdefault(name, _FakeValueStateF())
+
+
+@given(
+    values=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2000)),
+        max_size=30,
+    ),
+    order_seed=st.integers(min_value=0, max_value=2**31),
+    n_batches=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=150, deadline=None, derandomize=True)
+def test_cusum_monitor_exact_under_rechunking(values, order_seed, n_batches):
+    """Property behind CusumMonitor's exactness claim: the recursion is
+    ORDER-SENSITIVE, and the processor's contract is to sort WITHIN each
+    micro-batch by event time while cross-batch order follows arrival
+    (the watermark model: batch k's events all precede batch k+1's). So
+    for ANY value sequence (with nulls = missing readings), ANY
+    time-contiguous batch split, and ANY within-batch shuffle, the final
+    (cusum, max_cusum, n_alerts) must equal the plain in-order replay —
+    including empty batches injected mid-stream (timer fires)."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        CUSUM_STREAM_H,
+        CUSUM_STREAM_TARGET,
+        CusumMonitor,
+    )
+
+    # in-order replay (the semantics of record)
+    s = mx = n_alerts = 0
+    h = int(CUSUM_STREAM_H * 1e6)
+    for v in values:
+        if v is None:
+            continue
+        d = float(v) - CUSUM_STREAM_TARGET
+        du = int((1 if d >= 0 else -1) * math.floor(abs(d) * 1e6 + 0.5))
+        s = max(0, s + du)
+        mx = max(mx, s)
+        n_alerts += s > h
+
+    rng = random.Random(order_seed)
+    timed = list(enumerate(values))  # ts = index, strictly increasing
+    bounds = sorted(rng.sample(range(len(timed) + 1), min(n_batches - 1, len(timed)))) if timed else []
+    chunks, prev = [], 0
+    for b in bounds:
+        chunks.append(timed[prev:b])
+        prev = b
+    chunks.append(timed[prev:])
+
+    mon = CusumMonitor()
+    mon.init(_FakeHandleF())
+    out = None
+    for chunk in chunks:
+        rng.shuffle(chunk)  # post-shuffle arrival order inside the batch
+        pdf = pd.DataFrame(
+            {
+                "value": [None if v is None else float(v) for _, v in chunk],
+                "ts_us": [t for t, _ in chunk],
+            }
+        )
+        out = list(mon.handleInputRows(("m",), iter([pdf]), None))[-1]
+        # empty follow-up batch must not perturb state (timer-fire shape)
+        out = list(mon.handleInputRows(("m",), iter([]), None))[-1]
+    got = out.iloc[0]
+    assert got["cusum"] == s / 1e6
+    assert got["max_cusum"] == mx / 1e6
+    assert got["n_alerts"] == n_alerts
+    assert bool(got["alarm"]) == (s > h)
+
+
+# --- SCD2 intervals: exact under event reordering within a key ------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),     # user_id
+            st.sampled_from(["a", "b", "c"]),          # event_type
+            st.integers(min_value=0, max_value=6),     # ts (ties likely)
+        ),
+        max_size=14,
+    ),
+    order_seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_intervals_exact_under_reordering(events, order_seed, spark):
+    """_scd2_intervals (shared by scd2_status_history and
+    temporal_point_in_time) must be a pure function of the event SET:
+    the (ts, event_id) tie-break totalizes each user's timeline, so ANY
+    input row order — including adversarial ts ties across different
+    event types — yields the intervals of the canonical sorted replay.
+    The reference collapses consecutive same-type events per user after
+    sorting by (ts, event_id) and closes each interval at the next
+    change row, mirroring the registered oracles' lag-filter-lead."""
+    import random
+    from collections import defaultdict
+
+    from hyperloglog_pyspark_spark.operators.eventflow import _scd2_intervals
+
+    rows = [(u, t, ts, eid) for eid, (u, t, ts) in enumerate(events)]
+
+    by_user = defaultdict(list)
+    for u, t, ts, eid in rows:
+        by_user[u].append((ts, eid, t))
+    want = []
+    for u, evs in by_user.items():
+        evs.sort()
+        changes, prev = [], None
+        for ts, eid, t in evs:
+            if prev is None or t != prev:
+                changes.append((ts, t))
+            prev = t
+        for i, (ts, t) in enumerate(changes):
+            vto = changes[i + 1][0] if i + 1 < len(changes) else None
+            want.append((u, t, ts, vto))
+    want.sort(key=lambda r: (r[0], r[2], r[1]))
+
+    shuffled = list(rows)
+    random.Random(order_seed).shuffle(shuffled)
+    df = spark.createDataFrame(
+        shuffled, "user_id long, event_type string, ts long, event_id long"
+    )
+    got = sorted(
+        ((r.user_id, r.event_type, r.valid_from, r.valid_to)
+         for r in _scd2_intervals(df).collect()),
+        key=lambda r: (r[0], r[2], r[1]),
+    )
+    assert got == want

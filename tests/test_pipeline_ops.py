@@ -1284,3 +1284,63 @@ def test_dhash_average_pool_reduces_larger_images():
     assert dhash_bands(bmp_gray_grid(synth_bmp_gray(big))) == dhash_bands(
         bmp_gray_grid(synth_bmp_gray(grid))
     )
+
+
+def test_repeated_spans_alignment_exact_and_self_repeat_clean(spark, tmp_path):
+    """The repeated-span signal's two semantic contracts, on a corpus
+    built to break the cheap implementations:
+
+    - alignment exactness (SPAN_S = 1): docs A and B share one 20-token
+      span planted at offsets that disagree mod 5, so any strided window
+      grid would miss it — both must still be flagged, with exactly the
+      windows inside the span marked;
+    - self-repetition cleanliness: doc C repeats its own 20-token span
+      twice but shares it with nobody — COUNT(DISTINCT doc_id) semantics
+      must leave C with zero dup windows;
+    - short-doc exclusion: doc D (< 20 tokens) yields no windows and no
+      output row.
+
+    Verified against the registered DuckDB oracle over the same parquet
+    (the fixture is the regression net for the stride/alignment class)."""
+    import duckdb
+
+    from hyperloglog_pyspark_spark.operators.curation import SPAN_W
+    from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+    from tests.helpers import compare
+
+    queries()
+    span = [f"s{i}" for i in range(SPAN_W)]
+
+    def mk(doc, pre, post):
+        # doc-UNIQUE filler so the only cross-doc common run is the span
+        return " ".join(
+            [f"p{doc}_{i}" for i in range(pre)]
+            + span
+            + [f"q{doc}_{i}" for i in range(post)]
+        )
+
+    rows = [
+        (0, mk(0, 3, 7)),                   # span at offset 3
+        (1, mk(1, 7, 4)),                   # span at offset 7 (3 vs 7: differ mod 5)
+        (2, " ".join([f"t{i}" for i in range(SPAN_W)] + ["mid"]
+                     + [f"t{i}" for i in range(SPAN_W)])),  # self-repeat only
+        (3, "tiny doc under twenty tokens"),
+    ]
+    d = tmp_path / "spans_sf"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    q = REGISTRY["text_repeated_spans"]
+    df = q.fn(spark, str(d))
+    compare(df, con, q.oracle, "text_repeated_spans[planted]")
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    assert got[0]["n_dup_windows"] == 1 and got[1]["n_dup_windows"] == 1
+    # doc 2: 41 tokens -> 22 windows, none cross-doc duplicated
+    assert got[2]["n_dup_windows"] == 0 and got[2]["n_windows"] == 22
+    assert 3 not in got
