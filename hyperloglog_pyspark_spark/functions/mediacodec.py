@@ -39,14 +39,8 @@ def bmp_row_stride(width: int) -> int:
 def synth_bmp(width: int, height: int, seed: int = 0) -> bytes:
     """A valid 24bpp uncompressed BMP with deterministic pixel bytes."""
     stride = bmp_row_stride(width)
-    size = BMP_HEADER_LEN + stride * height
-    file_header = struct.pack("<2sIHHI", b"BM", size, 0, 0, BMP_HEADER_LEN)
-    info_header = struct.pack(
-        "<IiiHHIIiiII",
-        40, width, height, 1, 24, 0, stride * height, 2835, 2835, 0, 0,
-    )
     pixels = bytes((seed + i) % 256 for i in range(stride * height))
-    return file_header + info_header + pixels
+    return bmp_headers(width, height) + pixels
 
 
 def decode_bmp(payload: bytes) -> dict:
@@ -469,6 +463,21 @@ def decode_media(payload: bytes) -> dict:
     raise ValueError("unsupported container (JPEG/MP4 codecs need PIL/ffmpeg)")
 
 
+def bmp_headers(width: int, height: int) -> bytes:
+    """The 54-byte BMP file+info header pair for a 24bpp bottom-up image
+    — the single copy of the '<2sIHHI'/'<IiiHHIIiiII' layout shared by
+    ``synth_bmp`` and ``synth_bmp_gray`` (and validated by
+    ``decode_bmp``)."""
+    stride = bmp_row_stride(width)
+    size = BMP_HEADER_LEN + stride * height
+    file_header = struct.pack("<2sIHHI", b"BM", size, 0, 0, BMP_HEADER_LEN)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, stride * height, 2835, 2835, 0, 0,
+    )
+    return file_header + info_header
+
+
 def synth_bmp_gray(grid: list[list[int]]) -> bytes:
     """A valid 24bpp BMP whose pixels are the gray levels in ``grid``
     (``grid[0]`` is the TOP row; BMP stores rows bottom-up, positive
@@ -482,28 +491,33 @@ def synth_bmp_gray(grid: list[list[int]]) -> bytes:
             row += bytes((v, v, v))
         row += b"\x00" * (stride - len(row))
         rows.append(bytes(row))
-    pixels = b"".join(rows)
-    size = BMP_HEADER_LEN + stride * height
-    file_header = struct.pack("<2sIHHI", b"BM", size, 0, 0, BMP_HEADER_LEN)
-    info_header = struct.pack(
-        "<IiiHHIIiiII",
-        40, width, height, 1, 24, 0, stride * height, 2835, 2835, 0, 0,
-    )
-    return file_header + info_header + pixels
+    return bmp_headers(width, height) + b"".join(rows)
 
 
 def bmp_gray_grid(payload: bytes) -> list[list[float]]:
     """REAL pixel decode: validate the container via ``decode_bmp``, then
     extract the pixel array as a top-down grayscale grid (mean of the
-    B, G, R channels per pixel)."""
+    B, G, R channels per pixel).
+
+    Honors the two legal header variants ``decode_bmp`` accepts that a
+    naive reader silently misdecodes: a NEGATIVE info-header height
+    means top-down row order (no flip), and the file header's
+    pixel-array offset may exceed 54 (palette/gap bytes before the
+    pixels)."""
     meta = decode_bmp(payload)
     if meta["bpp"] != 24:
         raise ValueError(f"bmp_gray_grid expects 24bpp, got {meta['bpp']}")
     w, h = meta["width"], meta["height"]
+    # re-read the fields decode_bmp normalizes away: the pixel-array
+    # offset and the height SIGN (negative = top-down row order)
+    (_, _, _, _, pix_offset) = struct.unpack_from("<2sIHHI", payload, 0)
+    raw_height = struct.unpack_from("<i", payload, 22)[0]
+    top_down = raw_height < 0
     stride = bmp_row_stride(w)
     grid: list[list[float]] = []
     for r in range(h):
-        off = BMP_HEADER_LEN + (h - 1 - r) * stride
+        src_row = r if top_down else h - 1 - r
+        off = pix_offset + src_row * stride
         row = payload[off : off + 3 * w]
         grid.append(
             [(row[3 * c] + row[3 * c + 1] + row[3 * c + 2]) / 3.0 for c in range(w)]

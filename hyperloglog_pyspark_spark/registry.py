@@ -361,8 +361,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # the registry), then the oldest r4 block fills to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r9 = the 34
-# remaining r3 names + the oldest 15 r4 greens; r10 = the remaining
-# ~22 r4 names + the r5 cohort's oldest; after that the cohorts cycle
+# remaining r3 names + the oldest 13 of the 37 r4 greens (3 lead slots
+# + 34 + 13 = the 50-name cap); r10 = the 24 remaining r4 names + the
+# oldest of the 34 r5-aged greens; after that the cohorts cycle
 # (~50/round). Latest-green ages are computed from the CORRECTNESS_r*
 # artifacts (see the r9 rotation script in git history).
 SWEEP_PRIORITY: tuple[str, ...] = (
@@ -385,16 +386,16 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "window_distribution", "window_lag_lead", "window_range_frame",
     "window_range_interval", "window_rank_dense_ntile",
     "window_session", "window_sliding", "window_tumbling",
-    # latest green = round 4 (oldest alphabetical block; the rest queue
-    # for r10: quality_constraint_audit, quality_k_anonymity,
+    # latest green = round 4 (oldest alphabetical block; the 24 that
+    # queue for r10: quality_constraint_audit, quality_k_anonymity,
     # sample_exact_k_stratified, sample_weighted_reservoir,
     # scalar_try_errors, similarity_pq_adc_topk, similarity_pq_codebook,
     # sink_dynamic_partition_overwrite, sketch_ddsketch_quantiles,
     # skew_key_audit, source_schema_evolution, source_xml_roundtrip,
-    # sql_parameterized, sql_scalar_udf, text_bm25_topk,
+    # sql_parameterized, sql_scalar_udf,
     # text_dup_shingle_ratio, text_unigram_logprob,
     # timeseries_drift_cusum, timeseries_interpolate_linear,
-    # timeseries_seasonal_index, tpch_q11/q16/q20/q2/q9,
+    # tpch_q11/q16/q20/q2/q9,
     # zorder_morton_buckets — pool capped at 50 to match the driver's
     # sample size.)
     "agg_histogram_equiwidth", "chunk_documents_overlap",

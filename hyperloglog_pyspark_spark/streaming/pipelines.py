@@ -109,7 +109,10 @@ def _distinct_users_state_fn(
         # and re-tokenizes '123.0').
         ids = pdf["user_id"]
         if ids.dtype == object:
-            vals = ids.to_numpy(dtype=object)
+            # copy: to_numpy on an object column returns a VIEW of the
+            # pandas block, and the null canonicalization below would
+            # otherwise mutate the caller's micro-batch in place
+            vals = ids.to_numpy(dtype=object, copy=True)
             vals[pd.isna(vals)] = None
         else:
             iv = ids.astype("Int64")

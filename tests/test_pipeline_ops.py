@@ -1344,3 +1344,48 @@ def test_repeated_spans_alignment_exact_and_self_repeat_clean(spark, tmp_path):
     # doc 2: 41 tokens -> 22 windows, none cross-doc duplicated
     assert got[2]["n_dup_windows"] == 0 and got[2]["n_windows"] == 22
     assert 3 not in got
+
+
+def test_bmp_gray_grid_honors_topdown_and_pixel_offset():
+    """bmp_gray_grid must honor the two legal header variants decode_bmp
+    accepts: a NEGATIVE info-header height (top-down row order — no
+    flip) and a pixel-array offset beyond 54 (gap bytes before the
+    pixels). A reader that hardcodes bottom-up/offset-54 silently
+    returns a flipped grid or gap garbage — different dHash, missed
+    near-dup, no error."""
+    import struct
+
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        BMP_HEADER_LEN,
+        bmp_gray_grid,
+        bmp_row_stride,
+        synth_bmp_gray,
+    )
+
+    grid = [[10 * (r + 1) + c for c in range(9)] for r in range(8)]
+    base = synth_bmp_gray(grid)
+    w, h = 9, 8
+    stride = bmp_row_stride(w)
+
+    # top-down variant: negate height, keep pixel rows in grid order
+    rows = []
+    for r in range(h):
+        row = bytearray()
+        for v in grid[r]:
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    td = bytearray(base[:BMP_HEADER_LEN] + b"".join(rows))
+    struct.pack_into("<i", td, 22, -h)
+    assert bmp_gray_grid(bytes(td)) == bmp_gray_grid(base) == [
+        [float(v) for v in row] for row in grid
+    ]
+
+    # offset variant: 4 gap bytes between header and pixel array
+    gap = 4
+    off = bytearray(
+        base[:BMP_HEADER_LEN] + b"\xee" * gap + base[BMP_HEADER_LEN:]
+    )
+    struct.pack_into("<I", off, 10, BMP_HEADER_LEN + gap)  # pixel offset
+    struct.pack_into("<I", off, 2, len(off))               # file size
+    assert bmp_gray_grid(bytes(off)) == bmp_gray_grid(base)
