@@ -67,18 +67,43 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
-def synth_wav(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
-    """A valid 16-bit PCM WAV with deterministic sample bytes."""
+def wav_headers(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
+    """The 44-byte RIFF/fmt/data header triple for 16-bit PCM — the
+    single copy of the '<4sI4s4sIHHIIHH4sI' layout shared by
+    ``synth_wav`` and ``synth_wav_pcm`` (validated by ``decode_wav``)."""
     data_len = n_samples * channels * 2
     byte_rate = sample_rate * channels * 2
-    header = struct.pack(
+    return struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + data_len, b"WAVE",
         b"fmt ", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16,
         b"data", data_len,
     )
+
+
+def synth_wav(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
+    """A valid 16-bit PCM WAV with deterministic sample bytes."""
+    data_len = n_samples * channels * 2
     samples = bytes(i % 256 for i in range(data_len))
-    return header + samples
+    return wav_headers(sample_rate, n_samples, channels) + samples
+
+
+def synth_wav_pcm(sample_rate: int, samples: list[int]) -> bytes:
+    """A valid mono 16-bit PCM WAV carrying exactly ``samples``
+    (signed 16-bit values)."""
+    return wav_headers(sample_rate, len(samples)) + struct.pack(
+        f"<{len(samples)}h", *samples
+    )
+
+
+def wav_pcm_samples(payload: bytes) -> list[int]:
+    """REAL sample decode: validate the container via ``decode_wav``,
+    then extract the mono 16-bit PCM samples from the data chunk."""
+    meta = decode_wav(payload)
+    if meta["channels"] != 1 or meta["bits"] != 16:
+        raise ValueError("wav_pcm_samples expects mono 16-bit PCM")
+    n = (meta["n_bytes"] - WAV_HEADER_LEN) // 2
+    return list(struct.unpack_from(f"<{n}h", payload, WAV_HEADER_LEN))
 
 
 def decode_wav(payload: bytes) -> dict:
@@ -558,4 +583,29 @@ def dhash_bands(gray: list[list[float]]) -> tuple[int, int, int, int]:
             i = 8 * r + c
             if pooled[r][c + 1] > pooled[r][c]:
                 bands[i // 16] |= 1 << (i % 16)
+    return tuple(bands)
+
+
+def energy_delta_bands(samples: list[int], frame: int) -> tuple[int, int, int, int]:
+    """64-bit perceptual audio fingerprint as four 16-bit band integers
+    (the LSH bucket keys) — the audio twin of ``dhash_bands``.
+
+    Chromaprint-style energy-delta hash, integer-exact: partition the
+    PCM stream into consecutive ``frame``-sample frames, compute each
+    frame's energy E_f = sum(s^2) (exact int — no float RMS), then
+    bit f = E_{f+1} > E_f for f in 0..63 — 64 loudness-gradient signs,
+    invariant to uniform gain scaling and phase/sign flips. Requires at
+    least 65 full frames. Band packing matches dhash_bands: band b =
+    sum(bit_i << (i - 16b))."""
+    n_frames = len(samples) // frame
+    if n_frames < 65:
+        raise ValueError(f"need >= 65 full frames, got {n_frames}")
+    energies = [
+        sum(s * s for s in samples[f * frame : (f + 1) * frame])
+        for f in range(65)
+    ]
+    bands = [0, 0, 0, 0]
+    for i in range(64):
+        if energies[i + 1] > energies[i]:
+            bands[i // 16] |= 1 << (i % 16)
     return tuple(bands)

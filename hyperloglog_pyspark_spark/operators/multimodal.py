@@ -29,11 +29,14 @@ from hyperloglog_pyspark_spark.functions.mediacodec import (
     bmp_gray_grid,
     decode_media,
     dhash_bands,
+    energy_delta_bands,
     synth_bmp,
     synth_bmp_gray,
     synth_gif,
     synth_png,
     synth_wav,
+    synth_wav_pcm,
+    wav_pcm_samples,
 )
 from hyperloglog_pyspark_spark.registry import register, tracked_persist
 from hyperloglog_pyspark_spark.sources.catalog import load_table
@@ -450,6 +453,83 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 PERC_HAMMING_T = 3
 _PERC_FLIP_OFFSETS = {1: (0,), 2: (0, 21), 3: (5, 13, 29, 43)}
 
+# Shared by multimodal_dedup_perceptual and multimodal_dedup_audio_fp
+# VERBATIM (the sessionize_gap_ids/salted_stitch precedent): both
+# fingerprints encode the same planted bits through DIFFERENT real
+# decode paths (pixel gradients vs frame-energy gradients), so identical
+# pair output is the cross-modal consistency contract — if one
+# hash-mismatches and the other doesn't, suspect that modality's
+# decode/fingerprint layer.
+_PERC_PAIRS_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS j FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, i,
+               CASE WHEN ((g % (i + 2)) * 2 < (i + 2)) <> (
+                         (j = 1 AND i = g % 64)
+                      OR (j = 2 AND (i = g % 64 OR i = (g + 21) % 64))
+                      OR (j = 3 AND (i = (g + 5) % 64 OR i = (g + 13) % 64
+                                  OR i = (g + 29) % 64 OR i = (g + 43) % 64))
+                    ) THEN 1 ELSE 0 END AS bit
+        FROM d CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b0,
+               CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b1,
+               CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b2,
+               CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b3
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, band,
+               CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv,
+               b0, b1, b2, b3
+        FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {PERC_HAMMING_T}
+    """
+
+
+def _banded_hamming_pairs(hashes: DataFrame) -> DataFrame:
+    """Near-dup pairs from a persisted 4x16-bit fingerprint table
+    (doc_id, b0..b3): explode into (band, value) bucket keys, equi-join
+    on the bucket, verify candidates with exact Hamming distance
+    <= PERC_HAMMING_T JVM-side (bit_count(xor)), emit distinct pairs.
+    Shared by the image-dHash and audio-fingerprint dedups — one copy
+    of the banding/verify plan. Exhaustive at T=3 with 4 bands by
+    pigeonhole (<= 3 dirty bits leave >= 1 clean band)."""
+    bands = hashes.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))) for i in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PERC_HAMMING_T)
+        .distinct()
+    )
+
 
 def _perc_bits(doc_id: int) -> int:
     """The 64 dHash bits doc ``doc_id``'s synthetic image encodes.
@@ -488,42 +568,7 @@ def _perc_grid(doc_id: int) -> list[list[int]]:
     "multimodal_dedup_perceptual",
     category="multimodal",
     bench=True,
-    oracle=f"""
-    WITH d AS (
-        SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS j FROM documents
-    ),
-    bits AS (
-        SELECT doc_id, i,
-               CASE WHEN ((g % (i + 2)) * 2 < (i + 2)) <> (
-                         (j = 1 AND i = g % 64)
-                      OR (j = 2 AND (i = g % 64 OR i = (g + 21) % 64))
-                      OR (j = 3 AND (i = (g + 5) % 64 OR i = (g + 13) % 64
-                                  OR i = (g + 29) % 64 OR i = (g + 43) % 64))
-                    ) THEN 1 ELSE 0 END AS bit
-        FROM d CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
-    ),
-    hashes AS (
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b0,
-               CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b1,
-               CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b2,
-               CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS b3
-        FROM bits GROUP BY doc_id
-    ),
-    bands AS (
-        SELECT doc_id, band,
-               CASE band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv,
-               b0, b1, b2, b3
-        FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= {PERC_HAMMING_T}
-    """,
+    oracle=_PERC_PAIRS_ORACLE,
 )
 def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate media pairs: dHash over REAL decoded
@@ -591,26 +636,98 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
         )
     )
-    bands = hashes.select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+    return _banded_hamming_pairs(hashes)
+
+
+AUDIO_FP_FRAME = 64          # PCM samples per energy frame
+_AUDIO_FP_BASE_AMP = 16500   # walk start; ±250 × 64 steps stays in (0, 32767)
+_AUDIO_FP_STEP = 250
+
+
+def _audio_fp_samples(doc_id: int) -> list[int]:
+    """Render ``_perc_bits(doc_id)`` as mono 16-bit PCM: 65 frames of a
+    square wave whose amplitude walks ±{step} from {base}, so the
+    energy-delta sign between adjacent frames recovers bit f exactly
+    (constant |sample| per frame makes E_f = frame·A_f², monotone in
+    A_f)."""
+    bits = _perc_bits(doc_id)
+    amps, a = [], _AUDIO_FP_BASE_AMP
+    amps.append(a)
+    for f in range(64):
+        a += _AUDIO_FP_STEP if (bits >> f) & 1 else -_AUDIO_FP_STEP
+        amps.append(a)
+    samples: list[int] = []
+    for a in amps:
+        samples.extend(a if i % 2 == 0 else -a for i in range(AUDIO_FP_FRAME))
+    return samples
+
+
+@register(
+    "multimodal_dedup_audio_fp",
+    category="multimodal",
+    bench=True,
+    oracle=_PERC_PAIRS_ORACLE,
+)
+def multimodal_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate AUDIO pairs: chromaprint-style
+    energy-delta fingerprint over REAL decoded PCM, Hamming-matched via
+    the same band-bucketed self-join as the image dHash — the
+    re-encoded/gain-shifted-copy catcher for the audio modality.
+
+    Pipeline: synthesize a mono 16-bit PCM WAV per document whose
+    square-wave amplitude walk encodes arithmetically-derivable
+    loudness gradients (mapInPandas), decode the samples back
+    (``wav_pcm_samples`` — container validation + PCM extraction),
+    frame into {AUDIO_FP_FRAME}-sample windows and difference-hash the
+    exact integer frame energies to 64 bits (``energy_delta_bands`` —
+    gain- and phase-invariant), then ``_banded_hamming_pairs``.
+
+    Shares ``multimodal_dedup_perceptual``'s oracle VERBATIM: both
+    fingerprints encode the same planted bits through different real
+    decode paths, so identical pair output is the cross-modal
+    consistency contract (the sessionize_gap_ids/salted_stitch
+    precedent — a mismatch on one indicts that modality's decoder).
+
+    Scale: identical posture to the image twin — PCM payloads never
+    leave their scan partition; the shuffle carries 16-bit band keys +
+    ids; the fingerprint table is the persisted checkpoint."""
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
+        F.col("doc_id").cast("long").alias("doc_id")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    ham = sum(
-        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))) for i in range(4)
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_wav_pcm(8000, _audio_fp_samples(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands = [
+                energy_delta_bands(wav_pcm_samples(bytes(p)), AUDIO_FP_FRAME)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "b0": [b[0] for b in bands],
+                    "b1": [b[1] for b in bands],
+                    "b2": [b[2] for b in bands],
+                    "b3": [b[3] for b in bands],
+                }
+            )
+
+    hashes = tracked_persist(
+        blobs.mapInPandas(
+            hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= PERC_HAMMING_T)
-        .distinct()
     )
+    return _banded_hamming_pairs(hashes)

@@ -1389,3 +1389,38 @@ def test_bmp_gray_grid_honors_topdown_and_pixel_offset():
     struct.pack_into("<I", off, 10, BMP_HEADER_LEN + gap)  # pixel offset
     struct.pack_into("<I", off, 2, len(off))               # file size
     assert bmp_gray_grid(bytes(off)) == bmp_gray_grid(base)
+
+
+def test_audio_fingerprint_roundtrip_and_invariances():
+    """The perceptual-audio layer under multimodal_dedup_audio_fp:
+
+    - encode/decode identity: energy-delta fingerprint of the rendered
+      PCM recovers _perc_bits(doc_id) exactly (the cross-modal contract
+      with the image dHash);
+    - gain invariance: halving every sample (a re-encode at lower
+      volume) changes every payload byte but no fingerprint bit;
+    - phase invariance: negating the waveform changes nothing (energy);
+    - too-short clips fail loudly (< 65 full frames)."""
+    import pytest as _pytest
+
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        energy_delta_bands,
+        synth_wav_pcm,
+        wav_pcm_samples,
+    )
+    from hyperloglog_pyspark_spark.operators.multimodal import (
+        AUDIO_FP_FRAME,
+        _audio_fp_samples,
+        _perc_bits,
+    )
+
+    for doc in [0, 1, 2, 3, 255, 499, 4999, 123456]:
+        samples = wav_pcm_samples(synth_wav_pcm(8000, _audio_fp_samples(doc)))
+        b = energy_delta_bands(samples, AUDIO_FP_FRAME)
+        h = b[0] | b[1] << 16 | b[2] << 32 | b[3] << 48
+        assert h == _perc_bits(doc), doc
+        assert energy_delta_bands([s // 2 for s in samples], AUDIO_FP_FRAME) == b
+        assert energy_delta_bands([-s for s in samples], AUDIO_FP_FRAME) == b
+
+    with _pytest.raises(ValueError):
+        energy_delta_bands([100] * (AUDIO_FP_FRAME * 64), AUDIO_FP_FRAME)
