@@ -77,6 +77,12 @@ PROBE_OPS = [
     # key; word-salted replicas share no windows, so dup structure (and
     # per-key bucket sizes) stay constant while the posting volume is R×
     "text_repeated_spans",
+    # r9: the banded-Hamming perceptual family (image twin; the audio
+    # twin shares the identical plan) — replica ids (base + k·10⁷) are
+    # ≡ 0 mod 4 so planted 4-doc groups never straddle replicas and the
+    # pair graph stays linear; the probe measures the fingerprint
+    # mapInPandas chain + the (band, value) self-join at 10× ids
+    "multimodal_dedup_perceptual",
 ]
 
 
