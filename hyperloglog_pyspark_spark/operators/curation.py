@@ -178,25 +178,50 @@ SPAN_W = 20  # tokens per repeated-span window ("long span" at this corpus's 10-
 # deployment trading recall for volume would raise this knob.
 SPAN_S = 1
 
+# Positional span-window posting list (doc_id, window start i, 60-bit
+# window key wk) — the single SQL copy shared by the repeated-span
+# SIGNAL and TRIM oracles; the Spark twin is _span_postings below.
+_SPAN_POST_SQL = f"""
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               CAST('0x' || substring(md5(array_to_string(
+                   list_slice(tk, i, i + {SPAN_W - 1}), ' ')), 1, 15) AS BIGINT) AS wk
+        FROM (
+            SELECT doc_id, tk,
+                   unnest(range(1, len(tk) - {SPAN_W} + 2, {SPAN_S})) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+            WHERE len(tk) >= {SPAN_W}
+        )
+"""
+
+
+def _span_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, wk) rows: one stride-{SPAN_S} window start per token
+    position, keyed by the 60-bit md5 of the {SPAN_W}-token content —
+    the Spark twin of _SPAN_POST_SQL, shared by text_repeated_spans and
+    text_repeated_spans_trim. The window build is entirely map-side
+    (sequence+transform before the explode)."""
+    t = texttools.tokens("text")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(SPAN_W - 1), F.lit(SPAN_S)),
+        lambda i: F.struct(
+            i.cast("long").alias("i"),
+            texttools.md5_long(F.concat_ws(" ", F.slice(t, i, SPAN_W))).alias("wk"),
+        ),
+    )
+    return (
+        load_table(spark, sf_dir, "documents", spread_scan=True)
+        .filter(F.size(t) >= SPAN_W)
+        .select("doc_id", F.explode(wins).alias("w"))
+        .select("doc_id", "w.i", "w.wk")
+    )
+
 
 @register(
     "text_repeated_spans",
     category="text",
     bench=True,
     oracle=f"""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-    ),
-    w AS (
-        SELECT doc_id,
-               CAST('0x' || substring(md5(array_to_string(
-                   list_slice(tk, i, i + {SPAN_W - 1}), ' ')), 1, 15) AS BIGINT) AS wk
-        FROM (
-            SELECT doc_id, tk,
-                   unnest(range(1, len(tk) - {SPAN_W} + 2, {SPAN_S})) AS i
-            FROM t WHERE len(tk) >= {SPAN_W}
-        )
-    ),
+    WITH w AS ({_SPAN_POST_SQL}),
     dfq AS (SELECT wk, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY wk)
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_windows,
@@ -235,16 +260,7 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting list is ~n_tokens/{SPAN_S} rows per doc of (id, 60-bit
     key): at 100 TB the exchange carries fixed-width keys, not text;
     decade leg measured in scale_probe.py."""
-    t = texttools.tokens("text")
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size(t) - F.lit(SPAN_W - 1), F.lit(SPAN_S)),
-        lambda i: texttools.md5_long(F.concat_ws(" ", F.slice(t, i, SPAN_W))),
-    )
-    post = tracked_persist(
-        load_table(spark, sf_dir, "documents", spread_scan=True)
-        .filter(F.size(t) >= SPAN_W)
-        .select("doc_id", F.explode(wins).alias("wk"))
-    )
+    post = tracked_persist(_span_postings(spark, sf_dir).select("doc_id", "wk"))
     dfq = post.groupBy("wk").agg(F.count_distinct("doc_id").alias("ndocs"))
     dup = (F.col("ndocs") >= 2).cast("long")
     return (
@@ -262,6 +278,90 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("dup_span_ratio"),
         )
+    )
+
+
+@register(
+    "text_repeated_spans_trim",
+    category="text",
+    bench=True,
+    oracle=f"""
+    WITH w AS ({_SPAN_POST_SQL}),
+    stats AS (
+        SELECT wk, COUNT(DISTINCT doc_id) AS ndocs, MIN(doc_id) AS keeper
+        FROM w GROUP BY wk
+    ),
+    base AS (
+        SELECT doc_id, CAST(MAX(i) + {SPAN_W - 1} AS BIGINT) AS n_tokens
+        FROM w GROUP BY doc_id
+    ),
+    cutw AS (
+        SELECT w.doc_id, unnest(range(w.i, w.i + {SPAN_W})) AS pos
+        FROM w JOIN stats USING (wk)
+        WHERE ndocs >= 2 AND w.doc_id <> keeper
+    ),
+    cut AS (
+        SELECT doc_id, COUNT(DISTINCT pos) AS tokens_cut FROM cutw GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(c.tokens_cut, 0) AS BIGINT) AS tokens_cut,
+           CAST(b.n_tokens - COALESCE(c.tokens_cut, 0) AS BIGINT) AS tokens_kept
+    FROM base b LEFT JOIN cut c USING (doc_id)
+    """,
+)
+def text_repeated_spans_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION form of text_repeated_spans — Lee-et-al substring
+    deduplication as a token-budget operator: every duplicated
+    {SPAN_W}-token window keeps its FIRST occurrence (the lowest-doc_id
+    carrier keeps the span; every other carrier cuts it) and each doc
+    reports exactly how many token positions the cut removes —
+    overlapping marked windows are merged by counting DISTINCT
+    positions, so the accounting equals the length of the union of cut
+    runs, not a double-counted window sum. tokens_kept is the post-trim
+    training budget a mixture planner consumes.
+
+    Keep-first semantics, precisely: the keeper is elected per window
+    CONTENT (min doc_id over its carriers); a keeper doc that
+    self-repeats the span keeps every occurrence (doc-grain keep — the
+    within-doc signal is text_repetition's job), and a non-keeper doc
+    cuts all of its occurrences. Docs shorter than {SPAN_W} tokens
+    have no windows and no row (span-clean by construction, as in the
+    signal form).
+
+    Scale: the posting list is the shared _span_postings pass (one row
+    per token position, 60-bit keys); the keeper election is one
+    inverted-index aggregation; the position union is an explode
+    bounded by {SPAN_W}× the MARKED windows only (duplicated spans,
+    not the corpus) followed by a doc-grain distinct count. n_tokens
+    is derived from the posting list itself (max start + {SPAN_W} - 1
+    — exact at stride 1), so no second documents scan exists."""
+    post = tracked_persist(_span_postings(spark, sf_dir))
+    stats = post.groupBy("wk").agg(
+        F.count_distinct("doc_id").alias("ndocs"),
+        F.min("doc_id").alias("keeper"),
+    )
+    base = post.groupBy("doc_id").agg(
+        (F.max("i") + F.lit(SPAN_W - 1)).cast("long").alias("n_tokens")
+    )
+    cuts = (
+        post.join(stats, "wk")
+        .filter((F.col("ndocs") >= 2) & (F.col("doc_id") != F.col("keeper")))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(SPAN_W - 1))).alias(
+                "pos"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("pos").alias("tokens_cut"))
+    )
+    return base.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("tokens_cut", F.lit(0)).cast("long").alias("tokens_cut"),
+        (F.col("n_tokens") - F.coalesce("tokens_cut", F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
     )
 
 

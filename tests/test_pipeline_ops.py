@@ -1424,3 +1424,60 @@ def test_audio_fingerprint_roundtrip_and_invariances():
 
     with _pytest.raises(ValueError):
         energy_delta_bands([100] * (AUDIO_FP_FRAME * 64), AUDIO_FP_FRAME)
+
+
+def test_repeated_spans_trim_keep_first_and_union_accounting(spark, tmp_path):
+    """The trim operator's two load-bearing semantics on a planted
+    corpus, verified against its registered oracle AND by hand:
+
+    - keep-first: the lowest-doc_id carrier of a duplicated span cuts
+      nothing; every other carrier cuts it (doc 0 keeps, doc 1 cuts);
+    - union accounting: doc 9's shared span is 24 tokens long => 5
+      overlapping marked windows, but tokens_cut = 24 (the union), not
+      5 x 20; its keeper (doc 8) still cuts 0;
+    - self-repeats stay (doc 2 cuts 0), short docs absent (doc 3)."""
+    import duckdb
+
+    from hyperloglog_pyspark_spark.operators.curation import SPAN_W
+    from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+    from tests.helpers import compare
+
+    queries()
+    span = [f"s{i}" for i in range(SPAN_W)]
+    long_span = [f"L{i}" for i in range(SPAN_W + 4)]  # 24 tokens
+
+    def pad(doc, pre, mid, post):
+        return " ".join([f"p{doc}_{i}" for i in range(pre)] + mid + [f"q{doc}_{i}" for i in range(post)])
+
+    rows = [
+        (0, pad(0, 3, span, 7)),
+        (1, pad(1, 7, span, 4)),
+        (2, " ".join([f"t{i}" for i in range(SPAN_W)] + ["mid"] + [f"t{i}" for i in range(SPAN_W)])),
+        (3, "tiny doc under twenty tokens"),
+        (8, pad(8, 2, long_span, 5)),
+        (9, pad(9, 6, long_span, 3)),
+    ]
+    d = tmp_path / "trim_sf"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    q = REGISTRY["text_repeated_spans_trim"]
+    df = q.fn(spark, str(d))
+    compare(df, con, q.oracle, "text_repeated_spans_trim[planted]")
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    assert got[0]["tokens_cut"] == 0 and got[1]["tokens_cut"] == SPAN_W
+    assert got[1]["tokens_kept"] == got[1]["n_tokens"] - SPAN_W
+    assert got[2]["tokens_cut"] == 0
+    assert 3 not in got
+    assert got[8]["tokens_cut"] == 0
+    assert got[9]["tokens_cut"] == SPAN_W + 4  # union of 5 overlapping windows
+    # n_tokens derived from the posting list equals the real token count
+    for doc, text in rows:
+        if doc in got:
+            assert got[doc]["n_tokens"] == len(text.split(" ")), doc
