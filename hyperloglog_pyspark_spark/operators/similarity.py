@@ -693,6 +693,143 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ivf_pq_topk",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+    WITH {_PQ_CTES},
+    codes AS (SELECT vec_id, m, seed_vec_id FROM a WHERE rn = 1),
+    icent AS (
+        SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id % {N_CENT_MOD} = 0
+    ),
+    iscored AS (
+        SELECT v.vec_id, c.cent_id,
+               round(list_dot_product(v.e, c.ce), 4) AS score
+        FROM e v CROSS JOIN icent c
+    ),
+    iassign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cent_id) AS rn
+            FROM iscored
+        ) WHERE rn = 1
+    ),
+    iqprobe AS (
+        SELECT vec_id AS query_id, cent_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, cent_id) AS rn
+            FROM iscored WHERE vec_id < {N_QUERIES}
+        ) WHERE rn <= {N_PROBES}
+    ),
+    candidates AS (
+        SELECT q.query_id, a.vec_id
+        FROM iqprobe q JOIN iassign a ON a.cent_id = q.cent_id
+        WHERE a.vec_id <> q.query_id
+    ),
+    qsub AS (
+        SELECT vec_id AS query_id, m, sv FROM vecs WHERE vec_id < {N_QUERIES}
+    ),
+    lut AS (
+        SELECT q.query_id, c.m, c.seed_vec_id,
+               ROUND(list_sum(list_transform(list_zip(q.sv, c.cv),
+                                             p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS qd2
+        FROM qsub q JOIN cent c ON c.m = q.m
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.vec_id, SUM(CAST(l.qd2 AS DECIMAL(14,4))) AS adc
+        FROM candidates cd
+        JOIN codes k ON k.vec_id = cd.vec_id
+        JOIN lut l ON l.query_id = cd.query_id
+                  AND l.m = k.m AND l.seed_vec_id = k.seed_vec_id
+        GROUP BY cd.query_id, cd.vec_id
+    )
+    SELECT query_id, vec_id, CAST(adc AS DOUBLE) AS adc_d2, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN — the FAISS-production index shape, built
+    from the engine's two halves: the IVF coarse quantizer
+    (similarity_ivf's nearest-centroid partition + N_PROBES cell probe)
+    restricts WHICH vectors are scored, and PQ asymmetric distance
+    (similarity_pq_adc_topk's per-query LUT over stored codes) scores
+    them WITHOUT touching any raw corpus embedding at query time. This
+    non-residual variant (FAISS by_residual=false) keeps one global
+    codebook, so the codes are exactly similarity_pq_adc_topk's and the
+    composition is pure restriction — the oracle composes both queries'
+    CTE families verbatim.
+
+    Scale: the two index passes are the BUILD phase (coarse assignment:
+    broadcast centroid argmin, one row per vector; PQ encode: broadcast
+    M×K codebook, linear) — at 100 TB both are written once, bucketed
+    by cent_id. At query time the probe prunes the corpus to
+    |corpus|/n_cells · n_probes candidates, each carrying M small codes
+    instead of the embedding; scoring is the broadcast-LUT aggregation
+    over candidates only. Neither the full corpus nor any raw vector
+    crosses the query-time exchange — the property that makes
+    billion-vector search serve from an index a single rack holds."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    # coarse quantizer: persisted (feeds assignment AND query probes)
+    icent = tracked_persist(
+        emb.filter(F.col("vec_id") % N_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    iscored = emb.crossJoin(F.broadcast(icent)).select(
+        "vec_id",
+        "cent_id",
+        (-F.round(dot(F.col("e"), F.col("ce")), 4)).alias("ns"),
+    )
+    # persisted: this IS the materialized coarse index (one row per
+    # vector); without the cache the corpus x centroid scoring pass
+    # re-executes under every candidate-join consumer
+    iassign = tracked_persist(
+        iscored.groupBy("vec_id")
+        .agg(F.min(F.struct("ns", "cent_id")).alias("b"))
+        .select("vec_id", F.col("b.cent_id").alias("cent_id"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("ns", "cent_id")
+    iqprobe = (
+        iscored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBES)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("probe_cent"))
+    )
+    candidates = (
+        F.broadcast(iqprobe)
+        .join(iassign, F.col("probe_cent") == F.col("cent_id"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    # PQ index: persisted codebook feeds the encode pass and the query LUT
+    cent = tracked_persist(_pq_centroids(emb))
+    codes = _pq_codes(_pq_subvectors(emb), cent).select("vec_id", "m", "seed_vec_id")
+    qsub = _pq_subvectors(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
+    )
+    lut = qsub.join(F.broadcast(cent), "m").select(
+        "query_id", "m", "seed_vec_id", _pq_d2("qv", "cv").alias("qd2")
+    )
+    scored = (
+        candidates.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "seed_vec_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qd2").cast("decimal(14,4)")).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.col("adc").cast("double").alias("adc_d2"), "rank")
+    )
+
+
 CENT_SCALE = 1000  # element milli-units: exact BIGINT arithmetic throughout
 
 

@@ -1481,3 +1481,22 @@ def test_repeated_spans_trim_keep_first_and_union_accounting(spark, tmp_path):
     for doc, text in rows:
         if doc in got:
             assert got[doc]["n_tokens"] == len(text.split(" ")), doc
+
+
+def test_ivf_pq_consistent_with_adc_scoring(spark, sf_dir):
+    """similarity_ivf_pq_topk must be PURE RESTRICTION: wherever a
+    (query, vec) pair also survives similarity_pq_adc_topk's unrestricted
+    top-k, the ADC distance is bit-identical (same codebook, same LUT) —
+    the IVF stage may only change WHICH pairs are scored, never a score.
+    Plus ranking sanity: per query, ranks are dense from 1 and adc_d2 is
+    non-decreasing with rank."""
+    ivfpq = ALL["similarity_ivf_pq_topk"](spark, sf_dir).toPandas()
+    adc = ALL["similarity_pq_adc_topk"](spark, sf_dir).toPandas()
+    assert len(ivfpq) > 0
+    both = ivfpq.merge(adc, on=["query_id", "vec_id"], suffixes=("_i", "_a"))
+    assert len(both) > 0, "restriction shares no pairs with the full ADC top-k"
+    assert (both["adc_d2_i"] == both["adc_d2_a"]).all()
+    for q, grp in ivfpq.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert grp["adc_d2"].is_monotonic_increasing
