@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.mediacodec import (
     bmp_gray_grid,
@@ -498,23 +498,43 @@ _PERC_PAIRS_ORACLE = f"""
     """
 
 
-def _banded_hamming_pairs(hashes: DataFrame) -> DataFrame:
+def _banded_hamming_pairs(
+    hashes: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
     """Near-dup pairs from a persisted 4x16-bit fingerprint table
     (doc_id, b0..b3): explode into (band, value) bucket keys, equi-join
     on the bucket, verify candidates with exact Hamming distance
     <= PERC_HAMMING_T JVM-side (bit_count(xor)), emit distinct pairs.
     Shared by the image-dHash and audio-fingerprint dedups — one copy
     of the banding/verify plan. Exhaustive at T=3 with 4 bands by
-    pigeonhole (<= 3 dirty bits leave >= 1 clean band)."""
+    pigeonhole (<= 3 dirty bits leave >= 1 clean band).
+
+    ``bucket_cap`` is the whale-band skew guard, the same
+    cap-and-star discipline as ``dedup._lsh_candidates``: a band
+    bucket larger than the cap is near-certainly a corpus-wide
+    boilerplate image/jingle whose |b|²/2 pairwise explode is one
+    task's unsplittable work — capped buckets emit a linear STAR to
+    the bucket minimum instead (for identical media the star spans
+    exactly the clique's connected component; for merely-similar
+    members it trades bounded edge recall for bounded work). ``None``
+    — the registered queries' default — keeps exact pairwise; no
+    testdata band comes near any sensible cap."""
     bands = hashes.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "bv")
+        sized = bands.withColumn("bn", F.count(F.lit(1)).over(w)).withColumn(
+            "bmin", F.min("doc_id").over(w)
+        )
+        bands = sized.filter(F.col("bn") <= bucket_cap).drop("bn", "bmin")
+        star_src = sized.filter(F.col("bn") > bucket_cap)
     a, b = bands.alias("a"), bands.alias("b")
     ham = sum(
         F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))) for i in range(4)
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -527,8 +547,30 @@ def _banded_hamming_pairs(hashes: DataFrame) -> DataFrame:
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= PERC_HAMMING_T)
-        .distinct()
     )
+    if bucket_cap is not None:
+        s, m = star_src.alias("s"), star_src.alias("m")
+        star_ham = sum(
+            F.bit_count(F.col(f"s.b{i}").bitwiseXOR(F.col(f"m.b{i}")))
+            for i in range(4)
+        )
+        star = (
+            s.join(
+                m,
+                (F.col("s.band") == F.col("m.band"))
+                & (F.col("s.bv") == F.col("m.bv"))
+                & (F.col("s.doc_id") == F.col("s.bmin"))
+                & (F.col("m.doc_id") > F.col("m.bmin")),
+            )
+            .select(
+                F.col("s.doc_id").alias("doc_a"),
+                F.col("m.doc_id").alias("doc_b"),
+                star_ham.cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= PERC_HAMMING_T)
+        )
+        pairs = pairs.union(star)
+    return pairs.distinct()
 
 
 def _perc_bits(doc_id: int) -> int:
@@ -570,7 +612,9 @@ def _perc_grid(doc_id: int) -> list[list[int]]:
     bench=True,
     oracle=_PERC_PAIRS_ORACLE,
 )
-def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_dedup_perceptual(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Perceptual near-duplicate media pairs: dHash over REAL decoded
     pixels, Hamming-matched via a band-bucketed self-join — the
     resized/re-encoded/brightness-shifted-copy catcher that byte-digest
@@ -636,7 +680,7 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
         )
     )
-    return _banded_hamming_pairs(hashes)
+    return _banded_hamming_pairs(hashes, bucket_cap=bucket_cap)
 
 
 AUDIO_FP_FRAME = 64          # PCM samples per energy frame
@@ -668,7 +712,9 @@ def _audio_fp_samples(doc_id: int) -> list[int]:
     bench=True,
     oracle=_PERC_PAIRS_ORACLE,
 )
-def multimodal_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_dedup_audio_fp(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Perceptual near-duplicate AUDIO pairs: chromaprint-style
     energy-delta fingerprint over REAL decoded PCM, Hamming-matched via
     the same band-bucketed self-join as the image dHash — the
@@ -730,4 +776,4 @@ def multimodal_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
         )
     )
-    return _banded_hamming_pairs(hashes)
+    return _banded_hamming_pairs(hashes, bucket_cap=bucket_cap)

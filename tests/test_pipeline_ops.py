@@ -1500,3 +1500,36 @@ def test_ivf_pq_consistent_with_adc_scoring(spark, sf_dir):
         grp = grp.sort_values("rank")
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
         assert grp["adc_d2"].is_monotonic_increasing
+
+
+def test_banded_hamming_bucket_cap_star_fallback(spark):
+    """The perceptual family's whale-band skew guard (_banded_hamming_pairs
+    bucket_cap), same discipline as _lsh_candidates: a planted clique of
+    6 IDENTICAL fingerprints (a corpus-wide boilerplate image) under
+    cap=4 must emit the linear STAR to the clique minimum (5 edges at
+    hamming 0 — spanning the same connected component as the C(6,2)=15
+    pairwise edges), while an under-cap near-dup pair elsewhere keeps
+    exact pairwise. cap=None reproduces full pairwise on the clique."""
+    from hyperloglog_pyspark_spark.operators.multimodal import (
+        _banded_hamming_pairs,
+    )
+
+    rows = [(i, 7, 7, 7, 7) for i in range(6)]          # identical clique
+    rows += [(10, 100, 200, 300, 400), (11, 101, 200, 300, 400)]  # 1-bit pair
+    hashes = spark.createDataFrame(
+        rows, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    capped = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in _banded_hamming_pairs(hashes, bucket_cap=4).collect()
+    }
+    star = {(0, b) for b in range(1, 6)}
+    assert {p for p in capped if p[0] < 10} == star
+    assert all(capped[p] == 0 for p in star)
+    assert capped[(10, 11)] == 1
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in _banded_hamming_pairs(hashes).collect()
+        if r.doc_a < 10
+    }
+    assert len(full) == 15
