@@ -98,12 +98,15 @@ def synth_wav_pcm(sample_rate: int, samples: list[int]) -> bytes:
 
 def wav_pcm_samples(payload: bytes) -> list[int]:
     """REAL sample decode: validate the container via ``decode_wav``,
-    then extract the mono 16-bit PCM samples from the data chunk."""
+    then extract the mono 16-bit PCM samples from the data chunk —
+    sized by the validated header's data_len, NOT the payload tail
+    (decode_wav accepts data_len <= remaining bytes; trailing non-audio
+    bytes must never decode as samples)."""
     meta = decode_wav(payload)
     if meta["channels"] != 1 or meta["bits"] != 16:
         raise ValueError("wav_pcm_samples expects mono 16-bit PCM")
-    n = (meta["n_bytes"] - WAV_HEADER_LEN) // 2
-    return list(struct.unpack_from(f"<{n}h", payload, WAV_HEADER_LEN))
+    data_len = struct.unpack_from("<I", payload, 40)[0]
+    return list(struct.unpack_from(f"<{data_len // 2}h", payload, WAV_HEADER_LEN))
 
 
 def decode_wav(payload: bytes) -> dict:

@@ -606,6 +606,65 @@ def _perc_grid(doc_id: int) -> list[list[int]]:
     return grid
 
 
+def _fingerprint_table(spark, sf_dir: str, synth_fn, fp_fn) -> DataFrame:
+    """Persisted (doc_id, b0..b3) fingerprint table — the single copy of
+    the two-stage mapInPandas scaffolding shared by the image and audio
+    perceptual dedups: ``synth_fn(doc_id) -> bytes`` renders each
+    document's media payload, ``fp_fn(bytes) -> 4x16-bit bands``
+    REAL-decodes it back and fingerprints the content. Persisted because
+    the bands self-join consumes the table on BOTH sides — without the
+    cache the synth+decode+fingerprint chain (and the documents scan
+    under it) re-executes per side. At warehouse scale this is the
+    materialized fingerprint table every perceptual-dedup pipeline
+    checkpoints; it is 5 ints per doc."""
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_fn(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands = [fp_fn(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{f"b{i}": [b[i] for b in bands] for i in range(4)},
+                }
+            )
+
+    return tracked_persist(
+        blobs.mapInPandas(
+            hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+        )
+    )
+
+
+def _perc_image_synth(doc_id: int) -> bytes:
+    return synth_bmp_gray(_perc_grid(doc_id))
+
+
+def _perc_image_fp(payload: bytes) -> tuple[int, int, int, int]:
+    return dhash_bands(bmp_gray_grid(payload))
+
+
+def _perc_audio_synth(doc_id: int) -> bytes:
+    return synth_wav_pcm(8000, _audio_fp_samples(doc_id))
+
+
+def _perc_audio_fp(payload: bytes) -> tuple[int, int, int, int]:
+    return energy_delta_bands(wav_pcm_samples(payload), AUDIO_FP_FRAME)
+
+
 @register(
     "multimodal_dedup_perceptual",
     category="multimodal",
@@ -640,46 +699,7 @@ def multimodal_dedup_perceptual(
     cap-and-star guard as ``_lsh_candidates``; the planted pattern's
     per-bit periods (2..65, combined lcm astronomically large) keep
     testdata buckets tiny — measured in scale_probe.py."""
-    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
-
-    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        synth_bmp_gray(_perc_grid(int(d))) for d in pdf["doc_id"]
-                    ],
-                }
-            )
-
-    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
-
-    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            bands = [dhash_bands(bmp_gray_grid(bytes(p))) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "b0": [b[0] for b in bands],
-                    "b1": [b[1] for b in bands],
-                    "b2": [b[2] for b in bands],
-                    "b3": [b[3] for b in bands],
-                }
-            )
-
-    # Persisted: the bands self-join consumes the hash table on BOTH
-    # sides — without the cache the synth+decode+dHash mapInPandas chain
-    # (and the documents scan under it) re-executes per side. At
-    # warehouse scale this is the materialized fingerprint table every
-    # perceptual-dedup pipeline checkpoints; it is 5 ints per doc.
-    hashes = tracked_persist(
-        blobs.mapInPandas(
-            hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
-        )
-    )
+    hashes = _fingerprint_table(spark, sf_dir, _perc_image_synth, _perc_image_fp)
     return _banded_hamming_pairs(hashes, bucket_cap=bucket_cap)
 
 
@@ -737,43 +757,5 @@ def multimodal_dedup_audio_fp(
     Scale: identical posture to the image twin — PCM payloads never
     leave their scan partition; the shuffle carries 16-bit band keys +
     ids; the fingerprint table is the persisted checkpoint."""
-    docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    )
-
-    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        synth_wav_pcm(8000, _audio_fp_samples(int(d)))
-                        for d in pdf["doc_id"]
-                    ],
-                }
-            )
-
-    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
-
-    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            bands = [
-                energy_delta_bands(wav_pcm_samples(bytes(p)), AUDIO_FP_FRAME)
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "b0": [b[0] for b in bands],
-                    "b1": [b[1] for b in bands],
-                    "b2": [b[2] for b in bands],
-                    "b3": [b[3] for b in bands],
-                }
-            )
-
-    hashes = tracked_persist(
-        blobs.mapInPandas(
-            hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
-        )
-    )
+    hashes = _fingerprint_table(spark, sf_dir, _perc_audio_synth, _perc_audio_fp)
     return _banded_hamming_pairs(hashes, bucket_cap=bucket_cap)
