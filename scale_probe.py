@@ -77,6 +77,11 @@ PROBE_OPS = [
     # key; word-salted replicas share no windows, so dup structure (and
     # per-key bucket sizes) stay constant while the posting volume is R×
     "text_repeated_spans",
+    # r9: the trim action shares the signal's posting pass but adds the
+    # keeper election and the position-union explode — the explode is
+    # bounded by MARKED windows (duplicated spans), which the salted
+    # replicas keep at R× the base count, not R²
+    "text_repeated_spans_trim",
     # r9: the banded-Hamming perceptual family (image twin; the audio
     # twin shares the identical plan) — replica ids (base + k·10⁷) are
     # ≡ 0 mod 4 so planted 4-doc groups never straddle replicas and the
