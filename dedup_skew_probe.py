@@ -138,6 +138,58 @@ def capped_incremental_probe(spark, sf_dir: str):
     return dedup_incremental_probe(spark, sf_dir, bucket_cap=CAP)
 
 
+def _perc_fingerprints(spark, sf_dir: str, skewed: bool):
+    """The perceptual family's fingerprint table over the probe corpus,
+    with the media whale planted directly in fingerprint space: ~HOT_PCT%
+    of docs (same xxhash64 rule as the text whale) carry ONE identical
+    (b0..b3) — the corpus-wide boilerplate image/jingle. Fingerprints
+    derive from doc_id arithmetic (the synth/decode stages are
+    constant-cost per doc and not the skew hazard), so the probe
+    measures exactly the at-risk component: the (band, value) self-join."""
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.operators.multimodal import _perc_bits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def bands_of(batches):
+        for pdf in batches:
+            cols = {f"b{i}": [] for i in range(4)}
+            for d in pdf["doc_id"]:
+                bits = _perc_bits(int(d))
+                for i in range(4):
+                    cols[f"b{i}"].append((bits >> (16 * i)) & 0xFFFF)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **cols})
+
+    h = docs.mapInPandas(
+        bands_of, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    if skewed:
+        hot = F.pmod(F.xxhash64("doc_id"), F.lit(100)) < HOT_PCT
+        h = h.select(
+            "doc_id",
+            *[
+                F.when(hot, F.lit(7777)).otherwise(F.col(f"b{i}")).alias(f"b{i}")
+                for i in range(4)
+            ],
+        )
+    return registry.tracked_persist(h)
+
+
+def _perceptual_banded(cap):
+    def fn(spark, sf_dir: str):
+        from hyperloglog_pyspark_spark.operators.multimodal import (
+            _banded_hamming_pairs,
+        )
+
+        skewed = sf_dir.rstrip("/").endswith("xRs")
+        return _banded_hamming_pairs(
+            _perc_fingerprints(spark, sf_dir, skewed), bucket_cap=cap
+        )
+
+    return fn
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("dedup-skew-probe")
@@ -156,6 +208,13 @@ def main() -> None:
         ("incremental_probe", "registered",
          registry.REGISTRY["dedup_incremental_probe"].fn),
         ("incremental_probe", "capped", capped_incremental_probe),
+        # r9: the perceptual family's band self-join under a fingerprint
+        # whale (identical boilerplate media). Unlike _lsh_candidates'
+        # bucket AGGREGATION, this is a JOIN — AQE can split the probe
+        # side, but the |b|² pair OUTPUT is still quadratic in the whale;
+        # the cap's linear star is the real mitigation.
+        ("perceptual_banded", "uncapped", _perceptual_banded(None)),
+        ("perceptual_banded", "capped", _perceptual_banded(CAP)),
     ]
     results = []
     for op, form, fn in runs:
