@@ -1446,3 +1446,113 @@ def test_ab_moments_state_fn_skips_null_metric_values():
     assert out.loc[0, "s2_a"] == 100 * 100 + 500 * 500
     assert (out.loc[0, "n_b"], out.loc[0, "s1_b"]) == (2, 1000)
     assert out.loc[0, "s2_b"] == 300 * 300 + 700 * 700
+
+
+def test_streaming_incremental_perceptual_dedup(spark, sf_dir, tmp_path):
+    """Ingestion-time perceptual media screening as a stream — the
+    multimodal twin of test_streaming_incremental_dedup_index_grows:
+    each micro-batch of media docs is fingerprinted through the REAL
+    synth->decode->dHash path, band-probed against the persisted
+    fingerprint index, Hamming-verified (<= PERC_HAMMING_T), and only
+    ACCEPTED fingerprints are appended before the next batch — so a
+    batch-2 image that near-duplicates an accepted batch-1 image is
+    rejected even though neither is in the original corpus. Verdicts
+    must equal an independent batch-accurate recompute."""
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.operators.multimodal import (
+        PERC_HAMMING_T,
+        _perc_image_fp,
+        _perc_image_synth,
+    )
+
+    def fp_table(df):
+        def batches(it):
+            for pdf in it:
+                bands = [
+                    _perc_image_fp(_perc_image_synth(int(d)))
+                    for d in pdf["doc_id"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        **{f"b{i}": [b[i] for b in bands] for i in range(4)},
+                    }
+                )
+
+        return df.select("doc_id").mapInPandas(
+            batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+        )
+
+    def band_rows(h):
+        return h.select(
+            "doc_id", "b0", "b1", "b2", "b3",
+            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+        )
+
+    def dup_ids(batch_h, index_bands):
+        a, b = band_rows(batch_h).alias("a"), index_bands.alias("b")
+        ham = sum(
+            F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
+            for i in range(4)
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .filter(ham <= PERC_HAMMING_T)
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    b1 = docs.filter(F.col("doc_id") % 10 == 0)
+    b2 = docs.filter(F.col("doc_id") % 10 == 5)
+
+    index = str(tmp_path / "fp_index")
+    band_rows(fp_table(hist)).write.mode("overwrite").parquet(index)
+    src = str(tmp_path / "incoming")
+    accepted_out = str(tmp_path / "accepted")
+
+    def ingest(batch_df, batch_id: int):
+        h = fp_table(batch_df)
+        idx = batch_df.sparkSession.read.parquet(index)
+        ok = h.join(dup_ids(h, idx), "doc_id", "left_anti")
+        band_rows(ok).write.mode("append").parquet(index)
+        ok.select("doc_id").write.mode("append").parquet(accepted_out)
+
+    _write_batch(spark, b1, src)
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        stream.processAllAvailable()
+        _write_batch(spark, b2, src)
+        stream.processAllAvailable()
+    finally:
+        stream.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(accepted_out).collect()}
+
+    # independent batch-accurate recompute
+    hist_bands = band_rows(fp_table(hist))
+    b1_dups = {r.doc_id for r in dup_ids(fp_table(b1), hist_bands).collect()}
+    exp1 = {r.doc_id for r in b1.collect()} - b1_dups
+    grown = hist_bands.union(
+        band_rows(fp_table(b1).filter(F.col("doc_id").isin(list(exp1))))
+    )
+    b2_dups = {r.doc_id for r in dup_ids(fp_table(b2), grown).collect()}
+    exp2 = {r.doc_id for r in b2.collect()} - b2_dups
+    assert got == exp1 | exp2
+    # the planted 4-doc groups guarantee cross-set near-dups: some batch
+    # docs must actually be rejected (the screen is doing work)
+    assert b1_dups or b2_dups
