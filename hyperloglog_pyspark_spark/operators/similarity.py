@@ -830,6 +830,71 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ivf_pq_recall",
+    category="similarity",
+    oracle=f"""
+    WITH bf AS (
+        SELECT * FROM ({{BF}}) t
+    ),
+    ipq AS (
+        SELECT * FROM ({{IPQ}}) t
+    )
+    SELECT bf.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(ipq.vec_id) AS BIGINT) AS n_hits,
+           CAST(round(COUNT(ipq.vec_id) * 1.0 / COUNT(*), 4) AS DOUBLE) AS recall
+    FROM bf LEFT JOIN ipq ON bf.query_id = ipq.query_id AND bf.vec_id = ipq.vec_id
+    GROUP BY bf.query_id
+    """.format(
+        BF=REGISTRY["similarity_topk_bruteforce"].oracle,
+        IPQ=REGISTRY["similarity_ivf_pq_topk"].oracle,
+    ),
+)
+def similarity_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the composed IVF-PQ index against the exact cosine
+    brute force, per query — the drift monitor a production IVF-PQ
+    deployment runs on a sampled query set. Recall here compounds BOTH
+    approximations at once (the probe's cell misses AND the PQ code's
+    quantization reranking), which is exactly what the serving system
+    experiences; similarity_recall_report monitors the LSH path the
+    same way.
+
+    Reading the number: the synthetic embeddings are UNIFORM RANDOM —
+    the worst case for any partitioned index, where true neighbors are
+    uncorrelated with coarse cells and expected recall degenerates to
+    the probed fraction (~n_probes / n_cells ≈ 0.1 here, observed).
+    On real clustered embeddings the coarse quantizer is what makes
+    recall >> probed-fraction; this report exists to MEASURE that gap,
+    and the testdata value is its honest floor (same argument as
+    test_ann_recall_floor).
+
+    Scale: both legs reuse the registered constructions (the index's
+    persisted assignment/codebook, the brute force's broadcast query
+    block); the comparison is a join over two k-row-per-query sets —
+    negligible next to the searches it audits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: the brute-force leg reads this frame in BOTH its roles
+    # (broadcast query block + corpus side) — same discipline as
+    # similarity_recall_report's shared base
+    base = tracked_persist(
+        emb.select("vec_id", as_double("embedding").alias("e"))
+    )
+    bf = _bruteforce_topk(base).select("query_id", "vec_id")
+    ipq = similarity_ivf_pq_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ipq, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).cast("double").alias("recall"),
+        )
+    )
+
+
 CENT_SCALE = 1000  # element milli-units: exact BIGINT arithmetic throughout
 
 

@@ -361,8 +361,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # the registry), then the oldest r4 block fills to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r9 = the 34
-# remaining r3 names + the oldest 10 of the 37 r4 greens (6 lead slots
-# + 34 + 10 = the 50-name cap); r10 = the 27 remaining r4 names + the
+# remaining r3 names + the oldest 9 of the 37 r4 greens (7 lead slots
+# + 34 + 9 = the 50-name cap); r10 = the 28 remaining r4 names + the
 # oldest of the 34 r5-aged greens; after that the cohorts cycle
 # (~50/round). Latest-green ages are computed from the CORRECTNESS_r*
 # artifacts (see the r9 rotation script in git history).
@@ -371,7 +371,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # row predates the current code), locally re-verified at sf0.01
     "multimodal_dedup_perceptual", "text_repeated_spans",
     "multimodal_dedup_audio_fp", "text_repeated_spans_trim",
-    "similarity_ivf_pq_topk",
+    "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
     "join_interval_overlap",
     # latest green = round 3 (the full remaining stale cohort)
     "approx_quantile_check", "array_higher_order", "bitwise_funcs",
@@ -388,8 +388,9 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "window_distribution", "window_lag_lead", "window_range_frame",
     "window_range_interval", "window_rank_dense_ntile",
     "window_session", "window_sliding", "window_tumbling",
-    # latest green = round 4 (oldest alphabetical block; the 27 that
-    # queue for r10: mixture_budget_rates, multimodal_decode,
+    # latest green = round 4 (oldest alphabetical block; the 28 that
+    # queue for r10: layout_skipping_report,
+    # mixture_budget_rates, multimodal_decode,
     # pivot_multi_value,
     # quality_constraint_audit, quality_k_anonymity,
     # sample_exact_k_stratified, sample_weighted_reservoir,
@@ -406,7 +407,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_containment", "dedup_minhash_accuracy",
     "event_cooccurrence_lift", "graph_pagerank_nations",
     "graph_triangle_count", "hll_sliding_distinct", "join_salted_skew",
-    "layout_skipping_report",
 )
 
 

@@ -1533,3 +1533,20 @@ def test_banded_hamming_bucket_cap_star_fallback(spark):
         if r.doc_a < 10
     }
     assert len(full) == 15
+
+
+def test_ivf_pq_recall_report_bounds(spark, sf_dir):
+    """The IVF-PQ recall monitor's structural contract: one row per
+    query, n_exact = TOP_K, 0 <= n_hits <= n_exact, recall =
+    n_hits/n_exact at 4dp. Uniform-random embeddings are the
+    partitioned-index worst case (expected recall ~ probed fraction),
+    so the assertion guards the monitor's arithmetic, not a quality
+    floor — the quality claim on this data is similarity_ivf_pq_topk's
+    restriction-purity test."""
+    from hyperloglog_pyspark_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rep = ALL["similarity_ivf_pq_recall"](spark, sf_dir).toPandas()
+    assert len(rep) == N_QUERIES
+    assert (rep["n_exact"] == TOP_K).all()
+    assert ((rep["n_hits"] >= 0) & (rep["n_hits"] <= rep["n_exact"])).all()
+    assert (rep["recall"] == (rep["n_hits"] / rep["n_exact"]).round(4)).all()
