@@ -159,3 +159,74 @@ def test_incremental_probe_cap_verdict_sound(texts, cap, spark):
     for d in full:
         if texts[d] in hist_texts:
             assert capped[d][0] and full[d][0]
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=2,
+        max_size=14,
+    ),
+    cap=st.integers(2, 5),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_banded_hamming_sound_complete_and_cap_star(hashes, cap, spark):
+    """The perceptual family's pigeonhole claim, on ARBITRARY 64-bit
+    fingerprints (hypothesis loves adversarial bit patterns, e.g. many
+    identical hashes piling into one band bucket):
+
+    - exactness at cap=None: the banded join's pair set EQUALS the
+      all-pairs Hamming <= T set (T=3 dirty bits cannot dirty all 4
+      bands), with correct per-pair distances;
+    - soundness under any cap: every emitted pair is a real <= T pair
+      with the correct distance, and the pair set is a SUBSET of the
+      exact set (the star only drops whale-bucket edges, never invents);
+    - star connectivity for identical whales: any group of > cap
+      IDENTICAL fingerprints stays fully connected through the bucket
+      minimum (dedup clusters are equivalence classes)."""
+    from hyperloglog_pyspark_spark.operators.multimodal import (
+        PERC_HAMMING_T,
+        _banded_hamming_pairs,
+    )
+
+    rows = [
+        (i, h & 0xFFFF, (h >> 16) & 0xFFFF, (h >> 32) & 0xFFFF, (h >> 48) & 0xFFFF)
+        for i, h in enumerate(hashes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, b0 long, b1 long, b2 long, b3 long")
+
+    def ham(a, b):
+        return bin(hashes[a] ^ hashes[b]).count("1")
+
+    exact = {
+        (a, b): ham(a, b)
+        for a in range(len(hashes))
+        for b in range(a + 1, len(hashes))
+        if ham(a, b) <= PERC_HAMMING_T
+    }
+    got = {(r.doc_a, r.doc_b): r.hamming for r in _banded_hamming_pairs(df).collect()}
+    assert got == exact
+
+    capped = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in _banded_hamming_pairs(df, bucket_cap=cap).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(capped[p] == exact[p] for p in capped)
+    # identical whales stay connected via the star
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, h in enumerate(hashes):
+        groups[h].append(i)
+    for members in groups.values():
+        if len(members) > cap:
+            hub = min(members)
+            for m in members:
+                if m != hub:
+                    assert (hub, m) in capped, (hub, m, len(members))
