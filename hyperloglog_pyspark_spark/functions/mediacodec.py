@@ -106,6 +106,11 @@ def wav_pcm_samples(payload: bytes) -> list[int]:
     if meta["channels"] != 1 or meta["bits"] != 16:
         raise ValueError("wav_pcm_samples expects mono 16-bit PCM")
     data_len = struct.unpack_from("<I", payload, 40)[0]
+    if data_len % 2 != 0:
+        # an odd data chunk cannot hold whole 16-bit samples; silently
+        # dropping the trailing byte would break the validate-then-decode
+        # contract (r9 advice)
+        raise ValueError(f"WAV data chunk length {data_len} is odd for 16-bit PCM")
     return list(struct.unpack_from(f"<{data_len // 2}h", payload, WAV_HEADER_LEN))
 
 
@@ -594,12 +599,17 @@ def energy_delta_bands(samples: list[int], frame: int) -> tuple[int, int, int, i
     (the LSH bucket keys) — the audio twin of ``dhash_bands``.
 
     Chromaprint-style energy-delta hash, integer-exact: partition the
-    PCM stream into consecutive ``frame``-sample frames, compute each
-    frame's energy E_f = sum(s^2) (exact int — no float RMS), then
-    bit f = E_{f+1} > E_f for f in 0..63 — 64 loudness-gradient signs,
-    invariant to uniform gain scaling and phase/sign flips. Requires at
-    least 65 full frames. Band packing matches dhash_bands: band b =
-    sum(bit_i << (i - 16b))."""
+    PCM stream's PREFIX into consecutive ``frame``-sample frames,
+    compute each frame's energy E_f = sum(s^2) (exact int — no float
+    RMS), then bit f = E_{f+1} > E_f for f in 0..63 — 64
+    loudness-gradient signs, invariant to uniform gain scaling and
+    phase/sign flips. Requires at least 65 full frames, and covers
+    EXACTLY the first 65: audio beyond 65*frame samples never affects
+    the fingerprint (two clips identical in that prefix collide by
+    design — the prefix-window convention real audio fingerprinters use
+    for their first query window; index more windows per clip to
+    discriminate longer audio). Band packing matches dhash_bands:
+    band b = sum(bit_i << (i - 16b))."""
     n_frames = len(samples) // frame
     if n_frames < 65:
         raise ValueError(f"need >= 65 full frames, got {n_frames}")

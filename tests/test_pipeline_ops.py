@@ -1426,6 +1426,29 @@ def test_audio_fingerprint_roundtrip_and_invariances():
         energy_delta_bands([100] * (AUDIO_FP_FRAME * 64), AUDIO_FP_FRAME)
 
 
+def test_wav_pcm_samples_rejects_odd_data_chunk():
+    """An odd data_len is malformed for 16-bit PCM — decode must refuse
+    rather than silently drop the trailing byte (r9 advice): shrink a
+    valid mono WAV's data chunk by one byte, keeping the RIFF size
+    consistent so ONLY the odd-length check can catch it."""
+    import struct
+
+    import pytest as _pytest
+
+    from hyperloglog_pyspark_spark.functions.mediacodec import (
+        synth_wav_pcm,
+        wav_pcm_samples,
+    )
+
+    good = synth_wav_pcm(8000, [100, -200, 300])
+    assert wav_pcm_samples(good) == [100, -200, 300]
+    bad = bytearray(good[:-1])  # drop one payload byte
+    struct.pack_into("<I", bad, 4, len(bad) - 8)  # RIFF size stays true
+    struct.pack_into("<I", bad, 40, 5)  # data_len 6 -> 5 (odd)
+    with _pytest.raises(ValueError, match="odd"):
+        wav_pcm_samples(bytes(bad))
+
+
 def test_repeated_spans_trim_keep_first_and_union_accounting(spark, tmp_path):
     """The trim operator's two load-bearing semantics on a planted
     corpus, verified against its registered oracle AND by hand:
