@@ -606,7 +606,9 @@ def _perc_grid(doc_id: int) -> list[list[int]]:
     return grid
 
 
-def _fingerprint_table(spark, sf_dir: str, synth_fn, fp_fn) -> DataFrame:
+def _fingerprint_table(
+    spark, sf_dir: str, synth_fn, fp_fn, with_bytes: bool = False
+) -> DataFrame:
     """Persisted (doc_id, b0..b3) fingerprint table — the single copy of
     the two-stage mapInPandas scaffolding shared by the image and audio
     perceptual dedups: ``synth_fn(doc_id) -> bytes`` renders each
@@ -616,7 +618,12 @@ def _fingerprint_table(spark, sf_dir: str, synth_fn, fp_fn) -> DataFrame:
     cache the synth+decode+fingerprint chain (and the documents scan
     under it) re-executes per side. At warehouse scale this is the
     materialized fingerprint table every perceptual-dedup pipeline
-    checkpoints; it is 5 ints per doc."""
+    checkpoints; it is 5 ints per doc.
+
+    ``with_bytes`` appends the MEASURED payload size (n_bytes) — the
+    column the canonical-pick accounting sums; measured in the same
+    batch pass, so the reclaimed-bytes report can never drift from what
+    the synth actually produced."""
     docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
@@ -631,20 +638,23 @@ def _fingerprint_table(spark, sf_dir: str, synth_fn, fp_fn) -> DataFrame:
             )
 
     blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
+    extra = ", n_bytes long" if with_bytes else ""
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             bands = [fp_fn(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    **{f"b{i}": [b[i] for b in bands] for i in range(4)},
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"],
+                **{f"b{i}": [b[i] for b in bands] for i in range(4)},
+            }
+            if with_bytes:
+                cols["n_bytes"] = [len(p) for p in pdf["payload"]]
+            yield pd.DataFrame(cols)
 
     return tracked_persist(
         blobs.mapInPandas(
-            hash_batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+            hash_batches,
+            schema=f"doc_id long, b0 long, b1 long, b2 long, b3 long{extra}",
         )
     )
 
@@ -759,3 +769,112 @@ def multimodal_dedup_audio_fp(
     ids; the fingerprint table is the persisted checkpoint."""
     hashes = _fingerprint_table(spark, sf_dir, _perc_audio_synth, _perc_audio_fp)
     return _banded_hamming_pairs(hashes, bucket_cap=bucket_cap)
+
+
+# Per-document synthetic media sizes, derived from the container layouts
+# (NOT free parameters): the 9x8 gray BMP is 54 header bytes + 8 rows of
+# 28-byte stride (9 px * 3 B padded to 4), the fingerprint WAV is the
+# 44-byte header + 65 frames * AUDIO_FP_FRAME samples * 2 bytes. The
+# canonical-pick oracle uses these constants while the Spark side MEASURES
+# len(payload) in-batch — agreement is part of the hash match, and
+# test_perc_media_payload_sizes_match_constants pins the derivation.
+from hyperloglog_pyspark_spark.functions.mediacodec import (  # noqa: E402
+    BMP_HEADER_LEN,
+    WAV_HEADER_LEN,
+    bmp_row_stride,
+)
+
+PERC_IMG_BYTES = BMP_HEADER_LEN + bmp_row_stride(9) * 8
+PERC_AUD_BYTES = WAV_HEADER_LEN + 65 * AUDIO_FP_FRAME * 2
+PERC_MEDIA_BYTES = PERC_IMG_BYTES + PERC_AUD_BYTES
+
+
+@register(
+    "multimodal_dedup_canonical",
+    category="multimodal",
+    bench=True,
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PERC_PAIRS_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+           CAST({PERC_MEDIA_BYTES} AS BIGINT) AS kept_bytes,
+           CAST((COUNT(*) - 1) * {PERC_MEDIA_BYTES} AS BIGINT) AS reclaimed_bytes
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def multimodal_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster for perceptual MEDIA dedup: connected
+    components over the CROSS-MODAL pair graph (the union of the image
+    dHash and audio energy-fingerprint near-dup pairs — a doc is a dup
+    if EITHER modality flags it), keeper = MIN(doc_id) per cluster (the
+    first-ingested copy, the convention streaming admission preserves),
+    and byte accounting from the MEASURED payload sizes — the row a
+    media curation pipeline writes: cluster → survivor + storage
+    reclaimed. Closes the loop the r9 family opened: pairs → clusters →
+    keeper election, the ``dedup_canonical_pick`` pattern applied to
+    media (``operators/curation.py``).
+
+    The two modalities plant identical pair sets (the cross-modal
+    contract both pair queries share), so the union is exactly
+    ``_PERC_PAIRS_ORACLE``'s graph — but the engine still computes BOTH
+    routes and unions them: a decoder regression that splits the two
+    pair sets shows up here as extra/missing clusters, not silence.
+
+    Scale: components run on the pair graph (≪ corpus — that is the
+    banding's job); per-doc byte rows join the node-sized component map
+    via broadcast; election + accounting is one max-of-struct/sum
+    aggregation per cluster, no corpus-scale window. The fingerprint
+    tables are the persisted checkpoints; payloads never leave their
+    scan partitions."""
+    from hyperloglog_pyspark_spark.operators.dedup import connected_components
+
+    img = _fingerprint_table(
+        spark, sf_dir, _perc_image_synth, _perc_image_fp, with_bytes=True
+    )
+    aud = _fingerprint_table(
+        spark, sf_dir, _perc_audio_synth, _perc_audio_fp, with_bytes=True
+    )
+    pairs = (
+        _banded_hamming_pairs(img)
+        .select("doc_a", "doc_b")
+        .union(_banded_hamming_pairs(aud).select("doc_a", "doc_b"))
+    )
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    media_bytes = (
+        img.select("doc_id", F.col("n_bytes").alias("img_bytes"))
+        .join(aud.select("doc_id", F.col("n_bytes").alias("aud_bytes")), "doc_id")
+        .select("doc_id", (F.col("img_bytes") + F.col("aud_bytes")).alias("n_bytes"))
+    )
+    m = media_bytes.join(
+        F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id"
+    )
+    # keeper = MIN(doc_id): min-of-struct carries the keeper's bytes along
+    best = F.min(F.struct(F.col("doc_id"), F.col("n_bytes")))
+    return (
+        m.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_bytes").alias("total_bytes"),
+            best.alias("c"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            "n_members",
+            F.col("c.doc_id").alias("canonical_doc"),
+            F.col("c.n_bytes").alias("kept_bytes"),
+            (F.col("total_bytes") - F.col("c.n_bytes")).alias("reclaimed_bytes"),
+        )
+    )

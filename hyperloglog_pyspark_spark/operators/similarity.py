@@ -693,14 +693,11 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_ivf_pq_topk",
-    category="similarity",
-    bench=True,
-    oracle=f"""
-    WITH {_PQ_CTES},
-    codes AS (SELECT vec_id, m, seed_vec_id FROM a WHERE rn = 1),
-    icent AS (
+# IVF coarse-quantizer oracle CTEs — deterministic modular centroid
+# subset, rounded-dot assignment, per-query N_PROBES cell probe. Shared
+# by both composed IVF-PQ variants (non-residual and residual); assumes
+# a CTE `e(vec_id, e)` is already in scope.
+_IVF_CTES = f"""icent AS (
         SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id % {N_CENT_MOD} = 0
     ),
     iscored AS (
@@ -721,7 +718,53 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY score DESC, cent_id) AS rn
             FROM iscored WHERE vec_id < {N_QUERIES}
         ) WHERE rn <= {N_PROBES}
-    ),
+    )"""
+
+
+def _ivf_coarse(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(icent, iassign, iqprobe) — the IVF coarse quantizer's three
+    frames, shared by the composed IVF-PQ variants. ``icent`` (the
+    centroid subset) and ``iassign`` (one (vec_id, cent_id) row per
+    vector) are persisted: they ARE the materialized coarse index —
+    without the caches the corpus × centroid scoring pass re-executes
+    under every consumer. ``iqprobe`` is the per-query N_PROBES cell
+    probe (query rows only, derived from the same scored frame)."""
+    icent = tracked_persist(
+        emb.filter(F.col("vec_id") % N_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    iscored = emb.crossJoin(F.broadcast(icent)).select(
+        "vec_id",
+        "cent_id",
+        (-F.round(dot(F.col("e"), F.col("ce")), 4)).alias("ns"),
+    )
+    iassign = tracked_persist(
+        iscored.groupBy("vec_id")
+        .agg(F.min(F.struct("ns", "cent_id")).alias("b"))
+        .select("vec_id", F.col("b.cent_id").alias("cent_id"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("ns", "cent_id")
+    # persisted (|Q|·N_PROBES rows): the residual variant consumes the
+    # probe list twice (query-residual build + candidate join) — without
+    # the cache each consumer re-runs the corpus × centroid scoring pass
+    iqprobe = tracked_persist(
+        iscored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBES)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("probe_cent"))
+    )
+    return icent, iassign, iqprobe
+
+
+@register(
+    "similarity_ivf_pq_topk",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+    WITH {_PQ_CTES},
+    codes AS (SELECT vec_id, m, seed_vec_id FROM a WHERE rn = 1),
+    {_IVF_CTES},
     candidates AS (
         SELECT q.query_id, a.vec_id
         FROM iqprobe q JOIN iassign a ON a.cent_id = q.cent_id
@@ -775,32 +818,10 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
-    # coarse quantizer: persisted (feeds assignment AND query probes)
-    icent = tracked_persist(
-        emb.filter(F.col("vec_id") % N_CENT_MOD == 0).select(
-            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
-        )
-    )
-    iscored = emb.crossJoin(F.broadcast(icent)).select(
-        "vec_id",
-        "cent_id",
-        (-F.round(dot(F.col("e"), F.col("ce")), 4)).alias("ns"),
-    )
-    # persisted: this IS the materialized coarse index (one row per
-    # vector); without the cache the corpus x centroid scoring pass
-    # re-executes under every candidate-join consumer
-    iassign = tracked_persist(
-        iscored.groupBy("vec_id")
-        .agg(F.min(F.struct("ns", "cent_id")).alias("b"))
-        .select("vec_id", F.col("b.cent_id").alias("cent_id"))
-    )
-    w_probe = Window.partitionBy("vec_id").orderBy("ns", "cent_id")
-    iqprobe = (
-        iscored.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= N_PROBES)
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("probe_cent"))
-    )
+    # coarse quantizer: icent + the materialized per-vector assignment
+    # are persisted inside _ivf_coarse (shared with the residual variant;
+    # the non-residual search needs only the assignment and the probes)
+    _, iassign, iqprobe = _ivf_coarse(emb)
     candidates = (
         F.broadcast(iqprobe)
         .join(iassign, F.col("probe_cent") == F.col("cent_id"))
@@ -1220,4 +1241,545 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_members"), F.sum("d2").alias("inertia"))
         .select(F.col("k").alias("cluster"), "n_members", "inertia")
+    )
+
+
+# --- Trained product quantization (Lloyd per subspace) and the residual
+# IVF-PQ index built on it — FAISS's DEFAULT production shape
+# (by_residual=true + k-means-trained codebooks). Everything below runs
+# in exact integer milli-units (the kmeans discipline): vectors are
+# as_milli long arrays, centroid updates are floor-rounded exact-BIGINT
+# means, distances are exact integer sums — no rounding ambiguity
+# anywhere, so the unrolled-CTE oracles match bit-for-bit.
+
+PQ_TRAIN_ITERS = 2  # Lloyd rounds per subspace (matches KM_ITERS)
+
+# (vec_id, m, j, e): every embedding element in milli-units, regrouped by
+# PQ subspace m and within-subspace position j (1-based for list_slice
+# parity with the Spark slice()).
+_PEL_SQL = f"""
+        SELECT vec_id,
+               CAST((i - 1) // {PQ_SUBDIM} AS INT) AS m,
+               CAST((i - 1) % {PQ_SUBDIM} + 1 AS INT) AS j,
+               CAST(FLOOR(CAST(list_extract(embedding, i) AS DOUBLE) * {CENT_SCALE} + 0.5) AS BIGINT) AS e
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)"""
+
+# The PQ_K codebook seed ids — the same md5-deterministic choice the
+# seeded (untrained) codebook family uses; training replaces the VECTORS,
+# not the seed identities.
+_RSEEDS_SQL = f"""
+        SELECT vec_id AS seed_vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}"""
+
+
+def _pq_lloyd_ctes(src: str) -> tuple[str, str]:
+    """Unrolled per-subspace Lloyd training as CTE text (the
+    _kmeans_oracle pattern at (m, k) grain): cent0 = the seed vectors'
+    elements from ``src`` (a CTE with (vec_id, m, j, e) integer
+    elements; a ``rseeds(seed_vec_id)`` CTE must be in scope), then
+    PQ_TRAIN_ITERS rounds of exact-integer assignment + floor-rounded
+    centroid update (empty cells keep their previous centroid). Returns
+    (sql_text, final_codebook_cte_name)."""
+    sql = f"""pcent0 AS (
+        SELECT s.seed_vec_id AS k, r.m, r.j, r.e AS c
+        FROM {src} r JOIN rseeds s ON s.seed_vec_id = r.vec_id
+    )"""
+    prev = "pcent0"
+    for t in range(1, PQ_TRAIN_ITERS + 1):
+        sql += f""",
+    pa{t} AS (
+        SELECT vec_id, m, k FROM (
+            SELECT r.vec_id, r.m, p.k,
+                   ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.m
+                       ORDER BY SUM((r.e - p.c) * (r.e - p.c)) ASC, p.k ASC) AS rn
+            FROM {src} r JOIN {prev} p ON p.m = r.m AND p.j = r.j
+            GROUP BY r.vec_id, r.m, p.k
+        ) WHERE rn = 1
+    ),
+    pcent{t} AS (
+        SELECT p.k, p.m, p.j,
+               CAST(COALESCE(FLOOR(s.se * 1.0 / s.n + 0.5), p.c) AS BIGINT) AS c
+        FROM {prev} p
+        LEFT JOIN (
+            SELECT a.k, r.m, r.j, SUM(r.e) AS se, COUNT(*) AS n
+            FROM {src} r JOIN pa{t} a ON a.vec_id = r.vec_id AND a.m = r.m
+            GROUP BY a.k, r.m, r.j
+        ) s ON s.k = p.k AND s.m = p.m AND s.j = p.j
+    )"""
+        prev = f"pcent{t}"
+    return sql, prev
+
+
+def _pq_lloyd_final_sql(src: str, cent: str) -> str:
+    """Final nearest-centroid assignment of every (vec_id, m) subvector
+    in ``src`` against the trained codebook ``cent`` — (vec_id, m, k, d2),
+    exact integers, ties to the smaller k."""
+    return f"""
+        SELECT vec_id, m, k, d2 FROM (
+            SELECT r.vec_id, r.m, p.k,
+                   SUM((r.e - p.c) * (r.e - p.c)) AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.m
+                       ORDER BY SUM((r.e - p.c) * (r.e - p.c)) ASC, p.k ASC) AS rn
+            FROM {src} r JOIN {cent} p ON p.m = r.m AND p.j = r.j
+            GROUP BY r.vec_id, r.m, p.k
+        ) WHERE rn = 1"""
+
+
+def _d2_long(a, b) -> Column:
+    """Exact integer squared-L2 between two array<long> columns —
+    zip_with/aggregate, JVM codegen, no floats."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_ms():
+    # built lazily — module import must not require an active SparkContext
+    return F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
+
+
+def _pq_sub_milli(frame: DataFrame, vec_col: str) -> DataFrame:
+    """(…ids, m, sv): explode an array<long> vector column into its PQ_M
+    milli-unit subvectors; all other columns pass through."""
+    keep = [c for c in frame.columns if c != vec_col]
+    return frame.select(*keep, vec_col, _pq_ms()).select(
+        *keep,
+        F.col("m").cast("int").alias("m"),
+        F.expr(f"slice({vec_col}, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
+    )
+
+
+def _pq_model_row(entries: DataFrame) -> DataFrame:
+    """Collapse a (m, k, cv) codebook frame into ONE broadcastable row
+    (array<struct<m, k, cv>> sorted by (m, k)) — the _centroid_set
+    pattern with a two-part key: the whole M×K codebook ships to every
+    task, so assignment is a BroadcastNestedLoopJoin + per-row argmin,
+    ZERO shuffles of the subvector corpus."""
+    return entries.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("m").cast("int").alias("m"),
+                    F.col("k").cast("long").alias("k"),
+                    F.col("cv").alias("cv"),
+                )
+            )
+        ).alias("cents")
+    )
+
+
+def _pq_nearest_sub(sv) -> Column:
+    """struct(d2, k) of the nearest SAME-SUBSPACE centroid in the
+    broadcast ``cents`` model (fields m, k, cv): exact integer Σ(a−b)²
+    per candidate, argmin via array_min's struct ordering (d2 ASC,
+    k ASC) — the oracle's ROW_NUMBER tie-break. The consuming row must
+    carry its subspace id in column ``m``."""
+    return F.array_min(
+        F.transform(
+            F.filter(F.col("cents"), lambda c: c["m"] == F.col("m")),
+            lambda c: F.struct(_d2_long(sv, c["cv"]).alias("d2"), c["k"].alias("k")),
+        )
+    )
+
+
+def _pq_lloyd_train(sub: DataFrame, model0: DataFrame) -> DataFrame:
+    """PQ_TRAIN_ITERS Lloyd rounds over a (vec_id, m, sv) subvector frame,
+    jointly for all M subspaces — the embedding_kmeans_lloyd discipline
+    applied at (m, k) grain: the whole M×K codebook stays collapsed in
+    one broadcast row between rounds; each round is one
+    BroadcastNestedLoopJoin assignment pass + a (m, k, j)-grain map-side
+    partial aggregation (model-sized shuffle, never corpus-sized) + a
+    1-row × 1-row merge through a struct-keyed map (empty cells keep
+    their previous centroid — the oracle's per-(k, m, j) LEFT JOIN
+    COALESCE); the model row is checkpointed per round (each round
+    references it twice, so an unchained plan doubles per round)."""
+    model = model0
+    for _ in range(PQ_TRAIN_ITERS):
+        best = _pq_nearest_sub(F.col("sv"))
+        asg = sub.crossJoin(F.broadcast(model)).select(
+            "m", best["k"].alias("k"), "sv"
+        )
+        upd = (
+            asg.select("m", "k", F.posexplode("sv").alias("j", "e"))
+            .groupBy("m", "k", "j")
+            .agg(
+                F.floor(F.sum("e") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
+                .cast("long")
+                .alias("u")
+            )
+            .groupBy("m", "k")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "u"))),
+                    lambda t: t["u"],
+                ).alias("uv")
+            )
+            .groupBy()
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            F.struct(
+                                F.col("m").cast("int").alias("m"),
+                                F.col("k").cast("long").alias("k"),
+                            ).alias("key"),
+                            F.col("uv").alias("value"),
+                        )
+                    )
+                ).alias("mp")
+            )
+        )
+        model = checkpoint_rounds(
+            model.crossJoin(F.broadcast(upd)).select(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        c["m"].alias("m"),
+                        c["k"].alias("k"),
+                        F.coalesce(
+                            F.element_at(
+                                "mp",
+                                F.struct(c["m"].alias("m"), c["k"].alias("k")),
+                            ),
+                            c["cv"],
+                        ).alias("cv"),
+                    ),
+                ).alias("cents")
+            )
+        )
+    return model
+
+
+def _pq_assign_codes(sub: DataFrame, model: DataFrame) -> DataFrame:
+    """(vec_id, m, k, d2): final nearest-centroid assignment of every
+    subvector against a trained codebook model row — the PQ encode pass,
+    exact integers."""
+    best = _pq_nearest_sub(F.col("sv"))
+    return sub.crossJoin(F.broadcast(model)).select(
+        "vec_id", "m", best["k"].alias("k"), best["d2"].alias("d2")
+    )
+
+
+def _pq_seed_model(vecs: DataFrame, vec_col: str) -> DataFrame:
+    """model0: the PQ_K md5-chosen vectors of ``vecs`` sliced into M×K
+    seed centroids, collapsed to one model row. ``vecs`` must have
+    (vec_id, <vec_col>)."""
+    seeds = (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("k"), F.col(vec_col).alias("seedv"))
+    )
+    entries = seeds.select("k", "seedv", _pq_ms()).select(
+        "k",
+        F.col("m").cast("int").alias("m"),
+        F.expr(f"slice(seedv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("cv"),
+    )
+    return _pq_model_row(entries)
+
+
+_TRAINED_CODEBOOK_CTES, _TRAINED_FINAL = _pq_lloyd_ctes("pel")
+
+
+@register(
+    "similarity_pq_trained_codebook",
+    category="similarity",
+    oracle=f"""
+    WITH pel AS ({_PEL_SQL}),
+    rseeds AS ({_RSEEDS_SQL}),
+    {_TRAINED_CODEBOOK_CTES},
+    fin AS ({_pq_lloyd_final_sql("pel", _TRAINED_FINAL)})
+    SELECT m, k AS seed_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM fin GROUP BY m, k
+    """,
+)
+def similarity_pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-TRAINED product-quantization codebook health: per subspace,
+    train the 8-centroid codebook with 2 exact-integer k-means rounds
+    (seeded by the same md5-deterministic vectors the untrained family
+    uses) and report occupancy + inertia per (subspace, centroid) — the
+    upgrade similarity_pq_codebook's docstring promised ("a production
+    index k-means-refines these seeds"). Composes the engine's own
+    Lloyd machinery (embedding_kmeans_lloyd) at (m, k) grain: milli-unit
+    integer arithmetic end to end, so the unrolled-CTE oracle matches
+    bit-for-bit.
+
+    Scale: the persisted milli-vector frame is the only corpus-width
+    input; each training round is a broadcast-model assignment (zero
+    corpus shuffles) + a codebook-sized (m, k, j) partial aggregation;
+    the model row checkpoints per round (no 2^rounds lineage). Training
+    cost is rounds × the encode pass the untrained index already pays."""
+    emb = load_table(spark, sf_dir, "embeddings", spread_scan=True)
+    ev = tracked_persist(emb.select("vec_id", as_milli("embedding").alias("mv")))
+    sub = _pq_sub_milli(ev, "mv")
+    model = _pq_lloyd_train(sub, _pq_seed_model(ev, "mv"))
+    return (
+        _pq_assign_codes(sub, model)
+        .groupBy("m", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("d2").cast("long").alias("inertia"),
+        )
+        .select(F.col("m"), F.col("k").alias("seed_vec_id"), "n_assigned", "inertia")
+    )
+
+
+_RES_LLOYD_CTES, _RES_FINAL = _pq_lloyd_ctes("rel")
+
+# Residual IVF-PQ oracle — FAISS by_residual=true with a TRAINED residual
+# codebook: the coarse probe is the non-residual index's (shared
+# _IVF_CTES, so both variants see the SAME candidate set), codes/LUT are
+# exact-integer distances in residual milli-space, and the per-query LUT
+# is per PROBED CELL (the query's residual depends on which cell is
+# probed). Module constant so the recall monitor composes it verbatim.
+_IVF_PQ_RESIDUAL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    {_IVF_CTES},
+    pel AS ({_PEL_SQL}),
+    refc AS (
+        SELECT a.cent_id, v.m, v.j,
+               CAST(FLOOR(SUM(v.e) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS c
+        FROM pel v JOIN iassign a ON a.vec_id = v.vec_id
+        GROUP BY a.cent_id, v.m, v.j
+    ),
+    rel AS (
+        SELECT v.vec_id, v.m, v.j, v.e - c.c AS e
+        FROM pel v
+        JOIN iassign a ON a.vec_id = v.vec_id
+        JOIN refc c ON c.cent_id = a.cent_id AND c.m = v.m AND c.j = v.j
+    ),
+    rseeds AS ({_RSEEDS_SQL}),
+    {_RES_LLOYD_CTES},
+    codes AS (
+        SELECT vec_id, m, k FROM ({_pq_lloyd_final_sql("rel", _RES_FINAL)})
+    ),
+    qrel AS (
+        SELECT q.query_id, q.cent_id, v.m, v.j, v.e - c.c AS e
+        FROM iqprobe q
+        JOIN pel v ON v.vec_id = q.query_id
+        JOIN refc c ON c.cent_id = q.cent_id AND c.m = v.m AND c.j = v.j
+    ),
+    lut AS (
+        SELECT q.query_id, q.cent_id, p.m, p.k,
+               SUM((q.e - p.c) * (q.e - p.c)) AS qd2
+        FROM qrel q JOIN {_RES_FINAL} p ON p.m = q.m AND p.j = q.j
+        GROUP BY q.query_id, q.cent_id, p.m, p.k
+    ),
+    candidates AS (
+        SELECT q.query_id, a.cent_id, a.vec_id
+        FROM iqprobe q JOIN iassign a ON a.cent_id = q.cent_id
+        WHERE a.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.vec_id, SUM(l.qd2) AS adc
+        FROM candidates cd
+        JOIN codes kk ON kk.vec_id = cd.vec_id
+        JOIN lut l ON l.query_id = cd.query_id AND l.cent_id = cd.cent_id
+                  AND l.m = kk.m AND l.k = kk.k
+        GROUP BY cd.query_id, cd.vec_id
+    )
+    SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc_md2, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "similarity_ivf_pq_residual_topk",
+    category="similarity",
+    bench=True,
+    oracle=_IVF_PQ_RESIDUAL_ORACLE,
+)
+def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ ANN — FAISS's DEFAULT index shape
+    (by_residual=true + Lloyd-trained codebook), upgrading the
+    non-residual similarity_ivf_pq_topk: the PQ codebook is TRAINED on
+    residuals (vector − assigned coarse centroid), so its 8 centroids
+    per subspace describe the within-cell spread instead of re-describing
+    the cell location the coarse index already knows. The price is a
+    per-(query, probed-cell) lookup table — the query's residual depends
+    on which cell is probed — |Q|·n_probes·M·K rows, still broadcast.
+
+    The coarse probe is SHARED with the non-residual variant (same
+    _IVF_CTES / _ivf_coarse), so both indexes score the identical
+    candidate set and any recall difference is pure ADC ranking
+    fidelity. The residual reference per cell is the cell's member MEAN
+    (one frozen-assignment Lloyd update of the coarse centroids — where
+    FAISS's trained coarse quantizer puts it), NOT the raw centroid
+    vector. Measured hits against brute force on this corpus
+    (candidate ceiling 51/80 at sf0.01, 27/80 at sf0.1):
+    mean-ref residual + trained codebook 13 / 5 vs non-residual seeded
+    8 / 4 (tests/test_fuzz_vectors.py pins the win). ABLATIONS, both
+    recorded in BASELINE.md: residual about the raw centroid VECTOR
+    with a seeded codebook scored 4 / 4 and with a trained codebook
+    6 / 3 — subtracting an unrelated data vector from uniform data
+    DOUBLES effective variance, so residual encoding pays exactly when
+    the reference is a trained mean; that is why FAISS defaults to
+    by_residual=true AND trained quantizers together.
+
+    Scale: same posture as the non-residual index (coarse assignment +
+    codes are build-phase, bucketed by cent_id; query time touches
+    candidate codes only, never a raw corpus embedding); training adds
+    rounds × one broadcast-assignment pass at build. All PQ arithmetic
+    is exact integer milli-space — the ADC is a BIGINT, not a rounded
+    double, so the oracle is bit-exact by construction."""
+    emb_d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    # the coarse probe stays in DOUBLE dot space — exact parity with the
+    # non-residual index (same cells, same candidates); only the PQ layer
+    # moves to integer milli-space
+    _, iassign, iqprobe = _ivf_coarse(emb_d)
+    ev = tracked_persist(
+        load_table(spark, sf_dir, "embeddings", spread_scan=True).select(
+            "vec_id", as_milli("embedding").alias("mv")
+        )
+    )
+    # residual reference per cell = the cell's floor-rounded member MEAN
+    # (one frozen-assignment Lloyd update of the coarse centroids — the
+    # probe geometry stays shared with the non-residual index while the
+    # reference moves to where FAISS's trained coarse quantizer puts it;
+    # subtracting the raw centroid VECTOR instead doubles residual
+    # variance on this corpus — ablation in BASELINE.md)
+    refc = tracked_persist(
+        _label_centroid_arrays(
+            iassign.join(ev, "vec_id").select(
+                F.col("cent_id").alias("label"), "mv"
+            ),
+            "cent_id",
+        )
+    )
+    # residual frame: persisted as the shared train+encode input (a
+    # warehouse build computes it in-flight inside the encode pass)
+    res = tracked_persist(
+        iassign.join(ev, "vec_id")
+        .join(F.broadcast(refc), "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.zip_with("mv", "cv", lambda x, y: x - y).alias("r"),
+        )
+    )
+    rsub = _pq_sub_milli(res.select("vec_id", "r"), "r")
+    model = _pq_lloyd_train(rsub, _pq_seed_model(res.select("vec_id", "r"), "r"))
+    codes = _pq_assign_codes(rsub, model).select("vec_id", "m", "k")
+    # query residual per PROBED cell: tiny probe list × pruned query
+    # vectors × broadcast centroid milli-vectors
+    qres = (
+        F.broadcast(iqprobe)
+        .join(
+            ev.filter(F.col("vec_id") < N_QUERIES),
+            F.col("query_id") == F.col("vec_id"),
+        )
+        .join(F.broadcast(refc), F.col("probe_cent") == F.col("cent_id"))
+        .select(
+            "query_id",
+            "cent_id",
+            F.zip_with("mv", "cv", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    qrsub = qres.select("query_id", "cent_id", "qr", _pq_ms()).select(
+        "query_id",
+        "cent_id",
+        F.col("m").cast("int").alias("m"),
+        F.expr(f"slice(qr, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("qv"),
+    )
+    # per-(query, cell) LUT: exact integer distance to EVERY trained
+    # centroid of the matching subspace
+    lut = (
+        qrsub.crossJoin(F.broadcast(model))
+        .select(
+            "query_id",
+            "cent_id",
+            "m",
+            "qv",
+            F.explode(F.filter(F.col("cents"), lambda c: c["m"] == F.col("m"))).alias("c"),
+        )
+        .select(
+            "query_id",
+            "cent_id",
+            "m",
+            F.col("c.k").alias("k"),
+            _d2_long(F.col("qv"), F.col("c.cv")).alias("qd2"),
+        )
+    )
+    candidates = (
+        F.broadcast(iqprobe)
+        .join(iassign, F.col("probe_cent") == F.col("cent_id"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cent_id", "vec_id")
+    )
+    scored = (
+        candidates.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "cent_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.col("adc").cast("long").alias("adc_md2"), "rank")
+    )
+
+
+@register(
+    "similarity_ivf_pq_residual_recall",
+    category="similarity",
+    oracle=f"""
+    WITH bf AS (
+        SELECT * FROM ({{BF}}) t
+    ),
+    ipq AS (
+        SELECT * FROM ({{IPQ}}) t
+    )
+    SELECT bf.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(ipq.vec_id) AS BIGINT) AS n_hits,
+           CAST(round(COUNT(ipq.vec_id) * 1.0 / COUNT(*), 4) AS DOUBLE) AS recall
+    FROM bf LEFT JOIN ipq ON bf.query_id = ipq.query_id AND bf.vec_id = ipq.vec_id
+    GROUP BY bf.query_id
+    """.format(
+        BF=REGISTRY["similarity_topk_bruteforce"].oracle,
+        IPQ=_IVF_PQ_RESIDUAL_ORACLE,
+    ),
+)
+def similarity_ivf_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the residual (trained) IVF-PQ index against the exact
+    cosine brute force, per query — the drift monitor for the
+    by_residual=true index, directly comparable to
+    similarity_ivf_pq_recall: both variants probe the SAME cells and
+    score the SAME candidates, so the recall difference is pure ADC
+    ranking fidelity — the quantization-error reduction that residual
+    encoding + codebook training buy together.
+    tests/test_fuzz_vectors.py pins that this monitor's total hits beat
+    the non-residual monitor's on this corpus.
+
+    Reading the number: the candidate-set ceiling (true neighbors that
+    fall in probed cells) is what a PERFECT ADC would score — measured
+    51/80 at sf0.01 and 27/80 at sf0.1 on this uniform-random corpus;
+    the non-residual seeded index reaches 8 and 4 of that, this index
+    13 and 5. The remaining gap to the ceiling is what a finer codebook
+    (production nbits=8 → 256 centroids vs the family's 8) would buy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tracked_persist(
+        emb.select("vec_id", as_double("embedding").alias("e"))
+    )
+    bf = _bruteforce_topk(base).select("query_id", "vec_id")
+    ipq = similarity_ivf_pq_residual_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ipq, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).cast("double").alias("recall"),
+        )
     )

@@ -95,8 +95,7 @@ MULTI_FACT_SCAN_ALLOWED: dict[str, tuple[str, int, str]] = {
     "similarity_ivf": ("embeddings", 2, "query probes × assigned corpus (centroids persisted)"),
     "similarity_pq_codebook": ("embeddings", 2, "codebook seeds × corpus subvectors"),
     "similarity_pq_adc_topk": ("embeddings", 2, "query subset × PQ-coded corpus"),
-    "similarity_ivf_pq_topk": ("embeddings", 3, "two composed indexes: IVF query-probe leg + PQ encode leg + query-LUT leg (the coarse-assign leg reads the persisted assignment, so it never scans)"),
-    "similarity_ivf_pq_recall": ("embeddings", 4, "the ivf_pq index's 3 legs + ONE persisted brute-force base (both bf roles read the cache)"),
+    "similarity_ivf_pq_topk": ("embeddings", 2, "IVF PQ-encode leg + query-subvector leg (coarse-assign and probe legs read persisted frames since r10's shared _ivf_coarse)"),
     "similarity_hybrid_rrf": ("embeddings", 2, "dense leg query × corpus (sparse leg is documents)"),
     "similarity_hybrid_rrf_ann": ("embeddings", 2, "dense leg query probes × bucketed corpus (sparse leg is documents)"),
     "dedup_embedding_cosine": ("embeddings", 2, "bucketed self-join, two sides"),

@@ -392,6 +392,7 @@ ARROW_PYTHON_ALLOWED = {
     "multimodal_decode_gif",     # mapInPandas GIF synth + LZW entropy decode
     "multimodal_dedup_perceptual",  # mapInPandas BMP pixel decode + dHash
     "multimodal_dedup_audio_fp",    # mapInPandas PCM decode + energy-delta hash
+    "multimodal_dedup_canonical",   # mapInPandas both modal fingerprint builds
     "source_binaryfile_media",   # mapInPandas header decode over binaryFile rows
     "heavy_hitters_mg",          # Misra-Gries partial summaries (mapInPandas)
     "cogroup_asof_attribution",  # cogrouped per-key as-of alignment

@@ -1426,6 +1426,26 @@ def test_audio_fingerprint_roundtrip_and_invariances():
         energy_delta_bands([100] * (AUDIO_FP_FRAME * 64), AUDIO_FP_FRAME)
 
 
+def test_perc_media_payload_sizes_match_constants():
+    """The canonical-pick oracle prices every doc's media at the derived
+    constants PERC_IMG_BYTES/PERC_AUD_BYTES while the Spark side measures
+    len(payload) in-batch — this pins the derivation to the real synth
+    output across doc ids, so a container-layout change breaks HERE
+    (named assertion) rather than as a bare oracle hash mismatch."""
+    from hyperloglog_pyspark_spark.operators.multimodal import (
+        PERC_AUD_BYTES,
+        PERC_IMG_BYTES,
+        PERC_MEDIA_BYTES,
+        _perc_audio_synth,
+        _perc_image_synth,
+    )
+
+    for doc in [0, 1, 2, 3, 255, 499, 4999, 123456]:
+        assert len(_perc_image_synth(doc)) == PERC_IMG_BYTES, doc
+        assert len(_perc_audio_synth(doc)) == PERC_AUD_BYTES, doc
+    assert PERC_MEDIA_BYTES == PERC_IMG_BYTES + PERC_AUD_BYTES
+
+
 def test_wav_pcm_samples_rejects_odd_data_chunk():
     """An odd data_len is malformed for 16-bit PCM — decode must refuse
     rather than silently drop the trailing byte (r9 advice): shrink a

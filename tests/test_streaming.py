@@ -1448,6 +1448,67 @@ def test_ab_moments_state_fn_skips_null_metric_values():
     assert out.loc[0, "s2_b"] == 300 * 300 + 700 * 700
 
 
+def _perc_fp_table(df):
+    """(doc_id, b0..b3) image fingerprints through the REAL
+    synth->decode->dHash path — shared by the streaming perceptual
+    screening tests (the batch operators keep their own copy inside
+    operators/multimodal.py with persist semantics)."""
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.operators.multimodal import (
+        _perc_image_fp,
+        _perc_image_synth,
+    )
+
+    def batches(it):
+        for pdf in it:
+            bands = [
+                _perc_image_fp(_perc_image_synth(int(d)))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{f"b{i}": [b[i] for b in bands] for i in range(4)},
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(
+        batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+
+
+def _perc_band_rows(h):
+    return h.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+    )
+
+
+def _perc_matches(batch_h, index_bands):
+    """(doc_id, match_id) DISTINCT pairs: incoming fingerprints probed
+    against the persisted band index, Hamming-verified — the pair form
+    so keeper election can take MIN(match_id)."""
+    from hyperloglog_pyspark_spark.operators.multimodal import PERC_HAMMING_T
+
+    a, b = _perc_band_rows(batch_h).alias("a"), index_bands.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
+        for i in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter(ham <= PERC_HAMMING_T)
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("match_id"))
+        .distinct()
+    )
+
+
 def test_streaming_incremental_perceptual_dedup(spark, sf_dir, tmp_path):
     """Ingestion-time perceptual media screening as a stream — the
     multimodal twin of test_streaming_incremental_dedup_index_grows:
@@ -1458,55 +1519,11 @@ def test_streaming_incremental_perceptual_dedup(spark, sf_dir, tmp_path):
     batch-2 image that near-duplicates an accepted batch-1 image is
     rejected even though neither is in the original corpus. Verdicts
     must equal an independent batch-accurate recompute."""
-    import pandas as pd
-
-    from hyperloglog_pyspark_spark.operators.multimodal import (
-        PERC_HAMMING_T,
-        _perc_image_fp,
-        _perc_image_synth,
-    )
-
-    def fp_table(df):
-        def batches(it):
-            for pdf in it:
-                bands = [
-                    _perc_image_fp(_perc_image_synth(int(d)))
-                    for d in pdf["doc_id"]
-                ]
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf["doc_id"],
-                        **{f"b{i}": [b[i] for b in bands] for i in range(4)},
-                    }
-                )
-
-        return df.select("doc_id").mapInPandas(
-            batches, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
-        )
-
-    def band_rows(h):
-        return h.select(
-            "doc_id", "b0", "b1", "b2", "b3",
-            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
-        )
+    fp_table = _perc_fp_table
+    band_rows = _perc_band_rows
 
     def dup_ids(batch_h, index_bands):
-        a, b = band_rows(batch_h).alias("a"), index_bands.alias("b")
-        ham = sum(
-            F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
-            for i in range(4)
-        )
-        return (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bv") == F.col("b.bv"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .filter(ham <= PERC_HAMMING_T)
-            .select(F.col("a.doc_id").alias("doc_id"))
-            .distinct()
-        )
+        return _perc_matches(batch_h, index_bands).select("doc_id").distinct()
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     hist = docs.filter(F.col("doc_id") % 5 != 0)
@@ -1556,3 +1573,94 @@ def test_streaming_incremental_perceptual_dedup(spark, sf_dir, tmp_path):
     # the planted 4-doc groups guarantee cross-set near-dups: some batch
     # docs must actually be rejected (the screen is doing work)
     assert b1_dups or b2_dups
+
+
+def test_streaming_incremental_canonical_keeper_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of multimodal_dedup_canonical's keeper election
+    (r9 verdict item): the foreachBatch perceptual screen now maintains
+    the canonical-pick verdict INCREMENTALLY — every ingested doc gets a
+    (status, keeper_id) row where an accepted doc is its own keeper and
+    a rejected near-dup's keeper is the SMALLEST admitted doc it
+    Hamming-matches (the first-ingested copy, the same MIN convention
+    the batch canonical pick elects). Accepted-only fingerprints append
+    to the index between micro-batches, so batch-2 keepers can be
+    batch-1 admits. The full verdict table must equal an independent
+    batch-accurate recompute that replays the same epochs one
+    DataFrame step at a time."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    b1 = docs.filter(F.col("doc_id") % 10 == 0)
+    b2 = docs.filter(F.col("doc_id") % 10 == 5)
+
+    index = str(tmp_path / "fp_index")
+    _perc_band_rows(_perc_fp_table(hist)).write.mode("overwrite").parquet(index)
+    src = str(tmp_path / "incoming")
+    verdicts_out = str(tmp_path / "verdicts")
+
+    def ingest(batch_df, batch_id: int):
+        h = _perc_fp_table(batch_df)
+        idx = batch_df.sparkSession.read.parquet(index)
+        keepers = (
+            _perc_matches(h, idx)
+            .groupBy("doc_id")
+            .agg(F.min("match_id").alias("keeper_id"))
+        )
+        ok = h.join(keepers, "doc_id", "left_anti")
+        _perc_band_rows(ok).write.mode("append").parquet(index)
+        verdicts = keepers.select(
+            "doc_id", "keeper_id", F.lit("rejected").alias("status")
+        ).union(
+            ok.select(
+                "doc_id",
+                F.col("doc_id").alias("keeper_id"),
+                F.lit("accepted").alias("status"),
+            )
+        )
+        verdicts.write.mode("append").parquet(verdicts_out)
+
+    _write_batch(spark, b1, src)
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        stream.processAllAvailable()
+        _write_batch(spark, b2, src)
+        stream.processAllAvailable()
+    finally:
+        stream.stop()
+
+    got = {
+        (r.doc_id, r.keeper_id, r.status)
+        for r in spark.read.parquet(verdicts_out).collect()
+    }
+
+    # independent batch-accurate replay of the same epochs
+    idx = _perc_band_rows(_perc_fp_table(hist))
+    expected = set()
+    for batch in (b1, b2):
+        h = _perc_fp_table(batch)
+        keepers = (
+            _perc_matches(h, idx)
+            .groupBy("doc_id")
+            .agg(F.min("match_id").alias("keeper_id"))
+        )
+        expected |= {
+            (r.doc_id, r.keeper_id, "rejected") for r in keepers.collect()
+        }
+        ok = h.join(keepers, "doc_id", "left_anti")
+        expected |= {(r.doc_id, r.doc_id, "accepted") for r in ok.select("doc_id").collect()}
+        idx = idx.union(_perc_band_rows(ok))
+
+    assert got == expected
+    rejected = {g for g in got if g[2] == "rejected"}
+    accepted = {g for g in got if g[2] == "accepted"}
+    # the planted 4-doc groups guarantee both outcomes occur, and every
+    # keeper is an ADMITTED doc (hist or an earlier accepted stream doc)
+    assert rejected and accepted
+    admitted = {r.doc_id for r in hist.collect()} | {g[0] for g in accepted}
+    assert all(k in admitted for _, k, s in rejected for k in [k])
