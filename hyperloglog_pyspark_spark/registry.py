@@ -247,6 +247,11 @@ def register(
 # re-attestation onto the names whose green row is oldest (see
 # SWEEP_PRIORITY below).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 9 greens (CORRECTNESS_r09.json) — new names only; the other 44
+    # r9 samples were re-attestations of names already listed below
+    "multimodal_dedup_perceptual", "multimodal_dedup_audio_fp",
+    "text_repeated_spans", "text_repeated_spans_trim",
+    "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
     # round 8 greens (CORRECTNESS_r08.json) — new names only; the other 49
     # r8 samples were re-attestations of names already listed below
     "similarity_hybrid_rrf_ann",
@@ -350,63 +355,53 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Sweep-order pins. Every registered query is driver-green as of round 8
-# (r8 sample: 50/50 full pass), so the ~50-query prefix the driver
-# samples each round exists to (a) attest queries with no driver row yet,
-# (b) RE-attest queries whose OPERATOR CODE CHANGED since their last
-# green row — changed code outranks stale-but-unchanged greens — and
-# (c) rotate the oldest greens through the remaining slots. Round 9:
-# the operators whose code changed this round lead, then the FULL
-# remaining r3-stale cohort (34 names — the oldest attestation age in
-# the registry), then the oldest r4 block fills to 50.
+# Sweep-order pins. Every registered query through round 9 is
+# driver-green (r9 sample: 50/50 full pass), so the ~50-query prefix the
+# driver samples each round exists to (a) attest queries with no driver
+# row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
+# last green row — changed code outranks stale-but-unchanged greens —
+# and (c) rotate the oldest greens through the remaining slots.
+# Round 10: the four new queries lead, then the four whose operator code
+# changed this round, then the FULL remaining r4-stale cohort (28 names —
+# the oldest attestation age in the registry), then the oldest r5 block
+# fills to 50.
 #
-# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r9 = the 34
-# remaining r3 names + the oldest 9 of the 37 r4 greens (7 lead slots
-# + 34 + 9 = the 50-name cap); r10 = the 28 remaining r4 names + the
-# oldest of the 34 r5-aged greens; after that the cohorts cycle
-# (~50/round). Latest-green ages are computed from the CORRECTNESS_r*
-# artifacts (see the r9 rotation script in git history).
+# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r10 = the 28
+# remaining r4 names + the oldest 14 of the 34 r5-aged greens; r11 = the
+# remaining 20 r5 names + the oldest r6 block; after that the cohorts
+# cycle (~50/round). ALWAYS recompute the cohorts from the
+# CORRECTNESS_r*.json artifacts (latest green round per name) rather
+# than trusting this comment — the r9 review caught comment drift.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # round-9 new queries (no driver row yet) + operator changes (driver
-    # row predates the current code), locally re-verified at sf0.01
-    "multimodal_dedup_perceptual", "text_repeated_spans",
-    "multimodal_dedup_audio_fp", "text_repeated_spans_trim",
+    # round-10 new queries (no driver row yet), locally verified at
+    # sf0.01 AND sf0.1 against their oracles
+    "multimodal_dedup_canonical", "similarity_pq_trained_codebook",
+    "similarity_ivf_pq_residual_topk", "similarity_ivf_pq_residual_recall",
+    # operator code changed this round (driver row predates the code):
+    # the IVF-PQ pair was refactored onto the shared _ivf_coarse with a
+    # persisted probe list; the perceptual pair sits on the widened
+    # _fingerprint_table signature + the stricter wav_pcm_samples
     "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
-    "join_interval_overlap",
-    # latest green = round 3 (the full remaining stale cohort)
-    "approx_quantile_check", "array_higher_order", "bitwise_funcs",
-    "curriculum_quality_bins", "explode_positional", "json_variant",
-    "map_funcs", "map_higher_order", "null_safe_arithmetic",
-    "profile_table", "sample_weighted_systematic",
-    "scalar_serde_roundtrip", "sink_python_datasink",
-    "source_python_datasource", "source_text_roundtrip",
-    "text_decontaminate", "text_pii_redact", "text_token_bpe",
-    "tpch_q12_priority_lines", "tpch_q13_custdist",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_balances", "tpch_q4_priority_count",
-    "window_distribution", "window_lag_lead", "window_range_frame",
-    "window_range_interval", "window_rank_dense_ntile",
-    "window_session", "window_sliding", "window_tumbling",
-    # latest green = round 4 (oldest alphabetical block; the 28 that
-    # queue for r10: layout_skipping_report,
-    # mixture_budget_rates, multimodal_decode,
-    # pivot_multi_value,
-    # quality_constraint_audit, quality_k_anonymity,
-    # sample_exact_k_stratified, sample_weighted_reservoir,
-    # scalar_try_errors, similarity_pq_adc_topk, similarity_pq_codebook,
-    # sink_dynamic_partition_overwrite, sketch_ddsketch_quantiles,
-    # skew_key_audit, source_schema_evolution, source_xml_roundtrip,
-    # sql_parameterized, sql_scalar_udf,
-    # text_dup_shingle_ratio, text_unigram_logprob,
-    # timeseries_drift_cusum, timeseries_interpolate_linear,
-    # tpch_q11/q16/q20/q2/q9,
-    # zorder_morton_buckets — pool capped at 50 to match the driver's
-    # sample size.)
-    "agg_histogram_equiwidth", "chunk_documents_overlap",
-    "dedup_containment", "dedup_minhash_accuracy",
-    "event_cooccurrence_lift", "graph_pagerank_nations",
-    "graph_triangle_count", "hll_sliding_distinct", "join_salted_skew",
+    "multimodal_dedup_perceptual", "multimodal_dedup_audio_fp",
+    # latest green = round 4 (the full remaining stale cohort)
+    "layout_skipping_report", "mixture_budget_rates", "multimodal_decode",
+    "pivot_multi_value", "quality_constraint_audit", "quality_k_anonymity",
+    "sample_exact_k_stratified", "sample_weighted_reservoir",
+    "scalar_try_errors", "similarity_pq_adc_topk", "similarity_pq_codebook",
+    "sink_dynamic_partition_overwrite", "sketch_ddsketch_quantiles",
+    "skew_key_audit", "source_schema_evolution", "source_xml_roundtrip",
+    "sql_parameterized", "sql_scalar_udf",
+    "text_dup_shingle_ratio", "text_unigram_logprob",
+    "timeseries_drift_cusum", "timeseries_interpolate_linear",
+    "tpch_q11_inventory_value", "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_stock", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit", "zorder_morton_buckets",
+    # latest green = round 5 (oldest alphabetical block; the remaining
+    # 20 r5 names queue for r11 — recompute from CORRECTNESS_r*.json)
+    "agg_argminmax", "agg_cube", "agg_distinct_exact", "agg_filter_clause",
+    "agg_grouping_sets", "agg_listagg", "agg_pricing_summary",
+    "agg_regression", "agg_rollup", "agg_salted_skew", "agg_stats",
+    "agg_stats_moments", "attribution_multi_touch", "dedup_prefix_filter",
 )
 
 

@@ -152,16 +152,18 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-9 contract is: queries with no driver row yet lead (new this
-    round), then the operators whose code changed this round
-    (join_interval_overlap's null-key count fix), then the full
-    remaining r3-stale cohort, then the oldest r4 greens. Locks the
-    prefix composition against accidental reordering."""
+    round-10 contract is: queries with no driver row yet lead (new this
+    round), then the operators whose code changed this round (the
+    IVF-PQ pair's _ivf_coarse refactor, the perceptual pair's widened
+    fingerprint-table / stricter WAV decode), then the full remaining
+    r4-stale cohort, then the oldest r5 greens. Locks the prefix
+    composition against accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
     changed = [
-        "join_interval_overlap",
+        "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
+        "multimodal_dedup_perceptual", "multimodal_dedup_audio_fp",
     ]
     from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
 
