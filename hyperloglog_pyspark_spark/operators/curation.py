@@ -261,8 +261,13 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     key): at 100 TB the exchange carries fixed-width keys, not text;
     decade leg measured in scale_probe.py."""
     post = tracked_persist(_span_postings(spark, sf_dir).select("doc_id", "wk"))
-    dfq = post.groupBy("wk").agg(F.count_distinct("doc_id").alias("ndocs"))
-    dup = (F.col("ndocs") >= 2).cast("long")
+    # "appears in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id): two
+    # cheap map-side-partial aggregates instead of a COUNT(DISTINCT)
+    # expand over the full posting list (r10 trim re-measure)
+    dfq = post.groupBy("wk").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    dup = (F.col("mn") != F.col("mx")).cast("long")
     return (
         post.join(dfq, "wk")
         .groupBy("doc_id")
@@ -336,24 +341,33 @@ def text_repeated_spans_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     is derived from the posting list itself (max start + {SPAN_W} - 1
     — exact at stride 1), so no second documents scan exists."""
     post = tracked_persist(_span_postings(spark, sf_dir))
+    # keeper = min carrier; ">= 2 distinct docs" ⟺ max != min — no
+    # COUNT(DISTINCT) expand (r10 trim re-measure; same trick as the
+    # signal form, oracle text unchanged because the forms are
+    # equivalent by definition)
     stats = post.groupBy("wk").agg(
-        F.count_distinct("doc_id").alias("ndocs"),
-        F.min("doc_id").alias("keeper"),
+        F.min("doc_id").alias("keeper"), F.max("doc_id").alias("mx")
     )
     base = post.groupBy("doc_id").agg(
         (F.max("i") + F.lit(SPAN_W - 1)).cast("long").alias("n_tokens")
     )
+    # tokens_cut = |union of the marked [i, i+W-1] windows| computed as
+    # a per-doc interval merge: sorted by start, each window contributes
+    # min(W, next_start - start), the last a full W — exact for
+    # fixed-width intervals and replaces the former W-fold position
+    # explode + COUNT(DISTINCT pos) (20× fewer rows, no expand; the
+    # window partitions by doc_id, never corpus-global)
+    wd = Window.partitionBy("doc_id").orderBy("i")
     cuts = (
         post.join(stats, "wk")
-        .filter((F.col("ndocs") >= 2) & (F.col("doc_id") != F.col("keeper")))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(SPAN_W - 1))).alias(
-                "pos"
-            ),
+        .filter((F.col("mx") != F.col("keeper")) & (F.col("doc_id") != F.col("keeper")))
+        .select("doc_id", "i")
+        .withColumn(
+            "cov",
+            F.least(F.lit(SPAN_W), F.coalesce(F.lead("i").over(wd) - F.col("i"), F.lit(SPAN_W))),
         )
         .groupBy("doc_id")
-        .agg(F.count_distinct("pos").alias("tokens_cut"))
+        .agg(F.sum("cov").alias("tokens_cut"))
     )
     return base.join(cuts, "doc_id", "left").select(
         "doc_id",

@@ -383,6 +383,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # _fingerprint_table signature + the stricter wav_pcm_samples
     "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
     "multimodal_dedup_perceptual", "multimodal_dedup_audio_fp",
+    # and the repeated-span pair: min/max dup flag replaced the
+    # COUNT(DISTINCT) expands, interval-merge replaced the trim's
+    # position explode (oracles unchanged — equivalent forms)
+    "text_repeated_spans", "text_repeated_spans_trim",
     # latest green = round 4 (the full remaining stale cohort)
     "layout_skipping_report", "mixture_budget_rates", "multimodal_decode",
     "pivot_multi_value", "quality_constraint_audit", "quality_k_anonymity",
@@ -397,11 +401,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpch_q20_excess_stock", "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit", "zorder_morton_buckets",
     # latest green = round 5 (oldest alphabetical block; the remaining
-    # 20 r5 names queue for r11 — recompute from CORRECTNESS_r*.json)
+    # 22 r5 names queue for r11 — recompute from CORRECTNESS_r*.json)
     "agg_argminmax", "agg_cube", "agg_distinct_exact", "agg_filter_clause",
     "agg_grouping_sets", "agg_listagg", "agg_pricing_summary",
     "agg_regression", "agg_rollup", "agg_salted_skew", "agg_stats",
-    "agg_stats_moments", "attribution_multi_touch", "dedup_prefix_filter",
+    "agg_stats_moments",
 )
 
 

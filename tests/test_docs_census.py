@@ -164,6 +164,7 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
     changed = [
         "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
         "multimodal_dedup_perceptual", "multimodal_dedup_audio_fp",
+        "text_repeated_spans", "text_repeated_spans_trim",
     ]
     from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
 
