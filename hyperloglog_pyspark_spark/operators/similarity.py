@@ -1589,45 +1589,15 @@ _IVF_PQ_RESIDUAL_ORACLE = f"""
     """
 
 
-@register(
-    "similarity_ivf_pq_residual_topk",
-    category="similarity",
-    bench=True,
-    oracle=_IVF_PQ_RESIDUAL_ORACLE,
-)
-def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual IVF-PQ ANN — FAISS's DEFAULT index shape
-    (by_residual=true + Lloyd-trained codebook), upgrading the
-    non-residual similarity_ivf_pq_topk: the PQ codebook is TRAINED on
-    residuals (vector − assigned coarse centroid), so its 8 centroids
-    per subspace describe the within-cell spread instead of re-describing
-    the cell location the coarse index already knows. The price is a
-    per-(query, probed-cell) lookup table — the query's residual depends
-    on which cell is probed — |Q|·n_probes·M·K rows, still broadcast.
-
-    The coarse probe is SHARED with the non-residual variant (same
-    _IVF_CTES / _ivf_coarse), so both indexes score the identical
-    candidate set and any recall difference is pure ADC ranking
-    fidelity. The residual reference per cell is the cell's member MEAN
-    (one frozen-assignment Lloyd update of the coarse centroids — where
-    FAISS's trained coarse quantizer puts it), NOT the raw centroid
-    vector. Measured hits against brute force on this corpus
-    (candidate ceiling 51/80 at sf0.01, 27/80 at sf0.1):
-    mean-ref residual + trained codebook 13 / 5 vs non-residual seeded
-    8 / 4 (tests/test_fuzz_vectors.py pins the win). ABLATIONS, both
-    recorded in BASELINE.md: residual about the raw centroid VECTOR
-    with a seeded codebook scored 4 / 4 and with a trained codebook
-    6 / 3 — subtracting an unrelated data vector from uniform data
-    DOUBLES effective variance, so residual encoding pays exactly when
-    the reference is a trained mean; that is why FAISS defaults to
-    by_residual=true AND trained quantizers together.
-
-    Scale: same posture as the non-residual index (coarse assignment +
-    codes are build-phase, bucketed by cent_id; query time touches
-    candidate codes only, never a raw corpus embedding); training adds
-    rounds × one broadcast-assignment pass at build. All PQ arithmetic
-    is exact integer milli-space — the ADC is a BIGINT, not a rounded
-    double, so the oracle is bit-exact by construction."""
+def _residual_index_build(spark: SparkSession, sf_dir: str):
+    """(ev, iassign, iqprobe, refc, model, codes) — the residual IVF-PQ
+    BUILD phase, shared by similarity_ivf_pq_residual_topk (in-memory
+    serve) and sink_ann_index_partitioned (persisted serve): coarse
+    assignment + probe list (double dot space, exact parity with the
+    non-residual index), per-cell mean references, the Lloyd-trained
+    residual codebook (one broadcast model row) and the integer PQ
+    codes. See similarity_ivf_pq_residual_topk's docstring for the
+    design and measured-ablation story."""
     emb_d = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("e")
     )
@@ -1668,8 +1638,17 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
     rsub = _pq_sub_milli(res.select("vec_id", "r"), "r")
     model = _pq_lloyd_train(rsub, _pq_seed_model(res.select("vec_id", "r"), "r"))
     codes = _pq_assign_codes(rsub, model).select("vec_id", "m", "k")
-    # query residual per PROBED cell: tiny probe list × pruned query
-    # vectors × broadcast centroid milli-vectors
+    return ev, iassign, iqprobe, refc, model, codes
+
+
+def _residual_query_lut(
+    ev: DataFrame, iqprobe: DataFrame, refc: DataFrame, model: DataFrame
+) -> DataFrame:
+    """(query_id, cent_id, m, k, qd2) — the per-(query, probed-cell)
+    residual ADC lookup table: tiny probe list × pruned query vectors ×
+    broadcast cell references, subspace-sliced, exact integer distance
+    to EVERY trained centroid of the matching subspace. Query-side only:
+    no corpus-width input."""
     qres = (
         F.broadcast(iqprobe)
         .join(
@@ -1689,9 +1668,7 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("m").cast("int").alias("m"),
         F.expr(f"slice(qr, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("qv"),
     )
-    # per-(query, cell) LUT: exact integer distance to EVERY trained
-    # centroid of the matching subspace
-    lut = (
+    return (
         qrsub.crossJoin(F.broadcast(model))
         .select(
             "query_id",
@@ -1708,6 +1685,49 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
             _d2_long(F.col("qv"), F.col("c.cv")).alias("qd2"),
         )
     )
+
+
+@register(
+    "similarity_ivf_pq_residual_topk",
+    category="similarity",
+    bench=True,
+    oracle=_IVF_PQ_RESIDUAL_ORACLE,
+)
+def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ ANN — FAISS's DEFAULT index shape
+    (by_residual=true + Lloyd-trained codebook), upgrading the
+    non-residual similarity_ivf_pq_topk: the PQ codebook is TRAINED on
+    residuals (vector − assigned coarse centroid), so its 8 centroids
+    per subspace describe the within-cell spread instead of re-describing
+    the cell location the coarse index already knows. The price is a
+    per-(query, probed-cell) lookup table — the query's residual depends
+    on which cell is probed — |Q|·n_probes·M·K rows, still broadcast.
+
+    The coarse probe is SHARED with the non-residual variant (same
+    _IVF_CTES / _ivf_coarse), so both indexes score the identical
+    candidate set and any recall difference is pure ADC ranking
+    fidelity. The residual reference per cell is the cell's member MEAN
+    (one frozen-assignment Lloyd update of the coarse centroids — where
+    FAISS's trained coarse quantizer puts it), NOT the raw centroid
+    vector. Measured hits against brute force on this corpus
+    (candidate ceiling 51/80 at sf0.01, 27/80 at sf0.1):
+    mean-ref residual + trained codebook 13 / 5 vs non-residual seeded
+    8 / 4 (tests/test_fuzz_vectors.py pins the win). ABLATIONS, both
+    recorded in BASELINE.md: residual about the raw centroid VECTOR
+    with a seeded codebook scored 4 / 4 and with a trained codebook
+    6 / 3 — subtracting an unrelated data vector from uniform data
+    DOUBLES effective variance, so residual encoding pays exactly when
+    the reference is a trained mean; that is why FAISS defaults to
+    by_residual=true AND trained quantizers together.
+
+    Scale: same posture as the non-residual index (coarse assignment +
+    codes are build-phase, bucketed by cent_id; query time touches
+    candidate codes only, never a raw corpus embedding); training adds
+    rounds × one broadcast-assignment pass at build. All PQ arithmetic
+    is exact integer milli-space — the ADC is a BIGINT, not a rounded
+    double, so the oracle is bit-exact by construction."""
+    ev, iassign, iqprobe, refc, model, codes = _residual_index_build(spark, sf_dir)
+    lut = _residual_query_lut(ev, iqprobe, refc, model)
     candidates = (
         F.broadcast(iqprobe)
         .join(iassign, F.col("probe_cent") == F.col("cent_id"))
@@ -1782,4 +1802,76 @@ def similarity_ivf_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataF
             F.count("hit").cast("long").alias("n_hits"),
             F.round(F.count("hit") / F.count(F.lit(1)), 4).cast("double").alias("recall"),
         )
+    )
+
+
+@register(
+    "sink_ann_index_partitioned",
+    category="sink",
+    oracle=_IVF_PQ_RESIDUAL_ORACLE,
+)
+def sink_ann_index_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / serve-many for the residual IVF-PQ index: the build
+    phase WRITES the index to disk — PQ codes partitioned by coarse cell
+    (``cent_id=*/`` directories), plus the trained codebook and the
+    per-cell reference means as tiny side tables — and the serve phase
+    answers top-k from the READ-BACK artifacts alone. Shares
+    similarity_ivf_pq_residual_topk's oracle VERBATIM: serving from the
+    persisted index must equal serving from memory — the index
+    round-trip contract (the sessionize_gap_ids/salted_stitch
+    precedent; a mismatch indicts the sink/source layer, not the math).
+
+    This is THE layout decision for billion-vector serving: the index is
+    laid out so a query's I/O is proportional to its probed cells, not
+    the corpus. The probe list joins the codes read on the PARTITION
+    column, so Spark's dynamic partition pruning restricts the scan to
+    probed ``cent_id=`` directories (the layout guard asserts the
+    pruning subquery is planned); the codebook and references are
+    kilobyte side tables read once and broadcast. Nothing query-side
+    touches a raw corpus embedding or an unprobed partition.
+
+    Scale: at 100 TB the build is the one corpus pass (assign + encode,
+    shuffled once by cent_id at write); each serving query then reads
+    n_probes directories of M-small-codes — a single rack serves what
+    the raw corpus never could. The scratch location stands in for the
+    warehouse path a deployment would use."""
+    import os
+    import shutil
+    import tempfile
+
+    ev, iassign, iqprobe, refc, model, codes = _residual_index_build(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"hllps_ann_index_{tag}")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    # codes ride WITH their cell (the partition key); one index row per
+    # (vector, subspace)
+    codes.join(iassign, "vec_id").write.mode("overwrite").partitionBy(
+        "cent_id"
+    ).parquet(os.path.join(base, "codes"))
+    model.select(F.explode("cents").alias("c")).select(
+        "c.m", "c.k", "c.cv"
+    ).write.mode("overwrite").parquet(os.path.join(base, "codebook"))
+    refc.write.mode("overwrite").parquet(os.path.join(base, "refs"))
+
+    # ---- serve from the persisted artifacts only ----
+    codes_back = spark.read.parquet(os.path.join(base, "codes"))
+    model_back = _pq_model_row(spark.read.parquet(os.path.join(base, "codebook")))
+    refc_back = spark.read.parquet(os.path.join(base, "refs"))
+    lut = _residual_query_lut(ev, iqprobe, refc_back, model_back)
+    scored = (
+        codes_back.join(
+            F.broadcast(iqprobe),
+            F.col("cent_id") == F.col("probe_cent"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "cent_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.col("adc").cast("long").alias("adc_md2"), "rank")
     )

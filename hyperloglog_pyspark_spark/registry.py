@@ -377,6 +377,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # sf0.01 AND sf0.1 against their oracles
     "multimodal_dedup_canonical", "similarity_pq_trained_codebook",
     "similarity_ivf_pq_residual_topk", "similarity_ivf_pq_residual_recall",
+    "sink_ann_index_partitioned",
     # operator code changed this round (driver row predates the code):
     # the IVF-PQ pair was refactored onto the shared _ivf_coarse with a
     # persisted probe list; the perceptual pair sits on the widened
@@ -401,11 +402,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpch_q20_excess_stock", "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit", "zorder_morton_buckets",
     # latest green = round 5 (oldest alphabetical block; the remaining
-    # 22 r5 names queue for r11 — recompute from CORRECTNESS_r*.json)
+    # 23 r5 names queue for r11 — recompute from CORRECTNESS_r*.json)
     "agg_argminmax", "agg_cube", "agg_distinct_exact", "agg_filter_clause",
     "agg_grouping_sets", "agg_listagg", "agg_pricing_summary",
     "agg_regression", "agg_rollup", "agg_salted_skew", "agg_stats",
-    "agg_stats_moments",
 )
 
 

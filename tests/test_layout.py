@@ -734,3 +734,22 @@ def test_salted_skew_join_spreads_hot_keys(spark, sf_dir):
     assert re.search(r"hashpartitioning\(event_type#\d+, salt#\d+", plan), (
         "join exchange is not partitioned by (event_type, salt)"
     )
+
+
+def test_ann_index_serve_plans_dynamic_partition_pruning(spark, sf_dir):
+    """sink_ann_index_partitioned's serve phase must read the persisted
+    codes through DYNAMIC PARTITION PRUNING — the probe list joins the
+    read on the partition column (cent_id), so Spark plans a pruning
+    subquery and the scan touches only probed cent_id= directories.
+    Without it, every serving query re-reads the whole index and the
+    layout buys nothing at 100 TB. Asserted on the executed-plan text
+    (the dynamicpruning expression in the scan's partition filters)."""
+    from hyperloglog_pyspark_spark.operators.similarity import (
+        sink_ann_index_partitioned,
+    )
+
+    df = sink_ann_index_partitioned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "codes scan lost its dynamic partition pruning subquery"
+    )
