@@ -1664,3 +1664,137 @@ def test_streaming_incremental_canonical_keeper_matches_batch(spark, sf_dir, tmp
     assert rejected and accepted
     admitted = {r.doc_id for r in hist.collect()} | {g[0] for g in accepted}
     assert all(k in admitted for _, k, s in rejected for k in [k])
+
+
+def test_streaming_ann_index_append_matches_batch_rebuild(spark, sf_dir, tmp_path):
+    """Index FRESHNESS for the partitioned ANN index
+    (sink_ann_index_partitioned's layout): newly arriving vectors are
+    encoded incrementally — coarse-assigned against the FROZEN centroid
+    set, residualed against the FROZEN per-cell references, PQ-coded
+    with the FROZEN codebook — and appended into the existing cent_id=
+    partition directories by foreachBatch. Freezing the artifacts
+    between retrains is exactly how production IVF-PQ stays fresh
+    (FAISS add_with_ids); the contract here is batch-size invariance:
+    after any sequence of micro-batches the persisted index must equal
+    a ONE-SHOT encode of the grown corpus with the same artifacts, and
+    every appended file must land inside a cent_id= directory."""
+    import glob
+
+    from hyperloglog_pyspark_spark.operators.similarity import (
+        N_CENT_MOD,
+        _centroid_set,
+        _nearest_centroid,
+        _pq_assign_codes,
+        _pq_seed_model,
+        _pq_sub_milli,
+        as_milli,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_milli("embedding").alias("mv")
+    )
+    is_new = (F.col("vec_id") % 10).isin(3, 7)
+    base = emb.filter(~is_new)
+    b1 = emb.filter(F.col("vec_id") % 10 == 3)
+    b2 = emb.filter(F.col("vec_id") % 10 == 7)
+
+    # ---- frozen artifacts, built from the base corpus once ----
+    cents = _centroid_set(
+        base.filter(F.col("vec_id") % N_CENT_MOD == 0).select(
+            F.col("vec_id").alias("k"), F.col("mv").alias("cv")
+        )
+    ).collect()[0]
+    cents_row = spark.createDataFrame([cents])
+
+    def assign(frame):
+        best = _nearest_centroid(F.col("mv"))
+        return frame.crossJoin(F.broadcast(cents_row)).select(
+            "vec_id", "mv", best["k"].alias("cent_id")
+        )
+
+    refc = (
+        assign(base)
+        .select("cent_id", F.posexplode("mv").alias("i", "e"))
+        .groupBy("cent_id", "i")
+        .agg(
+            F.floor(F.sum("e") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("long")
+            .alias("c")
+        )
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("rv")
+        )
+    )
+    refc.write.mode("overwrite").parquet(str(tmp_path / "refs"))
+    refc_frozen = spark.read.parquet(str(tmp_path / "refs"))
+
+    def residuals(frame):
+        return (
+            assign(frame)
+            .join(F.broadcast(refc_frozen), "cent_id")
+            .select(
+                "vec_id",
+                "cent_id",
+                F.zip_with("mv", "rv", lambda x, y: x - y).alias("r"),
+            )
+        )
+
+    model_path = str(tmp_path / "codebook")
+    _pq_seed_model(residuals(base).select("vec_id", "r"), "r").select(
+        F.explode("cents").alias("c")
+    ).select("c.m", "c.k", "c.cv").write.mode("overwrite").parquet(model_path)
+
+    def encode(frame):
+        from hyperloglog_pyspark_spark.operators.similarity import _pq_model_row
+
+        model = _pq_model_row(spark.read.parquet(model_path))
+        res = residuals(frame)
+        codes = _pq_assign_codes(
+            _pq_sub_milli(res.select("vec_id", "r"), "r"), model
+        ).select("vec_id", "m", "k")
+        return codes.join(res.select("vec_id", "cent_id"), "vec_id")
+
+    index = str(tmp_path / "index")
+    encode(base).write.mode("overwrite").partitionBy("cent_id").parquet(index)
+
+    src = str(tmp_path / "incoming")
+    ids_schema = "vec_id long"
+
+    def ingest(batch_df, batch_id: int):
+        ids = [r.vec_id for r in batch_df.collect()]
+        frame = emb.filter(F.col("vec_id").isin(ids))
+        encode(frame).write.mode("append").partitionBy("cent_id").parquet(index)
+
+    _write_batch(spark, b1.select("vec_id"), src)
+    stream = (
+        spark.readStream.schema(ids_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        stream.processAllAvailable()
+        _write_batch(spark, b2.select("vec_id"), src)
+        stream.processAllAvailable()
+    finally:
+        stream.stop()
+
+    got = {
+        (r.vec_id, r.m, r.k, r.cent_id)
+        for r in spark.read.parquet(index).collect()
+    }
+    want = {
+        (r.vec_id, r.m, r.k, r.cent_id) for r in encode(emb).collect()
+    }
+    assert got == want
+    # layout: every data file sits inside a cent_id= partition directory
+    stray = [
+        f for f in glob.glob(f"{index}/*.parquet")
+        if "cent_id=" not in f
+    ]
+    assert not stray, stray
