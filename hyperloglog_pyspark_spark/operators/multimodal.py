@@ -813,7 +813,9 @@ PERC_MEDIA_BYTES = PERC_IMG_BYTES + PERC_AUD_BYTES
     FROM comp GROUP BY cluster_id
     """,
 )
-def multimodal_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_dedup_canonical(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Keep-one-per-cluster for perceptual MEDIA dedup: connected
     components over the CROSS-MODAL pair graph (the union of the image
     dHash and audio energy-fingerprint near-dup pairs — a doc is a dup
@@ -845,10 +847,13 @@ def multimodal_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud = _fingerprint_table(
         spark, sf_dir, _perc_audio_synth, _perc_audio_fp, with_bytes=True
     )
+    # bucket_cap passes through to both banded routes — the same
+    # cap-and-star whale guard the pair queries expose (None, the
+    # registered default, keeps exact pairwise; see _banded_hamming_pairs)
     pairs = (
-        _banded_hamming_pairs(img)
+        _banded_hamming_pairs(img, bucket_cap=bucket_cap)
         .select("doc_a", "doc_b")
-        .union(_banded_hamming_pairs(aud).select("doc_a", "doc_b"))
+        .union(_banded_hamming_pairs(aud, bucket_cap=bucket_cap).select("doc_a", "doc_b"))
     )
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))

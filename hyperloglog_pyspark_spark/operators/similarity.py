@@ -1453,12 +1453,15 @@ def _pq_lloyd_train(sub: DataFrame, model0: DataFrame) -> DataFrame:
 
 
 def _pq_assign_codes(sub: DataFrame, model: DataFrame) -> DataFrame:
-    """(vec_id, m, k, d2): final nearest-centroid assignment of every
+    """(…ids, m, k, d2): final nearest-centroid assignment of every
     subvector against a trained codebook model row — the PQ encode pass,
-    exact integers."""
+    exact integers. All non-``sv`` columns pass through, so callers can
+    ride the partition key (cent_id) along instead of re-joining it
+    back at corpus scale."""
+    keep = [c for c in sub.columns if c != "sv"]
     best = _pq_nearest_sub(F.col("sv"))
     return sub.crossJoin(F.broadcast(model)).select(
-        "vec_id", "m", best["k"].alias("k"), best["d2"].alias("d2")
+        *keep, best["k"].alias("k"), best["d2"].alias("d2")
     )
 
 
@@ -1635,9 +1638,11 @@ def _residual_index_build(spark: SparkSession, sf_dir: str):
             F.zip_with("mv", "cv", lambda x, y: x - y).alias("r"),
         )
     )
-    rsub = _pq_sub_milli(res.select("vec_id", "r"), "r")
+    # cent_id rides through the subvector explode and the encode pass,
+    # so the persisted-index writer never re-joins the corpus for it
+    rsub = _pq_sub_milli(res.select("vec_id", "cent_id", "r"), "r")
     model = _pq_lloyd_train(rsub, _pq_seed_model(res.select("vec_id", "r"), "r"))
-    codes = _pq_assign_codes(rsub, model).select("vec_id", "m", "k")
+    codes = _pq_assign_codes(rsub, model).select("vec_id", "cent_id", "m", "k")
     return ev, iassign, iqprobe, refc, model, codes
 
 
@@ -1727,6 +1732,9 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
     is exact integer milli-space — the ADC is a BIGINT, not a rounded
     double, so the oracle is bit-exact by construction."""
     ev, iassign, iqprobe, refc, model, codes = _residual_index_build(spark, sf_dir)
+    # candidates carry the probed cent_id; drop the codes' copy to keep
+    # the join keys unambiguous
+    codes = codes.select("vec_id", "m", "k")
     lut = _residual_query_lut(ev, iqprobe, refc, model)
     candidates = (
         F.broadcast(iqprobe)
@@ -1836,19 +1844,21 @@ def sink_ann_index_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw corpus never could. The scratch location stands in for the
     warehouse path a deployment would use."""
     import os
-    import shutil
     import tempfile
 
-    ev, iassign, iqprobe, refc, model, codes = _residual_index_build(spark, sf_dir)
+    ev, _iassign, iqprobe, refc, model, codes = _residual_index_build(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join(tempfile.gettempdir(), f"hllps_ann_index_{tag}")
-    if os.path.exists(base):
-        shutil.rmtree(base)
-    # codes ride WITH their cell (the partition key); one index row per
+    # unique dir per invocation: a fixed path + rmtree would destroy the
+    # files backing a prior invocation's still-unconsumed DataFrame and
+    # race concurrent sessions (r10 review); the artifacts are
+    # kilobytes-per-thousand-vectors, so leaked scratch dirs are noise
+    base = tempfile.mkdtemp(prefix=f"hllps_ann_index_{tag}_")
+    # codes already ride WITH their cell (the partition key, threaded
+    # through the encode pass — no corpus re-join); one index row per
     # (vector, subspace)
-    codes.join(iassign, "vec_id").write.mode("overwrite").partitionBy(
-        "cent_id"
-    ).parquet(os.path.join(base, "codes"))
+    codes.write.mode("overwrite").partitionBy("cent_id").parquet(
+        os.path.join(base, "codes")
+    )
     model.select(F.explode("cents").alias("c")).select(
         "c.m", "c.k", "c.cv"
     ).write.mode("overwrite").parquet(os.path.join(base, "codebook"))

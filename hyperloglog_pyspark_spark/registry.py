@@ -367,11 +367,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # fills to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r10 = the 28
-# remaining r4 names + the oldest 14 of the 34 r5-aged greens; r11 = the
-# remaining 20 r5 names + the oldest r6 block; after that the cohorts
-# cycle (~50/round). ALWAYS recompute the cohorts from the
+# remaining r4 names + the oldest 11 of the 34 r5-aged greens (3 r5
+# slots were ceded to this round's changed-operator re-attests); r11 =
+# the remaining 23 r5 names + the oldest r6 block; after that the
+# cohorts cycle (~50/round). ALWAYS recompute the cohorts from the
 # CORRECTNESS_r*.json artifacts (latest green round per name) rather
-# than trusting this comment — the r9 review caught comment drift.
+# than trusting this comment — the r9 AND r10 reviews both caught
+# comment drift here.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # round-10 new queries (no driver row yet), locally verified at
     # sf0.01 AND sf0.1 against their oracles

@@ -88,6 +88,17 @@ PROBE_OPS = [
     # pair graph stays linear; the probe measures the fingerprint
     # mapInPandas chain + the (band, value) self-join at 10× ids
     "multimodal_dedup_perceptual",
+    # r10: the cross-modal canonical pick — BOTH fingerprint chains +
+    # the unioned pair graph + connected components + byte accounting;
+    # replica groups never straddle (ids ≡ 0 mod 4), so the pair graph
+    # and component sizes stay linear while the decode volume is R×
+    "multimodal_dedup_canonical",
+    # r10: the residual trained IVF-PQ — fixed 8-query output over a
+    # growing corpus; cells grow with the corpus (vec_id % 100), so the
+    # ratio isolates the build-phase passes (coarse assign, per-cell
+    # means, Lloyd rounds over residual subvectors, encode) from the
+    # bounded query-side scoring
+    "similarity_ivf_pq_residual_topk",
 ]
 
 

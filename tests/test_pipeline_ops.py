@@ -1593,3 +1593,29 @@ def test_ivf_pq_recall_report_bounds(spark, sf_dir):
     assert (rep["n_exact"] == TOP_K).all()
     assert ((rep["n_hits"] >= 0) & (rep["n_hits"] <= rep["n_exact"])).all()
     assert (rep["recall"] == (rep["n_hits"] / rep["n_exact"]).round(4)).all()
+
+
+def test_canonical_bucket_cap_passthrough(spark, sf_dir):
+    """The canonical pick exposes the same cap-and-star whale guard as
+    its pair-query siblings; exercise the cap path end-to-end through
+    CC + accounting (r10 review flagged it as untested surface):
+
+    - a cap larger than every band bucket is a NO-OP — output equals
+      the uncapped run exactly;
+    - a tiny cap still yields well-formed clusters whose keeper IS the
+      component label (MIN doc_id), and the capped star edges keep the
+      planted same-group members connected (the r9 cap contract)."""
+    from hyperloglog_pyspark_spark.operators.multimodal import (
+        multimodal_dedup_canonical,
+    )
+
+    base = {tuple(r) for r in multimodal_dedup_canonical(spark, sf_dir).collect()}
+    nocap = {
+        tuple(r)
+        for r in multimodal_dedup_canonical(spark, sf_dir, bucket_cap=10**6).collect()
+    }
+    assert nocap == base
+    capped = multimodal_dedup_canonical(spark, sf_dir, bucket_cap=2).toPandas()
+    assert len(capped) > 0
+    assert (capped.canonical_doc == capped.cluster_id).all()
+    assert (capped.reclaimed_bytes == (capped.n_members - 1) * capped.kept_bytes).all()

@@ -1663,7 +1663,7 @@ def test_streaming_incremental_canonical_keeper_matches_batch(spark, sf_dir, tmp
     # keeper is an ADMITTED doc (hist or an earlier accepted stream doc)
     assert rejected and accepted
     admitted = {r.doc_id for r in hist.collect()} | {g[0] for g in accepted}
-    assert all(k in admitted for _, k, s in rejected for k in [k])
+    assert all(k in admitted for _, k, _s in rejected)
 
 
 def test_streaming_ann_index_append_matches_batch_rebuild(spark, sf_dir, tmp_path):
