@@ -635,13 +635,86 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The two LSH-pair consumers share dedup_minhash_lsh's oracle as a CTE.
+@register(
+    "sample_dedup_weighted",
+    category="sample",
+    oracle="""
+    WITH RECURSIVE pairs AS ({minhash}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS csize FROM comp GROUP BY cluster_id),
+    d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+           CAST(ROUND(1.0 / COALESCE(s.csize, 1), 6) AS DOUBLE) AS weight,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROUND(d.n_tokens * 1.0 / COALESCE(s.csize, 1), 6) AS DOUBLE)
+               AS effective_tokens
+    FROM d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+    """,
+)
+def sample_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication as a per-document training-weight table: every
+    member of a near-duplicate cluster (connected components over the
+    MinHash-LSH pair graph) carries weight 1/cluster_size, unclustered
+    docs weight 1 — so each distinct CONTENT contributes exactly one
+    unit of sampling mass regardless of how many copies exist. This is
+    the down-weight-don't-drop alternative to dedup_canonical_pick's
+    keep-one election (the D4/SlimPajama-style soft dedup): a sampler
+    or mixture planner joins this table instead of filtering, keeping
+    copy diversity (formatting/boilerplate variants) while unbiasing
+    content frequency. effective_tokens = n_tokens/cluster_size is the
+    per-doc token mass a budget planner sums (each cluster's members
+    together contribute ~its mean length once).
+
+    Weights and effective tokens are independently rounded 6dp ratios
+    (the engine's standard ratio discipline) so the row hash-matches
+    the oracle exactly.
+
+    Scale: components run on the LSH pair graph (≪ corpus, memoized
+    across the four CC consumers); the cluster-size map is node-sized
+    and broadcast onto the one documents pass — no corpus shuffle, no
+    window. The output is the same cardinality as the corpus: at 100 TB
+    it is written as a companion column table (or joined in-flight),
+    never collected."""
+    comp = dedup_cluster_components(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    cmap = comp.join(sizes, "cluster_id").select("doc_id", "csize")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    csize = F.coalesce("csize", F.lit(1))
+    return docs.join(F.broadcast(cmap), "doc_id", "left").select(
+        "doc_id",
+        csize.cast("long").alias("cluster_size"),
+        F.round(F.lit(1.0) / csize, 6).cast("double").alias("weight"),
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 / csize, 6)
+        .cast("double")
+        .alias("effective_tokens"),
+    )
+
+
+# The LSH-pair consumers share dedup_minhash_lsh's oracle as a CTE.
 from hyperloglog_pyspark_spark.registry import REGISTRY  # noqa: E402
 
 REGISTRY["split_leakage_audit"].oracle = REGISTRY["split_leakage_audit"].oracle.format(
     minhash=_minhash_oracle_cte()
 )
 REGISTRY["dedup_canonical_pick"].oracle = REGISTRY["dedup_canonical_pick"].oracle.format(
+    minhash=_minhash_oracle_cte()
+)
+REGISTRY["sample_dedup_weighted"].oracle = REGISTRY["sample_dedup_weighted"].oracle.format(
     minhash=_minhash_oracle_cte()
 )
 

@@ -367,7 +367,7 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # fills to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r10 = the 28
-# remaining r4 names + the oldest 11 of the 34 r5-aged greens (3 r5
+# remaining r4 names + the oldest 11 of the 34 r5-aged greens (4 r5
 # slots were ceded to this round's changed-operator re-attests); r11 =
 # the remaining 23 r5 names + the oldest r6 block; after that the
 # cohorts cycle (~50/round). ALWAYS recompute the cohorts from the
@@ -379,7 +379,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # sf0.01 AND sf0.1 against their oracles
     "multimodal_dedup_canonical", "similarity_pq_trained_codebook",
     "similarity_ivf_pq_residual_topk", "similarity_ivf_pq_residual_recall",
-    "sink_ann_index_partitioned",
+    "sink_ann_index_partitioned", "sample_dedup_weighted",
     # operator code changed this round (driver row predates the code):
     # the IVF-PQ pair was refactored onto the shared _ivf_coarse with a
     # persisted probe list; the perceptual pair sits on the widened
@@ -404,10 +404,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpch_q20_excess_stock", "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit", "zorder_morton_buckets",
     # latest green = round 5 (oldest alphabetical block; the remaining
-    # 23 r5 names queue for r11 — recompute from CORRECTNESS_r*.json)
+    # 24 r5 names queue for r11 — recompute from CORRECTNESS_r*.json)
     "agg_argminmax", "agg_cube", "agg_distinct_exact", "agg_filter_clause",
     "agg_grouping_sets", "agg_listagg", "agg_pricing_summary",
-    "agg_regression", "agg_rollup", "agg_salted_skew", "agg_stats",
+    "agg_regression", "agg_rollup", "agg_salted_skew",
 )
 
 

@@ -40,6 +40,7 @@ QUADRATIC_ORACLE_QUERIES = [
     "dedup_canonical_pick",
     "split_leakage_audit",
     "pipeline_curation_v2",
+    "sample_dedup_weighted",
 ]
 
 
