@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.operators.dedup import (
+    _cc_oracle_ctes,
     _SHINGLED_SQL,
     _minhash_oracle_cte,
     _shingled,
@@ -559,22 +560,22 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens) — whitespace token counts per document, the
+    one copy shared by the CC-consuming accounting operators (text
+    canonical pick, soft-dedup weights)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+
+
 @register(
     "dedup_canonical_pick",
     category="dedup",
     bench=True,
     oracle="""
     WITH RECURSIVE pairs AS ({minhash}),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(doc_id, lbl) AS (
-        SELECT a, a FROM edges
-        UNION
-        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc_id
-    ),
-    comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+    {cc},
     m AS (
         SELECT c.cluster_id, c.doc_id, len(string_split(d.text, ' ')) AS n_tokens
         FROM comp c JOIN documents d USING (doc_id)
@@ -613,10 +614,7 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction and column contract in exactly one place; the CC memo
     # makes the shared fixpoint free across both consumers
     comp = dedup_cluster_components(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
-    )
-    m = docs.join(F.broadcast(comp), "doc_id")
+    m = _doc_token_counts(spark, sf_dir).join(F.broadcast(comp), "doc_id")
     best = F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")))
     return (
         m.groupBy("cluster_id")
@@ -640,16 +638,7 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="sample",
     oracle="""
     WITH RECURSIVE pairs AS ({minhash}),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(doc_id, lbl) AS (
-        SELECT a, a FROM edges
-        UNION
-        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc_id
-    ),
-    comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+    {cc},
     sizes AS (SELECT cluster_id, COUNT(*) AS csize FROM comp GROUP BY cluster_id),
     d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
     SELECT d.doc_id,
@@ -690,9 +679,7 @@ def sample_dedup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup_cluster_components(spark, sf_dir)
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
     cmap = comp.join(sizes, "cluster_id").select("doc_id", "csize")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
-    )
+    docs = _doc_token_counts(spark, sf_dir)
     csize = F.coalesce("csize", F.lit(1))
     return docs.join(F.broadcast(cmap), "doc_id", "left").select(
         "doc_id",
@@ -712,10 +699,10 @@ REGISTRY["split_leakage_audit"].oracle = REGISTRY["split_leakage_audit"].oracle.
     minhash=_minhash_oracle_cte()
 )
 REGISTRY["dedup_canonical_pick"].oracle = REGISTRY["dedup_canonical_pick"].oracle.format(
-    minhash=_minhash_oracle_cte()
+    minhash=_minhash_oracle_cte(), cc=_cc_oracle_ctes()
 )
 REGISTRY["sample_dedup_weighted"].oracle = REGISTRY["sample_dedup_weighted"].oracle.format(
-    minhash=_minhash_oracle_cte()
+    minhash=_minhash_oracle_cte(), cc=_cc_oracle_ctes()
 )
 
 

@@ -973,20 +973,30 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REGISTRY["dedup_cluster_components"].oracle = """
-    WITH RECURSIVE pairs AS ({minhash}),
-    edges AS (
+def _cc_oracle_ctes() -> str:
+    """edges/reach/comp over an in-scope ``pairs(doc_a, doc_b)`` CTE —
+    the ONE copy of the recursive connected-components SQL every
+    CC-consuming oracle composes (cluster label = MIN reachable id);
+    four oracles build on it: cluster components, text canonical pick,
+    soft-dedup weights, media canonical pick. Changing the component
+    definition here changes all of them together."""
+    return """edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs
     ),
-    reach(doc_id, label) AS (
+    reach(doc_id, lbl) AS (
         SELECT a, a FROM edges
         UNION
-        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.doc_id
-    )
-    SELECT doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY doc_id
-""".format(minhash=REGISTRY["dedup_minhash_lsh"].oracle)
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)"""
+
+
+REGISTRY["dedup_cluster_components"].oracle = """
+    WITH RECURSIVE pairs AS ({minhash}),
+    {cc}
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM comp
+""".format(minhash=REGISTRY["dedup_minhash_lsh"].oracle, cc=_cc_oracle_ctes())
 
 
 @register(

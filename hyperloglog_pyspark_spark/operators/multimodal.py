@@ -783,6 +783,7 @@ from hyperloglog_pyspark_spark.functions.mediacodec import (  # noqa: E402
     WAV_HEADER_LEN,
     bmp_row_stride,
 )
+from hyperloglog_pyspark_spark.operators.dedup import _cc_oracle_ctes  # noqa: E402
 
 PERC_IMG_BYTES = BMP_HEADER_LEN + bmp_row_stride(9) * 8
 PERC_AUD_BYTES = WAV_HEADER_LEN + 65 * AUDIO_FP_FRAME * 2
@@ -795,16 +796,7 @@ PERC_MEDIA_BYTES = PERC_IMG_BYTES + PERC_AUD_BYTES
     bench=True,
     oracle=f"""
     WITH RECURSIVE pairs AS ({_PERC_PAIRS_ORACLE}),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(doc_id, lbl) AS (
-        SELECT a, a FROM edges
-        UNION
-        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc_id
-    ),
-    comp AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+    {_cc_oracle_ctes()}
     SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,

@@ -361,15 +361,15 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
 # last green row — changed code outranks stale-but-unchanged greens —
 # and (c) rotate the oldest greens through the remaining slots.
-# Round 10: the four new queries lead, then the four whose operator code
+# Round 10: the six new queries lead, then the six whose operator code
 # changed this round, then the FULL remaining r4-stale cohort (28 names —
 # the oldest attestation age in the registry), then the oldest r5 block
 # fills to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r10 = the 28
-# remaining r4 names + the oldest 11 of the 34 r5-aged greens (4 r5
-# slots were ceded to this round's changed-operator re-attests); r11 =
-# the remaining 23 r5 names + the oldest r6 block; after that the
+# remaining r4 names + the oldest 10 of the 34 r5-aged greens (4 r5
+# slots were ceded to this round's new/changed re-attests); r11 = the
+# remaining 24 r5 names + the oldest r6 block; after that the
 # cohorts cycle (~50/round). ALWAYS recompute the cohorts from the
 # CORRECTNESS_r*.json artifacts (latest green round per name) rather
 # than trusting this comment — the r9 AND r10 reviews both caught

@@ -106,11 +106,14 @@ def _ref_train_and_encode(vecs: dict[int, list[int]]):
 
 @st.composite
 def milli_corpora(draw):
-    """5..10 vectors of EMB_DIM small milli-ints, with duplication baked
+    """5..10 vectors (possibly FEWER than PQ_K) of EMB_DIM small milli-ints, with duplication baked
     in: a base pool of 2..4 distinct vectors is sampled WITH replacement
     (duplicate vectors AND duplicate seed vectors become common), then a
     per-vector jitter flag occasionally perturbs one element."""
-    n = draw(st.integers(max(5, PQ_K), 10))
+    # deliberately allows n < PQ_K: _pq_seed_model then yields FEWER
+    # than K seeds (limit on a short frame) and the reference slices the
+    # same shorter md5-ordered list — the seed-shortfall regime
+    n = draw(st.integers(5, 10))
     pool_n = draw(st.integers(2, 4))
     pool = [
         draw(

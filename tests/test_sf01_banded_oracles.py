@@ -1,6 +1,7 @@
 """sf0.1-band oracle re-verification of the quadratic-DuckDB queries.
 
-Twelve queries carry DuckDB oracles whose cost is quadratic in the
+The queries in QUADRATIC_ORACLE_QUERIES carry DuckDB oracles whose
+cost is quadratic in the
 document count (all-pairs CTEs: MinHash/Jaccard/SimHash/containment/
 cluster/leakage/pipeline-v2), so the full sf0.1 oracle check is
 impractical on the DuckDB side — COVERAGE.md records the exemption.
