@@ -1538,8 +1538,10 @@ _RES_LLOYD_CTES, _RES_FINAL = _pq_lloyd_ctes("rel")
 # exact-integer distances in residual milli-space, and the per-query LUT
 # is per PROBED CELL (the query's residual depends on which cell is
 # probed). Module constant so the recall monitor composes it verbatim.
-_IVF_PQ_RESIDUAL_ORACLE = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+# CTE chain through `scored` (query_id, vec_id, adc) — shared by the
+# final-topk oracle and the exact-rerank oracle (which cuts the scored
+# frame at RERANK_C instead of TOP_K before refining).
+_IVF_PQ_RESIDUAL_SCORED_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     {_IVF_CTES},
     pel AS ({_PEL_SQL}),
     refc AS (
@@ -1584,6 +1586,10 @@ _IVF_PQ_RESIDUAL_ORACLE = f"""
                   AND l.m = kk.m AND l.k = kk.k
         GROUP BY cd.query_id, cd.vec_id
     )
+    """
+
+_IVF_PQ_RESIDUAL_ORACLE = f"""
+    WITH {_IVF_PQ_RESIDUAL_SCORED_CTES}
     SELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc_md2, rank FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY adc, vec_id) AS rank
@@ -1731,6 +1737,19 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
     rounds × one broadcast-assignment pass at build. All PQ arithmetic
     is exact integer milli-space — the ADC is a BIGINT, not a rounded
     double, so the oracle is bit-exact by construction."""
+    scored = _residual_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.col("adc").cast("long").alias("adc_md2"), "rank")
+    )
+
+
+def _residual_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adc) — every probed candidate's exact-integer
+    residual ADC, the frame both the final top-k and the exact-rerank
+    stage cut (the Spark twin of _IVF_PQ_RESIDUAL_SCORED_CTES)."""
     ev, iassign, iqprobe, refc, model, codes = _residual_index_build(spark, sf_dir)
     # candidates carry the probed cent_id; drop the codes' copy to keep
     # the join keys unambiguous
@@ -1742,17 +1761,11 @@ def similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "cent_id", "vec_id")
     )
-    scored = (
+    return (
         candidates.join(codes, "vec_id")
         .join(F.broadcast(lut), ["query_id", "cent_id", "m", "k"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("qd2").alias("adc"))
-    )
-    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", F.col("adc").cast("long").alias("adc_md2"), "rank")
     )
 
 
@@ -1885,3 +1898,138 @@ def sink_ann_index_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", F.col("adc").cast("long").alias("adc_md2"), "rank")
     )
+
+
+RERANK_C = 30  # ADC shortlist depth the exact refine stage re-scores
+
+
+@register(
+    "similarity_ivf_pq_rerank_topk",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+    WITH {_IVF_PQ_RESIDUAL_SCORED_CTES},
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc, vec_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {RERANK_C}
+    ),
+    refined AS (
+        SELECT s.query_id, s.vec_id,
+               CAST(round(list_cosine_similarity(q.e, v.e), 4) AS DOUBLE) AS cos_sim
+        FROM shortlist s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e v ON v.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM refined
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage serving over the residual IVF-PQ index — the FAISS
+    refine / production retrieval shape: the index's exact-integer ADC
+    shortlists RERANK_C candidates per query (cheap, codes-only), then
+    an EXACT cosine pass re-scores only those {RERANK_C} survivors and
+    keeps the top {TOP_K}. This is where ANN recall is actually bought
+    back: the coarse probe bounds what is reachable (the candidate
+    ceiling), ADC ranks cheaply inside it, and the refine stage spends
+    exact distance computation on a per-query-constant shortlist.
+    Measured hits against brute force on this corpus: rerank 24 / 14
+    (sf0.01 / sf0.1) vs the pure-ADC index's 13 / 5 and the probed-cell
+    ceilings of 51 / 27 — the refine roughly doubles the ADC index's
+    recall; the rest of the ceiling gap is shortlist misses, the
+    RERANK_C knob (tests/test_fuzz_vectors.py pins the ladder).
+
+    Scale: stage 1 is the index serve (candidate-bounded, no raw
+    vectors); stage 2 touches exactly |Q|·{RERANK_C} raw vectors via a
+    key join against the vector store — point lookups, never a corpus
+    scan shuffle; the shortlist side broadcasts. The refine cost is
+    independent of corpus size, which is why production systems default
+    to it rather than growing the codebook."""
+    scored = _residual_scored(spark, sf_dir)
+    w_short = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w_short))
+        .filter(F.col("rnk") <= RERANK_C)
+        .select("query_id", "vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    refined = (
+        F.broadcast(shortlist)
+        .join(emb.select("vec_id", F.col("e").alias("ce")), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+@register(
+    "similarity_ivf_pq_rerank_recall",
+    category="similarity",
+    oracle=f"""
+    WITH bf AS (
+        SELECT * FROM ({{BF}}) t
+    ),
+    ipq AS (
+        SELECT * FROM ({{IPQ}}) t
+    )
+    SELECT bf.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(ipq.vec_id) AS BIGINT) AS n_hits,
+           CAST(round(COUNT(ipq.vec_id) * 1.0 / COUNT(*), 4) AS DOUBLE) AS recall
+    FROM bf LEFT JOIN ipq ON bf.query_id = ipq.query_id AND bf.vec_id = ipq.vec_id
+    GROUP BY bf.query_id
+    """.format(
+        BF=REGISTRY["similarity_topk_bruteforce"].oracle,
+        IPQ="{RERANK}",
+    ),
+)
+def similarity_ivf_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two-stage (ADC shortlist + exact refine) serving
+    path against the brute force — the top rung of the recall ladder
+    this engine monitors: non-residual ADC < trained-residual ADC <
+    refine, all under the shared probed-cell ceiling. The remaining gap
+    to the ceiling is pure shortlist misses (true neighbors the ADC
+    ranked below RERANK_C), the knob a deployment turns before touching
+    the index itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tracked_persist(
+        emb.select("vec_id", as_double("embedding").alias("e"))
+    )
+    bf = _bruteforce_topk(base).select("query_id", "vec_id")
+    ipq = similarity_ivf_pq_rerank_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ipq, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("hit").cast("long").alias("n_hits"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).cast("double").alias("recall"),
+        )
+    )
+
+
+REGISTRY["similarity_ivf_pq_rerank_recall"].oracle = REGISTRY[
+    "similarity_ivf_pq_rerank_recall"
+].oracle.format(RERANK=REGISTRY["similarity_ivf_pq_rerank_topk"].oracle)

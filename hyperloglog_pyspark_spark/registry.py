@@ -361,15 +361,15 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
 # last green row — changed code outranks stale-but-unchanged greens —
 # and (c) rotate the oldest greens through the remaining slots.
-# Round 10: the six new queries lead, then the six whose operator code
+# Round 10: the eight new queries lead, then the six whose operator code
 # changed this round, then the FULL remaining r4-stale cohort (28 names —
 # the oldest attestation age in the registry), then the oldest r5 block
 # fills to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r10 = the 28
-# remaining r4 names + the oldest 10 of the 34 r5-aged greens (4 r5
+# remaining r4 names + the oldest 8 of the 34 r5-aged greens (6 r5
 # slots were ceded to this round's new/changed re-attests); r11 = the
-# remaining 24 r5 names + the oldest r6 block; after that the
+# remaining 26 r5 names + the oldest r6 block; after that the
 # cohorts cycle (~50/round). ALWAYS recompute the cohorts from the
 # CORRECTNESS_r*.json artifacts (latest green round per name) rather
 # than trusting this comment — the r9 AND r10 reviews both caught
@@ -380,6 +380,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_dedup_canonical", "similarity_pq_trained_codebook",
     "similarity_ivf_pq_residual_topk", "similarity_ivf_pq_residual_recall",
     "sink_ann_index_partitioned", "sample_dedup_weighted",
+    "similarity_ivf_pq_rerank_topk", "similarity_ivf_pq_rerank_recall",
     # operator code changed this round (driver row predates the code):
     # the IVF-PQ pair was refactored onto the shared _ivf_coarse with a
     # persisted probe list; the perceptual pair sits on the widened
@@ -404,10 +405,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpch_q20_excess_stock", "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit", "zorder_morton_buckets",
     # latest green = round 5 (oldest alphabetical block; the remaining
-    # 24 r5 names queue for r11 — recompute from CORRECTNESS_r*.json)
+    # 26 r5 names queue for r11 — recompute from CORRECTNESS_r*.json)
     "agg_argminmax", "agg_cube", "agg_distinct_exact", "agg_filter_clause",
     "agg_grouping_sets", "agg_listagg", "agg_pricing_summary",
-    "agg_regression", "agg_rollup", "agg_salted_skew",
+    "agg_regression",
 )
 
 

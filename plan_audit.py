@@ -96,6 +96,7 @@ MULTI_FACT_SCAN_ALLOWED: dict[str, tuple[str, int, str]] = {
     "similarity_pq_codebook": ("embeddings", 2, "codebook seeds × corpus subvectors"),
     "similarity_pq_adc_topk": ("embeddings", 2, "query subset × PQ-coded corpus"),
     "similarity_ivf_pq_topk": ("embeddings", 2, "IVF PQ-encode leg + query-subvector leg (coarse-assign and probe legs read persisted frames since r10's shared _ivf_coarse)"),
+    "similarity_ivf_pq_rerank_topk": ("embeddings", 4, "two-stage serve: the index legs plus the refine stage's vector-store roles — the exact-cosine corpus-side lookup and the pruned query-vector side (point lookups at scale, a scan only on this single-file testdata)"),
     "similarity_hybrid_rrf": ("embeddings", 2, "dense leg query × corpus (sparse leg is documents)"),
     "similarity_hybrid_rrf_ann": ("embeddings", 2, "dense leg query probes × bucketed corpus (sparse leg is documents)"),
     "dedup_embedding_cosine": ("embeddings", 2, "bucketed self-join, two sides"),

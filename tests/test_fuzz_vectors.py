@@ -159,20 +159,25 @@ def test_label_centroid_arrays_matches_reference(rows, spark):
 
 
 def test_residual_ivf_pq_monitor_beats_nonresidual(spark, sf_dir):
-    """The r10 claim behind the residual index: with the coarse probe
-    SHARED (identical candidate sets), the mean-referenced trained
-    residual ADC ranks true neighbors strictly better than the seeded
-    non-residual ADC — total recall-monitor hits must be strictly
-    higher. Measured 12 vs 7 (sf0.001), 13 vs 8 (sf0.01), 5 vs 4
-    (sf0.1); the raw-centroid-reference ablations that LOSE are recorded
+    """The r10 recall LADDER, strict at every rung: with the coarse
+    probe SHARED (identical candidate sets), the mean-referenced
+    trained residual ADC ranks true neighbors strictly better than the
+    seeded non-residual ADC, and the exact-refine stage over the ADC
+    shortlist strictly beats pure ADC again. Measured hits at
+    sf0.001 / sf0.01 / sf0.1: non-residual 7 / 8 / 4 < residual
+    12 / 13 / 5 < rerank 23 / 24 / 14 (ceilings 51 / 27 at the larger
+    SFs); the raw-centroid-reference ablations that LOSE are recorded
     in BASELINE.md."""
     from hyperloglog_pyspark_spark.operators.similarity import (
         similarity_ivf_pq_recall,
+        similarity_ivf_pq_rerank_recall,
         similarity_ivf_pq_residual_recall,
     )
 
+    rer = similarity_ivf_pq_rerank_recall(spark, sf_dir).toPandas()
     res = similarity_ivf_pq_residual_recall(spark, sf_dir).toPandas()
     non = similarity_ivf_pq_recall(spark, sf_dir).toPandas()
-    assert int(res.n_hits.sum()) > int(non.n_hits.sum()), (
-        f"residual {int(res.n_hits.sum())} <= nonres {int(non.n_hits.sum())}"
+    n_rer, n_res, n_non = (
+        int(rer.n_hits.sum()), int(res.n_hits.sum()), int(non.n_hits.sum())
     )
+    assert n_non < n_res < n_rer, f"ladder broke: {n_non} / {n_res} / {n_rer}"
