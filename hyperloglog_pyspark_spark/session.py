@@ -13,6 +13,7 @@ count sized to cores, Arrow for any Python-side exchange.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -35,18 +36,51 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_hllps_package_shipped", False):
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    repo_root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), f"hllps_pkg_{os.getpid()}.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for dirpath, _, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        z.write(full, os.path.relpath(full, repo_root))
-    sc.addPyFile(zpath)
+    sc.addPyFile(_package_zip())
     sc._hllps_package_shipped = True
+
+
+def _package_zip(pkg_dir: str | None = None) -> str:
+    """Build (or reuse) the executor-shipped package zip; returns its
+    path. Sources are collected deterministically and the zip is keyed
+    by CONTENT HASH — the previous pid-keyed path
+    (hllps_pkg_<pid>.zip + exists-check) collided on pid REUSE across
+    process generations on a long-lived machine, silently shipping a
+    STALE zip: executors then raised AttributeError for any
+    module-level symbol added since that zip was built (caught live in
+    the r10 final sweep — three perceptual queries failed on a
+    resolved-from-zip _perc_audio_synth). A content hash can never
+    alias different code. Factored spark-free so the keying contract is
+    unit-testable (tests/test_pipeline_ops.py)."""
+    if pkg_dir is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_dir)
+    sources = []
+    hasher = hashlib.sha256()
+    for dirpath, dirs, files in os.walk(pkg_dir):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, repo_root)
+                with open(full, "rb") as f:
+                    body = f.read()
+                hasher.update(rel.encode())
+                hasher.update(body)
+                sources.append((full, rel))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"hllps_pkg_{hasher.hexdigest()[:16]}.zip"
+    )
+    if not os.path.exists(zpath):
+        # unique temp + atomic rename: concurrent sessions building the
+        # same content race harmlessly to an identical file
+        fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(), suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full, rel in sources:
+                z.write(full, rel)
+        os.replace(tmp, zpath)
+    return zpath
 
 
 def configure(spark: SparkSession) -> SparkSession:

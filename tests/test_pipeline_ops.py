@@ -1619,3 +1619,33 @@ def test_canonical_bucket_cap_passthrough(spark, sf_dir):
     assert len(capped) > 0
     assert (capped.canonical_doc == capped.cluster_id).all()
     assert (capped.reclaimed_bytes == (capped.n_members - 1) * capped.kept_bytes).all()
+
+
+def test_package_zip_keyed_by_content(tmp_path):
+    """The executor-shipped package zip must be keyed by CONTENT, never
+    by process identity: the old pid-keyed path + exists-check shipped a
+    STALE zip on pid reuse, and executors raised AttributeError for any
+    symbol added since (three perceptual queries failed live in the r10
+    sweep). Contract: identical content → identical path (reuse);
+    changed content → different path (rebuild); the zip really contains
+    the current bytes."""
+    import zipfile
+
+    from hyperloglog_pyspark_spark.session import _package_zip
+
+    pkg = tmp_path / "fakepkg"
+    pkg.mkdir()
+    (pkg / "mod.py").write_text("A = 1\n")
+    p1 = _package_zip(str(pkg))
+    assert _package_zip(str(pkg)) == p1  # deterministic reuse
+    with zipfile.ZipFile(p1) as z:
+        assert z.read("fakepkg/mod.py") == b"A = 1\n"
+    (pkg / "mod.py").write_text("A = 2\nB = 3\n")
+    p2 = _package_zip(str(pkg))
+    assert p2 != p1, "content change did not change the zip identity"
+    with zipfile.ZipFile(p2) as z:
+        assert z.read("fakepkg/mod.py") == b"A = 2\nB = 3\n"
+    # the real package's zip builds and carries this very module
+    real = _package_zip()
+    with zipfile.ZipFile(real) as z:
+        assert "hyperloglog_pyspark_spark/session.py" in z.namelist()
