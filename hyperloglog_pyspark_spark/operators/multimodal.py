@@ -606,24 +606,27 @@ def _perc_grid(doc_id: int) -> list[list[int]]:
     return grid
 
 
-def _fingerprint_table(
-    spark, sf_dir: str, synth_fn, fp_fn, with_bytes: bool = False
-) -> DataFrame:
-    """Persisted (doc_id, b0..b3) fingerprint table — the single copy of
-    the two-stage mapInPandas scaffolding shared by the image and audio
-    perceptual dedups: ``synth_fn(doc_id) -> bytes`` renders each
+def _fingerprint_table(spark, sf_dir: str, synth_fn, fp_fn) -> DataFrame:
+    """Persisted (doc_id, b0..b3, n_bytes) fingerprint table — the single
+    copy of the two-stage mapInPandas scaffolding shared by the image and
+    audio perceptual dedups: ``synth_fn(doc_id) -> bytes`` renders each
     document's media payload, ``fp_fn(bytes) -> 4x16-bit bands``
     REAL-decodes it back and fingerprints the content. Persisted because
     the bands self-join consumes the table on BOTH sides — without the
     cache the synth+decode+fingerprint chain (and the documents scan
     under it) re-executes per side. At warehouse scale this is the
     materialized fingerprint table every perceptual-dedup pipeline
-    checkpoints; it is 5 ints per doc.
+    checkpoints; it is 6 ints per doc.
 
-    ``with_bytes`` appends the MEASURED payload size (n_bytes) — the
-    column the canonical-pick accounting sums; measured in the same
-    batch pass, so the reclaimed-bytes report can never drift from what
-    the synth actually produced."""
+    n_bytes is the MEASURED payload size — the column the canonical-pick
+    accounting sums, measured in the same batch pass so the
+    reclaimed-bytes report can never drift from what the synth actually
+    produced. It is ALWAYS computed (one long per doc) so every consumer
+    builds the IDENTICAL plan: Spark's CacheManager then serves the pair
+    queries and the canonical pick from ONE cache entry per modality
+    instead of near-twin with/without-bytes entries that double the
+    decode work and cache memory in a full-sweep session (r10 advice);
+    pair consumers simply project n_bytes away."""
     docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
@@ -638,23 +641,20 @@ def _fingerprint_table(
             )
 
     blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
-    extra = ", n_bytes long" if with_bytes else ""
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             bands = [fp_fn(bytes(p)) for p in pdf["payload"]]
-            cols = {
+            yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 **{f"b{i}": [b[i] for b in bands] for i in range(4)},
-            }
-            if with_bytes:
-                cols["n_bytes"] = [len(p) for p in pdf["payload"]]
-            yield pd.DataFrame(cols)
+                "n_bytes": [len(p) for p in pdf["payload"]],
+            })
 
     return tracked_persist(
         blobs.mapInPandas(
             hash_batches,
-            schema=f"doc_id long, b0 long, b1 long, b2 long, b3 long{extra}",
+            schema="doc_id long, b0 long, b1 long, b2 long, b3 long, n_bytes long",
         )
     )
 
@@ -833,12 +833,8 @@ def multimodal_dedup_canonical(
     scan partitions."""
     from hyperloglog_pyspark_spark.operators.dedup import connected_components
 
-    img = _fingerprint_table(
-        spark, sf_dir, _perc_image_synth, _perc_image_fp, with_bytes=True
-    )
-    aud = _fingerprint_table(
-        spark, sf_dir, _perc_audio_synth, _perc_audio_fp, with_bytes=True
-    )
+    img = _fingerprint_table(spark, sf_dir, _perc_image_synth, _perc_image_fp)
+    aud = _fingerprint_table(spark, sf_dir, _perc_audio_synth, _perc_audio_fp)
     # bucket_cap passes through to both banded routes — the same
     # cap-and-star whale guard the pair queries expose (None, the
     # registered default, keeps exact pairwise; see _banded_hamming_pairs)

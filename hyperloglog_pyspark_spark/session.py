@@ -65,7 +65,11 @@ def _package_zip(pkg_dir: str | None = None) -> str:
                 rel = os.path.relpath(full, repo_root)
                 with open(full, "rb") as f:
                     body = f.read()
-                hasher.update(rel.encode())
+                # NUL-delimit the path and length-prefix the body so
+                # field boundaries can't alias across different trees
+                # (path bytes bleeding into body bytes hashing equal).
+                hasher.update(rel.encode() + b"\0")
+                hasher.update(str(len(body)).encode() + b"\0")
                 hasher.update(body)
                 sources.append((full, rel))
     zpath = os.path.join(
