@@ -63,6 +63,7 @@ def main() -> None:
     next(iter(bench_qs.values())).fn(spark, sf_dir).limit(1).collect()
 
     times: dict[str, float] = {}
+    times_min: dict[str, float] = {}
     for name, q in bench_qs.items():
         samples = []
         for _ in range(REPS):
@@ -70,6 +71,7 @@ def main() -> None:
             materialize(q.fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
+        times_min[name] = round(min(samples), 4)
 
     total = round(sum(times.values()), 4)
     payload = {
@@ -77,6 +79,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        # Per-query min across REPS — the contention-robust statistic a
+        # shared machine can't inflate (r10 verdict: a +15% uniform drift
+        # on untouched queries burned a round of ratio headroom; one GC
+        # pause lands in at most one rep). BASELINE.md §"Which statistic"
+        # states per-query RATIOS are judged on this column; the headline
+        # total stays the median sum for cross-round comparability.
+        "queries_min": times_min,
+        "value_min": round(sum(times_min.values()), 4),
         "sf": sf,
     }
     # Full-precision payload to disk first — survives any stdout capture.
@@ -101,6 +111,7 @@ def summary_line(payload: dict) -> str:
     return json.dumps({
         "metric": payload["metric"],
         "value": payload["value"],
+        "value_min": payload.get("value_min"),
         "unit": payload["unit"],
         "sf": payload["sf"],
         "n_queries": len(times),

@@ -196,6 +196,7 @@ def test_bench_summary_line_fits_driver_tail_window():
         {
             "metric": "headline_queries_total_wall",
             "value": round(sum(times.values()), 4),
+            "value_min": round(sum(times.values()), 4),
             "unit": "sec",
             "queries": times,
             "sf": 0.1,
