@@ -1826,7 +1826,7 @@ def similarity_ivf_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-def _ann_index_scratch_dir(sf_dir: str) -> str:
+def _ann_index_scratch_dir(sf_dir: str, tag: str = "") -> str:
     """Content-keyed scratch path for the persisted ANN index: keyed by
     the input data identity (embeddings file path+size+mtime) and the
     engine code version (the executor package zip's content hash), so
@@ -1846,6 +1846,7 @@ def _ann_index_scratch_dir(sf_dir: str) -> str:
     st = os.stat(emb)
     h.update(f"{st.st_size}:{st.st_mtime_ns}".encode() + b"\0")
     h.update(os.path.basename(_package_zip()).encode())
+    h.update(tag.encode())
     return os.path.join(
         tempfile.gettempdir(), f"hllps_ann_index_{h.hexdigest()[:16]}"
     )
@@ -1930,6 +1931,166 @@ def sink_ann_index_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", F.col("adc").cast("long").alias("adc_md2"), "rank")
+    )
+
+
+_APPEND_LLOYD_CTES, _APPEND_FINAL = _pq_lloyd_ctes("rel_base")
+
+
+@register(
+    "sink_ann_index_append",
+    category="sink",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    {_IVF_CTES},
+    pel AS ({_PEL_SQL}),
+    refc AS (
+        SELECT a.cent_id, v.m, v.j,
+               CAST(FLOOR(SUM(v.e) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS c
+        FROM pel v JOIN iassign a ON a.vec_id = v.vec_id
+        WHERE v.vec_id % 10 NOT IN (3, 7)
+        GROUP BY a.cent_id, v.m, v.j
+    ),
+    rel AS (
+        SELECT v.vec_id, v.m, v.j, v.e - c.c AS e
+        FROM pel v
+        JOIN iassign a ON a.vec_id = v.vec_id
+        JOIN refc c ON c.cent_id = a.cent_id AND c.m = v.m AND c.j = v.j
+    ),
+    rel_base AS (SELECT * FROM rel WHERE vec_id % 10 NOT IN (3, 7)),
+    rseeds AS (
+        SELECT vec_id AS seed_vec_id FROM embeddings
+        WHERE vec_id % 10 NOT IN (3, 7)
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}),
+    {_APPEND_LLOYD_CTES},
+    fin AS ({_pq_lloyd_final_sql("rel", _APPEND_FINAL)})
+    SELECT CAST(f.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cent_id AS BIGINT) AS cent_id,
+           CAST(f.m AS INT) AS m,
+           CAST(f.k AS BIGINT) AS code_k
+    FROM fin f JOIN iassign a ON a.vec_id = f.vec_id
+    """,
+)
+def sink_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE for the partitioned residual IVF-PQ index: an
+    epoch-0 BUILD over the base corpus (vec_id % 10 ∉ {{3, 7}}) writes
+    codes partitioned by coarse cell plus the FROZEN artifacts — coarse
+    centroids, per-cell reference means, trained codebook — then two
+    append epochs encode the newly-arriving vectors (vec_id % 10 = 3,
+    then 7) using ONLY the read-back artifacts and land them in the
+    existing ``cent_id=`` directories. This is the FAISS add_with_ids
+    discipline between retrains — artifacts freeze, new vectors flow
+    through assign → residual → encode — registered batch-checkable so
+    the driver attests the contract the streaming twin
+    (tests/test_streaming.py::test_streaming_ann_index_append_matches_batch_rebuild)
+    proves per-micro-batch: the oracle is the ONE-SHOT encode of the
+    GROWN corpus with the base-frozen artifacts, so any divergence
+    between "appended over epochs" and "rebuilt once" — a re-trained
+    codebook, a drifted reference, a row landed in the wrong partition —
+    is a hash mismatch. (The dedup_incremental_epochs precedent, applied
+    to the ANN index.)
+
+    Scale: each append pays batch-sized work only — assignment is batch
+    × broadcast centroid set, residual/encode touch batch rows, and the
+    partitioned append writes only the touched ``cent_id=`` dirs; the
+    base corpus is never rescanned at ingest (the property that makes
+    index freshness affordable at 100 TB — per-ingest cost ∝ the batch,
+    the r9 dedup-admission posture)."""
+    import os
+    import shutil
+    import tempfile
+
+    base_dir = _ann_index_scratch_dir(sf_dir, tag="append")
+    codes_path = os.path.join(base_dir, "codes")
+    if not os.path.isdir(base_dir):
+        emb_d = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("e")
+        )
+        is_new = (F.col("vec_id") % 10).isin(3, 7)
+        # full-corpus coarse frames: the centroid SEEDS (vec_id % 100 = 0
+        # → vec_id % 10 = 0) are all base vectors, so the frozen centroid
+        # set equals the full-corpus one and iassign is valid for every
+        # epoch — the oracle leans on the same arithmetic
+        icent, iassign, _iqprobe = _ivf_coarse(emb_d)
+        ev = tracked_persist(
+            load_table(spark, sf_dir, "embeddings", spread_scan=True).select(
+                "vec_id", as_milli("embedding").alias("mv")
+            )
+        )
+        base_mv = iassign.join(ev, "vec_id").filter(~is_new)
+        refc = tracked_persist(
+            _label_centroid_arrays(
+                base_mv.select(F.col("cent_id").alias("label"), "mv"), "cent_id"
+            )
+        )
+        res_base = tracked_persist(
+            base_mv.join(F.broadcast(refc), "cent_id").select(
+                "vec_id",
+                "cent_id",
+                F.zip_with("mv", "cv", lambda x, y: x - y).alias("r"),
+            )
+        )
+        rsub = _pq_sub_milli(res_base, "r")
+        model = _pq_lloyd_train(
+            rsub, _pq_seed_model(res_base.select("vec_id", "r"), "r")
+        )
+        codes0 = _pq_assign_codes(rsub, model).select("vec_id", "cent_id", "m", "k")
+
+        # epoch-0 build into a temp dir; atomic rename publishes only a
+        # COMPLETE build+append sequence (reruns must never re-append)
+        tmp = tempfile.mkdtemp(prefix="hllps_ann_append_build_")
+        tcodes = os.path.join(tmp, "codes")
+        codes0.write.partitionBy("cent_id").parquet(tcodes)
+        icent.write.parquet(os.path.join(tmp, "cents"))
+        refc.write.parquet(os.path.join(tmp, "refs"))
+        model.select(F.explode("cents").alias("c")).select(
+            "c.m", "c.k", "c.cv"
+        ).write.parquet(os.path.join(tmp, "codebook"))
+
+        # ---- append epochs: encoder inputs come from READ-BACK side
+        # tables only — the production ingest path needs no live state ----
+        cents_back = spark.read.parquet(os.path.join(tmp, "cents"))
+        refc_back = spark.read.parquet(os.path.join(tmp, "refs"))
+        model_back = _pq_model_row(spark.read.parquet(os.path.join(tmp, "codebook")))
+        for mod in (3, 7):
+            b_e = emb_d.filter(F.col("vec_id") % 10 == mod)
+            bassign = (
+                b_e.crossJoin(F.broadcast(cents_back))
+                .select(
+                    "vec_id",
+                    "cent_id",
+                    (-F.round(dot(F.col("e"), F.col("ce")), 4)).alias("ns"),
+                )
+                .groupBy("vec_id")
+                .agg(F.min(F.struct("ns", "cent_id")).alias("b"))
+                .select("vec_id", F.col("b.cent_id").alias("cent_id"))
+            )
+            bres = (
+                bassign.join(ev.filter(F.col("vec_id") % 10 == mod), "vec_id")
+                .join(F.broadcast(refc_back), "cent_id")
+                .select(
+                    "vec_id",
+                    "cent_id",
+                    F.zip_with("mv", "cv", lambda x, y: x - y).alias("r"),
+                )
+            )
+            (
+                _pq_assign_codes(_pq_sub_milli(bres, "r"), model_back)
+                .select("vec_id", "cent_id", "m", "k")
+                .write.mode("append")
+                .partitionBy("cent_id")
+                .parquet(tcodes)
+            )
+        try:
+            os.rename(tmp, base_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    back = spark.read.parquet(codes_path)
+    return back.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cent_id").cast("long").alias("cent_id"),
+        F.col("m").cast("int").alias("m"),
+        F.col("k").cast("long").alias("code_k"),
     )
 
 

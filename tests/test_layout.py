@@ -753,3 +753,38 @@ def test_ann_index_serve_plans_dynamic_partition_pruning(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), (
         "codes scan lost its dynamic partition pruning subquery"
     )
+
+
+def test_ann_index_append_layout_and_reuse(spark, sf_dir):
+    """sink_ann_index_append's persisted artifact contract: every code
+    file (epoch-0 build AND the two frozen-artifact appends) lands
+    inside a ``cent_id=`` partition directory; every appended vector is
+    fully coded (PQ_M subspace rows); and a rerun serves the PUBLISHED
+    build — identical rows, zero new scratch dirs (the atomic-rename
+    publish means a rerun can never double-append)."""
+    import glob
+    import tempfile
+    from collections import Counter
+
+    from hyperloglog_pyspark_spark.operators.similarity import (
+        PQ_M,
+        _ann_index_scratch_dir,
+        sink_ann_index_append,
+    )
+
+    rows1 = {tuple(r) for r in sink_ann_index_append(spark, sf_dir).collect()}
+    base = _ann_index_scratch_dir(sf_dir, tag="append")
+    parts = glob.glob(os.path.join(base, "codes", "*", "*.parquet"))
+    assert parts, "no code files under the published index dir"
+    assert all(
+        os.path.basename(os.path.dirname(p)).startswith("cent_id=") for p in parts
+    ), "a code file landed outside its cent_id= partition directory"
+    appended = Counter(r[0] for r in rows1 if r[0] % 10 in (3, 7))
+    assert appended and set(appended.values()) == {PQ_M}, (
+        "an appended epoch vector is missing subspace codes"
+    )
+    pattern = os.path.join(tempfile.gettempdir(), "hllps_ann_*")
+    before = set(glob.glob(pattern))
+    rows2 = {tuple(r) for r in sink_ann_index_append(spark, sf_dir).collect()}
+    assert rows2 == rows1, "rerun diverged from the published index"
+    assert set(glob.glob(pattern)) == before, "rerun leaked a new scratch dir"
