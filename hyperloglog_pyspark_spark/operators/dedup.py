@@ -1575,3 +1575,136 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact-substring spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): find the maximal token
+# spans shared VERBATIM between document pairs. Distinct from the
+# gram-COUNT ops above (minhash/jaccard/containment measure set overlap;
+# this one recovers contiguous span structure — the thing the suffix-array
+# dedup in the paper removes).
+# ---------------------------------------------------------------------------
+
+XSUB_N = 8  # gram width in tokens; detects any shared run >= XSUB_N tokens
+XSUB_MIN_SPAN = 16  # report pairs whose longest verbatim run >= this
+XSUB_DF_CAP = 64  # whale guard: grams present in more docs are boilerplate
+
+
+@register(
+    "dedup_exact_substring",
+    category="dedup",
+    bench=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {XSUB_N}
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i:i+{XSUB_N - 1}], ' ') AS gram
+        FROM toks, UNNEST(range(1, len(t) - {XSUB_N - 2})) AS u(i)
+    ),
+    keep AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) <= {XSUB_DF_CAP}
+    ),
+    capped AS (SELECT g.* FROM grams g JOIN keep USING (gram)),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag
+        FROM capped a JOIN capped b USING (gram)
+        WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT da, db, diag, pa,
+               pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp
+        FROM pairs
+    ),
+    spans AS (
+        SELECT da, db, COUNT(*) + {XSUB_N - 1} AS span_tokens
+        FROM runs GROUP BY da, db, diag, grp
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS shared_token_mass
+    FROM spans GROUP BY da, db
+    HAVING MAX(span_tokens) >= {XSUB_MIN_SPAN}
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring detection: for every document pair
+    sharing a verbatim token run of >= XSUB_MIN_SPAN tokens, emit the
+    longest shared span, the number of distinct shared runs, and the
+    total shared token mass (sum of run lengths over match diagonals).
+
+    Construction (the relational equivalent of the paper's suffix-array
+    scan): positional word {XSUB_N}-grams — ALL positions, not the
+    distinct shingle sets the Jaccard ops use — are equi-joined across
+    documents on the gram string; matched positions falling on one
+    (pair, pa - pb) diagonal with consecutive pa form a run of r grams
+    = a verbatim span of r + {XSUB_N}-1 tokens, recovered with the
+    classic gaps-and-islands grouping (pa - row_number), then reduced
+    to per-pair maxima.
+
+    Scale: the gram explosion is one streamed pass (~L rows per doc —
+    the same work a suffix array ingests); the only quadratic surface is
+    the gram equi-join, which costs sum_g df(g)^2 and is capped by the
+    XSUB_DF_CAP whale guard (grams in > {XSUB_DF_CAP} docs are dropped
+    BEFORE the self-join — boilerplate is text_boilerplate_lines'
+    job). A span survives the cap unless EVERY one of its grams is
+    corpus-ubiquitous, i.e. the span itself is boilerplate. The
+    run-merge window partitions by (pair, diagonal) — cardinality is
+    bounded by matched pairs, not the corpus — and the gram join key
+    would shuffle as a 64-bit hash at 100 TB (string kept here only for
+    oracle parity; see dedup_minhash_lsh's md5 anchor note).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    t = F.split("text", " ")
+    g = tracked_persist(
+        docs.filter(F.size(t) >= XSUB_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - F.lit(XSUB_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, XSUB_N)),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    whales = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > XSUB_DF_CAP)
+        .select("gram")
+    )
+    capped = g.join(F.broadcast(whales), "gram", "left_anti")
+    a = capped.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram")
+    b = capped.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    spans = (
+        pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("da", "db", "diag", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(XSUB_N - 1)).alias("span_tokens"))
+    )
+    return (
+        spans.groupBy("da", "db")
+        .agg(
+            F.max("span_tokens").cast("long").alias("max_span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("shared_token_mass"),
+        )
+        .filter(F.col("max_span_tokens") >= XSUB_MIN_SPAN)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "max_span_tokens",
+            "n_spans",
+            "shared_token_mass",
+        )
+    )

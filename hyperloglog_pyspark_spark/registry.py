@@ -247,6 +247,12 @@ def register(
 # re-attestation onto the names whose green row is oldest (see
 # SWEEP_PRIORITY below).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 10 greens (CORRECTNESS_r10.json) — new names only; the other 42
+    # r10 samples were re-attestations of names already listed below
+    "multimodal_dedup_canonical", "similarity_pq_trained_codebook",
+    "similarity_ivf_pq_residual_topk", "similarity_ivf_pq_residual_recall",
+    "sink_ann_index_partitioned", "sample_dedup_weighted",
+    "similarity_ivf_pq_rerank_topk", "similarity_ivf_pq_rerank_recall",
     # round 9 greens (CORRECTNESS_r09.json) — new names only; the other 44
     # r9 samples were re-attestations of names already listed below
     "multimodal_dedup_perceptual", "multimodal_dedup_audio_fp",
@@ -361,54 +367,51 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
 # last green row — changed code outranks stale-but-unchanged greens —
 # and (c) rotate the oldest greens through the remaining slots.
-# Round 10: the eight new queries lead, then the six whose operator code
-# changed this round, then the FULL remaining r4-stale cohort (28 names —
-# the oldest attestation age in the registry), then the oldest r5 block
+# Round 11: the four new queries lead (sink_ann_index_append, the
+# exact-substring span detector, the Matryoshka pair), then the
+# four whose operator code changed since their r10 green row (the
+# _fingerprint_table always-n_bytes widening touches the perceptual/
+# audio/canonical trio; sink_ann_index_partitioned moved to content-keyed
+# scratch), then the FULL remaining r5-stale cohort (26 names — the
+# oldest attestation age in the registry), then the oldest r6 block
 # fills to 50.
 #
-# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r10 = the 28
-# remaining r4 names + the oldest 8 of the 34 r5-aged greens (6 r5
-# slots were ceded to this round's new/changed re-attests); r11 = the
-# remaining 26 r5 names + the oldest r6 block; after that the
-# cohorts cycle (~50/round). ALWAYS recompute the cohorts from the
+# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r11 = the 26
+# remaining r5 names + the oldest 16 of the 30 r6-aged greens; r12 = the
+# remaining 14 r6 names + the oldest r7 block; after that the cohorts
+# cycle (~50/round). ALWAYS recompute the cohorts from the
 # CORRECTNESS_r*.json artifacts (latest green round per name) rather
 # than trusting this comment — the r9 AND r10 reviews both caught
 # comment drift here.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # round-10 new queries (no driver row yet), locally verified at
+    # round-11 new queries (no driver row yet), locally verified at
     # sf0.01 AND sf0.1 against their oracles
-    "multimodal_dedup_canonical", "similarity_pq_trained_codebook",
-    "similarity_ivf_pq_residual_topk", "similarity_ivf_pq_residual_recall",
-    "sink_ann_index_partitioned", "sample_dedup_weighted",
-    "similarity_ivf_pq_rerank_topk", "similarity_ivf_pq_rerank_recall",
-    # operator code changed this round (driver row predates the code):
-    # the IVF-PQ pair was refactored onto the shared _ivf_coarse with a
-    # persisted probe list; the perceptual pair sits on the widened
-    # _fingerprint_table signature + the stricter wav_pcm_samples
-    "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
+    "sink_ann_index_append", "dedup_exact_substring",
+    "similarity_matryoshka_topk", "similarity_matryoshka_recall",
+    # operator code changed since the r10 green row (192a969): the
+    # fingerprint trio now share one always-with-bytes cached table; the
+    # partitioned index sink reuses a content-keyed scratch build
+    "sink_ann_index_partitioned", "multimodal_dedup_canonical",
     "multimodal_dedup_perceptual", "multimodal_dedup_audio_fp",
-    # and the repeated-span pair: min/max dup flag replaced the
-    # COUNT(DISTINCT) expands, interval-merge replaced the trim's
-    # position explode (oracles unchanged — equivalent forms)
-    "text_repeated_spans", "text_repeated_spans_trim",
-    # latest green = round 4 (the full remaining stale cohort)
-    "layout_skipping_report", "mixture_budget_rates", "multimodal_decode",
-    "pivot_multi_value", "quality_constraint_audit", "quality_k_anonymity",
-    "sample_exact_k_stratified", "sample_weighted_reservoir",
-    "scalar_try_errors", "similarity_pq_adc_topk", "similarity_pq_codebook",
-    "sink_dynamic_partition_overwrite", "sketch_ddsketch_quantiles",
-    "skew_key_audit", "source_schema_evolution", "source_xml_roundtrip",
-    "sql_parameterized", "sql_scalar_udf",
-    "text_dup_shingle_ratio", "text_unigram_logprob",
-    "timeseries_drift_cusum", "timeseries_interpolate_linear",
-    "tpch_q11_inventory_value", "tpch_q16_supplier_cnt",
-    "tpch_q20_excess_stock", "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit", "zorder_morton_buckets",
-    # latest green = round 5 (oldest alphabetical block; the remaining
-    # 26 r5 names queue for r11 — recompute from CORRECTNESS_r*.json)
-    "agg_argminmax", "agg_cube", "agg_distinct_exact", "agg_filter_clause",
-    "agg_grouping_sets", "agg_listagg", "agg_pricing_summary",
-    "agg_regression",
+    # latest green = round 5 (the full remaining stale cohort)
+    "agg_rollup", "agg_salted_skew", "agg_stats", "agg_stats_moments",
+    "attribution_multi_touch", "dedup_prefix_filter", "event_pattern_cep",
+    "event_rfm_segmentation", "ivm_delta_join", "ivm_incremental_agg",
+    "join_explosion_audit", "layout_range_sort_buckets",
+    "mixture_importance_weights", "multimodal_decode_png",
+    "quality_anomaly_volume_spike", "quality_schema_drift",
+    "snapshot_diff_cdc", "source_binaryfile_media", "text_boilerplate_lines",
+    "text_lang_confusion", "text_tfidf_topk", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    # latest green = round 6 (oldest alphabetical block; the remaining
+    # 11 r6 names queue for r12 — recompute from CORRECTNESS_r*.json)
+    "cdc_upsert_merge", "cms_frequency", "cross_join_dense_matrix",
+    "dedup_exact", "dedup_fuzzy_name", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "expr_case_arith", "filter_in_like_between",
+    "funnel_time_to_convert", "graph_bfs_levels", "join_anti",
+    "join_broadcast_dim", "join_full_outer", "join_null_safe",
+    "join_outer_histogram",
 )
 
 

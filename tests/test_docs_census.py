@@ -152,19 +152,18 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-10 contract is: queries with no driver row yet lead (new this
-    round), then the operators whose code changed this round (the
-    IVF-PQ pair's _ivf_coarse refactor, the perceptual pair's widened
-    fingerprint-table / stricter WAV decode), then the full remaining
-    r4-stale cohort, then the oldest r5 greens. Locks the prefix
+    round-11 contract is: queries with no driver row yet lead (new this
+    round), then the operators whose code changed since their last green
+    row (the fingerprint trio's always-with-bytes table, the partitioned
+    index sink's content-keyed scratch), then the full remaining
+    r5-stale cohort, then the oldest r6 greens. Locks the prefix
     composition against accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
     changed = [
-        "similarity_ivf_pq_topk", "similarity_ivf_pq_recall",
+        "sink_ann_index_partitioned", "multimodal_dedup_canonical",
         "multimodal_dedup_perceptual", "multimodal_dedup_audio_fp",
-        "text_repeated_spans", "text_repeated_spans_trim",
     ]
     from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
 

@@ -121,3 +121,102 @@ def test_span_family_matches_reference(texts, spark, tmp_path_factory):
         for r in REGISTRY["text_repeated_spans_trim"].fn(spark, d).collect()
     }
     assert got_trim == trim_want
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_substring: cross-doc verbatim-run recovery. Random corpora
+# over a tiny vocab plus forced SPLICES (a contiguous slice of an earlier
+# doc pasted into a later one) — the splice is what creates long shared
+# runs; the tiny vocab creates short accidental ones that must NOT merge
+# across diagonal breaks.
+# ---------------------------------------------------------------------------
+
+from hyperloglog_pyspark_spark.operators.dedup import (  # noqa: E402
+    XSUB_DF_CAP,
+    XSUB_MIN_SPAN,
+    XSUB_N,
+)
+
+
+@st.composite
+def spliced_corpora(draw):
+    n = draw(st.integers(2, 7))
+    texts: list[list[str]] = []
+    vocab = ["a", "b", "c"]
+    for i in range(n):
+        tk = draw(st.lists(st.sampled_from(vocab), min_size=XSUB_N, max_size=40))
+        if i > 0 and draw(st.booleans()):
+            src = texts[draw(st.integers(0, i - 1))]
+            if len(src) >= XSUB_N:
+                lo = draw(st.integers(0, len(src) - XSUB_N))
+                hi = draw(st.integers(lo + XSUB_N, min(len(src), lo + 28)))
+                at = draw(st.integers(0, len(tk)))
+                tk = tk[:at] + src[lo:hi] + tk[at:]
+        texts.append(tk)
+    return [" ".join(tk) for tk in texts]
+
+
+def _reference_xsub(texts):
+    """Pure-Python replay of dedup_exact_substring's contract: positional
+    word XSUB_N-grams (df-capped), matched across doc pairs, merged into
+    maximal runs per (pair, diagonal)."""
+    toks = [t.split(" ") for t in texts]
+    docs_of = defaultdict(set)
+    grams: dict[int, list[str]] = {}
+    for d, tk in enumerate(toks):
+        grams[d] = (
+            [" ".join(tk[i : i + XSUB_N]) for i in range(len(tk) - XSUB_N + 1)]
+            if len(tk) >= XSUB_N
+            else []
+        )
+        for g in grams[d]:
+            docs_of[g].add(d)
+    dropped = {g for g, s in docs_of.items() if len(s) > XSUB_DF_CAP}
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            by_gram = defaultdict(list)
+            for j, g in enumerate(grams[b]):
+                if g not in dropped:
+                    by_gram[g].append(j)
+            diags = defaultdict(list)
+            for i, g in enumerate(grams[a]):
+                if g in dropped:
+                    continue
+                for j in by_gram.get(g, ()):
+                    diags[i - j].append(i)
+            spans = []
+            for pas in diags.values():
+                pas.sort()
+                run = 1
+                for k in range(1, len(pas) + 1):
+                    if k < len(pas) and pas[k] == pas[k - 1] + 1:
+                        run += 1
+                    else:
+                        spans.append(run + XSUB_N - 1)
+                        run = 1
+            if spans and max(spans) >= XSUB_MIN_SPAN:
+                out[(a, b)] = (max(spans), len(spans), sum(spans))
+    return out
+
+
+@given(texts=spliced_corpora())
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_substring_matches_reference(texts, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("xsubfuzz"))
+    _write_documents(texts, d)
+    want = _reference_xsub(texts)
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["max_span_tokens"],
+            r["n_spans"],
+            r["shared_token_mass"],
+        )
+        for r in REGISTRY["dedup_exact_substring"].fn(spark, d).collect()
+    }
+    assert got == want

@@ -181,3 +181,37 @@ def test_residual_ivf_pq_monitor_beats_nonresidual(spark, sf_dir):
         int(rer.n_hits.sum()), int(res.n_hits.sum()), int(non.n_hits.sum())
     )
     assert n_non < n_res < n_rer, f"ladder broke: {n_non} / {n_res} / {n_rer}"
+
+
+def test_matryoshka_refine_beats_coarse_only(spark, sf_dir):
+    """The Matryoshka two-stage contract: full-dim exact rerank over the
+    prefix-scored shortlist recovers strictly more true neighbors than
+    serving top-k straight off the prefix scores. Measured hits (of 80)
+    at sf0.001 / 0.01 / 0.1: coarse-only 22 / 28 / 19 < refined
+    50 / 53 / 41 — the refine roughly doubles recall at every scale;
+    per-query hits stay >= 3 with MRL_PREFIX=32 (prefix 16 bottoms out
+    at 0 on this isotropic corpus — recorded in the operator docstring)."""
+    from pyspark.sql import functions as F
+
+    from hyperloglog_pyspark_spark.functions.vector import as_double
+    from hyperloglog_pyspark_spark.operators.similarity import (
+        MRL_PREFIX,
+        _bruteforce_topk,
+        similarity_matryoshka_recall,
+    )
+    from hyperloglog_pyspark_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    bf = _bruteforce_topk(emb).select("query_id", "vec_id")
+    coarse = _bruteforce_topk(
+        emb.select("vec_id", F.slice("e", 1, MRL_PREFIX).alias("e"))
+    ).select("query_id", "vec_id")
+    coarse_hits = bf.join(coarse, ["query_id", "vec_id"]).count()
+
+    rec = similarity_matryoshka_recall(spark, sf_dir).toPandas()
+    assert (rec.n_exact == 10).all()
+    assert int(rec.n_hits.min()) >= 1
+    refined_hits = int(rec.n_hits.sum())
+    assert coarse_hits < refined_hits, f"{coarse_hits} !< {refined_hits}"
