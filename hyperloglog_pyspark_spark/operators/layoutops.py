@@ -309,3 +309,169 @@ def layout_range_sort_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning — the OPTIMIZE / auto-compaction
+# maintenance pass every lakehouse table needs: given a manifest of file
+# sizes, leave right-sized files alone and bin-pack the small ones into
+# target-sized output groups. Like layout_skipping_report, the file layout
+# is DERIVED relationally (a skewed shard assignment over events) so both
+# engines see the identical manifest and the plan is pure arithmetic.
+# ---------------------------------------------------------------------------
+
+COMPACT_SHARDS = 16  # files per day partition in the derived manifest
+COMPACT_ROW_OVERHEAD = 40  # bytes per row beyond the props payload
+COMPACT_TARGET_X = 2  # target output size = 2 x mean input file size
+
+
+@register(
+    "layout_compaction_plan",
+    category="analytics",
+    bench=True,
+    oracle=f"""
+    WITH manifest AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CASE WHEN event_id % 2 = 0 THEN 0
+                    ELSE CAST(event_id % {COMPACT_SHARDS} AS BIGINT) END AS file_id,
+               CAST(SUM({COMPACT_ROW_OVERHEAD} + length(props)) AS BIGINT) AS file_bytes
+        FROM events GROUP BY 1, 2
+    ),
+    target AS (
+        SELECT CAST({COMPACT_TARGET_X} * (SUM(file_bytes) // COUNT(*)) AS BIGINT) AS tgt
+        FROM manifest
+    ),
+    planned AS (
+        SELECT m.day, m.file_id, m.file_bytes, t.tgt,
+               m.file_bytes >= t.tgt AS right_sized,
+               CASE WHEN m.file_bytes >= t.tgt THEN NULL
+                    ELSE (SUM(CASE WHEN m.file_bytes >= t.tgt THEN 0 ELSE m.file_bytes END)
+                              OVER (PARTITION BY m.day
+                                    ORDER BY m.file_bytes DESC, m.file_id
+                                    ROWS UNBOUNDED PRECEDING)
+                          - m.file_bytes) // t.tgt END AS bin
+        FROM manifest m CROSS JOIN target t
+    ),
+    bins AS (
+        SELECT day, bin, CAST(SUM(file_bytes) AS BIGINT) AS bin_bytes
+        FROM planned WHERE NOT right_sized GROUP BY day, bin
+    )
+    SELECT p.day,
+           CAST(COUNT(*) AS BIGINT) AS n_input_files,
+           CAST(SUM(CASE WHEN p.right_sized THEN 1 ELSE 0 END) AS BIGINT) AS n_right_sized,
+           CAST(SUM(CASE WHEN p.right_sized THEN 0 ELSE 1 END) AS BIGINT) AS n_small_files,
+           CAST(b.n_bins AS BIGINT) AS n_output_bins,
+           CAST(SUM(p.file_bytes) AS BIGINT) AS bytes_total,
+           CAST(b.max_bin_bytes AS BIGINT) AS max_bin_bytes,
+           CAST(round(COUNT(*) * 1.0 /
+                (SUM(CASE WHEN p.right_sized THEN 1 ELSE 0 END) + b.n_bins), 4)
+                AS DOUBLE) AS file_reduction
+    FROM planned p
+    JOIN (SELECT day, COUNT(*) AS n_bins, MAX(bin_bytes) AS max_bin_bytes
+          FROM bins GROUP BY day) b USING (day)
+    GROUP BY p.day, b.n_bins, b.max_bin_bytes
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (OPTIMIZE) planning over a derived file manifest: per
+    day partition, files at or above the target size are left alone;
+    the small-file tail is packed into output bins by running-total
+    division over a size-descending order — the deterministic
+    bin-packing Delta/Iceberg compaction uses after sorting. Emits, per
+    partition, the input/small/right-sized file counts, planned output
+    bins, byte totals, the largest planned bin, and the file-count
+    reduction factor.
+
+    The manifest derives a skewed layout on purpose (even event_ids all
+    land in file 0 — one whale file per day, ~{COMPACT_SHARDS}/2 x the
+    mean; odd ids spread over the remaining shards) so both planner
+    legs are exercised: the whale is right-sized and skipped, the tail
+    packs ~4:1. The target is corpus-derived ({COMPACT_TARGET_X} x mean
+    file size) in exact integer division, so Spark and DuckDB plan
+    identical bins.
+
+    Scale: the manifest is #files-sized (metadata, not data — at 100 TB
+    a real manifest comes from the table log / ListFiles, millions of
+    rows at most); one shuffle builds it from the fact table here, the
+    target broadcasts as a scalar frame, and the packing window
+    partitions by day — per-partition file counts, never data volume.
+    The plan THIS op emits is what the rewrite job executes; planning
+    cost is independent of table bytes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    manifest = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.when(F.pmod("event_id", F.lit(2)) == 0, F.lit(0).cast("long"))
+        .otherwise(F.pmod("event_id", F.lit(COMPACT_SHARDS)).cast("long"))
+        .alias("file_id"),
+    ).agg(
+        F.sum(F.lit(COMPACT_ROW_OVERHEAD) + F.length("props"))
+        .cast("long")
+        .alias("file_bytes")
+    )
+    manifest = tracked_persist(manifest)
+    target = manifest.agg(
+        (
+            F.lit(COMPACT_TARGET_X)
+            * F.expr("sum(file_bytes) div count(*)")
+        ).cast("long").alias("tgt")
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("file_bytes").desc(), "file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    small_bytes = F.when(F.col("right_sized"), F.lit(0)).otherwise(
+        F.col("file_bytes")
+    )
+    planned = (
+        manifest.crossJoin(F.broadcast(target))
+        .withColumn("right_sized", F.col("file_bytes") >= F.col("tgt"))
+        .withColumn(
+            "bin",
+            F.when(F.col("right_sized"), F.lit(None).cast("long")).otherwise(
+                F.expr(
+                    "(sum(CASE WHEN right_sized THEN 0 ELSE file_bytes END)"
+                    " OVER (PARTITION BY day ORDER BY file_bytes DESC, file_id"
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                    " - file_bytes) div tgt"
+                )
+            ),
+        )
+    )
+    planned = tracked_persist(planned)
+    bins = (
+        planned.filter(~F.col("right_sized"))
+        .groupBy("day", "bin")
+        .agg(F.sum("file_bytes").cast("long").alias("bin_bytes"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.max("bin_bytes").cast("long").alias("max_bin_bytes"),
+        )
+    )
+    n_right = F.sum(F.when(F.col("right_sized"), 1).otherwise(0)).cast("long")
+    return (
+        planned.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_input_files"),
+            n_right.alias("n_right_sized"),
+            (F.count(F.lit(1)) - n_right).cast("long").alias("n_small_files"),
+            F.sum("file_bytes").cast("long").alias("bytes_total"),
+        )
+        .join(F.broadcast(bins), "day")
+        .select(
+            "day",
+            "n_input_files",
+            "n_right_sized",
+            "n_small_files",
+            F.col("n_bins").alias("n_output_bins"),
+            "bytes_total",
+            "max_bin_bytes",
+            F.round(
+                F.col("n_input_files")
+                / (F.col("n_right_sized") + F.col("n_bins")),
+                4,
+            ).cast("double").alias("file_reduction"),
+        )
+    )

@@ -940,3 +940,107 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total_n").alias("n"),
         )
     )
+
+
+@register(
+    "hll_overlap_matrix",
+    category="sketch",
+    bench=True,
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+    ix AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_inter_exact
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT ix.type_a, ix.type_b,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           CAST(ix.n_inter_exact AS BIGINT) AS n_inter_exact,
+           TRUE AS approx_ok
+    FROM ix
+    JOIN n na ON na.event_type = ix.type_a
+    JOIN n nb ON nb.event_type = ix.type_b
+    """,
+)
+def hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap matrix from REUSED sketches — the
+    production pattern the reference's merge operator
+    (HLL/HyperLogLog.py:157-179) exists for: build ONE HLL sketch per
+    segment (event_type) in a single pass, then answer every pairwise
+    |A ∩ B| question by register-max merging sketch pairs and
+    inclusion-exclusion — est(A) + est(B) − est(A ∪ B) — without ever
+    rescanning the corpus. hll_set_intersection proves the identity for
+    one fixed pair; this op is the n-segment generalization where the
+    sketch table IS the serving artifact.
+
+    Emits exact counts (cross-engine-deterministic) plus approx_ok =
+    the differenced estimate landing inside the 3-sigma envelope
+    propagated through the subtraction, |est − exact| ≤
+    3·stderr·(|A| + |B| + |A ∪ B|) — a sketch regression flips the
+    boolean and hash-mismatches the oracle.
+
+    Scale: one (segment, user) dedup shuffle; sketches aggregate to
+    #segments rows (constant-size state each), so the pair grid is a
+    broadcast self-join of a segments-sized frame — k² sketch merges of
+    2^LG_K-byte registers, zero corpus rescans. The exact-intersection
+    leg costs one user-keyed self-join bounded by segments-per-user²,
+    and exists only to adjudicate the estimates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tu = tracked_persist(ev.select("event_type", "user_id").distinct())
+    sk = tu.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(LG_K)).alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = (
+        tu.alias("x")
+        .join(
+            tu.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter_exact"))
+    )
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_inter = est_a + est_b - est_union
+    stderr = _stderr(LG_K)
+    grid = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return (
+        inter.join(F.broadcast(grid), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter_exact",
+            (
+                F.abs(est_inter - F.col("n_inter_exact"))
+                <= F.lit(3 * stderr)
+                * (
+                    F.col("n_a")
+                    + F.col("n_b")
+                    + (F.col("n_a") + F.col("n_b") - F.col("n_inter_exact"))
+                )
+            ).alias("approx_ok"),
+        )
+    )

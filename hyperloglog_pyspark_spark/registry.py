@@ -367,8 +367,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
 # last green row — changed code outranks stale-but-unchanged greens —
 # and (c) rotate the oldest greens through the remaining slots.
-# Round 11: the four new queries lead (sink_ann_index_append, the
-# exact-substring span detector, the Matryoshka pair), then the
+# Round 11: the six new queries lead (sink_ann_index_append, the
+# exact-substring span detector, the Matryoshka pair, the compaction
+# planner, the HLL overlap matrix), then the
 # four whose operator code changed since their r10 green row (the
 # _fingerprint_table always-n_bytes widening touches the perceptual/
 # audio/canonical trio; sink_ann_index_partitioned moved to content-keyed
@@ -377,8 +378,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # fills to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r11 = the 26
-# remaining r5 names + the oldest 16 of the 30 r6-aged greens; r12 = the
-# remaining 14 r6 names + the oldest r7 block; after that the cohorts
+# remaining r5 names + the oldest 15 of the 30 r6-aged greens; r12 = the
+# remaining 15 r6 names + the oldest r7 block; after that the cohorts
 # cycle (~50/round). ALWAYS recompute the cohorts from the
 # CORRECTNESS_r*.json artifacts (latest green round per name) rather
 # than trusting this comment — the r9 AND r10 reviews both caught
@@ -388,6 +389,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # sf0.01 AND sf0.1 against their oracles
     "sink_ann_index_append", "dedup_exact_substring",
     "similarity_matryoshka_topk", "similarity_matryoshka_recall",
+    "layout_compaction_plan", "hll_overlap_matrix",
     # operator code changed since the r10 green row (192a969): the
     # fingerprint trio now share one always-with-bytes cached table; the
     # partitioned index sink reuses a content-keyed scratch build
@@ -410,8 +412,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_exact", "dedup_fuzzy_name", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "expr_case_arith", "filter_in_like_between",
     "funnel_time_to_convert", "graph_bfs_levels", "join_anti",
-    "join_broadcast_dim", "join_full_outer", "join_null_safe",
-    "join_outer_histogram",
+    "join_broadcast_dim", "join_full_outer",
 )
 
 

@@ -99,6 +99,11 @@ PROBE_OPS = [
     # means, Lloyd rounds over residual subvectors, encode) from the
     # bounded query-side scoring
     "similarity_ivf_pq_residual_topk",
+    # r11: the positional-gram exact-substring join — word-salted
+    # replicas share no 8-grams, so matched pairs / diagonals / spans
+    # stay constant per replica while the gram posting volume is R×;
+    # the df-cap whale guard is what keeps Σ df(g)² linear here
+    "dedup_exact_substring",
 ]
 
 

@@ -1649,3 +1649,37 @@ def test_package_zip_keyed_by_content(tmp_path):
     real = _package_zip()
     with zipfile.ZipFile(real) as z:
         assert "hyperloglog_pyspark_spark/session.py" in z.namelist()
+
+
+def test_compaction_plan_bins_are_sound(spark, sf_dir):
+    """Packing invariants of layout_compaction_plan that hold for ANY
+    manifest (the oracle pins exact values; this pins the contract):
+    running-total division never builds a bin larger than target + one
+    small file (< 2 x target, since every packed file is < target), the
+    planner always reduces file count on a small-file-heavy layout, and
+    the derived whale file (even event_ids) is right-sized every day."""
+    from hyperloglog_pyspark_spark.operators.layoutops import (
+        COMPACT_TARGET_X,
+        layout_compaction_plan,
+    )
+    from hyperloglog_pyspark_spark.registry import REGISTRY  # noqa: F401
+    from hyperloglog_pyspark_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    plan = layout_compaction_plan(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    manifest = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.when(F.pmod("event_id", F.lit(2)) == 0, F.lit(0).cast("long"))
+        .otherwise(F.pmod("event_id", F.lit(16)).cast("long"))
+        .alias("file_id"),
+    ).agg(F.sum(F.lit(40) + F.length("props")).alias("file_bytes"))
+    row = manifest.agg(
+        F.expr("2 * (sum(file_bytes) div count(*))").alias("tgt")
+    ).collect()[0]
+    tgt = int(row["tgt"])
+
+    assert (plan.max_bin_bytes < 2 * tgt).all()
+    assert (plan.n_right_sized + plan.n_output_bins < plan.n_input_files).all()
+    assert (plan.n_right_sized >= 1).all()  # the whale file, every day
+    assert (plan.file_reduction > 1.0).all()
