@@ -2378,3 +2378,93 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["similarity_matryoshka_recall"].oracle = REGISTRY[
     "similarity_matryoshka_recall"
 ].oracle.format(MRL=REGISTRY["similarity_matryoshka_topk"].oracle)
+
+
+@register(
+    "sink_matryoshka_prefix_sidecar",
+    category="sink",
+    oracle=REGISTRY["similarity_matryoshka_topk"].oracle,
+)
+def sink_matryoshka_prefix_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / serve-many for Matryoshka retrieval: the build phase
+    writes the vector store SPLIT along the dimension axis — a skinny
+    ``prefix`` sidecar (vec_id + the first {MRL_PREFIX} dims) and the
+    ``full`` vector table — and the serve phase answers top-k from the
+    read-back artifacts alone. Shares similarity_matryoshka_topk's
+    oracle VERBATIM: serving from the persisted split layout must equal
+    serving from memory (the sink_ann_index_partitioned round-trip
+    precedent — a mismatch indicts the sink/source layer, not the math).
+
+    This is the MRL serving layout the in-memory op's docstring claims:
+    the coarse pass SCANS ONLY THE SIDECAR — {MRL_PREFIX}/64 = 1/2 of
+    the vector bytes ever cross the wire for the corpus-wide stage
+    (tests/test_layout.py asserts the coarse leg's FileScan reads the
+    sidecar path and never the full table's vector column) — while the
+    full-width table is touched only by the |Q| x {MRL_SHORT} shortlist
+    key join. At 100 TB the sidecar is the only corpus-wide read, and
+    halving it halves the dominant cost; deeper truncation ladders
+    (16/8 dims) shrink it further on MRL-trained embeddings (measured
+    unusable on THIS isotropic corpus — see the topk docstring).
+
+    Scratch is content-keyed (data stat + code hash) and built behind an
+    atomic rename, so sweep reruns reuse one build and any code/data
+    change keys a fresh path."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    base = _ann_index_scratch_dir(sf_dir, tag="mrl_sidecar")
+    if not os.path.isdir(base):
+        tmp = tempfile.mkdtemp(prefix="hllps_mrl_build_")
+        emb.select(
+            "vec_id", F.slice("e", 1, MRL_PREFIX).alias("p")
+        ).write.parquet(os.path.join(tmp, "prefix"))
+        emb.write.parquet(os.path.join(tmp, "full"))
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- serve from the persisted split layout only ----
+    pref = spark.read.parquet(os.path.join(base, "prefix"))
+    full = spark.read.parquet(os.path.join(base, "full"))
+    qp = pref.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("coarse").desc(), "vec_id"
+    )
+    shortlist = (
+        F.broadcast(qp)
+        .join(pref, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("qp"), F.col("p"), 4).alias("coarse"),
+        )
+        .withColumn("crank", F.row_number().over(w_coarse))
+        .filter(F.col("crank") <= MRL_SHORT)
+        .select("query_id", "vec_id")
+    )
+    q = full.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    refined = (
+        F.broadcast(shortlist)
+        .join(full.select("vec_id", F.col("e").alias("ce")), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

@@ -788,3 +788,31 @@ def test_ann_index_append_layout_and_reuse(spark, sf_dir):
     rows2 = {tuple(r) for r in sink_ann_index_append(spark, sf_dir).collect()}
     assert rows2 == rows1, "rerun diverged from the published index"
     assert set(glob.glob(pattern)) == before, "rerun leaked a new scratch dir"
+
+
+def test_matryoshka_sidecar_coarse_reads_prefix_only(spark, sf_dir):
+    """sink_matryoshka_prefix_sidecar's layout contract: the corpus-wide
+    coarse pass scans the SKINNY prefix sidecar (vec_id + the truncated
+    vector), never the full table's 64-dim column — that is the entire
+    point of the dimension-split layout (half the corpus bytes for the
+    only corpus-wide stage). Asserted on the executed plan: exactly one
+    scan path under .../prefix with the truncated column in its
+    ReadSchema, and the full table's scan joined only via the broadcast
+    shortlist (its scan count == its point-lookup uses, 2: shortlist
+    join + query-vector pick)."""
+    from hyperloglog_pyspark_spark.operators.similarity import (
+        _ann_index_scratch_dir,
+        sink_matryoshka_prefix_sidecar,
+    )
+
+    df = sink_matryoshka_prefix_sidecar(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    base = _ann_index_scratch_dir(sf_dir, tag="mrl_sidecar")
+    assert os.path.isdir(os.path.join(base, "prefix"))
+    # the coarse self-join reads the sidecar twice (queries + corpus)
+    n_prefix = plan.count(os.path.join(base, "prefix"))
+    n_full = plan.count(os.path.join(base, "full"))
+    assert n_prefix == 2, f"coarse pass should scan the sidecar twice, saw {n_prefix}"
+    assert n_full == 2, f"full table is shortlist/query-pick only, saw {n_full} scans"
+    # no scan of the ORIGINAL embeddings table: serve is read-back only
+    assert "embeddings.parquet" not in plan, "serve phase escaped the persisted layout"
