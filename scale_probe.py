@@ -104,6 +104,11 @@ PROBE_OPS = [
     # stay constant per replica while the gram posting volume is R×;
     # the df-cap whale guard is what keeps Σ df(g)² linear here
     "dedup_exact_substring",
+    # r11: Matryoshka two-stage retrieval — fixed 8-query output over a
+    # growing corpus; the coarse prefix-dim pass is the only
+    # corpus-width work (O(|Q|·N) streamed multiply-adds, no corpus
+    # shuffle), the full-dim rerank stays shortlist-bounded
+    "similarity_matryoshka_topk",
 ]
 
 
