@@ -95,3 +95,57 @@ def test_ddsketch_bucket_contains_true_quantile(spark, sf_dir):
             true_q = cents[math.ceil(q * len(cents)) - 1]
             lo, hi = got[(etype, q)]
             assert lo <= true_q < hi, (etype, q, true_q, lo, hi)
+
+
+def test_overlap_matrix_fuzz_matches_set_arithmetic(spark, tmp_path_factory):
+    """hll_overlap_matrix on adversarial segment structures the fixed
+    corpus can't produce: disjoint segments (pairs absent from the
+    output — the inner-join contract), fully-nested segments
+    (intersection == the smaller side), and a segment of one user.
+    Exact counts must equal Python set arithmetic and every sketch
+    estimate must sit inside its 3-sigma acceptance envelope
+    (approx_ok TRUE — at these cardinalities lg_k=14 is near-exact)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+
+    queries()
+    segs = {
+        "click": set(range(0, 40)),
+        "view": set(range(20, 60)),      # overlaps click
+        "purchase": set(range(100, 130)),  # disjoint from click/view
+        "signup": set(range(100, 110)),    # nested inside purchase
+        "error": {999},                    # singleton
+    }
+    rows = [(t, u) for t, us in segs.items() for u in us]
+    d = tmp_path_factory.mktemp("overlapfuzz")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(len(rows))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for _, u in rows], pa.int64()),
+                "event_type": pa.array([t for t, _ in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    out = {
+        (r.type_a, r.type_b): r
+        for r in REGISTRY["hll_overlap_matrix"].fn(spark, str(d)).collect()
+    }
+    want = {}
+    for a in segs:
+        for b in segs:
+            if a < b and segs[a] & segs[b]:
+                want[(a, b)] = (len(segs[a]), len(segs[b]), len(segs[a] & segs[b]))
+    assert set(out) == set(want), "pair grid diverged from set arithmetic"
+    for k, r in out.items():
+        assert (r.n_a, r.n_b, r.n_inter_exact) == want[k]
+        assert r.approx_ok, f"sketch estimate left its envelope for {k}"
