@@ -1163,3 +1163,82 @@ def quality_anomaly_volume_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(std == 0, F.lit(0.0)).otherwise(z).cast("double").alias("z"),
         F.when(std == 0, F.lit(False)).otherwise(F.abs(z) >= SPIKE_Z).alias("is_spike"),
     )
+
+
+# Benford first-significant-digit expectation, log10(1 + 1/d), rounded to
+# 10 dp so the nine literals sum to exactly 1.0 and both engines inline
+# the identical doubles.
+_BENFORD_P = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366, 4: 0.096910013,
+    5: 0.079181246, 6: 0.0669467896, 7: 0.057991947, 8: 0.0511525224,
+    9: 0.0457574906,
+}
+_BENFORD_DEV = 0.02  # flag digits drifting more than 2 points from Benford
+
+
+@register(
+    "quality_benford_audit",
+    category="quality",
+    bench=True,
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+    ),
+    counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    bp(digit, p) AS (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_P.items())})
+    SELECT bp.digit,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           CAST(round(COALESCE(c.n, 0) * 1.0 / tot.t, 6) AS DOUBLE) AS share,
+           CAST(bp.p AS DOUBLE) AS benford_p,
+           CAST(round(abs(COALESCE(c.n, 0) * 1.0 / tot.t - bp.p), 6) AS DOUBLE) AS abs_dev,
+           round(abs(COALESCE(c.n, 0) * 1.0 / tot.t - bp.p), 6) > {_BENFORD_DEV} AS flagged
+    FROM bp LEFT JOIN counts c USING (digit) CROSS JOIN tot
+    """,
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order amounts —
+    the classic fabricated/synthetic-data detector a warehouse QA suite
+    runs on money columns: per digit 1-9, the observed share vs the
+    Benford expectation log10(1 + 1/d) and a >2-point deviation flag.
+    (This synthetic corpus deliberately FAILS Benford — uniform price
+    generation front-loads nothing — which is exactly the signal the
+    audit exists to raise; the flags are data, not a test failure.)
+
+    Determinism: the first digit is taken from the DECIMAL's exact cent
+    integer rendered as a string (never float formatting), shares are
+    single-rounded doubles, and the nine Benford literals are inlined
+    identically on both engines (they sum to exactly 1.0).
+
+    Scale: one conditional-agg pass collapses the fact table to at most
+    nine (digit, n) rows; the digit spine joins and the expectation
+    table broadcast at constant size — audit cost is the scan, state is
+    O(9) and mergeable map-side."""
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    counts = od.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    bp = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit int, benford_p double"
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    share = F.col("n") / F.col("t")
+    dev = F.round(F.abs(share - F.col("benford_p")), 6)
+    return (
+        spine.join(counts, "digit", "left")
+        .na.fill({"n": 0})
+        .join(F.broadcast(bp), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(share, 6).cast("double").alias("share"),
+            F.col("benford_p").cast("double").alias("benford_p"),
+            dev.cast("double").alias("abs_dev"),
+            (dev > F.lit(_BENFORD_DEV)).alias("flagged"),
+        )
+    )
