@@ -880,3 +880,51 @@ def similarity_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _rrf_fuse(spark, sf_dir, similarity_ann_lsh(spark, sf_dir))
+
+
+@register(
+    "text_ngram_novelty",
+    category="text",
+    bench=True,
+    oracle=f"""
+    WITH docs AS ({_SHINGLED_SQL}),
+    post AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM post GROUP BY s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(round(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS DOUBLE) AS novelty
+    FROM post JOIN firsts USING (s)
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-order marginal novelty per document: the fraction of a
+    doc's distinct word 3-grams whose FIRST corpus occurrence (min
+    doc_id) is this document — the order-dependent complement to
+    text_dup_shingle_ratio's symmetric document-frequency view. This is
+    the credit-assignment signal a growing-corpus pipeline ranks
+    ingests by (how much of this batch is content we did not already
+    have) and the curve that flattens as a crawl saturates; under
+    keep-first dedup it is exactly the surviving fraction.
+
+    Scale: same plan family as the dup-ratio — one inverted-index
+    shuffle on the shingle key (MIN(doc_id) instead of df, equally
+    map-side mergeable), one shuffle back to doc grain; never pairwise.
+    """
+    post = tracked_persist(
+        _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    )
+    firsts = post.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        post.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("novelty"),
+        )
+    )
