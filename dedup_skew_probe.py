@@ -190,6 +190,17 @@ def _perceptual_banded(cap):
     return fn
 
 
+def _exact_substring(cap):
+    def fn(spark, sf_dir: str):
+        from hyperloglog_pyspark_spark.operators.dedup import (
+            dedup_exact_substring,
+        )
+
+        return dedup_exact_substring(spark, sf_dir, df_cap=cap)
+
+    return fn
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("dedup-skew-probe")
@@ -215,6 +226,15 @@ def main() -> None:
         # the cap's linear star is the real mitigation.
         ("perceptual_banded", "uncapped", _perceptual_banded(None)),
         ("perceptual_banded", "capped", _perceptual_banded(CAP)),
+        # r11: the positional-gram exact-substring join under a gram
+        # whale (the boilerplate string's ~48 8-grams each sit in every
+        # hot doc, so the uncapped gram equi-join emits df² rows per
+        # gram). The registered df-cap drops corpus-ubiquitous grams
+        # BEFORE the self-join — boilerplate is by definition what the
+        # cap excludes, and a real span survives unless every one of
+        # its grams is ubiquitous.
+        ("exact_substring", "uncapped", _exact_substring(None)),
+        ("exact_substring", "registered_cap", _exact_substring(64)),
     ]
     results = []
     for op, form, fn in runs:

@@ -1631,7 +1631,9 @@ XSUB_DF_CAP = 64  # whale guard: grams present in more docs are boilerplate
     HAVING MAX(span_tokens) >= {XSUB_MIN_SPAN}
     """,
 )
-def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_substring(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = XSUB_DF_CAP
+) -> DataFrame:
     """Cross-document exact-substring detection: for every document pair
     sharing a verbatim token run of >= XSUB_MIN_SPAN tokens, emit the
     longest shared span, the number of distinct shared runs, and the
@@ -1655,6 +1657,8 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-ubiquitous, i.e. the span itself is boilerplate. The
     run-merge window partitions by (pair, diagonal) — cardinality is
     bounded by matched pairs, not the corpus — and the gram join key
+    (``df_cap`` is the product knob; dedup_skew_probe.py measures the
+    uncapped ablation against a boilerplate whale)
     would shuffle as a 64-bit hash at 100 TB (string kept here only for
     oracle parity; see dedup_minhash_lsh's md5 anchor note).
     """
@@ -1672,13 +1676,16 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos", "gram"),
         )
     )
-    whales = (
-        g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") > XSUB_DF_CAP)
-        .select("gram")
-    )
-    capped = g.join(F.broadcast(whales), "gram", "left_anti")
+    if df_cap is None:  # probe-only ablation (dedup_skew_probe.py)
+        capped = g
+    else:
+        whales = (
+            g.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("gram")
+        )
+        capped = g.join(F.broadcast(whales), "gram", "left_anti")
     a = capped.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram")
     b = capped.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram")
     pairs = (
