@@ -220,3 +220,48 @@ def test_exact_substring_matches_reference(texts, spark, tmp_path_factory):
         for r in REGISTRY["dedup_exact_substring"].fn(spark, d).collect()
     }
     assert got == want
+
+
+def _reference_novelty(texts, n=3):
+    """Pure-Python replay of text_ngram_novelty: per doc, distinct word
+    n-grams whose min-carrier doc_id is this doc."""
+    sh = {}
+    for d, t in enumerate(texts):
+        tk = t.split(" ")
+        sh[d] = {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+    first = {}
+    for d in sorted(sh):
+        for g in sh[d]:
+            first.setdefault(g, d)
+    return {
+        d: (
+            len(gs),
+            sum(1 for g in gs if first[g] == d),
+            round(sum(1 for g in gs if first[g] == d) / len(gs), 6),
+        )
+        for d, gs in sh.items()
+        if gs
+    }
+
+
+@given(texts=spliced_corpora())
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ngram_novelty_matches_reference(texts, spark, tmp_path_factory):
+    """Ingest-order novelty on spliced corpora: a doc that copies an
+    earlier doc's span must NOT get credit for the copied grams, a doc
+    whose content is first must get full credit even if later docs copy
+    it, and novelty fractions must track the distinct-shingle sets
+    exactly (the operator shingles per-doc-DISTINCT)."""
+    d = str(tmp_path_factory.mktemp("novfuzz"))
+    _write_documents(texts, d)
+    want = _reference_novelty(texts)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in REGISTRY["text_ngram_novelty"].fn(spark, d).collect()
+    }
+    assert got == want
