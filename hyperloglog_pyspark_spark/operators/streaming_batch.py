@@ -15,7 +15,7 @@ Output discipline: window starts surfaced as epoch milliseconds
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hyperloglog_pyspark_spark.functions.money import dec_price
 from hyperloglog_pyspark_spark.registry import register, tracked_persist
@@ -418,4 +418,78 @@ def timeseries_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cusum") / 1000000.0, 6).alias("max_cusum"),
         F.count(alert).alias("n_alert_hours"),
         F.unix_millis(F.min(alert)).alias("first_alert_ms"),
+    )
+
+
+@register(
+    "timeseries_ewma_smooth",
+    category="streaming",
+    bench=True,
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, day, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+        FROM daily
+    ),
+    scaled AS (
+        SELECT event_type, day, v, t,
+               v * pow(2, CASE WHEN t = 0 THEN 0 ELSE t - 1 END) AS sv
+        FROM seq
+    )
+    SELECT event_type, day,
+           CAST(round(v, 4) AS DOUBLE) AS v,
+           CAST(round(
+               SUM(sv) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) / pow(2, t), 4
+           ) AS DOUBLE) AS ewma
+    FROM scaled
+    """,
+)
+def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) over the
+    daily value series per event type — the trend-smoothing half of the
+    monitoring stack next to timeseries_drift_cusum's change detection.
+
+    EWMA is the textbook recursion s_t = a*v_t + (1-a)*s_{t-1}, which
+    plain SQL cannot express; like CUSUM's prefix-minus-running-min
+    identity, it is rewritten into windows via a closed form. With
+    a = 1/2 the weights are exact binary scalings:
+    s_t = (v_0 + sum_{i=1..t} v_i * 2^(i-1)) / 2^t, so the plan is ONE
+    ordered running SUM over power-of-two-scaled values plus a final
+    exact 2^-t rescale. Multiplying/dividing a double by 2^k only moves
+    the exponent (no mantissa rounding), and both engines accumulate
+    the ordered frame in the same sequence, so the smoothed values are
+    bit-identical cross-engine before the output rounding. The 2^t
+    term bounds the rewrite to series up to ~1000 points per key —
+    beyond that, chunk the series or fall back to the stateful
+    streaming form (applyInPandasWithState holds s_t in O(1) state).
+
+    Scale: one fact-scale aggregation to the (type, day) grain, then
+    one partition-key window over a series-sized frame — the identical
+    plan family as CUSUM; no recursion, no self-join, no Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(dec_price("value")).cast("double").alias("v"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.withColumn("t", F.row_number().over(w_ord) - 1)
+    sv = F.col("v") * F.pow(
+        F.lit(2.0), F.when(F.col("t") == 0, 0).otherwise(F.col("t") - 1)
+    )
+    run = F.sum(sv.alias("sv")).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seq.select(
+        "event_type",
+        "day",
+        F.round("v", 4).cast("double").alias("v"),
+        F.round(run / F.pow(F.lit(2.0), F.col("t")), 4)
+        .cast("double")
+        .alias("ewma"),
     )

@@ -367,10 +367,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
 # last green row — changed code outranks stale-but-unchanged greens —
 # and (c) rotate the oldest greens through the remaining slots.
-# Round 11: the nine new queries lead (sink_ann_index_append, the
+# Round 11: the ten new queries lead (sink_ann_index_append, the
 # exact-substring span detector, the Matryoshka pair + its persisted
 # prefix-sidecar sink, the compaction planner, the HLL overlap
-# matrix, the Benford audit, the n-gram novelty curve), then the
+# matrix, the Benford audit, the n-gram novelty curve, the EWMA
+# smoother), then the
 # four whose operator code changed since their r10 green row (the
 # _fingerprint_table always-n_bytes widening touches the perceptual/
 # audio/canonical trio; sink_ann_index_partitioned moved to content-keyed
@@ -392,7 +393,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "similarity_matryoshka_topk", "similarity_matryoshka_recall",
     "layout_compaction_plan", "hll_overlap_matrix",
     "sink_matryoshka_prefix_sidecar", "quality_benford_audit",
-    "text_ngram_novelty",
+    "text_ngram_novelty", "timeseries_ewma_smooth",
     # operator code changed since the r10 green row (192a969): the
     # fingerprint trio now share one always-with-bytes cached table; the
     # partitioned index sink reuses a content-keyed scratch build
@@ -414,7 +415,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "cdc_upsert_merge", "cms_frequency", "cross_join_dense_matrix",
     "dedup_exact", "dedup_fuzzy_name", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "expr_case_arith", "filter_in_like_between",
-    "funnel_time_to_convert", "graph_bfs_levels",
+    "funnel_time_to_convert",
 )
 
 
