@@ -427,15 +427,11 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned = (
         manifest.crossJoin(F.broadcast(target))
         .withColumn("right_sized", F.col("file_bytes") >= F.col("tgt"))
+        .withColumn("cum_small", F.sum(small_bytes).over(w))
         .withColumn(
             "bin",
             F.when(F.col("right_sized"), F.lit(None).cast("long")).otherwise(
-                F.expr(
-                    "(sum(CASE WHEN right_sized THEN 0 ELSE file_bytes END)"
-                    " OVER (PARTITION BY day ORDER BY file_bytes DESC, file_id"
-                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-                    " - file_bytes) div tgt"
-                )
+                F.expr("(cum_small - file_bytes) div tgt")
             ),
         )
     )

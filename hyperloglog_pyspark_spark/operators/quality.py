@@ -1221,7 +1221,8 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = od.select(
         F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
     ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    # the expectation table IS the 1-9 spine (single place the domain
+    # is encoded; mirrors the oracle's bp VALUES list)
     bp = spark.createDataFrame(
         [(d, p) for d, p in _BENFORD_P.items()], "digit int, benford_p double"
     )
@@ -1229,9 +1230,8 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = F.col("n") / F.col("t")
     dev = F.round(F.abs(share - F.col("benford_p")), 6)
     return (
-        spine.join(counts, "digit", "left")
+        bp.join(counts, "digit", "left")
         .na.fill({"n": 0})
-        .join(F.broadcast(bp), "digit")
         .crossJoin(F.broadcast(tot))
         .select(
             "digit",

@@ -2242,6 +2242,51 @@ MRL_PREFIX = 32  # coarse pass reads dims [0, 32) of 64 (the canonical MRL halvi
 MRL_SHORT = 40  # shortlist size per query fed to the full-dim rerank
 
 
+def _matryoshka_serve(pref: DataFrame, full: DataFrame) -> DataFrame:
+    """The two-stage Matryoshka serve, shared VERBATIM by the in-memory
+    op and the persisted-sidecar sink (which shares its oracle — one
+    body guarantees they cannot diverge): coarse cosine over the
+    prefix frame (vec_id, p) shortlists MRL_SHORT per query, exact
+    full-dim cosine over the full frame (vec_id, e) re-ranks to TOP_K."""
+    qp = pref.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+    )
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.col("coarse").desc(), "vec_id"
+    )
+    shortlist = (
+        F.broadcast(qp)
+        .join(pref, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("qp"), F.col("p"), 4).alias("coarse"),
+        )
+        .withColumn("crank", F.row_number().over(w_coarse))
+        .filter(F.col("crank") <= MRL_SHORT)
+        .select("query_id", "vec_id")
+    )
+    q = full.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    refined = (
+        F.broadcast(shortlist)
+        .join(full.select("vec_id", F.col("e").alias("ce")), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 @register(
     "similarity_matryoshka_topk",
     category="similarity",
@@ -2295,43 +2340,7 @@ def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pref = emb.select("vec_id", F.slice("e", 1, MRL_PREFIX).alias("p"))
-    qp = pref.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
-    )
-    w_coarse = Window.partitionBy("query_id").orderBy(
-        F.col("coarse").desc(), "vec_id"
-    )
-    shortlist = (
-        F.broadcast(qp)
-        .join(pref, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_rounded(F.col("qp"), F.col("p"), 4).alias("coarse"),
-        )
-        .withColumn("crank", F.row_number().over(w_coarse))
-        .filter(F.col("crank") <= MRL_SHORT)
-        .select("query_id", "vec_id")
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    refined = (
-        F.broadcast(shortlist)
-        .join(emb.select("vec_id", F.col("e").alias("ce")), "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    return (
-        refined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "cos_sim", "rank")
-    )
+    return _matryoshka_serve(pref, emb)
 
 
 @register(
@@ -2431,40 +2440,4 @@ def sink_matryoshka_prefix_sidecar(spark: SparkSession, sf_dir: str) -> DataFram
     # ---- serve from the persisted split layout only ----
     pref = spark.read.parquet(os.path.join(base, "prefix"))
     full = spark.read.parquet(os.path.join(base, "full"))
-    qp = pref.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
-    )
-    w_coarse = Window.partitionBy("query_id").orderBy(
-        F.col("coarse").desc(), "vec_id"
-    )
-    shortlist = (
-        F.broadcast(qp)
-        .join(pref, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_rounded(F.col("qp"), F.col("p"), 4).alias("coarse"),
-        )
-        .withColumn("crank", F.row_number().over(w_coarse))
-        .filter(F.col("crank") <= MRL_SHORT)
-        .select("query_id", "vec_id")
-    )
-    q = full.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    refined = (
-        F.broadcast(shortlist)
-        .join(full.select("vec_id", F.col("e").alias("ce")), "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
-    return (
-        refined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "cos_sim", "rank")
-    )
+    return _matryoshka_serve(pref, full)

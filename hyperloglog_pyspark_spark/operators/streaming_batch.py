@@ -428,24 +428,26 @@ def timeseries_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         FROM events GROUP BY 1, 2
     ),
     seq AS (
-        SELECT event_type, day, v,
+        SELECT event_type, day, cents,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
         FROM daily
     ),
     scaled AS (
-        SELECT event_type, day, v, t,
-               v * pow(2, CASE WHEN t = 0 THEN 0 ELSE t - 1 END) AS sv
+        SELECT event_type, day, cents, t,
+               CAST(cents AS DECIMAL(38,0))
+                   * CAST(pow(2, CASE WHEN t = 0 THEN 0 ELSE t - 1 END) AS DECIMAL(38,0)) AS sv
         FROM seq
     )
     SELECT event_type, day,
-           CAST(round(v, 4) AS DOUBLE) AS v,
+           CAST(round(cents / 100.0, 4) AS DOUBLE) AS v,
            CAST(round(
-               SUM(sv) OVER (PARTITION BY event_type ORDER BY day
-                             ROWS UNBOUNDED PRECEDING) / pow(2, t), 4
+               CAST(SUM(sv) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / pow(2, t) / 100.0, 4
            ) AS DOUBLE) AS ewma
     FROM scaled
     """,
@@ -459,14 +461,18 @@ def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain SQL cannot express; like CUSUM's prefix-minus-running-min
     identity, it is rewritten into windows via a closed form. With
     a = 1/2 the weights are exact binary scalings:
-    s_t = (v_0 + sum_{i=1..t} v_i * 2^(i-1)) / 2^t, so the plan is ONE
-    ordered running SUM over power-of-two-scaled values plus a final
-    exact 2^-t rescale. Multiplying/dividing a double by 2^k only moves
-    the exponent (no mantissa rounding), and both engines accumulate
-    the ordered frame in the same sequence, so the smoothed values are
-    bit-identical cross-engine before the output rounding. The 2^t
-    term bounds the rewrite to series up to ~1000 points per key —
-    beyond that, chunk the series or fall back to the stateful
+    s_t = (v_0 + sum_{i=1..t} v_i * 2^(i-1)) / 2^t. Determinism is NOT
+    left to floating-point accumulation order (engines are free to
+    re-associate a window SUM — DuckDB's segment-tree cumulative sum
+    measurably diverges from sequential order beyond ~100-row
+    partitions): the series is exact integer cents, the 2^(i-1) weights
+    are exact DECIMAL(38,0) scalings, and the running SUM is a DECIMAL
+    sum — exact and association-independent on BOTH engines. The single
+    DECIMAL->DOUBLE conversion, the exact 2^-t rescale, and one /100
+    happen after the window, so the smoothed values are identical
+    cross-engine before the output rounding. DECIMAL(38) headroom bounds
+    the rewrite to ~80 points per key at warehouse magnitudes (cents
+    * 2^t < 10^38) — past that, chunk the series or use the stateful
     streaming form (applyInPandasWithState holds s_t in O(1) state).
 
     Scale: one fact-scale aggregation to the (type, day) grain, then
@@ -474,22 +480,25 @@ def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan family as CUSUM; no recursion, no self-join, no Python.
     """
     ev = load_table(spark, sf_dir, "events")
+    cents_ev = F.round(F.col("value") * 100, 0).cast("long")
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(F.sum(dec_price("value")).cast("double").alias("v"))
+    ).agg(F.sum(cents_ev).cast("long").alias("cents"))
     w_ord = Window.partitionBy("event_type").orderBy("day")
     seq = daily.withColumn("t", F.row_number().over(w_ord) - 1)
-    sv = F.col("v") * F.pow(
+    sv = F.col("cents").cast("decimal(38,0)") * F.pow(
         F.lit(2.0), F.when(F.col("t") == 0, 0).otherwise(F.col("t") - 1)
-    )
+    ).cast("decimal(38,0)")
     run = F.sum(sv.alias("sv")).over(
         w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return seq.select(
         "event_type",
         "day",
-        F.round("v", 4).cast("double").alias("v"),
-        F.round(run / F.pow(F.lit(2.0), F.col("t")), 4)
+        F.round(F.col("cents") / 100.0, 4).cast("double").alias("v"),
+        F.round(
+            run.cast("double") / F.pow(F.lit(2.0), F.col("t")) / F.lit(100.0), 4
+        )
         .cast("double")
         .alias("ewma"),
     )

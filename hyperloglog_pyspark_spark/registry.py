@@ -380,8 +380,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # fills to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r11 = the 26
-# remaining r5 names + the oldest 15 of the 30 r6-aged greens; r12 = the
-# remaining 15 r6 names + the oldest r7 block; after that the cohorts
+# remaining r5 names + the oldest 10 of the 30 r6-aged greens (5 r6
+# slots ceded to this round's ten new queries); r12 = the
+# remaining 20 r6 names + the oldest r7 block; after that the cohorts
 # cycle (~50/round). ALWAYS recompute the cohorts from the
 # CORRECTNESS_r*.json artifacts (latest green round per name) rather
 # than trusting this comment — the r9 AND r10 reviews both caught
@@ -411,7 +412,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     # latest green = round 6 (oldest alphabetical block; the remaining
-    # 11 r6 names queue for r12 — recompute from CORRECTNESS_r*.json)
+    # 20 r6 names queue for r12 — recompute from CORRECTNESS_r*.json)
     "cdc_upsert_merge", "cms_frequency", "cross_join_dense_matrix",
     "dedup_exact", "dedup_fuzzy_name", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "expr_case_arith", "filter_in_like_between",

@@ -156,7 +156,7 @@ def spliced_corpora(draw):
     return [" ".join(tk) for tk in texts]
 
 
-def _reference_xsub(texts):
+def _reference_xsub(texts, df_cap=XSUB_DF_CAP):
     """Pure-Python replay of dedup_exact_substring's contract: positional
     word XSUB_N-grams (df-capped), matched across doc pairs, merged into
     maximal runs per (pair, diagonal)."""
@@ -171,7 +171,7 @@ def _reference_xsub(texts):
         )
         for g in grams[d]:
             docs_of[g].add(d)
-    dropped = {g for g, s in docs_of.items() if len(s) > XSUB_DF_CAP}
+    dropped = {g for g, s in docs_of.items() if len(s) > df_cap}
     out = {}
     for a in range(len(texts)):
         for b in range(a + 1, len(texts)):
@@ -263,5 +263,36 @@ def test_ngram_novelty_matches_reference(texts, spark, tmp_path_factory):
     got = {
         r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
         for r in REGISTRY["text_ngram_novelty"].fn(spark, d).collect()
+    }
+    assert got == want
+
+
+@given(texts=spliced_corpora())
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_substring_df_cap_binds(texts, spark, tmp_path_factory):
+    """The whale-guard path under a cap the corpora can actually hit:
+    with df_cap=2, any gram shared by 3+ docs (the spliced splice-chains
+    produce them) must be dropped BEFORE the self-join — distinct-DOC
+    counting, boundary df == cap kept, df == cap+1 dropped — and a span
+    must survive unless every one of its grams crossed the cap. The
+    default-cap fuzz above never binds (corpora are <= 7 docs vs cap
+    64); this one pins the guard itself via the df_cap product knob."""
+    from hyperloglog_pyspark_spark.operators.dedup import dedup_exact_substring
+
+    d = str(tmp_path_factory.mktemp("xsubcapfuzz"))
+    _write_documents(texts, d)
+    want = _reference_xsub(texts, df_cap=2)
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["max_span_tokens"],
+            r["n_spans"],
+            r["shared_token_mass"],
+        )
+        for r in dedup_exact_substring(spark, d, df_cap=2).collect()
     }
     assert got == want
