@@ -514,3 +514,124 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sampling_rate"),
         )
     )
+
+
+SAFE_SPLIT_TRAIN_PCT = 8  # md5(cluster) % 10 < 8 -> train, else test
+
+
+@register(
+    "split_cluster_safe",
+    category="sampling",
+    bench=False,  # embeds the quadratic minhash pair oracle (banded at sf0.1)
+    oracle=None,  # composed below from the minhash + CC oracle CTEs
+)
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-PROOF train/test split: the unit of assignment is the
+    near-duplicate CLUSTER, not the document — every LSH connected
+    component lands wholly on one side (side = md5 of the cluster label,
+    so the split is reproducible and grows stably as the corpus grows),
+    singleton docs are their own cluster. split_leakage_audit MEASURES
+    the near-dup leakage a naive doc-hash split causes; this op is the
+    constructive fix, and it emits the measured cross-split near-dup
+    pair count (zero BY CONSTRUCTION — a nonzero value means the
+    cluster assignment itself broke, which the oracle would catch as a
+    hash mismatch).
+
+    Scale: clustering reuses the LSH candidate pipeline (bucketed,
+    never all-pairs) and the O(log² n) star CC; assignment is one hash
+    on the cluster label and one broadcast-scalar join for the audit
+    count — no new corpus-scale shuffles beyond what dedup already
+    pays, which is the point: the split is a free by-product of the
+    dedup pipeline every corpus runs anyway."""
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        connected_components,
+        dedup_minhash_lsh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = tracked_persist(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).select(F.col("node").alias("doc_id"), "component")
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    side = F.when(
+        F.pmod(
+            md5_long(F.concat(F.lit("split:"), cluster.cast("string"))),
+            F.lit(10),
+        )
+        < SAFE_SPLIT_TRAIN_PCT,
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    sided = tracked_persist(
+        docs.join(comp, "doc_id", "left").select(
+            "doc_id",
+            "n_chars",
+            cluster.alias("cluster_id"),
+            side.alias("split"),
+        )
+    )
+    cross = (
+        pairs.join(
+            sided.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sided.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cross_split_pairs"))
+    )
+    return (
+        sided.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+        .crossJoin(F.broadcast(cross))
+    )
+
+
+def _install_split_cluster_safe_oracle() -> None:
+    from hyperloglog_pyspark_spark.registry import REGISTRY
+
+    from hyperloglog_pyspark_spark.operators.dedup import _cc_oracle_ctes
+
+    REGISTRY["split_cluster_safe"].oracle = """
+    WITH RECURSIVE pairs AS ({minhash}),
+    {cc},
+    assign AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    sided AS (
+        SELECT doc_id, n_chars, cluster_id,
+               CASE WHEN ({md5}) %% 10 < {train_pct}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM assign
+    ),
+    cross_cnt AS (
+        SELECT COUNT(*) AS x FROM pairs p
+        JOIN sided a ON a.doc_id = p.doc_a
+        JOIN sided b ON b.doc_id = p.doc_b
+        WHERE a.split <> b.split
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           CAST((SELECT x FROM cross_cnt) AS BIGINT) AS cross_split_pairs
+    FROM sided GROUP BY split
+    """.replace("%%", "%").format(
+        minhash=REGISTRY["dedup_minhash_lsh"].oracle,
+        cc=_cc_oracle_ctes(),
+        md5=md5_long_sql("'split:' || CAST(cluster_id AS VARCHAR)"),
+        train_pct=SAFE_SPLIT_TRAIN_PCT,
+    )
+
+
+_install_split_cluster_safe_oracle()

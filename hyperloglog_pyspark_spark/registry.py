@@ -367,11 +367,11 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
 # last green row — changed code outranks stale-but-unchanged greens —
 # and (c) rotate the oldest greens through the remaining slots.
-# Round 11: the ten new queries lead (sink_ann_index_append, the
+# Round 11: the eleven new queries lead (sink_ann_index_append, the
 # exact-substring span detector, the Matryoshka pair + its persisted
 # prefix-sidecar sink, the compaction planner, the HLL overlap
 # matrix, the Benford audit, the n-gram novelty curve, the EWMA
-# smoother), then the
+# smoother, the cluster-safe split), then the
 # four whose operator code changed since their r10 green row (the
 # _fingerprint_table always-n_bytes widening touches the perceptual/
 # audio/canonical trio; sink_ann_index_partitioned moved to content-keyed
@@ -380,9 +380,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # fills to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r11 = the 26
-# remaining r5 names + the oldest 10 of the 30 r6-aged greens (5 r6
-# slots ceded to this round's ten new queries); r12 = the
-# remaining 20 r6 names + the oldest r7 block; after that the cohorts
+# remaining r5 names + the oldest 9 of the 30 r6-aged greens (r6
+# slots ceded to this round's eleven new queries); r12 = the
+# remaining 21 r6 names + the oldest r7 block; after that the cohorts
 # cycle (~50/round). ALWAYS recompute the cohorts from the
 # CORRECTNESS_r*.json artifacts (latest green round per name) rather
 # than trusting this comment — the r9 AND r10 reviews both caught
@@ -394,7 +394,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "similarity_matryoshka_topk", "similarity_matryoshka_recall",
     "layout_compaction_plan", "hll_overlap_matrix",
     "sink_matryoshka_prefix_sidecar", "quality_benford_audit",
-    "text_ngram_novelty", "timeseries_ewma_smooth",
+    "text_ngram_novelty", "timeseries_ewma_smooth", "split_cluster_safe",
     # operator code changed since the r10 green row (192a969): the
     # fingerprint trio now share one always-with-bytes cached table; the
     # partitioned index sink reuses a content-keyed scratch build
@@ -412,11 +412,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     # latest green = round 6 (oldest alphabetical block; the remaining
-    # 20 r6 names queue for r12 — recompute from CORRECTNESS_r*.json)
+    # 21 r6 names queue for r12 — recompute from CORRECTNESS_r*.json)
     "cdc_upsert_merge", "cms_frequency", "cross_join_dense_matrix",
     "dedup_exact", "dedup_fuzzy_name", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "expr_case_arith", "filter_in_like_between",
-    "funnel_time_to_convert",
 )
 
 

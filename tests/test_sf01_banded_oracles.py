@@ -40,6 +40,7 @@ QUADRATIC_ORACLE_QUERIES = [
     "dedup_prefix_filter",
     "dedup_canonical_pick",
     "split_leakage_audit",
+    "split_cluster_safe",
     "pipeline_curation_v2",
     "sample_dedup_weighted",
 ]
