@@ -360,15 +360,16 @@ COMPACT_TARGET_X = 2  # target output size = 2 x mean input file size
            CAST(COUNT(*) AS BIGINT) AS n_input_files,
            CAST(SUM(CASE WHEN p.right_sized THEN 1 ELSE 0 END) AS BIGINT) AS n_right_sized,
            CAST(SUM(CASE WHEN p.right_sized THEN 0 ELSE 1 END) AS BIGINT) AS n_small_files,
-           CAST(b.n_bins AS BIGINT) AS n_output_bins,
+           CAST(COALESCE(b.n_bins, 0) AS BIGINT) AS n_output_bins,
            CAST(SUM(p.file_bytes) AS BIGINT) AS bytes_total,
-           CAST(b.max_bin_bytes AS BIGINT) AS max_bin_bytes,
+           CAST(COALESCE(b.max_bin_bytes, 0) AS BIGINT) AS max_bin_bytes,
            CAST(round(COUNT(*) * 1.0 /
-                (SUM(CASE WHEN p.right_sized THEN 1 ELSE 0 END) + b.n_bins), 4)
+                (SUM(CASE WHEN p.right_sized THEN 1 ELSE 0 END)
+                 + COALESCE(b.n_bins, 0)), 4)
                 AS DOUBLE) AS file_reduction
     FROM planned p
-    JOIN (SELECT day, COUNT(*) AS n_bins, MAX(bin_bytes) AS max_bin_bytes
-          FROM bins GROUP BY day) b USING (day)
+    LEFT JOIN (SELECT day, COUNT(*) AS n_bins, MAX(bin_bytes) AS max_bin_bytes
+               FROM bins GROUP BY day) b USING (day)
     GROUP BY p.day, b.n_bins, b.max_bin_bytes
     """,
 )
@@ -455,18 +456,21 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - n_right).cast("long").alias("n_small_files"),
             F.sum("file_bytes").cast("long").alias("bytes_total"),
         )
-        .join(F.broadcast(bins), "day")
+        .join(F.broadcast(bins), "day", "left")
         .select(
             "day",
             "n_input_files",
             "n_right_sized",
             "n_small_files",
-            F.col("n_bins").alias("n_output_bins"),
+            F.coalesce(F.col("n_bins"), F.lit(0)).cast("long")
+            .alias("n_output_bins"),
             "bytes_total",
-            "max_bin_bytes",
+            F.coalesce(F.col("max_bin_bytes"), F.lit(0)).cast("long")
+            .alias("max_bin_bytes"),
             F.round(
                 F.col("n_input_files")
-                / (F.col("n_right_sized") + F.col("n_bins")),
+                / (F.col("n_right_sized")
+                   + F.coalesce(F.col("n_bins"), F.lit(0))),
                 4,
             ).cast("double").alias("file_reduction"),
         )

@@ -1185,6 +1185,7 @@ _BENFORD_DEV = 0.02  # flag digits drifting more than 2 points from Benford
         SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
                                 AS VARCHAR), 1, 1) AS INT) AS digit
         FROM orders
+        WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) > 0
     ),
     counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
     tot AS (SELECT SUM(n) AS t FROM counts),
@@ -1210,7 +1211,11 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the first digit is taken from the DECIMAL's exact cent
     integer rendered as a string (never float formatting), shares are
     single-rounded doubles, and the nine Benford literals are inlined
-    identically on both engines (they sum to exactly 1.0).
+    identically on both engines (they sum to exactly 1.0). Non-positive
+    amounts are excluded on BOTH engines before digit extraction — a
+    '0'/'-' first char has no Benford digit, and CAST('-' AS INT)
+    raises on DuckDB where Spark returns NULL, so dirty input would
+    otherwise diverge cross-engine.
 
     Scale: one conditional-agg pass collapses the fact table to at most
     nine (digit, n) rows; the digit spine joins and the expectation
@@ -1218,9 +1223,18 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(9) and mergeable map-side."""
     od = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    counts = od.select(
-        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
-    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # non-positive amounts have no first significant digit (and '-'
+    # casts divergently across engines): exclude them from both the
+    # digit counts AND the share denominator, on both engines
+    counts = (
+        od.select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int").alias("digit")
+        )
+        .groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    )
     # the expectation table IS the 1-9 spine (single place the domain
     # is encoded; mirrors the oracle's bp VALUES list)
     bp = spark.createDataFrame(

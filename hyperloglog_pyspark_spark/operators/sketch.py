@@ -979,9 +979,11 @@ def hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emits exact counts (cross-engine-deterministic) plus approx_ok =
     the differenced estimate landing inside the 3-sigma envelope
-    propagated through the subtraction, |est − exact| ≤
-    3·stderr·(|A| + |B| + |A ∪ B|) — a sketch regression flips the
-    boolean and hash-mismatches the oracle.
+    propagated through the subtraction as independent errors,
+    |est − exact| ≤ 3·stderr·sqrt(|A|² + |B|² + |A ∪ B|²) — the
+    root-sum-of-squares form (not the ~1.7×-looser summed bound), so a
+    mild sketch regression (e.g. a wrong lg_k) flips the boolean and
+    hash-mismatches the oracle rather than hiding inside slack.
 
     Scale: one (segment, user) dedup shuffle; sketches aggregate to
     #segments rows (constant-size state each), so the pair grid is a
@@ -1036,10 +1038,13 @@ def hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(est_inter - F.col("n_inter_exact"))
                 <= F.lit(3 * stderr)
-                * (
-                    F.col("n_a")
-                    + F.col("n_b")
-                    + (F.col("n_a") + F.col("n_b") - F.col("n_inter_exact"))
+                * F.sqrt(
+                    F.col("n_a") * F.col("n_a")
+                    + F.col("n_b") * F.col("n_b")
+                    + F.pow(
+                        F.col("n_a") + F.col("n_b") - F.col("n_inter_exact"),
+                        F.lit(2.0),
+                    )
                 )
             ).alias("approx_ok"),
         )

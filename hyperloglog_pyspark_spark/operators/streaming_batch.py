@@ -421,6 +421,12 @@ def timeseries_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Closed-form EWMA headroom: the running DECIMAL(38,0) sum holds
+# cents * 2^t and cents at warehouse magnitudes stays under ~10^9, so
+# t <= 90 keeps 2^91 * 10^9 ~ 2.5e36 < 10^38 with slack for the sum.
+EWMA_T_MAX = 90
+
+
 @register(
     "timeseries_ewma_smooth",
     category="streaming",
@@ -472,8 +478,13 @@ def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     happen after the window, so the smoothed values are identical
     cross-engine before the output rounding. DECIMAL(38) headroom bounds
     the rewrite to ~80 points per key at warehouse magnitudes (cents
-    * 2^t < 10^38) — past that, chunk the series or use the stateful
-    streaming form (applyInPandasWithState holds s_t in O(1) state).
+    * 2^t < 10^38) — past that, chunk the series (the registered
+    timeseries_ewma_unbounded form) or use the stateful streaming form
+    (applyInPandasWithState holds s_t in O(1) state). Exceeding the
+    headroom fails LOUDLY on both engines: DuckDB raises on DECIMAL
+    overflow natively, and a raise_error guard on t > {EWMA_T_MAX}
+    makes Spark (ANSI off would otherwise silently NULL the overflow)
+    raise too.
 
     Scale: one fact-scale aggregation to the (type, day) grain, then
     one partition-key window over a series-sized frame — the identical
@@ -492,13 +503,22 @@ def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = F.sum(sv.alias("sv")).over(
         w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    ewma = F.round(
+        run.cast("double") / F.pow(F.lit(2.0), F.col("t")) / F.lit(100.0), 4
+    ).cast("double")
     return seq.select(
         "event_type",
         "day",
         F.round(F.col("cents") / 100.0, 4).cast("double").alias("v"),
-        F.round(
-            run.cast("double") / F.pow(F.lit(2.0), F.col("t")) / F.lit(100.0), 4
+        F.when(F.col("t") <= EWMA_T_MAX, ewma)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "timeseries_ewma_smooth: series exceeds the "
+                    f"DECIMAL(38) closed-form headroom (t > {EWMA_T_MAX}); "
+                    "use timeseries_ewma_unbounded"
+                )
+            ).cast("double")
         )
-        .cast("double")
         .alias("ewma"),
     )

@@ -79,14 +79,14 @@ def _reference(rows):
     for day, files in by_day.items():
         files.sort(key=lambda x: (-x[0], x[1]))
         smalls = [b for b, _ in files if b < tgt]
-        if not smalls:
-            continue  # inner join drops all-whale days
         n_right = len(files) - len(smalls)
         cum = 0
         bins: dict[int, int] = defaultdict(int)
         for b in smalls:  # right-sized rows sort first and add 0 to cum
             bins[cum // tgt] += b
             cum += b
+        # left-join contract: a fully-compacted day reports 0 bins, not
+        # a vanished row
         denom = n_right + len(bins)
         red = float(
             Decimal(len(files)) / Decimal(denom)
@@ -100,7 +100,7 @@ def _reference(rows):
             len(smalls),
             len(bins),
             sum(b for b, _ in files),
-            max(bins.values()),
+            max(bins.values()) if bins else 0,
             red,
         )
     return want
