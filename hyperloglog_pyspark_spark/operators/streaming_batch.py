@@ -522,3 +522,129 @@ def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ewma"),
     )
+
+
+# Chunked renormalization for the unbounded EWMA: re-zero the weight
+# exponent every EWMA_CHUNK rows, so the DECIMAL(38,0) running sum holds
+# at most cents * 2^(2*EWMA_CHUNK) regardless of series length. K=46
+# keeps the x100 exact-rounding step under DECIMAL(38)/HUGEINT:
+# 2^92 * 10^7-magnitude cents * 2 * 100 ~ 1e37.
+EWMA_CHUNK = 46
+
+
+@register(
+    "timeseries_ewma_unbounded",
+    category="streaming",
+    bench=True,
+    oracle=f"""
+    WITH seq AS (
+        SELECT l_suppkey,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               ) - 1 AS t
+        FROM lineitem
+    ),
+    dup AS (
+        SELECT *, t // {EWMA_CHUNK} AS d FROM seq
+        UNION ALL
+        SELECT *, t // {EWMA_CHUNK} + 1 AS d FROM seq
+    ),
+    scaled AS (
+        SELECT l_suppkey, cents, t, d,
+               GREATEST(d - 1, 0) * {EWMA_CHUNK} AS o,
+               CAST(cents AS DECIMAL(38,0))
+                   * CAST(pow(2, GREATEST(t, 1) - GREATEST(d - 1, 0)
+                                 * {EWMA_CHUNK}) AS DECIMAL(38,0)) AS sv
+        FROM dup
+    ),
+    run AS (
+        SELECT l_suppkey, cents, t, d, o,
+               SUM(sv) OVER (PARTITION BY l_suppkey, d ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS r
+        FROM scaled
+    )
+    SELECT l_suppkey, t,
+           CAST(round(cents / 100.0, 4) AS DOUBLE) AS v,
+           CAST(CAST((CAST(r AS HUGEINT) * 100
+                      + CAST(pow(2, t - o) AS HUGEINT))
+                     // CAST(pow(2, t + 1 - o) AS HUGEINT) AS BIGINT)
+                AS DOUBLE) / 10000.0 AS ewma
+    FROM run WHERE t // {EWMA_CHUNK} = d
+    """,
+)
+def timeseries_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha = 1/2) over series of UNBOUNDED length — the chunked
+    renormalization that lifts timeseries_ewma_smooth's ~90-point
+    DECIMAL(38) headroom. The series here is per-supplier line revenue
+    in ship order (527-695 points per key at every sf — all past the
+    closed form's ceiling).
+
+    The rewrite re-zeros the weight exponent every K={EWMA_CHUNK} rows:
+    each row is duplicated into its own chunk d and the next (explode /
+    UNION ALL), weighted 2^(max(t,1) - o) against the target chunk's
+    origin o = max(d-1,0)*K, and one running DECIMAL sum per (key,
+    chunk) divides by 2^(t+1-o). Rows in chunks 0-1 reproduce the exact
+    closed form (full history); from chunk 2 on, history older than the
+    previous chunk's start is dropped — a deliberate, DOCUMENTED
+    truncation whose error is bounded by max|v| * 2^-(K+1) ~ 1e-9
+    dollars here, four orders below the 4-dp output quantum. The 4-dp
+    output round is EXACT integer half-up — (r*100 + 2^(e-1)) div 2^e
+    on the DECIMAL/HUGEINT side, never a double round() (casting the
+    >2^53 running sum to double first hits half-ulp 4-dp boundaries
+    where Spark's BigDecimal HALF_UP and DuckDB's double round()
+    disagree — observed at sf0.01 before this form); the lone
+    integer->double cast is of a <2^40 already-rounded value, exact on
+    both engines. Ordering
+    is total: (l_shipdate, l_orderkey, l_linenumber, cents) — the
+    corpus holds one duplicated (orderkey, linenumber) pair at sf0.1
+    differing only in price, which the cents tiebreak orders.
+
+    Scale: this is the form that survives arbitrarily long series —
+    window partitions are (key, chunk), never larger than 2K rows, so
+    state per partition is CONSTANT while partition count grows with
+    data; the only full-series pass is the thin row_number index. The
+    explode doubles a (key, cents, t) frame, not the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    w_ord = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "cents"
+    )
+    seq = li.select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        cents.alias("cents"),
+    ).withColumn("t", F.row_number().over(w_ord) - 1)
+    k = F.lit(EWMA_CHUNK)
+    chunk = F.expr(f"t div {EWMA_CHUNK}")
+    dup = seq.select(
+        "l_suppkey", "cents", "t",
+        F.explode(F.array(chunk, chunk + 1)).alias("d"),
+    )
+    origin = F.greatest(F.col("d") - 1, F.lit(0)) * k
+    sv = F.col("cents").cast("decimal(38,0)") * F.pow(
+        F.lit(2.0), F.greatest(F.col("t"), F.lit(1)) - origin
+    ).cast("decimal(38,0)")
+    w_run = Window.partitionBy("l_suppkey", "d").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    half = F.pow(F.lit(2.0), F.col("t") - F.col("o")).cast("decimal(38,0)")
+    denom = F.pow(F.lit(2.0), F.col("t") + 1 - F.col("o")).cast("decimal(38,0)")
+    return (
+        dup.withColumn("o", origin)
+        .withColumn("r", F.sum(sv).over(w_run))
+        .filter(F.expr(f"t div {EWMA_CHUNK}") == F.col("d"))
+        .withColumn("half", half)
+        .withColumn("denom", denom)
+        .select(
+            "l_suppkey",
+            "t",
+            F.round(F.col("cents") / 100.0, 4).cast("double").alias("v"),
+            (
+                F.expr("(r * 100 + half) div denom").cast("double")
+                / F.lit(10000.0)
+            ).alias("ewma"),
+        )
+    )
