@@ -234,7 +234,11 @@ def main() -> None:
         # cap excludes, and a real span survives unless every one of
         # its grams is ubiquitous.
         ("exact_substring", "uncapped", _exact_substring(None)),
-        ("exact_substring", "registered_cap", _exact_substring(64)),
+        # r12: the registered form DERIVES the cap from the gram-df
+        # distribution (max(FLOOR, HEADROOM*p99.9)); the boilerplate
+        # whale's grams are <0.1% of distinct grams, so p99.9 stays on
+        # the natural-text df and the whale still drops.
+        ("exact_substring", "derived_cap", _exact_substring("derived")),
     ]
     results = []
     for op, form, fn in runs:

@@ -1588,7 +1588,16 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 XSUB_N = 8  # gram width in tokens; detects any shared run >= XSUB_N tokens
 XSUB_MIN_SPAN = 16  # report pairs whose longest verbatim run >= this
-XSUB_DF_CAP = 64  # whale guard: grams present in more docs are boilerplate
+# Whale guard: the cap is DERIVED from the corpus's own gram-df
+# distribution — cap = max(FLOOR, HEADROOM × p99.9(df)) — so it tracks
+# corpus skew instead of hard-coding one corpus's boilerplate threshold
+# (round-11 verdict #8). p99.9 is an exact integer order statistic
+# (counting construction, threshold ceil(999·N/1000) in pure integer
+# arithmetic), so both engines derive the identical cap. On corpora
+# under ~1000 distinct grams p99.9 degenerates to max(df), making the
+# guard a no-op there (the fuzz corpora) by construction.
+XSUB_DF_FLOOR = 8  # never cap below this (tiny-corpus safety)
+XSUB_DF_HEADROOM = 16  # cap = HEADROOM × p99.9 of the gram-df distribution
 
 
 @register(
@@ -1604,10 +1613,19 @@ XSUB_DF_CAP = 64  # whale guard: grams present in more docs are boilerplate
         SELECT doc_id, i AS pos, array_to_string(t[i:i+{XSUB_N - 1}], ' ') AS gram
         FROM toks, UNNEST(range(1, len(t) - {XSUB_N - 2})) AS u(i)
     ),
-    keep AS (
-        SELECT gram FROM grams GROUP BY gram
-        HAVING COUNT(DISTINCT doc_id) <= {XSUB_DF_CAP}
+    dfs AS (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram
     ),
+    hist AS (SELECT df, CAST(COUNT(*) AS BIGINT) AS c FROM dfs GROUP BY df),
+    thr AS (SELECT (999 * CAST(SUM(c) AS BIGINT) + 999) // 1000 AS t FROM hist),
+    cap AS (
+        SELECT GREATEST({XSUB_DF_FLOOR}, {XSUB_DF_HEADROOM} * MIN(df)) AS cap
+        FROM (SELECT df, SUM(c) OVER (ORDER BY df
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM hist) CROSS JOIN thr
+        WHERE cum >= t
+    ),
+    keep AS (SELECT gram FROM dfs CROSS JOIN cap WHERE df <= cap),
     capped AS (SELECT g.* FROM grams g JOIN keep USING (gram)),
     pairs AS (
         SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag
@@ -1632,7 +1650,7 @@ XSUB_DF_CAP = 64  # whale guard: grams present in more docs are boilerplate
     """,
 )
 def dedup_exact_substring(
-    spark: SparkSession, sf_dir: str, df_cap: int | None = XSUB_DF_CAP
+    spark: SparkSession, sf_dir: str, df_cap: int | None | str = "derived"
 ) -> DataFrame:
     """Cross-document exact-substring detection: for every document pair
     sharing a verbatim token run of >= XSUB_MIN_SPAN tokens, emit the
@@ -1651,14 +1669,19 @@ def dedup_exact_substring(
     Scale: the gram explosion is one streamed pass (~L rows per doc —
     the same work a suffix array ingests); the only quadratic surface is
     the gram equi-join, which costs sum_g df(g)^2 and is capped by the
-    XSUB_DF_CAP whale guard (grams in > {XSUB_DF_CAP} docs are dropped
-    BEFORE the self-join — boilerplate is text_boilerplate_lines'
-    job). A span survives the cap unless EVERY one of its grams is
-    corpus-ubiquitous, i.e. the span itself is boilerplate. The
-    run-merge window partitions by (pair, diagonal) — cardinality is
-    bounded by matched pairs, not the corpus — and the gram join key
-    (``df_cap`` is the product knob; dedup_skew_probe.py measures the
-    uncapped ablation against a boilerplate whale)
+    whale guard: grams in more docs than max(XSUB_DF_FLOOR,
+    XSUB_DF_HEADROOM × p99.9(df)) are dropped BEFORE the self-join —
+    boilerplate is text_boilerplate_lines' job. The cap is DERIVED from
+    the gram-df distribution the guard already aggregates (an exact
+    integer order statistic over the df histogram — a #distinct-df-row
+    frame — so the knob tracks corpus skew at zero extra corpus
+    passes; both engines derive the identical value). A span survives
+    the cap unless EVERY one of its grams is corpus-ubiquitous, i.e.
+    the span itself is boilerplate. The run-merge window partitions by
+    (pair, diagonal) — cardinality is bounded by matched pairs, not the
+    corpus — and the gram join key (``df_cap`` overrides the derivation:
+    an int pins a fixed cap, None is the uncapped probe-only ablation;
+    dedup_skew_probe.py measures both against a boilerplate whale)
     would shuffle as a 64-bit hash at 100 TB (string kept here only for
     oracle parity; see dedup_minhash_lsh's md5 anchor note).
     """
@@ -1679,12 +1702,41 @@ def dedup_exact_substring(
     if df_cap is None:  # probe-only ablation (dedup_skew_probe.py)
         capped = g
     else:
-        whales = (
-            g.groupBy("gram")
-            .agg(F.count_distinct("doc_id").alias("df"))
-            .filter(F.col("df") > df_cap)
-            .select("gram")
-        )
+        dfs = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+        if df_cap == "derived":
+            # exact p99.9 of df via the counting construction over the
+            # df histogram (#distinct df values — a handful of rows);
+            # threshold in pure integer arithmetic so both engines
+            # agree at every N
+            dfs = tracked_persist(dfs)
+            hist = dfs.groupBy("df").agg(F.count(F.lit(1)).alias("c"))
+            cum = hist.select(
+                "df",
+                F.sum("c").over(
+                    Window.orderBy("df").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ).alias("cum"),
+            )
+            thr = hist.agg(F.expr("(999 * sum(c) + 999) div 1000").alias("t"))
+            cap = (
+                cum.crossJoin(F.broadcast(thr))
+                .filter(F.col("cum") >= F.col("t"))
+                .agg(F.min("df").alias("p999"))
+                .select(
+                    F.greatest(
+                        F.lit(XSUB_DF_FLOOR),
+                        F.lit(XSUB_DF_HEADROOM) * F.col("p999"),
+                    ).alias("cap")
+                )
+            )
+            whales = (
+                dfs.crossJoin(F.broadcast(cap))
+                .filter(F.col("df") > F.col("cap"))
+                .select("gram")
+            )
+        else:
+            whales = dfs.filter(F.col("df") > df_cap).select("gram")
         capped = g.join(F.broadcast(whales), "gram", "left_anti")
     a = capped.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram")
     b = capped.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram")

@@ -2441,3 +2441,124 @@ def sink_matryoshka_prefix_sidecar(spark: SparkSession, sf_dir: str) -> DataFram
     pref = spark.read.parquet(os.path.join(base, "prefix"))
     full = spark.read.parquet(os.path.join(base, "full"))
     return _matryoshka_serve(pref, full)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-geometry QA: anisotropy / variance-spectrum audit. The ANN
+# index family above has two recorded negative results (OPQ-lite, MRL
+# prefix-16) that are re-openable "if the corpus gains anisotropic
+# structure" (BASELINE.md) — this op is the monitor that detects that
+# condition from the corpus itself, so re-running the ablations is a
+# data-triggered decision instead of a guess.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_anisotropy_report",
+    category="similarity",
+    bench=True,
+    oracle=f"""
+    WITH el AS ({_km_el_sql()}),
+    dim AS (
+        SELECT i,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(e) AS BIGINT) AS s1,
+               CAST(SUM(e * e) AS BIGINT) AS s2
+        FROM el GROUP BY i
+    ),
+    var AS (SELECT i, n, n * s2 - s1 * s1 AS numer FROM dim),
+    tot AS (
+        SELECT CAST(SUM(numer) AS BIGINT) AS tot_numer,
+               SUM(CAST(numer AS HUGEINT) * numer) AS tot_sq
+        FROM var
+    ),
+    ranked AS (
+        SELECT i, n, numer,
+               ROW_NUMBER() OVER (ORDER BY numer DESC, i) AS dim_rank,
+               CAST(SUM(numer) OVER (ORDER BY numer DESC, i
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_numer
+        FROM var
+    )
+    SELECT CAST(dim_rank AS BIGINT) AS dim_rank,
+           CAST(i - 1 AS INT) AS dim,
+           CAST(numer AS DOUBLE) / (n * n) / {CENT_SCALE * CENT_SCALE}
+               AS variance,
+           CAST(numer AS DOUBLE) / tot_numer AS var_share,
+           CAST(cum_numer AS DOUBLE) / tot_numer AS cum_share,
+           CAST(tot_numer AS DOUBLE) * CAST(tot_numer AS DOUBLE)
+               / CAST(tot_sq AS DOUBLE) AS participation_ratio,
+           CAST(tot_numer AS DOUBLE) * CAST(tot_numer AS DOUBLE)
+               / CAST(tot_sq AS DOUBLE) < {EMB_DIM / 2} AS is_anisotropic
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-spectrum / anisotropy audit of the embedding corpus: per
+    dimension, the element variance, its share of total variance and the
+    cumulative share down the sorted spectrum, plus the participation
+    ratio PR = (Σσ²)² / Σ(σ²)² — the effective dimensionality (PR = d
+    for isotropic spectra, PR → 1 when one direction dominates) — and an
+    is_anisotropic verdict at PR < d/2. This is the corpus-side trigger
+    for the OPQ/MRL ablations BASELINE.md records as re-openable on
+    anisotropic structure: run the report, and the boolean says whether
+    rotation/prefix tricks have anything to bite on.
+
+    Determinism: everything upstream of the output doubles is exact
+    BIGINT/HUGEINT arithmetic on milli-unit elements — per-dim variance
+    as the integer numerator n·Σe² − (Σe)² over denominator n², shares
+    as ratios of those integer numerators, the cumulative share from an
+    integer running sum (never a double window sum — segment-tree
+    re-association would diverge), and PR from exact integer totals with
+    the identical division shape on both engines. Each output double is
+    ONE division of bit-identical operands.
+
+    Scale: one element-explode (n·d rows) collapsing map-side to d
+    partial-agg rows; everything after is arithmetic on a d-row frame
+    (the global window orders 64 rows — constant, not corpus-scale).
+    At 100 TB the explode is the scan cost; d stays constant.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(F.posexplode(as_milli("embedding")).alias("i0", "e"))
+    dim = el.groupBy((F.col("i0") + 1).alias("i")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("e").cast("long").alias("s1"),
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("s2"),
+    )
+    var = dim.select(
+        "i", "n",
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("numer"),
+    )
+    var = tracked_persist(var)
+    tot = var.agg(
+        F.sum("numer").cast("long").alias("tot_numer"),
+        F.sum(
+            F.col("numer").cast("decimal(38,0)")
+            * F.col("numer").cast("decimal(38,0)")
+        ).alias("tot_sq"),
+    )
+    w = Window.orderBy(F.col("numer").desc(), "i")
+    ranked = var.select(
+        "i", "n", "numer",
+        F.row_number().over(w).alias("dim_rank"),
+        F.sum("numer").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum_numer"),
+    )
+    pr = (
+        F.col("tot_numer").cast("double") * F.col("tot_numer").cast("double")
+        / F.col("tot_sq").cast("double")
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        F.col("dim_rank").cast("long").alias("dim_rank"),
+        (F.col("i") - 1).cast("int").alias("dim"),
+        (
+            F.col("numer").cast("double")
+            / (F.col("n") * F.col("n"))
+            / F.lit(float(CENT_SCALE * CENT_SCALE))
+        ).alias("variance"),
+        (F.col("numer").cast("double") / F.col("tot_numer")).alias("var_share"),
+        (F.col("cum_numer").cast("double") / F.col("tot_numer")).alias("cum_share"),
+        pr.alias("participation_ratio"),
+        (pr < F.lit(EMB_DIM / 2)).alias("is_anisotropic"),
+    )

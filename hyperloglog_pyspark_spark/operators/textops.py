@@ -1242,3 +1242,127 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg"),
         )
     )
+
+
+# Zipf-law audit: micro-unit quantization for the log values so the
+# regression sums are exact BIGINT (a double SUM would be association-
+# order-dependent across engines).
+_ZIPF_Q = 1_000_000
+
+
+@register(
+    "quality_zipf_audit",
+    category="quality",
+    oracle=f"""
+    WITH counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+        FROM counts
+    ),
+    q AS (
+        SELECT token, n, rank,
+               CAST(ROUND(ln(CAST(rank AS DOUBLE)) * {_ZIPF_Q}, 0) AS BIGINT) AS x,
+               CAST(ROUND(ln(CAST(n AS DOUBLE)) * {_ZIPF_Q}, 0) AS BIGINT) AS y
+        FROM ranked
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM q
+    ),
+    stat AS (
+        SELECT k * sxy - sx * sy AS num,
+               k * sxx - sx * sx AS dx,
+               k * syy - sy * sy AS dy
+        FROM fit
+    )
+    SELECT q.rank, q.token, q.n,
+           CAST(s.num AS DOUBLE) / s.dx AS zipf_slope,
+           CAST(CAST(s.num AS HUGEINT) * s.num AS DOUBLE)
+               / CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE) AS r2,
+           (CAST(s.num AS DOUBLE) / s.dx BETWEEN -1.5 AND -0.5)
+               AND CAST(CAST(s.num AS HUGEINT) * s.num AS DOUBLE)
+                   / CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE) > 0.9
+               AS is_zipfian
+    FROM q CROSS JOIN stat s
+    """,
+)
+def quality_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law rank-frequency audit over the corpus vocabulary — the
+    text-side companion to quality_benford_audit's digit test: natural
+    text follows freq ∝ rank^s with s ≈ −1; a log-log least-squares
+    slope far from −1 (or a poor fit) flags synthetic, boilerplate, or
+    truncated corpora. Emits the full rank table plus the fitted slope,
+    R², and an is_zipfian verdict (slope in [−1.5, −0.5] AND R² > 0.9).
+    This synthetic word-soup corpus deliberately FAILS the test — near-
+    uniform frequencies fit a shallow slope — which is the signal the
+    audit exists to raise.
+
+    Determinism: ln() is the only transcendental — applied once per
+    value and immediately quantized to exact BIGINT micro-units, so the
+    regression moments Σx, Σy, Σxy, Σx², Σy² are exact integer sums
+    (association-independent on both engines; a double SUM would be at
+    the mercy of partial-agg order). Slope and R² are single divisions
+    of bit-identical integer-derived operands (the micro-unit scale
+    cancels in both ratios).
+
+    Scale: explode → vocabulary-sized count agg (map-side combine does
+    the heavy lift); ranking, quantized logs, and the moment agg all run
+    on the vocab-sized frame (the global window orders |V| rows — for
+    real corpora |V| ~ 10⁵-10⁷, still metadata-scale next to the corpus;
+    at that size swap row_number for a rank from a count-distribution
+    prefix sum if the single-partition sort ever shows up in profiles).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = counts.select(
+        "token", "n",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
+        .cast("long").alias("rank"),
+    )
+    q = tracked_persist(
+        ranked.select(
+            "token", "n", "rank",
+            F.round(F.log(F.col("rank").cast("double")) * _ZIPF_Q, 0)
+            .cast("long").alias("x"),
+            F.round(F.log(F.col("n").cast("double")) * _ZIPF_Q, 0)
+            .cast("long").alias("y"),
+        )
+    )
+    fit = q.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    stat = fit.select(
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+    )
+    slope = F.col("num").cast("double") / F.col("dx")
+    r2 = (
+        (F.col("num").cast("decimal(38,0)") * F.col("num")).cast("double")
+        / (F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast("double")
+    )
+    return q.crossJoin(F.broadcast(stat)).select(
+        "rank", "token", "n",
+        slope.alias("zipf_slope"),
+        r2.alias("r2"),
+        (slope.between(F.lit(-1.5), F.lit(-0.5)) & (r2 > F.lit(0.9)))
+        .alias("is_zipfian"),
+    )

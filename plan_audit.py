@@ -58,6 +58,9 @@ GLOBAL_WINDOW_ALLOWED = frozenset(
         "shard_manifest_balanced",  # tier offsets over token-domain tiers
         "timeseries_seasonal_index",  # global mean over the 7 dow rows
         "sample_neyman_allocation",  # weight total over #strata rows
+        "dedup_exact_substring",  # cap derivation over the df histogram (#distinct df values)
+        "quality_zipf_audit",  # rank over the vocabulary-sized count frame
+        "embedding_anisotropy_report",  # spectrum rank over d=64 dim rows
     }
 )
 

@@ -132,10 +132,23 @@ def test_span_family_matches_reference(texts, spark, tmp_path_factory):
 # ---------------------------------------------------------------------------
 
 from hyperloglog_pyspark_spark.operators.dedup import (  # noqa: E402
-    XSUB_DF_CAP,
+    XSUB_DF_FLOOR,
+    XSUB_DF_HEADROOM,
     XSUB_MIN_SPAN,
     XSUB_N,
 )
+
+
+def _derived_cap(df_by_gram):
+    """The engine's derived whale cap, replayed in pure Python: exact
+    p99.9 of the gram-df distribution (counting construction, integer
+    threshold ceil(999*N/1000)) scaled by the headroom, floored."""
+    dfs = sorted(df_by_gram.values())
+    if not dfs:
+        return XSUB_DF_FLOOR
+    t = (999 * len(dfs) + 999) // 1000
+    p999 = dfs[t - 1]
+    return max(XSUB_DF_FLOOR, XSUB_DF_HEADROOM * p999)
 
 
 @st.composite
@@ -156,10 +169,11 @@ def spliced_corpora(draw):
     return [" ".join(tk) for tk in texts]
 
 
-def _reference_xsub(texts, df_cap=XSUB_DF_CAP):
+def _reference_xsub(texts, df_cap="derived"):
     """Pure-Python replay of dedup_exact_substring's contract: positional
-    word XSUB_N-grams (df-capped), matched across doc pairs, merged into
-    maximal runs per (pair, diagonal)."""
+    word XSUB_N-grams (df-capped, cap derived from the df distribution
+    like the engine's), matched across doc pairs, merged into maximal
+    runs per (pair, diagonal)."""
     toks = [t.split(" ") for t in texts]
     docs_of = defaultdict(set)
     grams: dict[int, list[str]] = {}
@@ -171,6 +185,8 @@ def _reference_xsub(texts, df_cap=XSUB_DF_CAP):
         )
         for g in grams[d]:
             docs_of[g].add(d)
+    if df_cap == "derived":
+        df_cap = _derived_cap({g: len(s) for g, s in docs_of.items()})
     dropped = {g for g, s in docs_of.items() if len(s) > df_cap}
     out = {}
     for a in range(len(texts)):
@@ -296,3 +312,36 @@ def test_exact_substring_df_cap_binds(texts, spark, tmp_path_factory):
         for r in dedup_exact_substring(spark, d, df_cap=2).collect()
     }
     assert got == want
+
+
+def test_exact_substring_derived_cap_drops_whale_keeps_rare(
+    spark, tmp_path_factory
+):
+    """The derived whale cap BITES: 40 docs ending in one shared 20-token
+    boilerplate tail (its 13 grams have df=40, >0.1% shy of the gram
+    mass so p99.9 stays at the natural df=1 → cap = HEADROOM×1 = 16)
+    plus one genuine 18-token splice between docs 0 and 1 (gram df=2,
+    under the cap). The boilerplate clique — 780 pairs of span 20 —
+    must vanish; the splice pair must survive. The uncapped reference
+    confirms the cap (not the span rule) is what drops the clique."""
+    boiler = [f"bp{i}" for i in range(20)]
+    splice = [f"sp{i}" for i in range(18)]
+    texts = []
+    for d in range(40):
+        filler = [f"w{d}_{i}" for i in range(400)]
+        head = splice if d in (0, 1) else []
+        texts.append(" ".join(head + filler + boiler))
+    d = str(tmp_path_factory.mktemp("xsubcap"))
+    _write_documents(texts, d)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["max_span_tokens"], r["n_spans"])
+        for r in REGISTRY["dedup_exact_substring"].fn(spark, d).collect()
+    }
+    want = {
+        (a, b): (mx, n) for (a, b), (mx, n, _) in _reference_xsub(texts).items()
+    }
+    assert got == want
+    assert set(got) == {(0, 1)}, "only the rare splice pair survives the cap"
+    assert got[(0, 1)][0] == 18
+    uncapped = _reference_xsub(texts, df_cap=10**9)
+    assert len(uncapped) == 40 * 39 // 2, "uncapped clique would be quadratic"
