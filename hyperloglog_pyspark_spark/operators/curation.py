@@ -635,7 +635,7 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_dedup_weighted",
-    category="sample",
+    category="sampling",
     oracle="""
     WITH RECURSIVE pairs AS ({minhash}),
     {cc},

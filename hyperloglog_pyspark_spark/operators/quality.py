@@ -486,7 +486,7 @@ _HIST_NB = 20
 
 @register(
     "agg_histogram_equiwidth",
-    category="aggregation",
+    category="aggregate",
     bench=True,
     oracle=f"""
     SELECT CAST(LEAST(FLOOR((l_extendedprice - {_HIST_LO}) * {_HIST_NB}

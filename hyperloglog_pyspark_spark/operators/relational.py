@@ -18,7 +18,7 @@ from hyperloglog_pyspark_spark.sources.catalog import load_table
 
 @register(
     "scan_project_filter",
-    category="scan",
+    category="relational",
     bench=True,
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity,
@@ -55,7 +55,7 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filter_in_like_between",
-    category="filter",
+    category="relational",
     bench=True,
     oracle="""
     SELECT p_partkey, p_name, p_brand, p_size
@@ -80,7 +80,7 @@ def filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "expr_case_arith",
-    category="projection",
+    category="relational",
     bench=True,
     oracle="""
     SELECT o_orderkey,

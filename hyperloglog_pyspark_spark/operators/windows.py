@@ -139,7 +139,7 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orderby_limit_topk",
-    category="sort",
+    category="relational",
     bench=True,
     oracle="""
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority

@@ -247,6 +247,13 @@ def register(
 # re-attestation onto the names whose green row is oldest (see
 # SWEEP_PRIORITY below).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 11 greens (CORRECTNESS_r11.json) — new names only; the other 39
+    # r11 samples were re-attestations of names already listed below
+    "sink_ann_index_append", "dedup_exact_substring",
+    "similarity_matryoshka_topk", "similarity_matryoshka_recall",
+    "layout_compaction_plan", "hll_overlap_matrix",
+    "sink_matryoshka_prefix_sidecar", "quality_benford_audit",
+    "text_ngram_novelty", "timeseries_ewma_smooth", "split_cluster_safe",
     # round 10 greens (CORRECTNESS_r10.json) — new names only; the other 42
     # r10 samples were re-attestations of names already listed below
     "multimodal_dedup_canonical", "similarity_pq_trained_codebook",
@@ -367,55 +374,51 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
 # last green row — changed code outranks stale-but-unchanged greens —
 # and (c) rotate the oldest greens through the remaining slots.
-# Round 11: the eleven new queries lead (sink_ann_index_append, the
-# exact-substring span detector, the Matryoshka pair + its persisted
-# prefix-sidecar sink, the compaction planner, the HLL overlap
-# matrix, the Benford audit, the n-gram novelty curve, the EWMA
-# smoother, the cluster-safe split), then the
-# four whose operator code changed since their r10 green row (the
-# _fingerprint_table always-n_bytes widening touches the perceptual/
-# audio/canonical trio; sink_ann_index_partitioned moved to content-keyed
-# scratch), then the FULL remaining r5-stale cohort (26 names — the
-# oldest attestation age in the registry), then the oldest r6 block
-# fills to 50.
+# Round 12: the three new queries lead (the chunked-renormalization
+# unbounded EWMA, the embedding anisotropy/variance-spectrum audit, the
+# Zipf rank-frequency audit), then the five whose operator code changed
+# since their r11 green row (compaction's left-join contract, Benford's
+# positive filter, the overlap matrix's tightened envelope, the EWMA
+# headroom guard, the exact-substring derived df-cap), then the FULL
+# remaining r6 cohort (21 names — the oldest attestation age in the
+# registry), then the oldest-alphabetical r7 block fills to 50.
 #
-# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r11 = the 26
-# remaining r5 names + the oldest 9 of the 30 r6-aged greens (r6
-# slots ceded to this round's eleven new queries); r12 = the
-# remaining 21 r6 names + the oldest r7 block; after that the cohorts
+# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r12 = all 21
+# r6-aged names + the oldest 21 of the 45 r7-aged greens; r13 = the
+# remaining 24 r7 names + the oldest r8 block; after that the cohorts
 # cycle (~50/round). ALWAYS recompute the cohorts from the
 # CORRECTNESS_r*.json artifacts (latest green round per name) rather
 # than trusting this comment — the r9 AND r10 reviews both caught
 # comment drift here.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # round-11 new queries (no driver row yet), locally verified at
-    # sf0.01 AND sf0.1 against their oracles
-    "sink_ann_index_append", "dedup_exact_substring",
-    "similarity_matryoshka_topk", "similarity_matryoshka_recall",
-    "layout_compaction_plan", "hll_overlap_matrix",
-    "sink_matryoshka_prefix_sidecar", "quality_benford_audit",
-    "text_ngram_novelty", "timeseries_ewma_smooth", "split_cluster_safe",
-    # operator code changed since the r10 green row (192a969): the
-    # fingerprint trio now share one always-with-bytes cached table; the
-    # partitioned index sink reuses a content-keyed scratch build
-    "sink_ann_index_partitioned", "multimodal_dedup_canonical",
-    "multimodal_dedup_perceptual", "multimodal_dedup_audio_fp",
-    # latest green = round 5 (the full remaining stale cohort)
-    "agg_rollup", "agg_salted_skew", "agg_stats", "agg_stats_moments",
-    "attribution_multi_touch", "dedup_prefix_filter", "event_pattern_cep",
-    "event_rfm_segmentation", "ivm_delta_join", "ivm_incremental_agg",
-    "join_explosion_audit", "layout_range_sort_buckets",
-    "mixture_importance_weights", "multimodal_decode_png",
-    "quality_anomaly_volume_spike", "quality_schema_drift",
-    "snapshot_diff_cdc", "source_binaryfile_media", "text_boilerplate_lines",
-    "text_lang_confusion", "text_tfidf_topk", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    # latest green = round 6 (oldest alphabetical block; the remaining
-    # 21 r6 names queue for r12 — recompute from CORRECTNESS_r*.json)
-    "cdc_upsert_merge", "cms_frequency", "cross_join_dense_matrix",
-    "dedup_exact", "dedup_fuzzy_name", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "expr_case_arith", "filter_in_like_between",
+    # round-12 new queries (no driver row yet), locally verified at
+    # sf0.001, sf0.01 AND sf0.1 against their oracles
+    "timeseries_ewma_unbounded", "embedding_anisotropy_report",
+    "quality_zipf_audit",
+    # operator code changed since the r11 green row (850f3a6): the
+    # compaction planner reports fully-compacted days instead of
+    # dropping them; Benford excludes non-positive amounts; the overlap
+    # matrix envelope is root-sum-of-squares; the bounded EWMA raises
+    # past its headroom; the exact-substring whale cap is derived
+    "layout_compaction_plan", "quality_benford_audit",
+    "hll_overlap_matrix", "timeseries_ewma_smooth", "dedup_exact_substring",
+    # latest green = round 6 (the full remaining stale cohort)
+    "funnel_time_to_convert", "graph_bfs_levels", "join_anti",
+    "join_broadcast_dim", "join_full_outer", "join_null_safe",
+    "join_outer_histogram", "join_range", "join_semi", "join_shuffle_agg",
+    "multimodal_dedup_digest", "multimodal_frame_sample", "multimodal_meta",
+    "quality_referential_orphans", "retention_cohorts", "sample_bootstrap_ci",
+    "sample_neyman_allocation", "shard_manifest_balanced",
+    "text_pmi_collocations", "text_repetition", "timeseries_seasonal_index",
+    # latest green = round 7 (oldest alphabetical block; the remaining
+    # 24 r7 names queue for r13 — recompute from CORRECTNESS_r*.json)
+    "approx_distinct_users_daily", "array_funcs", "cogroup_asof_attribution",
+    "date_funcs", "dedup_cluster_components", "dedup_embedding_cosine",
+    "dedup_simhash", "embedding_centroid_confusion", "embedding_norm_quant",
+    "event_transition_matrix", "heavy_hitters_mg", "hll64_parity",
+    "hll_sketch_rollup", "join_bucketed_colocated", "json_funcs",
+    "lateral_topk", "math_funcs", "multimodal_decode_gif",
+    "orderby_limit_topk", "pack_sequences_greedy", "percentile_exact",
 )
 
 

@@ -152,18 +152,19 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-11 contract is: queries with no driver row yet lead (new this
+    round-12 contract is: queries with no driver row yet lead (new this
     round), then the operators whose code changed since their last green
-    row (the fingerprint trio's always-with-bytes table, the partitioned
-    index sink's content-keyed scratch), then the full remaining
-    r5-stale cohort, then the oldest r6 greens. Locks the prefix
+    row (compaction left-join contract, Benford positive filter, overlap
+    envelope, EWMA guard, derived df-cap), then the full remaining
+    r6-stale cohort, then the oldest r7 greens. Locks the prefix
     composition against accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
     changed = [
-        "sink_ann_index_partitioned", "multimodal_dedup_canonical",
-        "multimodal_dedup_perceptual", "multimodal_dedup_audio_fp",
+        "layout_compaction_plan", "quality_benford_audit",
+        "hll_overlap_matrix", "timeseries_ewma_smooth",
+        "dedup_exact_substring",
     ]
     from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
 
