@@ -1240,13 +1240,16 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp = spark.createDataFrame(
         [(d, p) for d, p in _BENFORD_P.items()], "digit int, benford_p double"
     )
-    tot = counts.agg(F.sum("n").alias("t"))
-    share = F.col("n") / F.col("t")
+    from pyspark.sql import Window
+
+    # the share denominator is a window sum over the 9-row joined frame
+    # (constant size) — one job instead of a separate total agg +
+    # broadcast cross join
+    share = F.col("n") / F.sum("n").over(Window.partitionBy())
     dev = F.round(F.abs(share - F.col("benford_p")), 6)
     return (
         bp.join(counts, "digit", "left")
         .na.fill({"n": 0})
-        .crossJoin(F.broadcast(tot))
         .select(
             "digit",
             F.col("n").cast("long").alias("n"),

@@ -59,6 +59,7 @@ GLOBAL_WINDOW_ALLOWED = frozenset(
         "timeseries_seasonal_index",  # global mean over the 7 dow rows
         "sample_neyman_allocation",  # weight total over #strata rows
         "dedup_exact_substring",  # cap derivation over the df histogram (#distinct df values)
+        "quality_benford_audit",  # share denominator over the 9-digit spine
         "quality_zipf_audit",  # rank over the vocabulary-sized count frame
         "embedding_anisotropy_report",  # spectrum rank over d=64 dim rows
     }
