@@ -13,6 +13,8 @@ from hyperloglog_pyspark_spark.functions.texttools import (
     NORMALIZED_SQL,
     STOPWORDS,
     adjacent_pairs,
+    md5_long,
+    md5_long_sql,
     normalized_text,
     run_boundaries,
     shingles_sql,
@@ -1365,4 +1367,113 @@ def quality_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2.alias("r2"),
         (slope.between(F.lit(-1.5), F.lit(-0.5)) & (r2 > F.lit(0.9)))
         .alias("is_zipfian"),
+    )
+
+
+# Feature-hashing (hashing-trick) audit: the fixed-width featurization a
+# fastText-style quality classifier uses at corpus scale. Buckets are a
+# shared 60-bit md5 hash mod FEAT_B on both engines.
+FEAT_B = 4096  # feature-vector width (buckets)
+FEAT_TOP = 20  # most-loaded buckets reported
+
+
+@register(
+    "text_hashed_ngram_features",
+    category="text",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS gram FROM toks),
+    bi AS (
+        SELECT t[i] || ' ' || t[i + 1] AS gram
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    grams AS (SELECT gram FROM uni UNION ALL SELECT gram FROM bi),
+    buckets AS (
+        SELECT {md5_long_sql("gram")} % {FEAT_B} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct_grams
+        FROM grams GROUP BY 1
+    ),
+    ranked AS (
+        SELECT bucket, n_occurrences, n_distinct_grams,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, bucket) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_buckets_used,
+               CAST(SUM(CASE WHEN n_distinct_grams >= 2 THEN 1 ELSE 0 END)
+                        OVER () AS BIGINT) AS n_colliding_buckets,
+               CAST(SUM(n_distinct_grams - 1) OVER () AS BIGINT) AS lost,
+               CAST(SUM(n_distinct_grams) OVER () AS BIGINT) AS vocab
+        FROM buckets
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, bucket, n_occurrences,
+           n_distinct_grams, n_buckets_used, n_colliding_buckets,
+           CAST(lost AS DOUBLE) / vocab AS gram_collision_rate,
+           CAST(n_buckets_used AS DOUBLE) / {FEAT_B} AS load_factor
+    FROM ranked WHERE rnk <= {FEAT_TOP}
+    """,
+)
+def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing audit for the hashing-trick featurization
+    (uni+bigram grams hashed into a fixed {FEAT_B}-wide vector — the
+    fastText/Vowpal-Wabbit input layer a corpus-scale quality classifier
+    trains on): per bucket, occurrence load and distinct-gram count; the
+    {FEAT_TOP} most-loaded buckets are reported alongside corpus-level
+    collision metrics — gram_collision_rate (share of distinct grams
+    that lost identity to a shared bucket) and load_factor. This is the
+    audit that sizes the hash width: a collision rate creeping up as the
+    corpus grows says widen FEAT_B before classifier quality silently
+    degrades.
+
+    Determinism: bucket = shared 60-bit md5 hash mod {FEAT_B} (identical
+    literal construction on both engines); every metric is an exact
+    integer aggregate with at most one final division; ranking ties
+    break on bucket id.
+
+    Scale: gram explode → ONE (bucket, gram)-grain aggregation with
+    map-side combine, collapsing to ≤ {FEAT_B} bucket rows; the summary
+    windows run over that constant-width frame (GWIN-allowlisted), never
+    the corpus. At 100 TB the explode is the scan cost; the feature
+    table stays {FEAT_B} rows no matter the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    # uni- and bigrams from ONE scan: concat the token array with the
+    # bigram array and explode once (a UNION of two selects re-scans
+    # the fact table — the multi-fact-scan audit rejects that shape)
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    buckets = (
+        docs.select(F.explode(F.concat(t, bigrams)).alias("gram"))
+        .select((md5_long(F.col("gram")) % FEAT_B).alias("bucket"), "gram")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("gram").cast("long").alias("n_distinct_grams"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("n_occurrences").desc(), "bucket")
+    lost = F.sum(F.col("n_distinct_grams") - 1).over(w_all)
+    vocab = F.sum("n_distinct_grams").over(w_all)
+    return (
+        buckets.select(
+            F.row_number().over(w_rank).cast("long").alias("rnk"),
+            "bucket",
+            "n_occurrences",
+            "n_distinct_grams",
+            F.count(F.lit(1)).over(w_all).cast("long").alias("n_buckets_used"),
+            F.sum(F.when(F.col("n_distinct_grams") >= 2, 1).otherwise(0))
+            .over(w_all).cast("long").alias("n_colliding_buckets"),
+            (lost.cast("double") / vocab).alias("gram_collision_rate"),
+            (
+                F.count(F.lit(1)).over(w_all).cast("double") / F.lit(float(FEAT_B))
+            ).alias("load_factor"),
+        )
+        .filter(F.col("rnk") <= FEAT_TOP)
     )
