@@ -710,3 +710,76 @@ def cusum_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+EWMA_OUTPUT_SCHEMA = "event_type string, ewma double, n_obs long"
+
+
+class EwmaTracker(StatefulProcessor):
+    """Streaming EWMA (alpha = 1/2) per key: s = (v + s_prev)/2 folded
+    imperatively in O(1) state — the TRUE-unbounded twin of the batch
+    operators timeseries_ewma_smooth (exact closed form, ~90-point
+    DECIMAL headroom) and timeseries_ewma_unbounded (chunked
+    renormalization). The exact s_t needs t bits, so bounded state
+    REQUIRES quantization: s is held in integer micro-units and
+    half-up-rounded after every halving step ((u + s + 1) >> 1, exact
+    for half-integer midpoints of any sign). Each step's rounding error
+    is ≤ 0.5 micro-units and is itself halved by every later step, so
+    the drift from the exact real-valued recursion stays under 1
+    micro-unit at ANY stream length — the same magnitude-vs-boundedness
+    trade the batch chunked form makes with its 2^-47 truncation.
+
+    Order-sensitive like CusumMonitor (s_t depends on arrival order):
+    the processor concatenates the micro-batch and sorts by event time
+    (value tie-break) before folding; nulls are SKIPPED (a missing
+    reading is not an observation of zero — halving toward 0 would
+    decay an active trend spuriously). State = one (s_units, n_obs)
+    tuple per key, bounded by key population, not stream length."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("ewma", "s_units long, n_obs long")
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: N802
+        prev = self._st.get()
+        s, n_obs = prev if prev else (0, 0)
+        pdfs = list(rows)
+        if pdfs:
+            batch = pd.concat(pdfs, ignore_index=True)
+            batch = batch.sort_values(["ts_us", "value"], kind="stable")
+            v = batch["value"].dropna().to_numpy()
+        else:
+            v = np.empty(0)
+        for u in _half_up_units(v, 1_000_000):
+            u = int(u)
+            s = u if n_obs == 0 else (u + s + 1) >> 1
+            n_obs += 1
+        self._st.update((s, n_obs))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "ewma": [s / 1e6],
+                "n_obs": [n_obs],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Per-event-type streaming EWMA trend via transformWithStateInPandas
+    (same environment note as user_spend_stream: the end-to-end form needs
+    google.protobuf; semantics are pinned by the fake-handle contract
+    test). Event time rides along because the recursion is
+    order-sensitive — the processor sorts each micro-batch by ts before
+    folding."""
+    return (
+        events.select("event_type", "value", F.unix_micros("ts").alias("ts_us"))
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            EwmaTracker(),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -4,6 +4,7 @@ late-data drop past the watermark, and cross-batch HLL sketch state."""
 
 from __future__ import annotations
 
+import math
 import datetime
 
 import pandas as pd
@@ -1800,3 +1801,70 @@ def test_streaming_ann_index_append_matches_batch_rebuild(spark, sf_dir, tmp_pat
         if "cent_id=" not in f
     ]
     assert not stray, stray
+
+
+def test_ewma_tracker_processor_contract():
+    """EwmaTracker semantics without the protobuf transport: the
+    quantized fold must exactly match a plain-Python integer replay
+    across micro-batch boundaries (state carries over), stay within a
+    micro-unit of the EXACT rational recursion at any length (the
+    documented O(1)-state quantization bound), skip nulls, and — being
+    order-sensitive — fold a shuffle-scrambled batch identically to the
+    in-order one (the processor sorts by event time first)."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from hyperloglog_pyspark_spark.streaming.pipelines import EwmaTracker
+
+    batches = [
+        [400.0, 900.0, 50.0],
+        [1200.0, None, None, 10.0],       # nulls are SKIPPED, not zero
+        [10.0, 10.0],
+        [123.456789] * 40,                 # long run: drift must stay bounded
+    ]
+    t = 0
+    timed = []
+    for batch in batches:
+        ts = list(range(t, t + len(batch)))
+        t += len(batch)
+        timed.append((batch, ts))
+
+    # integer replay (the processor's own arithmetic, independent code)
+    s_i = n = 0
+    # exact rational recursion (the mathematical EWMA on the same obs)
+    s_x = None
+    for batch, _ in timed:
+        for v in batch:
+            if v is None:
+                continue
+            u = int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+            s_i = u if n == 0 else (u + s_i + 1) >> 1
+            n += 1
+            fv = Fraction(v).limit_denominator(10**9)
+            s_x = fv if s_x is None else (fv + s_x) / 2
+
+    def drive(scramble):
+        trk = EwmaTracker()
+        trk.init(_FakeHandle())
+        outs = []
+        for batch, ts in timed:
+            pdf = pd.DataFrame({"value": batch, "ts_us": ts})
+            if scramble:
+                pdf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+            outs.extend(trk.handleInputRows(("view",), [pdf], None))
+        # empty iterator (legal once timers fire) must be a state-neutral
+        # no-op emit, not a pd.concat crash
+        outs.extend(trk.handleInputRows(("view",), iter([]), None))
+        return outs
+
+    outs = drive(scramble=False)
+    scrambled = drive(scramble=True)
+    assert [o.to_dict("records") for o in scrambled] == [
+        o.to_dict("records") for o in outs
+    ]
+    last = outs[-1].iloc[0]
+    assert last.n_obs == n
+    assert last.ewma == s_i / 1e6, "must equal the integer replay exactly"
+    drift = abs(last.ewma - float(s_x))
+    assert drift < 1e-6, f"quantization drift {drift} exceeds the documented bound"
