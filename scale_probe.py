@@ -109,6 +109,23 @@ PROBE_OPS = [
     # corpus-width work (O(|Q|·N) streamed multiply-adds, no corpus
     # shuffle), the full-dim rerank stays shortlist-bounded
     "similarity_matryoshka_topk",
+    # r12: Zipf rank-frequency audit — salted replicas multiply the
+    # VOCABULARY by R (each replica owns a disjoint suffixed vocab), so
+    # this measures the vocab-sized rank window + moment agg growing
+    # R× while the corpus-side count agg stays one map-side pass
+    "quality_zipf_audit",
+    # r12: feature-hashing audit — gram volume grows R× but the bucket
+    # frame is FIXED at FEAT_B rows and the output at top-20, so the
+    # ratio isolates the explode+agg scan cost (the intended 100 TB
+    # shape: corpus-width work, constant-width state).
+    # (embedding_anisotropy_report is decade-safe by the same argument
+    # — one element explode to a d-row agg, no pair surface — but the
+    # probe's 2^k magnitude shells would push its milli-unit moments
+    # past BIGINT, an artifact of the shell transform, not the
+    # operator's unit-norm-embedding domain; timeseries_ewma_unbounded
+    # reads lineitem, which this corpus does not replicate — its
+    # (key, chunk) windows are <=2K rows by construction at any length.)
+    "text_hashed_ngram_features",
 ]
 
 
