@@ -395,7 +395,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # sf0.001, sf0.01 AND sf0.1 against their oracles
     "timeseries_ewma_unbounded", "embedding_anisotropy_report",
     "quality_zipf_audit", "text_hashed_ngram_features",
-    "sink_hll_sketch_store",
+    "sink_hll_sketch_store", "quality_heaps_law",
     # operator code changed since the r11 green row (850f3a6): the
     # compaction planner reports fully-compacted days instead of
     # dropping them; Benford excludes non-positive amounts; the overlap
@@ -412,14 +412,13 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "sample_neyman_allocation", "shard_manifest_balanced",
     "text_pmi_collocations", "text_repetition", "timeseries_seasonal_index",
     # latest green = round 7 (oldest alphabetical block; the remaining
-    # 26 r7 names queue for r13 — recompute from CORRECTNESS_r*.json)
+    # 27 r7 names queue for r13 — recompute from CORRECTNESS_r*.json)
     "approx_distinct_users_daily", "array_funcs", "cogroup_asof_attribution",
     "date_funcs", "dedup_cluster_components", "dedup_embedding_cosine",
     "dedup_simhash", "embedding_centroid_confusion", "embedding_norm_quant",
     "event_transition_matrix", "heavy_hitters_mg", "hll64_parity",
     "hll_sketch_rollup", "join_bucketed_colocated", "json_funcs",
     "lateral_topk", "math_funcs", "multimodal_decode_gif",
-    "orderby_limit_topk",
 )
 
 

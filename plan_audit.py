@@ -62,6 +62,7 @@ GLOBAL_WINDOW_ALLOWED = frozenset(
         "quality_benford_audit",  # share denominator over the 9-digit spine
         "quality_zipf_audit",  # rank over the vocabulary-sized count frame
         "text_hashed_ngram_features",  # summary over the <=FEAT_B bucket frame
+        "quality_heaps_law",  # prefix-sum offsets over the #buckets frame
         "embedding_anisotropy_report",  # spectrum rank over d=64 dim rows
     }
 )
