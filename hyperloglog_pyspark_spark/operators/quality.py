@@ -1192,10 +1192,10 @@ _BENFORD_DEV = 0.02  # flag digits drifting more than 2 points from Benford
     bp(digit, p) AS (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_P.items())})
     SELECT bp.digit,
            CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
-           CAST(round(COALESCE(c.n, 0) * 1.0 / tot.t, 6) AS DOUBLE) AS share,
+           CAST(round(COALESCE(c.n, 0) * 1.0 / NULLIF(tot.t, 0), 6) AS DOUBLE) AS share,
            CAST(bp.p AS DOUBLE) AS benford_p,
-           CAST(round(abs(COALESCE(c.n, 0) * 1.0 / tot.t - bp.p), 6) AS DOUBLE) AS abs_dev,
-           round(abs(COALESCE(c.n, 0) * 1.0 / tot.t - bp.p), 6) > {_BENFORD_DEV} AS flagged
+           CAST(round(abs(COALESCE(c.n, 0) * 1.0 / NULLIF(tot.t, 0) - bp.p), 6) AS DOUBLE) AS abs_dev,
+           round(abs(COALESCE(c.n, 0) * 1.0 / NULLIF(tot.t, 0) - bp.p), 6) > {_BENFORD_DEV} AS flagged
     FROM bp LEFT JOIN counts c USING (digit) CROSS JOIN tot
     """,
 )
@@ -1245,7 +1245,9 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the share denominator is a window sum over the 9-row joined frame
     # (constant size) — one job instead of a separate total agg +
     # broadcast cross join
-    share = F.col("n") / F.sum("n").over(Window.partitionBy())
+    share = F.col("n") / F.nullif(
+        F.sum("n").over(Window.partitionBy()), F.lit(0)
+    )
     dev = F.round(F.abs(share - F.col("benford_p")), 6)
     return (
         bp.join(counts, "digit", "left")

@@ -2484,12 +2484,13 @@ def sink_matryoshka_prefix_sidecar(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(i - 1 AS INT) AS dim,
            CAST(numer AS DOUBLE) / (n * n) / {CENT_SCALE * CENT_SCALE}
                AS variance,
-           CAST(numer AS DOUBLE) / tot_numer AS var_share,
-           CAST(cum_numer AS DOUBLE) / tot_numer AS cum_share,
+           CAST(numer AS DOUBLE) / NULLIF(tot_numer, 0) AS var_share,
+           CAST(cum_numer AS DOUBLE) / NULLIF(tot_numer, 0) AS cum_share,
            CAST(tot_numer AS DOUBLE) * CAST(tot_numer AS DOUBLE)
-               / CAST(tot_sq AS DOUBLE) AS participation_ratio,
+               / NULLIF(CAST(tot_sq AS DOUBLE), 0) AS participation_ratio,
            CAST(tot_numer AS DOUBLE) * CAST(tot_numer AS DOUBLE)
-               / CAST(tot_sq AS DOUBLE) < {EMB_DIM / 2} AS is_anisotropic
+               / NULLIF(CAST(tot_sq AS DOUBLE), 0) < {EMB_DIM / 2}
+               AS is_anisotropic
     FROM ranked CROSS JOIN tot
     """,
 )
@@ -2545,9 +2546,13 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).cast("long").alias("cum_numer"),
     )
+    # NULLIF guards: an all-constant embedding corpus has zero total
+    # variance — NULL shares/PR on both engines, never an ANSI
+    # DIVIDE_BY_ZERO (Spark, bare driver session) vs NaN (DuckDB) split
+    tot_nz = F.nullif(F.col("tot_numer"), F.lit(0))
     pr = (
         F.col("tot_numer").cast("double") * F.col("tot_numer").cast("double")
-        / F.col("tot_sq").cast("double")
+        / F.nullif(F.col("tot_sq").cast("double"), F.lit(0.0))
     )
     return ranked.crossJoin(F.broadcast(tot)).select(
         F.col("dim_rank").cast("long").alias("dim_rank"),
@@ -2557,8 +2562,8 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n"))
             / F.lit(float(CENT_SCALE * CENT_SCALE))
         ).alias("variance"),
-        (F.col("numer").cast("double") / F.col("tot_numer")).alias("var_share"),
-        (F.col("cum_numer").cast("double") / F.col("tot_numer")).alias("cum_share"),
+        (F.col("numer").cast("double") / tot_nz).alias("var_share"),
+        (F.col("cum_numer").cast("double") / tot_nz).alias("cum_share"),
         pr.alias("participation_ratio"),
         (pr < F.lit(EMB_DIM / 2)).alias("is_anisotropic"),
     )

@@ -1287,12 +1287,12 @@ _ZIPF_Q = 1_000_000
         FROM fit
     )
     SELECT q.rank, q.token, q.n,
-           CAST(s.num AS DOUBLE) / s.dx AS zipf_slope,
+           CAST(s.num AS DOUBLE) / NULLIF(s.dx, 0) AS zipf_slope,
            CAST(CAST(s.num AS HUGEINT) * s.num AS DOUBLE)
-               / CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE) AS r2,
-           (CAST(s.num AS DOUBLE) / s.dx BETWEEN -1.5 AND -0.5)
+               / NULLIF(CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE), 0) AS r2,
+           (CAST(s.num AS DOUBLE) / NULLIF(s.dx, 0) BETWEEN -1.5 AND -0.5)
                AND CAST(CAST(s.num AS HUGEINT) * s.num AS DOUBLE)
-                   / CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE) > 0.9
+                   / NULLIF(CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE), 0) > 0.9
                AS is_zipfian
     FROM q CROSS JOIN stat s
     """,
@@ -1356,10 +1356,17 @@ def quality_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
         (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
     )
-    slope = F.col("num").cast("double") / F.col("dx")
+    # NULLIF on the denominators: a degenerate fit (constant x or y —
+    # e.g. a one-token vocabulary) must yield NULL on BOTH engines, not
+    # an ANSI DIVIDE_BY_ZERO on Spark vs NaN on DuckDB (the driver hands
+    # a bare ANSI-on session)
+    slope = F.col("num").cast("double") / F.nullif(F.col("dx"), F.lit(0))
     r2 = (
         (F.col("num").cast("decimal(38,0)") * F.col("num")).cast("double")
-        / (F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast("double")
+        / F.nullif(
+            (F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast("double"),
+            F.lit(0.0),
+        )
     )
     return q.crossJoin(F.broadcast(stat)).select(
         "rank", "token", "n",
@@ -1532,12 +1539,12 @@ HEAPS_Q = 10_000  # ln quantization (0.1 milli-nats): keeps the moment
         FROM fit
     )
     SELECT q.doc_id, q.n_tokens, q.n_new_types, q.cum_tokens, q.cum_vocab,
-           CAST(s.num AS DOUBLE) / s.dx AS heaps_beta,
+           CAST(s.num AS DOUBLE) / NULLIF(s.dx, 0) AS heaps_beta,
            CAST(CAST(s.num AS HUGEINT) * s.num AS DOUBLE)
-               / CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE) AS r2,
-           (CAST(s.num AS DOUBLE) / s.dx BETWEEN 0.3 AND 0.9)
+               / NULLIF(CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE), 0) AS r2,
+           (CAST(s.num AS DOUBLE) / NULLIF(s.dx, 0) BETWEEN 0.3 AND 0.9)
                AND CAST(CAST(s.num AS HUGEINT) * s.num AS DOUBLE)
-                   / CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE) > 0.9
+                   / NULLIF(CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE), 0) > 0.9
                AS is_heapsian
     FROM q CROSS JOIN stat s
     """,
@@ -1640,10 +1647,16 @@ def quality_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
         (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
     )
-    beta = F.col("num").cast("double") / F.col("dx")
+    # NULLIF guards: a degenerate fit (single doc, or a vocabulary
+    # saturated at doc 0 making cum_vocab constant) yields NULL on both
+    # engines instead of an ANSI DIVIDE_BY_ZERO / NaN divergence
+    beta = F.col("num").cast("double") / F.nullif(F.col("dx"), F.lit(0))
     r2 = (
         (F.col("num").cast("decimal(38,0)") * F.col("num")).cast("double")
-        / (F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast("double")
+        / F.nullif(
+            (F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast("double"),
+            F.lit(0.0),
+        )
     )
     return q.crossJoin(F.broadcast(stat)).select(
         "doc_id", "n_tokens", "n_new_types", "cum_tokens", "cum_vocab",
