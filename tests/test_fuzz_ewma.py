@@ -131,3 +131,56 @@ def test_ewma_unbounded_matches_reference(rows, spark, tmp_path_factory):
         for r in REGISTRY["timeseries_ewma_unbounded"].fn(spark, d).collect()
     }
     assert got == want
+
+
+def _write_documents_min(texts, dirpath):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["x"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(dirpath, "documents.parquet"),
+    )
+
+
+def test_heaps_law_degenerate_fit_is_null_on_both_engines(
+    spark, tmp_path_factory
+):
+    """A vocabulary saturated at doc 0 makes cum_vocab constant → the
+    Heaps covariance num and the R² denominator dy are exactly 0: beta
+    is 0/dx = 0.0, R² is 0/0 which the NULLIF guard turns into NULL on
+    BOTH engines (Spark's bare-session ANSI default would otherwise
+    raise DIVIDE_BY_ZERO while DuckDB returns NaN — a crash-vs-garbage
+    cross-engine split), and the verdict is FALSE (beta out of band AND
+    NULL → false). The curve columns stay populated and hash-match."""
+    import duckdb
+
+    from hyperloglog_pyspark_spark.registry import REGISTRY
+    from tests.helpers import canon_rows
+
+    d = str(tmp_path_factory.mktemp("heapsdegen"))
+    _write_documents_min(["a b c", "a b", "c a", "b c a"], d)
+    q = REGISTRY["quality_heaps_law"]
+    rows = q.fn(spark, d).collect()
+    assert all(
+        r["heaps_beta"] == 0.0 and r["r2"] is None and r["is_heapsian"] is False
+        for r in rows
+    )
+    assert [r["cum_vocab"] for r in sorted(rows, key=lambda r: r["doc_id"])] == [
+        3, 3, 3, 3
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    assert canon_rows(q.fn(spark, d).toPandas()) == canon_rows(
+        con.execute(q.oracle).df()
+    )
