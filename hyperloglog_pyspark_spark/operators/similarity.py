@@ -2462,36 +2462,49 @@ def sink_matryoshka_prefix_sidecar(spark: SparkSession, sf_dir: str) -> DataFram
     dim AS (
         SELECT i,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(e) AS BIGINT) AS s1,
-               CAST(SUM(e * e) AS BIGINT) AS s2
+               CAST(SUM(CAST(e AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(e AS HUGEINT) * e) AS HUGEINT) AS s2
         FROM el GROUP BY i
     ),
-    var AS (SELECT i, n, n * s2 - s1 * s1 AS numer FROM dim),
+    var AS (
+        SELECT i, n, CAST(n AS HUGEINT) * s2 - s1 * s1 AS numer FROM dim
+    ),
     tot AS (
-        SELECT CAST(SUM(numer) AS BIGINT) AS tot_numer,
-               SUM(CAST(numer AS HUGEINT) * numer) AS tot_sq
+        SELECT CAST(SUM(numer) AS HUGEINT) AS tot_numer,
+               CAST('1' || repeat('0',
+                    GREATEST(0, LENGTH(CAST(MAX(numer) AS VARCHAR)) - 14))
+                    AS HUGEINT) AS red_k
         FROM var
+    ),
+    pr AS (
+        SELECT CAST((2 * tot_red * tot_red * 1000000 + tot_sq_red)
+                    // (2 * NULLIF(tot_sq_red, 0)) AS BIGINT) AS pr_micro
+        FROM (
+            SELECT CAST(SUM(numer // red_k) AS HUGEINT) AS tot_red,
+                   CAST(SUM((numer // red_k) * (numer // red_k)) AS HUGEINT)
+                       AS tot_sq_red
+            FROM var CROSS JOIN tot
+        )
     ),
     ranked AS (
         SELECT i, n, numer,
                ROW_NUMBER() OVER (ORDER BY numer DESC, i) AS dim_rank,
                CAST(SUM(numer) OVER (ORDER BY numer DESC, i
-                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                     ROWS UNBOUNDED PRECEDING) AS HUGEINT)
                    AS cum_numer
         FROM var
     )
     SELECT CAST(dim_rank AS BIGINT) AS dim_rank,
            CAST(i - 1 AS INT) AS dim,
-           CAST(numer AS DOUBLE) / (n * n) / {CENT_SCALE * CENT_SCALE}
-               AS variance,
-           CAST(numer AS DOUBLE) / NULLIF(tot_numer, 0) AS var_share,
-           CAST(cum_numer AS DOUBLE) / NULLIF(tot_numer, 0) AS cum_share,
-           CAST(tot_numer AS DOUBLE) * CAST(tot_numer AS DOUBLE)
-               / NULLIF(CAST(tot_sq AS DOUBLE), 0) AS participation_ratio,
-           CAST(tot_numer AS DOUBLE) * CAST(tot_numer AS DOUBLE)
-               / NULLIF(CAST(tot_sq AS DOUBLE), 0) < {EMB_DIM / 2}
-               AS is_anisotropic
-    FROM ranked CROSS JOIN tot
+           CAST(numer AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+               / {CENT_SCALE * CENT_SCALE} AS variance,
+           CAST(numer AS DOUBLE) / NULLIF(CAST(tot_numer AS DOUBLE), 0)
+               AS var_share,
+           CAST(cum_numer AS DOUBLE) / NULLIF(CAST(tot_numer AS DOUBLE), 0)
+               AS cum_share,
+           CAST(pr_micro AS DOUBLE) / 1000000 AS participation_ratio,
+           pr_micro < {EMB_DIM * 500_000} AS is_anisotropic
+    FROM ranked CROSS JOIN tot CROSS JOIN pr
     """,
 )
 def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2506,13 +2519,22 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotation/prefix tricks have anything to bite on.
 
     Determinism: everything upstream of the output doubles is exact
-    BIGINT/HUGEINT arithmetic on milli-unit elements — per-dim variance
-    as the integer numerator n·Σe² − (Σe)² over denominator n², shares
-    as ratios of those integer numerators, the cumulative share from an
-    integer running sum (never a double window sum — segment-tree
-    re-association would diverge), and PR from exact integer totals with
-    the identical division shape on both engines. Each output double is
-    ONE division of bit-identical operands.
+    decimal(38,0)/HUGEINT arithmetic on milli-unit elements — per-dim
+    variance as the integer numerator n·Σe² − (Σe)² over denominator n²
+    (int64 would overflow that product at N ~ 3e6 embeddings; decimal
+    holds to N ~ 1e16), shares as ratios of those integer numerators,
+    the cumulative share from an integer running sum (never a double
+    window sum — segment-tree re-association would diverge). PR's
+    quadratic Σnumer² would need twice the digits, so the numers are
+    first reduced by a data-derived power of ten (string-length of the
+    max numer — no transcendental log10 at a power-of-ten boundary) to
+    < 1e14 each, keeping both PR operands inside 38 digits at ANY
+    corpus size, and PR itself is half-up-rounded to micro precision
+    in exact integer division — so the verdict compare is pure-integer
+    and the reported double is an exact small-int cast. Share/variance
+    doubles are ONE division of bit-identical operands (exact casts
+    below 2^53, i.e. every test SF; beyond that a last-ulp drift in a
+    monitor ratio, never a crash).
 
     Scale: one element-explode (n·d rows) collapsing map-side to d
     partial-agg rows; everything after is arithmetic on a d-row frame
@@ -2520,23 +2542,50 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the explode is the scan cost; d stays constant.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
     el = emb.select(F.posexplode(as_milli("embedding")).alias("i0", "e"))
     dim = el.groupBy((F.col("i0") + 1).alias("i")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("e").cast("long").alias("s1"),
-        F.sum(F.col("e") * F.col("e")).cast("long").alias("s2"),
+        F.sum(F.col("e").cast(dec)).cast(dec).alias("s1"),
+        F.sum((F.col("e") * F.col("e")).cast(dec)).cast(dec).alias("s2"),
     )
     var = dim.select(
         "i", "n",
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("numer"),
+        (F.col("n").cast(dec) * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast(dec).alias("numer"),
     )
     var = tracked_persist(var)
+    # red_k = 10^max(0, digits(max numer) − 14): reduces every numer
+    # below 1e14 so tot_red² and Σ numer_red² both fit decimal(38,0);
+    # built from the string length (exact) and a '1'||'0'*g literal
+    # (power(10, g) is a double above 1e22 and would round).
     tot = var.agg(
-        F.sum("numer").cast("long").alias("tot_numer"),
-        F.sum(
-            F.col("numer").cast("decimal(38,0)")
-            * F.col("numer").cast("decimal(38,0)")
-        ).alias("tot_sq"),
+        F.sum("numer").cast(dec).alias("tot_numer"),
+        F.max("numer").cast(dec).alias("max_numer"),
+    ).select(
+        "tot_numer",
+        F.expr(
+            "CAST(concat('1', repeat('0', greatest(0, "
+            "length(CAST(max_numer AS STRING)) - 14))) AS decimal(38,0))"
+        ).alias("red_k"),
+    )
+    pr_row = (
+        var.crossJoin(F.broadcast(tot))
+        .select(F.expr("numer div red_k").alias("numer_red"))
+        .agg(
+            F.sum(F.col("numer_red").cast(dec)).cast(dec).alias("tot_red"),
+            F.sum(F.col("numer_red").cast(dec) * F.col("numer_red"))
+            .cast(dec).alias("tot_sq_red"),
+        )
+        # half-up micro rounding in exact integer division: (2a·10⁶+d)
+        # div 2d; NULLIF keeps the zero-variance corpus NULL, not an
+        # ANSI DIVIDE_BY_ZERO (Spark) vs NaN (DuckDB) split
+        .select(
+            F.expr(
+                "(2 * tot_red * tot_red * 1000000 + tot_sq_red) div "
+                "(2 * nullif(tot_sq_red, 0))"
+            ).cast("long").alias("pr_micro")
+        )
     )
     w = Window.orderBy(F.col("numer").desc(), "i")
     ranked = var.select(
@@ -2544,26 +2593,25 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("dim_rank"),
         F.sum("numer").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).cast("long").alias("cum_numer"),
+        ).cast(dec).alias("cum_numer"),
     )
-    # NULLIF guards: an all-constant embedding corpus has zero total
-    # variance — NULL shares/PR on both engines, never an ANSI
-    # DIVIDE_BY_ZERO (Spark, bare driver session) vs NaN (DuckDB) split
-    tot_nz = F.nullif(F.col("tot_numer"), F.lit(0))
-    pr = (
-        F.col("tot_numer").cast("double") * F.col("tot_numer").cast("double")
-        / F.nullif(F.col("tot_sq").cast("double"), F.lit(0.0))
-    )
-    return ranked.crossJoin(F.broadcast(tot)).select(
-        F.col("dim_rank").cast("long").alias("dim_rank"),
-        (F.col("i") - 1).cast("int").alias("dim"),
-        (
-            F.col("numer").cast("double")
-            / (F.col("n") * F.col("n"))
-            / F.lit(float(CENT_SCALE * CENT_SCALE))
-        ).alias("variance"),
-        (F.col("numer").cast("double") / tot_nz).alias("var_share"),
-        (F.col("cum_numer").cast("double") / tot_nz).alias("cum_share"),
-        pr.alias("participation_ratio"),
-        (pr < F.lit(EMB_DIM / 2)).alias("is_anisotropic"),
+    tot_nz = F.nullif(F.col("tot_numer").cast("double"), F.lit(0.0))
+    return (
+        ranked.crossJoin(F.broadcast(tot.select("tot_numer")))
+        .crossJoin(F.broadcast(pr_row))
+        .select(
+            F.col("dim_rank").cast("long").alias("dim_rank"),
+            (F.col("i") - 1).cast("int").alias("dim"),
+            (
+                F.col("numer").cast("double")
+                / (F.col("n").cast("double") * F.col("n"))
+                / F.lit(float(CENT_SCALE * CENT_SCALE))
+            ).alias("variance"),
+            (F.col("numer").cast("double") / tot_nz).alias("var_share"),
+            (F.col("cum_numer").cast("double") / tot_nz).alias("cum_share"),
+            (F.col("pr_micro").cast("double") / F.lit(1_000_000.0))
+            .alias("participation_ratio"),
+            (F.col("pr_micro") < F.lit(EMB_DIM * 500_000))
+            .alias("is_anisotropic"),
+        )
     )

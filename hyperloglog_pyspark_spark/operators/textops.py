@@ -1273,11 +1273,12 @@ _ZIPF_Q = 1_000_000
         FROM ranked
     ),
     fit AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS k,
-               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(y * y) AS BIGINT) AS syy
+        SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
         FROM q
     ),
     stat AS (
@@ -1287,12 +1288,13 @@ _ZIPF_Q = 1_000_000
         FROM fit
     )
     SELECT q.rank, q.token, q.n,
-           CAST(s.num AS DOUBLE) / NULLIF(s.dx, 0) AS zipf_slope,
-           CAST(CAST(s.num AS HUGEINT) * s.num AS DOUBLE)
-               / NULLIF(CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE), 0) AS r2,
-           (CAST(s.num AS DOUBLE) / NULLIF(s.dx, 0) BETWEEN -1.5 AND -0.5)
-               AND CAST(CAST(s.num AS HUGEINT) * s.num AS DOUBLE)
-                   / NULLIF(CAST(CAST(s.dx AS HUGEINT) * s.dy AS DOUBLE), 0) > 0.9
+           CAST(s.num AS DOUBLE) / NULLIF(CAST(s.dx AS DOUBLE), 0) AS zipf_slope,
+           (CAST(s.num AS DOUBLE) * CAST(s.num AS DOUBLE))
+               / NULLIF(CAST(s.dx AS DOUBLE) * CAST(s.dy AS DOUBLE), 0) AS r2,
+           (CAST(s.num AS DOUBLE) / NULLIF(CAST(s.dx AS DOUBLE), 0)
+                BETWEEN -1.5 AND -0.5)
+               AND (CAST(s.num AS DOUBLE) * CAST(s.num AS DOUBLE))
+                   / NULLIF(CAST(s.dx AS DOUBLE) * CAST(s.dy AS DOUBLE), 0) > 0.9
                AS is_zipfian
     FROM q CROSS JOIN stat s
     """,
@@ -1309,12 +1311,13 @@ def quality_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit exists to raise.
 
     Determinism: ln() is the only transcendental — applied once per
-    value and immediately quantized to exact BIGINT micro-units, so the
-    regression moments Σx, Σy, Σxy, Σx², Σy² are exact integer sums
-    (association-independent on both engines; a double SUM would be at
-    the mercy of partial-agg order). Slope and R² are single divisions
-    of bit-identical integer-derived operands (the micro-unit scale
-    cancels in both ratios).
+    value and immediately quantized to exact BIGINT micro-units; the
+    regression moments Σx, Σy, Σxy, Σx², Σy² and the stat products
+    k·Σxx − Σx² accumulate in decimal(38,0) (DuckDB HUGEINT) so they
+    stay exact through |V| ~ 1e7 (int64 would overflow at |V| ~ 600;
+    a double SUM would be at the mercy of partial-agg order). Slope
+    and R² are double ratios of those bit-identical exact operands
+    (the micro-unit scale cancels in both ratios).
 
     Scale: explode → vocabulary-sized count agg (map-side combine does
     the heavy lift); ranking, quantized logs, and the moment agg all run
@@ -1343,30 +1346,38 @@ def quality_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("y"),
         )
     )
+    # Moments and stat products in decimal(38,0) (DuckDB: HUGEINT): with
+    # micro-unit logs, k*sxx ~ |V|^2 * 1e12 * ln^2|V| blows past int64
+    # at |V| ~ 600 — decimal keeps the docstring's 1e5-1e7 vocab exact
+    # (k*sxx <= ~3e28 at |V|=1e7, well inside 38 digits).
+    dec = "decimal(38,0)"
     fit = q.agg(
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).alias("syy"),
     )
     stat = fit.select(
-        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
-        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
-        (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast(dec).alias("num"),
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast(dec).alias("dx"),
+        (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast(dec).alias("dy"),
     )
     # NULLIF on the denominators: a degenerate fit (constant x or y —
     # e.g. a one-token vocabulary) must yield NULL on BOTH engines, not
     # an ANSI DIVIDE_BY_ZERO on Spark vs NaN on DuckDB (the driver hands
-    # a bare ANSI-on session)
-    slope = F.col("num").cast("double") / F.nullif(F.col("dx"), F.lit(0))
-    r2 = (
-        (F.col("num").cast("decimal(38,0)") * F.col("num")).cast("double")
-        / F.nullif(
-            (F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast("double"),
-            F.lit(0.0),
-        )
+    # a bare ANSI-on session). num^2 would need 57 digits at |V|=1e7, so
+    # r2 squares in double AFTER the exact-decimal operands are fixed
+    # (dec->double is exact below 2^53 — every test SF — and a half-ulp
+    # of a monitor ratio beyond that).
+    numd = F.col("num").cast("double")
+    slope = numd / F.nullif(F.col("dx").cast("double"), F.lit(0.0))
+    r2 = (numd * numd) / F.nullif(
+        F.col("dx").cast("double") * F.col("dy").cast("double"), F.lit(0.0)
     )
     return q.crossJoin(F.broadcast(stat)).select(
         "rank", "token", "n",

@@ -175,6 +175,57 @@ def test_zipf_audit_matches_reference(texts, spark, tmp_path_factory):
     assert got == want
 
 
+def test_zipf_audit_survives_large_vocab(spark, tmp_path_factory):
+    """|V| = 3000 pushes the k·Σx² stat product to ~6e20 — past int64
+    (which the pre-r13 BIGINT moments overflowed at |V| ~ 600) — so this
+    pins the decimal(38,0)/HUGEINT fix on BOTH engines: Spark against
+    the pure-Python big-int replay (12-dp), and Spark against the DuckDB
+    oracle (rel-tol floats: the stat operands exceed 2^53 here, so the
+    dec→double casts may legitimately differ by a half-ulp)."""
+    import random
+
+    import duckdb
+
+    from hyperloglog_pyspark_spark.registry import oracle_sql
+
+    d = str(tmp_path_factory.mktemp("zipfbig"))
+    toks = []
+    for i in range(3000):
+        toks.extend([f"tok{i:05d}"] * max(1, 3000 // (i + 1)))
+    random.Random(13).shuffle(toks)
+    per = (len(toks) + 49) // 50
+    texts = [" ".join(toks[i * per:(i + 1) * per]) for i in range(50)]
+    texts = [t for t in texts if t]
+    _write_documents(texts, d)
+
+    want = _reference_zipf(texts)
+    rows = REGISTRY["quality_zipf_audit"].fn(spark, d).collect()
+    assert len(rows) == len(want) == 3000
+    for r in rows:
+        tok, n, slope, r2, zipfian = want[r["rank"]]
+        assert (r["token"], r["n"]) == (tok, n)
+        assert round(r["zipf_slope"], 12) == round(slope, 12)
+        assert round(r["r2"], 12) == round(r2, 12)
+        assert r["is_zipfian"] == zipfian
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    duck = {
+        row[0]: row
+        for row in con.execute(oracle_sql()["quality_zipf_audit"]).fetchall()
+    }
+    assert len(duck) == 3000
+    for r in rows[:50] + rows[-50:]:
+        drank, dtok, dn, dslope, dr2, dzipf = duck[r["rank"]]
+        assert (dtok, dn) == (r["token"], r["n"])
+        assert math.isclose(dslope, r["zipf_slope"], rel_tol=1e-12)
+        assert math.isclose(dr2, r["r2"], rel_tol=1e-12)
+        assert dzipf == r["is_zipfian"]
+
+
 @given(texts=corpora())
 @settings(
     max_examples=10,

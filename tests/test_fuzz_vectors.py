@@ -215,3 +215,54 @@ def test_matryoshka_refine_beats_coarse_only(spark, sf_dir):
     assert int(rec.n_hits.min()) >= 1
     refined_hits = int(rec.n_hits.sum())
     assert coarse_hits < refined_hits, f"{coarse_hits} !< {refined_hits}"
+
+
+def test_anisotropy_survives_large_magnitude_corpus(spark, tmp_path_factory):
+    """Regression for the r13 overflow fix: elements at 1e6 units (1e9
+    milli-units) push n·Σe² to ~1e24 — past int64, which the pre-r13
+    BIGINT moments crashed on at N ~ 3e6 rows or, as here, at ANY row
+    count once magnitudes grow — while a tight spread keeps the variance
+    numerator < 2^53, so the decimal(38,0)/HUGEINT pipeline must agree
+    bit-for-bit across engines (strict helpers.compare, no tolerance).
+    Also exercises the reduction: numer digits stay <= 14 so red_k = 1,
+    and the huge-s1/s2 path is the part int64 could never hold."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyperloglog_pyspark_spark.registry import REGISTRY, oracle_sql, queries
+
+    queries()
+    d = str(tmp_path_factory.mktemp("anisobig"))
+    rng = np.random.default_rng(13)
+    n, dim = 1000, 64
+    # 1e6 base + jitter in exact-float32 steps of 0.125 (ulp @1e6 = 0.0625)
+    vecs = (1e6 + rng.integers(-4, 5, size=(n, dim)) * 0.125).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v for v in vecs.tolist()], pa.list_(pa.float32())
+                ),
+                "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    from tests.helpers import compare
+
+    compare(
+        REGISTRY["embedding_anisotropy_report"].fn(spark, d),
+        con,
+        oracle_sql()["embedding_anisotropy_report"],
+        "anisotropy_large_magnitude",
+    )
