@@ -1074,6 +1074,9 @@ def _sketch_store_dir(sf_dir: str) -> str:
 
     h = hashlib.sha256()
     h.update(os.path.realpath(sf_dir).encode() + b"\0")
+    # events.parquet may be a single file (this testdata) or a directory
+    # of part files — os.stat covers both (a directory's mtime advances
+    # on any part add/remove, which is the invalidation we want)
     ev = os.path.join(sf_dir, "events.parquet")
     st = os.stat(ev)
     h.update(f"{st.st_size}:{st.st_mtime_ns}".encode() + b"\0")
@@ -1142,8 +1145,15 @@ def sink_hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_path = os.path.join(base, "sketches")
     done = os.path.join(base, "_DONE")
     if not os.path.exists(done):
-        shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(base, exist_ok=True)
+        # Build into a private staging dir and promote with ONE atomic
+        # os.rename: a concurrent session keyed to the same content can
+        # never read a half-written store or interleave its appends with
+        # ours (the pre-r13 check-rmtree-write-mark sequence could
+        # duplicate (event_type, day) rows under that race).
+        import uuid
+
+        stage = f"{base}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(stage)
         # epoch split is a pure function of the day (deterministic on
         # any corpus): roughly 3/4 of days build the base, the rest
         # arrive as the append increment
@@ -1156,10 +1166,25 @@ def sink_hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("epoch", F.lit(epoch))
                 .repartition(1)
                 .write.mode("append")
-                .parquet(store_path)
+                .parquet(os.path.join(stage, "sketches"))
             )
-        with open(done, "w") as f:
+        with open(os.path.join(stage, "_DONE"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(stage, base)
+        except OSError:
+            if os.path.exists(done):
+                # a concurrent session promoted an identical build
+                # (content-keyed path) first — serve theirs
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                # stale partial dir from a crashed pre-r13 build (it was
+                # never promoted, so no _DONE): clear it and retry once
+                shutil.rmtree(base, ignore_errors=True)
+                try:
+                    os.rename(stage, base)
+                except OSError:
+                    shutil.rmtree(stage, ignore_errors=True)
 
     # ---- serve from the persisted store only ----
     stored = (

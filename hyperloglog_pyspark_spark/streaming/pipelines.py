@@ -722,8 +722,11 @@ class EwmaTracker(StatefulProcessor):
     DECIMAL headroom) and timeseries_ewma_unbounded (chunked
     renormalization). The exact s_t needs t bits, so bounded state
     REQUIRES quantization: s is held in integer micro-units and
-    half-up-rounded after every halving step ((u + s + 1) >> 1, exact
-    for half-integer midpoints of any sign). Each step's rounding error
+    half-AWAY-FROM-ZERO-rounded after every halving step (sign-aware
+    shift: (t+1) >> 1 for t ≥ 0, −((1−t) >> 1) below — the repo-wide
+    rounding discipline of _half_up_units / F.round HALF_UP; a bare
+    (t+1) >> 1 would round the −1.5 midpoint to −1, toward +∞).
+    Each step's rounding error
     is ≤ 0.5 micro-units and is itself halved by every later step, so
     the drift from the exact real-valued recursion stays under 1
     micro-unit at ANY stream length — the same magnitude-vs-boundedness
@@ -751,7 +754,11 @@ class EwmaTracker(StatefulProcessor):
             v = np.empty(0)
         for u in _half_up_units(v, 1_000_000):
             u = int(u)
-            s = u if n_obs == 0 else (u + s + 1) >> 1
+            if n_obs == 0:
+                s = u
+            else:
+                t = u + s
+                s = (t + 1) >> 1 if t >= 0 else -((1 - t) >> 1)
             n_obs += 1
         self._st.update((s, n_obs))
         yield pd.DataFrame(
@@ -783,3 +790,57 @@ def ewma_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def sketch_store_epoch_writer(store_path: str):
+    """foreachBatch body for ``sketch_store_stream`` — exposed separately
+    so tests can re-deliver a micro-batch by hand and assert the
+    idempotent-commit contract directly.
+
+    Each micro-batch collapses to per-(event_type, day) HLL sketches
+    (lg_k matched to the batch store, operators/sketch.py::LG_K) and is
+    committed as ONE immutable epoch directory keyed by the Structured
+    Streaming batch_id: ``<store>/epoch=<batch_id>``, written with
+    mode("overwrite") of that directory only — the same per-batch-id
+    partition-overwrite discipline as the idempotent file-sink test.
+    After a crash between the write and the checkpoint advancing, the
+    engine REPLAYS the batch under the SAME batch_id, so the retry
+    replaces its own epoch instead of appending a duplicate. HLL union
+    being idempotent (register max) would protect the ESTIMATES from a
+    duplicate epoch anyway, but the store's row grain (epoch counts,
+    files-per-cell) would silently drift — the overwrite commit protects
+    both."""
+    from hyperloglog_pyspark_spark.operators.sketch import LG_K
+
+    def write_epoch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.groupBy(
+                "event_type",
+                F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            )
+            .agg(
+                F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(LG_K))
+                .alias("sk")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/epoch={batch_id}")
+        )
+
+    return write_epoch
+
+
+def sketch_store_stream(events: DataFrame, store_path: str):
+    """Streaming twin of sink_hll_sketch_store's build phase: the batch
+    operator freezes day-ranged epochs once; this form grows the SAME
+    store shape one epoch per micro-batch, unbounded, with exactly-once
+    file commits (see sketch_store_epoch_writer). Serving is identical
+    for both: read every epoch, register-max merge with hll_union_agg —
+    sketch(A ∪ B) = merge(sketch(A), sketch(B)) makes the batch/stream
+    split invisible to the estimate (the parity test pins the stores'
+    register states equal via their canonicalized union estimates; raw
+    sketch bytes differ by build path — HIP header — even when the
+    registers agree). State lives in the store files, not
+    the streaming engine: O(1) engine state regardless of stream length,
+    the sketch-store analogue of EwmaTracker's bounded-state contract."""
+    return events.writeStream.foreachBatch(sketch_store_epoch_writer(store_path))

@@ -1821,6 +1821,11 @@ def test_ewma_tracker_processor_contract():
         [400.0, 900.0, 50.0],
         [1200.0, None, None, 10.0],       # nulls are SKIPPED, not zero
         [10.0, 10.0],
+        # negative half-integer midpoints: u=-1 then u=-2 puts the fold
+        # at t=-3 → -1.5, where half-away-from-zero (-2, the repo
+        # discipline) differs from a bare (t+1)>>1 shift (-1, toward
+        # +inf); the mixed-sign pair walks the state back across zero
+        [-0.000001, -0.000002, 0.000005, -0.000008],
         [123.456789] * 40,                 # long run: drift must stay bounded
     ]
     t = 0
@@ -1839,7 +1844,13 @@ def test_ewma_tracker_processor_contract():
             if v is None:
                 continue
             u = int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
-            s_i = u if n == 0 else (u + s_i + 1) >> 1
+            if n == 0:
+                s_i = u
+            else:
+                # half-away-from-zero replay in a DIFFERENT formulation
+                # (copysign/floordiv, not the processor's shifts)
+                t_ = u + s_i
+                s_i = int(math.copysign((abs(t_) + 1) // 2, t_)) if t_ else 0
             n += 1
             fv = Fraction(v).limit_denominator(10**9)
             s_x = fv if s_x is None else (fv + s_x) / 2
@@ -1868,3 +1879,79 @@ def test_ewma_tracker_processor_contract():
     assert last.ewma == s_i / 1e6, "must equal the integer replay exactly"
     drift = abs(last.ewma - float(s_x))
     assert drift < 1e-6, f"quantization drift {drift} exceeds the documented bound"
+
+
+def test_sketch_store_stream_matches_batch(spark, event_batches, tmp_path):
+    """Streaming twin of sink_hll_sketch_store: the store grown one
+    epoch per micro-batch, then a HAND-RE-DELIVERED micro-batch 0 (the
+    crash-between-write-and-checkpoint retry), must equal the store
+    built from the batch table in one pass — register-for-register: both
+    sides canonicalize through hll_union_agg (dropping the HIP history,
+    whose serialized header differs by build path even when registers
+    are equal), so the union ESTIMATE is a deterministic function of the
+    full register array alone and exact equality at 4 dp pins the
+    register states equal; the epoch grain shows exactly one surviving
+    epoch row per (cell, batch) despite the re-delivery."""
+    ev, first, second, src, ckpt = event_batches
+    from hyperloglog_pyspark_spark.operators.sketch import LG_K
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        read_events_stream,
+        sketch_store_epoch_writer,
+        sketch_store_stream,
+    )
+
+    store = str(tmp_path / "sketch_store")
+    _write_batch(spark, first, src)
+    _write_batch(spark, second, src)
+    q = (
+        sketch_store_stream(read_events_stream(spark, src), store)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # re-deliver micro-batch 0 under the same batch_id: the idempotent
+    # epoch commit must REPLACE epoch=0, not append a duplicate
+    sketch_store_epoch_writer(store)(first, 0)
+
+    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
+    stored = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")), 4)
+            .alias("est"),
+            F.count(F.lit(1)).cast("long").alias("n_epochs"),
+        )
+    )
+    direct = (
+        ev.groupBy("event_type", day)
+        .agg(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(LG_K))
+            .alias("sk")
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")), 4)
+            .alias("est"),
+        )
+    )
+    got = {
+        (r["event_type"], str(r["day"])): r
+        for r in stored.collect()
+    }
+    want = {
+        (r["event_type"], str(r["day"])): r
+        for r in direct.collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["est"] == w["est"], f"register-state mismatch at {k}"
+        # each (event_type, day) seen in <= 2 micro-batches; re-delivery
+        # of batch 0 must not have added a third epoch row
+        assert g["n_epochs"] <= 2, k
