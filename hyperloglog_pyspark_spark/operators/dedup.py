@@ -76,6 +76,117 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ccnet_normalize(col: str | Column) -> Column:
+    """CCNet-style text canonicalization before the exact-dedup digest:
+    casefold, collapse every punctuation/whitespace run to one space,
+    trim. Catches trivially-reformatted copies (case flips, padding,
+    punctuation swaps) that a raw-byte digest misses and MinHash would
+    otherwise spend signatures on. ASCII character class so Spark and
+    DuckDB regex engines agree byte-for-byte (the corpus is ASCII; a
+    unicode corpus would pin \\p{{...}} classes on both engines first)."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+@register(
+    "dedup_normalized_exact",
+    category="dedup",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(text) AS raw_key,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS norm_key
+        FROM documents
+    ),
+    r AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS raw_groups,
+               CAST(SUM(cnt - 1) AS BIGINT) AS raw_dropped,
+               CAST(SUM(tok_total - tok_keep) AS BIGINT) AS raw_tokens_reclaimed
+        FROM (SELECT raw_key, COUNT(*) AS cnt,
+                     SUM(n_tokens) AS tok_total,
+                     arg_min(n_tokens, doc_id) AS tok_keep
+              FROM base GROUP BY raw_key)
+    ),
+    n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS norm_groups,
+               CAST(SUM(cnt - 1) AS BIGINT) AS norm_dropped,
+               CAST(SUM(tok_total - tok_keep) AS BIGINT) AS norm_tokens_reclaimed
+        FROM (SELECT norm_key, COUNT(*) AS cnt,
+                     SUM(n_tokens) AS tok_total,
+                     arg_min(n_tokens, doc_id) AS tok_keep
+              FROM base GROUP BY norm_key)
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM base)
+    SELECT n_docs, raw_groups, raw_dropped, raw_tokens_reclaimed,
+           norm_groups, norm_dropped, norm_tokens_reclaimed,
+           norm_dropped - raw_dropped AS extra_dropped,
+           norm_tokens_reclaimed - raw_tokens_reclaimed
+               AS extra_tokens_reclaimed
+    FROM t CROSS JOIN r CROSS JOIN n
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-key exact dedup (the CCNet preprocessing step): digest
+    the CANONICALIZED text — casefold + punctuation/whitespace collapse,
+    ``ccnet_normalize`` — next to the raw-byte digest, dedup on each with
+    the min-doc_id survivor rule, and report the reclaimed-tokens delta:
+    how many extra duplicate docs (and their tokens) the normalization
+    catches that the raw digest misses. On real crawls this delta is the
+    cheap win that keeps MinHash signatures for GENUINE near-dups; on
+    this synthetic corpus it is an honest zero (no case/punct variants
+    exist — pinned non-zero on a reformatted-copies fixture in
+    tests/test_fuzz_dedup.py).
+
+    Determinism: keys are md5 digests, survivor tokens via min_by on the
+    unique doc_id — no dropDuplicates partition-order dependence; every
+    output is an exact BIGINT.
+
+    Scale: ONE corpus scan projecting (doc_id, n_tokens, two digests) —
+    persisted so the two key-grouped aggregations reuse it — then two
+    digest-keyed shuffles of thin rows (32-char key + two longs) and a
+    scalar crossJoin. Bucketing the store by digest makes the heavy one
+    shuffle-free; the reduce output is 2 rows per group key, metadata
+    scale at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = tracked_persist(
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.md5("text").alias("raw_key"),
+            F.md5(ccnet_normalize("text")).alias("norm_key"),
+        )
+    )
+
+    def _summary(key: str, prefix: str) -> DataFrame:
+        g = base.groupBy(key).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_tokens").alias("tok_total"),
+            F.min_by("n_tokens", "doc_id").alias("tok_keep"),
+        )
+        return g.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}_groups"),
+            F.sum(F.col("cnt") - 1).cast("long").alias(f"{prefix}_dropped"),
+            F.sum(F.col("tok_total") - F.col("tok_keep")).cast("long")
+            .alias(f"{prefix}_tokens_reclaimed"),
+        )
+
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        tot.crossJoin(F.broadcast(_summary("raw_key", "raw")))
+        .crossJoin(F.broadcast(_summary("norm_key", "norm")))
+        .select(
+            "n_docs", "raw_groups", "raw_dropped", "raw_tokens_reclaimed",
+            "norm_groups", "norm_dropped", "norm_tokens_reclaimed",
+            (F.col("norm_dropped") - F.col("raw_dropped"))
+            .alias("extra_dropped"),
+            (F.col("norm_tokens_reclaimed") - F.col("raw_tokens_reclaimed"))
+            .alias("extra_tokens_reclaimed"),
+        )
+    )
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     return (

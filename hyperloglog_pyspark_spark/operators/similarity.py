@@ -2094,6 +2094,248 @@ def sink_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN index staleness → rebuild policy ---------------------------------
+# vec_id % 7 classes arriving as append epochs: 100 is coprime to 7, so
+# the N_CENT_MOD centroid seeds are spread across ALL classes and the
+# frozen (base-trained) coarse quantizer genuinely differs from a
+# rebuild on the grown corpus — unlike the % 10 split of
+# sink_ann_index_append, where every seed is a base vector by
+# construction and the two quantizers coincide.
+REBUILD_EPOCH_MODS = (1, 4)
+REBUILD_T_PCT = 95  # page when appended recall < 95% of rebuilt recall
+
+
+def _rebuild_stage_sql(tag: str, epoch: int, cpred: str, rpred: str) -> str:
+    """One stage's oracle CTEs: corpus under ``cpred``, exact top-k
+    ground truth, and two exact-scored IVF probe legs — the FROZEN
+    quantizer (a: base-class seeds) vs the REBUILT one (r: ``rpred``
+    seeds) — reduced to a single counts row."""
+    legs = ""
+    for leg, qpred in (("a", f"m7 NOT IN {REBUILD_EPOCH_MODS}"), ("r", rpred)):
+        legs += f""",
+    {tag}{leg}cent AS (SELECT vec_id AS cent_id, e AS ce FROM rseeds WHERE {qpred}),
+    {tag}{leg}assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT v.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round(list_dot_product(v.e, c.ce), 4) DESC,
+                                c.cent_id) AS rn
+            FROM {tag}corp v CROSS JOIN {tag}{leg}cent c) WHERE rn = 1
+    ),
+    {tag}{leg}probe AS (
+        SELECT query_id, cent_id FROM (
+            SELECT q.query_id, c.cent_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(q.qe, c.ce), 4) DESC,
+                                c.cent_id) AS rn
+            FROM rq q CROSS JOIN {tag}{leg}cent c) WHERE rn <= {N_PROBES}
+    ),
+    {tag}{leg}topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY round(list_cosine_similarity(q.qe, v.e), 4) DESC,
+                                a.vec_id) AS rn
+            FROM {tag}{leg}probe p
+            JOIN {tag}{leg}assign a ON a.cent_id = p.cent_id
+                                   AND a.vec_id <> p.query_id
+            JOIN {tag}corp v ON v.vec_id = a.vec_id
+            JOIN rq q ON q.query_id = p.query_id
+        ) WHERE rn <= {TOP_K}
+    )"""
+    return f""",
+    {tag}corp AS (SELECT vec_id, e FROM remb WHERE {cpred}),
+    {tag}gt AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qe, c.e), 4) DESC,
+                                c.vec_id) AS rn
+            FROM rq q JOIN {tag}corp c ON c.vec_id <> q.query_id
+        ) WHERE rn <= {TOP_K}
+    ){legs},
+    {tag}row AS (
+        SELECT {epoch} AS epoch,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {tag}gt) AS n_exact,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {tag}gt g
+                JOIN {tag}atopk h USING (query_id, vec_id)) AS hits_appended,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {tag}gt g
+                JOIN {tag}rtopk h USING (query_id, vec_id)) AS hits_rebuilt
+    )"""
+
+
+_REBUILD_ORACLE = f"""
+    WITH remb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e, vec_id % 7 AS m7
+        FROM embeddings
+    ),
+    rseeds AS (SELECT vec_id, e, m7 FROM remb WHERE vec_id % {N_CENT_MOD} = 0),
+    rq AS (SELECT vec_id AS query_id, e AS qe FROM remb WHERE vec_id < {N_QUERIES})
+    {_rebuild_stage_sql("s0", 0, "m7 NOT IN (1, 4)", "m7 NOT IN (1, 4)")}
+    {_rebuild_stage_sql("s1", 1, "m7 NOT IN (4)", "m7 NOT IN (4)")}
+    {_rebuild_stage_sql("s2", 2, "TRUE", "TRUE")}
+    SELECT epoch, n_exact, hits_appended, hits_rebuilt,
+           CAST(round(hits_appended * 1.0 / NULLIF(n_exact, 0), 6) AS DOUBLE)
+               AS recall_appended,
+           CAST(round(hits_rebuilt * 1.0 / NULLIF(n_exact, 0), 6) AS DOUBLE)
+               AS recall_rebuilt,
+           hits_appended * 100 < {REBUILD_T_PCT} * hits_rebuilt
+               AS rebuild_needed
+    FROM (SELECT * FROM s0row UNION ALL
+          SELECT * FROM s1row UNION ALL
+          SELECT * FROM s2row)
+    """
+
+
+@register(
+    "ann_rebuild_policy",
+    category="similarity",
+    bench=True,
+    oracle=_REBUILD_ORACLE,
+)
+def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness monitor — the decision layer between
+    sink_ann_index_append (add between retrains) and a fresh rebuild:
+    per append epoch, recall@{TOP_K} of serving on the FROZEN base
+    coarse quantizer vs serving on a quantizer REBUILT on the grown
+    corpus, both against that epoch's exact brute-force ground truth,
+    with a rebuild_needed verdict when appended recall drops below
+    {REBUILD_T_PCT}% of rebuilt recall. This is the FAISS
+    add-then-retrain discipline made measurable: add_with_ids between
+    retrains is cheap but the coarse geometry goes stale as the corpus
+    distribution drifts, and the published guidance (FAISS wiki,
+    "index factory" / IVF retraining notes) is to retrain when held-out
+    recall degrades — this operator IS that held-out check, the page a
+    100 TB vector store sets on its serving tier.
+
+    Both legs serve identically — probe {N_PROBES} cells, exact-score
+    the probed candidates — so the ONLY difference is quantizer
+    geometry: staleness is isolated from PQ quantization noise, and
+    every count is an exact integer (hit sets from md5-free rounded-dot
+    rankings with pinned tie-breaks; the verdict compare is
+    cross-multiplied integers, no division). On this isotropic
+    synthetic corpus the frozen quantizer's missing cells sometimes
+    HELP (fewer, larger cells ⇒ wider probes), so epochs can report
+    rebuild_needed = false honestly — the operator reports geometry
+    drift, it does not presume it.
+
+    Scale: ground truth is |Q|·N per epoch on the {N_QUERIES}-query
+    audit sample (the sampled-recall monitoring pattern of
+    similarity_recall_report); quantizer legs are corpus × #cells
+    broadcast dots. At 100 TB the audit sample stays constant-size, the
+    assignments are the index's own maintenance byproducts, and the
+    monitor costs a scan — not a rebuild, which is exactly the spend
+    it gates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tracked_persist(
+        emb.select(
+            "vec_id",
+            as_double("embedding").alias("e"),
+            (F.col("vec_id") % 7).alias("m7"),
+        )
+    )
+    seeds = base.filter(F.col("vec_id") % N_CENT_MOD == 0)
+    qs = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    frozen = ~F.col("m7").isin(*REBUILD_EPOCH_MODS)
+
+    def ivf_topk(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+        c = F.broadcast(
+            cents.select(F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"))
+        )
+        assign = (
+            corpus.crossJoin(c)
+            .select(
+                "vec_id", "cent_id",
+                (-F.round(dot(F.col("e"), F.col("ce")), 4)).alias("ns"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("ns", "cent_id")).alias("b"))
+            .select("vec_id", F.col("b.cent_id").alias("cent_id"))
+        )
+        wq = Window.partitionBy("query_id").orderBy("ns", "cent_id")
+        probe = (
+            qs.crossJoin(c)
+            .select(
+                "query_id", "cent_id",
+                (-F.round(dot(F.col("qe"), F.col("ce")), 4)).alias("ns"),
+            )
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= N_PROBES)
+            .select("query_id", "cent_id")
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), "vec_id"
+        )
+        return (
+            probe.join(assign, "cent_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .join(corpus.select("vec_id", F.col("e").alias("ce")), "vec_id")
+            .join(F.broadcast(qs), "query_id")
+            .select(
+                "query_id", "vec_id",
+                cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    def exact_topk(corpus: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+        return (
+            F.broadcast(qs)
+            .join(
+                corpus.select("vec_id", F.col("e").alias("ce")),
+                F.col("vec_id") != F.col("query_id"),
+            )
+            .select(
+                "query_id", "vec_id",
+                cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    stages = [
+        (0, ~F.col("m7").isin(1, 4), ~F.col("m7").isin(1, 4)),
+        (1, ~F.col("m7").isin(4), ~F.col("m7").isin(4)),
+        (2, F.lit(True), F.lit(True)),
+    ]
+    out = None
+    for epoch, cpred, rpred in stages:
+        corpus = base.filter(cpred)
+        gt = tracked_persist(exact_topk(corpus))
+        hits_a = gt.join(ivf_topk(corpus, seeds.filter(frozen)),
+                         ["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("hits_appended")
+        )
+        hits_r = gt.join(ivf_topk(corpus, seeds.filter(rpred)),
+                         ["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("hits_rebuilt")
+        )
+        row = (
+            gt.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+            .crossJoin(hits_a)
+            .crossJoin(hits_r)
+            .select(F.lit(epoch).cast("int").alias("epoch"), "*")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "epoch", "n_exact", "hits_appended", "hits_rebuilt",
+        F.round(
+            F.col("hits_appended") * 1.0 / F.nullif(F.col("n_exact"), F.lit(0)), 6
+        ).cast("double").alias("recall_appended"),
+        F.round(
+            F.col("hits_rebuilt") * 1.0 / F.nullif(F.col("n_exact"), F.lit(0)), 6
+        ).cast("double").alias("recall_rebuilt"),
+        (F.col("hits_appended") * 100 < F.lit(REBUILD_T_PCT) * F.col("hits_rebuilt"))
+        .alias("rebuild_needed"),
+    )
+
+
 RERANK_C = 30  # ADC shortlist depth the exact refine stage re-scores
 
 

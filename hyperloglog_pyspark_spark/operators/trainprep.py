@@ -515,6 +515,180 @@ def mixture_budget_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style per-source share cap: no single source may exceed this
+# percent of the KEPT token mixture (not of the raw corpus — capping
+# against the raw total lets a dominant source still dominate what
+# remains). 5% sits just under this corpus's ~5.3-5.9% top shares, so
+# the cap-and-redistribute fixpoint actually executes at every SF.
+SRC_CAP_PCT = 5
+
+
+@register(
+    "mixture_source_share_cap",
+    category="trainprep",
+    oracle=f"""
+    WITH st AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(toks) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_src,
+               CAST(MIN(toks) AS BIGINT) AS min_toks
+        FROM st
+    ),
+    ranked AS (
+        SELECT source, n_docs, toks,
+               ROW_NUMBER() OVER (ORDER BY toks DESC, source) AS r,
+               CAST(SUM(toks) OVER (ORDER BY toks DESC, source
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS pfx,
+               LAG(toks) OVER (ORDER BY toks DESC, source) AS t_last_cap
+        FROM st
+    ),
+    cand AS (
+        SELECT r - 1 AS m, total - (pfx - toks) AS s_u,
+               100 - (r - 1) * {SRC_CAP_PCT} AS d,
+               toks AS t_first_unc, t_last_cap
+        FROM ranked CROSS JOIN tot
+        UNION ALL
+        SELECT n_src AS m, CAST(0 AS BIGINT) AS s_u,
+               100 - n_src * {SRC_CAP_PCT} AS d,
+               CAST(0 AS BIGINT) AS t_first_unc, min_toks AS t_last_cap
+        FROM tot
+    ),
+    pick AS (
+        SELECT m, s_u, d FROM cand
+        WHERE d > 0
+          AND t_first_unc * d <= {SRC_CAP_PCT} * s_u
+          AND (m = 0 OR t_last_cap * d > {SRC_CAP_PCT} * s_u)
+        ORDER BY m LIMIT 1
+    ),
+    cap AS (SELECT ({SRC_CAP_PCT} * s_u) // d AS cap_tokens FROM pick),
+    g AS (
+        SELECT st.source, st.n_docs, st.toks,
+               LEAST(st.toks, cap.cap_tokens) AS granted
+        FROM st CROSS JOIN cap
+    ),
+    kept AS (SELECT CAST(SUM(granted) AS BIGINT) AS kept_total FROM g)
+    SELECT g.source, g.n_docs, g.toks AS tokens_available,
+           CAST(g.granted AS BIGINT) AS granted_tokens,
+           g.toks > cap.cap_tokens AS capped,
+           CAST(cap.cap_tokens AS BIGINT) AS cap_tokens,
+           kept.kept_total AS kept_total_tokens,
+           CAST(round(g.toks * 100.0 / tot.total, 6) AS DOUBLE)
+               AS share_before_pct,
+           CAST(round(g.granted * 100.0 / NULLIF(kept.kept_total, 0), 6)
+               AS DOUBLE) AS share_after_pct
+    FROM g CROSS JOIN cap CROSS JOIN kept CROSS JOIN tot
+    """,
+)
+def mixture_source_share_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share cap (the Gopher-style domain budget, the
+    domain-diversity twin of mixture_budget_rates): no source may exceed
+    {SRC_CAP_PCT}% of the KEPT tokens. That is a fixpoint, not a simple
+    clip — g_s = min(t_s, c·K) with K = Σ g_s — solved closed-form: sort
+    sources by tokens descending; if the top m are capped, the kept
+    total is K(m) = Σ_uncapped t / (1 − m·c), and m is valid iff the
+    implied cap separates the sort at position m (smallest valid m wins,
+    keeping the most data — a deterministic pick both engines share).
+    Validity tests cross-multiply (t·d ≷ c·S_u) so the whole solve is
+    exact integer arithmetic; the m = n "cap unsatisfiable, drop all"
+    fallback row keeps the operator total even on degenerate corpora.
+    Emits per source: supply, grant, capped flag, the realized cap and
+    kept totals, and before/after mixture shares.
+
+    On this near-uniform 20-source corpus at c = 1/n the fixpoint trims
+    every source to the smallest one's share — the correct (and harsh)
+    boundary behavior; real crawls with one dominant domain cap only
+    the head and redistribute the rest untouched.
+
+    Scale: one corpus scan reduces to #sources rows (map-side combine);
+    the solve is window arithmetic on that metadata-scale frame (the
+    global window orders #sources rows — domains, not documents), then
+    one broadcast of the scalar cap back onto the per-source grants.
+    Integer headroom: products are tokens × 100 — int64-safe to ~9e16
+    tokens, two orders past a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = tracked_persist(
+        docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("toks"),
+        )
+    )
+    tot = st.agg(
+        F.sum("toks").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.min("toks").cast("long").alias("min_toks"),
+    )
+    w = Window.orderBy(F.col("toks").desc(), "source")
+    ranked = st.select(
+        "source", "n_docs", "toks",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.sum("toks").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("pfx"),
+        F.lag("toks").over(w).alias("t_last_cap"),
+    )
+    cand = ranked.crossJoin(F.broadcast(tot)).select(
+        (F.col("r") - 1).alias("m"),
+        (F.col("total") - (F.col("pfx") - F.col("toks"))).alias("s_u"),
+        (F.lit(100) - (F.col("r") - 1) * SRC_CAP_PCT).alias("d"),
+        F.col("toks").alias("t_first_unc"),
+        "t_last_cap",
+    ).unionByName(
+        tot.select(
+            F.col("n_src").alias("m"),
+            F.lit(0).cast("long").alias("s_u"),
+            (F.lit(100) - F.col("n_src") * SRC_CAP_PCT).alias("d"),
+            F.lit(0).cast("long").alias("t_first_unc"),
+            F.col("min_toks").alias("t_last_cap"),
+        )
+    )
+    pick = (
+        cand.filter(
+            (F.col("d") > 0)
+            & (F.col("t_first_unc") * F.col("d")
+               <= F.lit(SRC_CAP_PCT) * F.col("s_u"))
+            & (
+                (F.col("m") == 0)
+                | (F.col("t_last_cap") * F.col("d")
+                   > F.lit(SRC_CAP_PCT) * F.col("s_u"))
+            )
+        )
+        .orderBy("m")
+        .limit(1)
+    )
+    cap = pick.select(
+        F.expr(f"({SRC_CAP_PCT} * s_u) div d").cast("long").alias("cap_tokens")
+    )
+    g = st.crossJoin(F.broadcast(cap)).select(
+        "source", "n_docs", "toks",
+        F.least(F.col("toks"), F.col("cap_tokens")).alias("granted"),
+        "cap_tokens",
+    )
+    kept = g.agg(F.sum("granted").cast("long").alias("kept_total"))
+    return (
+        g.crossJoin(F.broadcast(kept))
+        .crossJoin(F.broadcast(tot.select("total")))
+        .select(
+            "source", "n_docs",
+            F.col("toks").alias("tokens_available"),
+            F.col("granted").cast("long").alias("granted_tokens"),
+            (F.col("toks") > F.col("cap_tokens")).alias("capped"),
+            F.col("cap_tokens").cast("long").alias("cap_tokens"),
+            F.col("kept_total").alias("kept_total_tokens"),
+            F.round(F.col("toks") * 100.0 / F.col("total"), 6)
+            .cast("double").alias("share_before_pct"),
+            F.round(
+                F.col("granted") * 100.0 / F.nullif(F.col("kept_total"), F.lit(0)),
+                6,
+            ).cast("double").alias("share_after_pct"),
+        )
+    )
+
+
 IW_CLIP_MILLI = 3000  # importance-weight ceiling (3.0x) in milli-units
 
 

@@ -247,6 +247,11 @@ def register(
 # re-attestation onto the names whose green row is oldest (see
 # SWEEP_PRIORITY below).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 12 greens (CORRECTNESS_r12.json) — new names only; the other 44
+    # r12 samples were re-attestations of names already listed below
+    "timeseries_ewma_unbounded", "embedding_anisotropy_report",
+    "quality_zipf_audit", "text_hashed_ngram_features",
+    "sink_hll_sketch_store", "quality_heaps_law",
     # round 11 greens (CORRECTNESS_r11.json) — new names only; the other 39
     # r11 samples were re-attestations of names already listed below
     "sink_ann_index_append", "dedup_exact_substring",
@@ -374,51 +379,53 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
 # last green row — changed code outranks stale-but-unchanged greens —
 # and (c) rotate the oldest greens through the remaining slots.
-# Round 12: the three new queries lead (the chunked-renormalization
-# unbounded EWMA, the embedding anisotropy/variance-spectrum audit, the
-# Zipf rank-frequency audit), then the five whose operator code changed
-# since their r11 green row (compaction's left-join contract, Benford's
-# positive filter, the overlap matrix's tightened envelope, the EWMA
-# headroom guard, the exact-substring derived df-cap), then the FULL
-# remaining r6 cohort (21 names — the oldest attestation age in the
-# registry), then the oldest-alphabetical r7 block fills to 50.
+# Round 13: the three new queries lead (normalized-key exact dedup, the
+# Gopher-style per-source share cap, the ANN rebuild-policy monitor),
+# then the three whose operator code changed since their r12 green row
+# (Zipf's decimal moments, the anisotropy decimal/reduced-PR rewrite,
+# the sketch store's atomic staged build), then the FULL remaining r7
+# cohort (27 names — the oldest attestation age in the registry), then
+# the oldest-alphabetical 17 of the 49 r8-aged greens fill to 50.
 #
-# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r12 = all 21
-# r6-aged names + the oldest 21 of the 45 r7-aged greens; r13 = the
-# remaining 24 r7 names + the oldest r8 block; after that the cohorts
+# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r13 = all 27
+# r7-aged names + the oldest 17 of the 49 r8-aged greens; r14 = the
+# remaining 32 r8 names + the oldest r9 block; after that the cohorts
 # cycle (~50/round). ALWAYS recompute the cohorts from the
 # CORRECTNESS_r*.json artifacts (latest green round per name) rather
-# than trusting this comment — the r9 AND r10 reviews both caught
+# than trusting this comment — the r9, r10 AND r12 reviews all caught
 # comment drift here.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # round-12 new queries (no driver row yet), locally verified at
+    # round-13 new queries (no driver row yet), locally verified at
     # sf0.001, sf0.01 AND sf0.1 against their oracles
-    "timeseries_ewma_unbounded", "embedding_anisotropy_report",
-    "quality_zipf_audit", "text_hashed_ngram_features",
-    "sink_hll_sketch_store", "quality_heaps_law",
-    # operator code changed since the r11 green row (850f3a6): the
-    # compaction planner reports fully-compacted days instead of
-    # dropping them; Benford excludes non-positive amounts; the overlap
-    # matrix envelope is root-sum-of-squares; the bounded EWMA raises
-    # past its headroom; the exact-substring whale cap is derived
-    "layout_compaction_plan", "quality_benford_audit",
-    "hll_overlap_matrix", "timeseries_ewma_smooth", "dedup_exact_substring",
-    # latest green = round 6 (the full remaining stale cohort)
-    "funnel_time_to_convert", "graph_bfs_levels", "join_anti",
-    "join_broadcast_dim", "join_full_outer", "join_null_safe",
-    "join_outer_histogram", "join_range", "join_semi", "join_shuffle_agg",
-    "multimodal_dedup_digest", "multimodal_frame_sample", "multimodal_meta",
-    "quality_referential_orphans", "retention_cohorts", "sample_bootstrap_ci",
-    "sample_neyman_allocation", "shard_manifest_balanced",
-    "text_pmi_collocations", "text_repetition", "timeseries_seasonal_index",
-    # latest green = round 7 (oldest alphabetical block; the remaining
-    # 27 r7 names queue for r13 — recompute from CORRECTNESS_r*.json)
-    "approx_distinct_users_daily", "array_funcs", "cogroup_asof_attribution",
-    "date_funcs", "dedup_cluster_components", "dedup_embedding_cosine",
-    "dedup_simhash", "embedding_centroid_confusion", "embedding_norm_quant",
-    "event_transition_matrix", "heavy_hitters_mg", "hll64_parity",
-    "hll_sketch_rollup", "join_bucketed_colocated", "json_funcs",
-    "lateral_topk", "math_funcs", "multimodal_decode_gif",
+    "dedup_normalized_exact", "mixture_source_share_cap",
+    "ann_rebuild_policy",
+    # operator code changed since the r12 green row (b6de01e): Zipf's
+    # regression moments moved to decimal(38,0)/HUGEINT; the anisotropy
+    # report's moments did too, with the participation ratio now a
+    # reduced-integer micro-rounded ratio; the sketch store build is
+    # staged + atomically promoted
+    "quality_zipf_audit", "embedding_anisotropy_report",
+    "sink_hll_sketch_store",
+    # latest green = round 7 (the full remaining stale cohort)
+    "orderby_limit_topk", "pack_sequences_greedy", "percentile_exact",
+    "pipeline_corpus_curation", "pipeline_curation_v2", "pivot_order_status",
+    "retrieval_mrr_report", "retrieval_ndcg_report",
+    "set_intersect_all_counts", "set_union_by_name", "similarity_ann_lsh",
+    "similarity_recall_report", "similarity_topk_bruteforce",
+    "sink_partitioned_parquet", "source_csv_roundtrip",
+    "source_json_roundtrip", "source_orc_roundtrip", "split_leakage_audit",
+    "sql_pricing", "sql_q3", "subquery_exists_notin", "subquery_scalar_avg",
+    "text_bm25_topk", "text_fingerprint", "text_langid", "text_stats",
+    "text_token_freq",
+    # latest green = round 8 (oldest alphabetical block; the remaining
+    # 32 r8 names queue for r14 — recompute from CORRECTNESS_r*.json)
+    "bitmap_distinct_rollup", "bloom_membership", "corpus_dashboard",
+    "corpus_overlap_grams", "dedup_canonical_pick",
+    "dedup_incremental_epochs", "dedup_incremental_probe",
+    "embedding_kmeans_lloyd", "embedding_quantize_int8", "event_path_mining",
+    "experiment_ab_ttest", "funnel_conversion", "governance_erasure_sweep",
+    "hll_accuracy_report", "hll_merge_compat", "hll_set_intersection",
+    "join_asof",
 )
 
 

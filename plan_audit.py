@@ -64,6 +64,7 @@ GLOBAL_WINDOW_ALLOWED = frozenset(
         "text_hashed_ngram_features",  # summary over the <=FEAT_B bucket frame
         "quality_heaps_law",  # prefix-sum offsets over the #buckets frame
         "embedding_anisotropy_report",  # spectrum rank over d=64 dim rows
+        "mixture_source_share_cap",  # prefix-sum cut over #sources rows
     }
 )
 

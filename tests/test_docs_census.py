@@ -152,19 +152,18 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-12 contract is: queries with no driver row yet lead (new this
+    round-13 contract is: queries with no driver row yet lead (new this
     round), then the operators whose code changed since their last green
-    row (compaction left-join contract, Benford positive filter, overlap
-    envelope, EWMA guard, derived df-cap), then the full remaining
-    r6-stale cohort, then the oldest r7 greens. Locks the prefix
-    composition against accidental reordering."""
+    row (Zipf decimal moments, anisotropy decimal/reduced-PR, sketch
+    store atomic build), then the full remaining r7-stale cohort, then
+    the oldest r8 greens. Locks the prefix composition against
+    accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
     changed = [
-        "layout_compaction_plan", "quality_benford_audit",
-        "hll_overlap_matrix", "timeseries_ewma_smooth",
-        "dedup_exact_substring",
+        "quality_zipf_audit", "embedding_anisotropy_report",
+        "sink_hll_sketch_store",
     ]
     from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
 

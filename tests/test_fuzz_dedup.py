@@ -230,3 +230,63 @@ def test_banded_hamming_sound_complete_and_cap_star(hashes, cap, spark):
             for m in members:
                 if m != hub:
                     assert (hub, m) in capped, (hub, m, len(members))
+
+
+def test_normalized_exact_catches_reformatted_copies(spark, tmp_path_factory):
+    """dedup_normalized_exact on a corpus with deliberately reformatted
+    copies (case flips, punctuation swaps, whitespace padding): the raw
+    digest must see them as distinct while the CCNet-normalized digest
+    collapses each variant family — extra_dropped and
+    extra_tokens_reclaimed strictly positive, and both engines agree
+    (strict helpers.compare)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyperloglog_pyspark_spark.registry import REGISTRY, oracle_sql, queries
+    from tests.helpers import compare
+
+    queries()
+    d = str(tmp_path_factory.mktemp("normdedup"))
+    texts = [
+        "the quick brown fox",      # canonical
+        "The quick brown fox.",     # case + punctuation
+        "the  quick   brown fox",   # whitespace runs
+        "THE QUICK, BROWN FOX!!",   # all three
+        "a genuinely different doc",
+        "a genuinely different doc",  # raw duplicate too
+        "unique third document here",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["fix"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    df = REGISTRY["dedup_normalized_exact"].fn(spark, d)
+    compare(df, con, oracle_sql()["dedup_normalized_exact"], "norm_exact_fix")
+    row = df.collect()[0]
+    assert row["n_docs"] == 7
+    assert row["raw_groups"] == 6 and row["raw_dropped"] == 1
+    # normalization folds the 4 fox variants into one group: 3 groups
+    # total (fox family, the raw-dup pair, the third doc)
+    assert row["norm_groups"] == 3 and row["norm_dropped"] == 4
+    assert row["extra_dropped"] == 3
+    # survivor = min doc_id (the canonical fox); reclaimed counts RAW
+    # whitespace-split tokens of the dropped variants (string_split
+    # keeps empty tokens inside runs): 4 + 7 + 4 = 15
+    assert row["extra_tokens_reclaimed"] == 15
+    assert row["norm_tokens_reclaimed"] == row["raw_tokens_reclaimed"] + 15

@@ -266,3 +266,68 @@ def test_anisotropy_survives_large_magnitude_corpus(spark, tmp_path_factory):
         oracle_sql()["embedding_anisotropy_report"],
         "anisotropy_large_magnitude",
     )
+
+
+def test_rebuild_policy_pages_on_distribution_drift(spark, tmp_path_factory):
+    """ann_rebuild_policy's rebuild_needed=True path: base vectors live
+    in subspace A (dims 0-31), the append classes (vec_id % 7 ∈ {1, 4})
+    arrive in the ORTHOGONAL subspace B (dims 32-63). The frozen
+    quantizer has only A cells, so appended serving scatters the B
+    cluster across unrelated cells and B queries lose recall; a rebuilt
+    quantizer gains B seeds (200 % 7 = 4, 400 % 7 = 1) and recovers
+    them. Epoch 0 must stay at parity (identical quantizers); the grown
+    epochs must page. Engines strict-compared via helpers.compare."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyperloglog_pyspark_spark.registry import REGISTRY, oracle_sql, queries
+    from tests.helpers import compare
+
+    queries()
+    d = str(tmp_path_factory.mktemp("drift"))
+    rng = np.random.default_rng(7)
+    n, dim = 700, 64
+    vecs = np.zeros((n, dim), dtype=np.float32)
+    for i in range(n):
+        is_b = i % 7 in (1, 4)
+        lo, hi = (32, 64) if is_b else (0, 32)
+        vecs[i, lo:hi] = (
+            1.0 + rng.integers(-32, 33, size=32) / 64.0
+        ).astype(np.float32)
+        if is_b:
+            # small A-subspace noise: exactly-orthogonal B vectors would
+            # tie at dot = 0 against every A centroid and the tie-break
+            # would herd the whole cluster into one cell — the noise
+            # makes the stale assignment genuinely scatter
+            vecs[i, 0:32] = (rng.integers(-8, 9, size=32) / 64.0).astype(
+                np.float32
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v for v in vecs.tolist()], pa.list_(pa.float32())
+                ),
+                "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    df = REGISTRY["ann_rebuild_policy"].fn(spark, d)
+    compare(df, con, oracle_sql()["ann_rebuild_policy"], "rebuild_drift")
+    rows = {r["epoch"]: r for r in df.collect()}
+    assert rows[0]["hits_appended"] == rows[0]["hits_rebuilt"]
+    assert not rows[0]["rebuild_needed"]
+    for e in (1, 2):
+        assert rows[e]["hits_appended"] < rows[e]["hits_rebuilt"], rows[e]
+        assert rows[e]["rebuild_needed"], rows[e]

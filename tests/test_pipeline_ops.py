@@ -685,6 +685,76 @@ def test_mixture_budget_waterfill_path_executes(spark, sf_dir):
             assert r.fill_rate < 1.0
 
 
+def test_source_share_cap_fixpoint_on_skewed_corpus(spark, tmp_path_factory):
+    """mixture_source_share_cap on a head-heavy synthetic corpus: only
+    the dominant sources get capped, every kept share respects the cap,
+    and the solve matches an independent pure-Python fixpoint search
+    (try every m, keep the smallest valid); both engines agree via
+    strict helpers.compare."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyperloglog_pyspark_spark.operators.trainprep import SRC_CAP_PCT
+    from hyperloglog_pyspark_spark.registry import REGISTRY, oracle_sql, queries
+    from tests.helpers import compare
+
+    queries()
+    d = str(tmp_path_factory.mktemp("srccap"))
+    # token supply per source: one whale, one mid, many small (enough
+    # smalls that a 5% cap is satisfiable: 32 sources >> 1/c = 20)
+    supply = {"whale": 400, "mid": 90, **{f"s{i}": 25 for i in range(30)}}
+    rows = []
+    for src, toks in supply.items():
+        rows.append((len(rows), " ".join(f"t{j}" for j in range(toks)), src))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array([r[2] for r in rows]),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    df = REGISTRY["mixture_source_share_cap"].fn(spark, d)
+    compare(df, con, oracle_sql()["mixture_source_share_cap"], "srccap_fix")
+
+    # independent fixpoint reference: smallest m whose implied cap
+    # separates the descending-token sort at position m
+    toks = sorted(supply.values(), reverse=True)
+    total, n, c = sum(toks), len(toks), SRC_CAP_PCT
+    want_cap = None
+    for m in range(n + 1):
+        s_u, dd = total - sum(toks[:m]), 100 - m * c
+        if dd <= 0:
+            continue
+        first_unc = toks[m] if m < n else 0
+        last_cap = toks[m - 1] if m > 0 else None
+        if first_unc * dd <= c * s_u and (m == 0 or last_cap * dd > c * s_u):
+            want_cap = (c * s_u) // dd
+            break
+    out = {r["source"]: r for r in df.collect()}
+    assert all(r["cap_tokens"] == want_cap for r in out.values())
+    assert out["whale"]["capped"] and out["whale"]["granted_tokens"] == want_cap
+    assert not out["s0"]["capped"]
+    assert out["s0"]["granted_tokens"] == 25
+    kept = sum(r["granted_tokens"] for r in out.values())
+    for r in out.values():
+        # the cap honored against the KEPT mixture (the Gopher contract)
+        assert r["granted_tokens"] * 100 <= c * kept + 100  # floor slack
+        assert r["kept_total_tokens"] == kept
+
+
 # --- PNG codec properties (hypothesis) ------------------------------------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402

@@ -526,9 +526,9 @@ def _have_protobuf() -> bool:
 # (pyspark/sql/streaming/proto/StateMessage_pb2.py) call
 # ValidateProtobufRuntimeVersion(PUBLIC, 6.33.0, ...), so the e2e path
 # needs google.protobuf with runtime >= 6.33.0 — absent in this
-# container (no protobuf at all; re-checked round 12: `pip show
-# protobuf` → not found, `import google` → ModuleNotFoundError, and no
-# network to install one). The processor SEMANTICS run everywhere
+# container (no protobuf at all; re-checked round 13, 2026-08-16:
+# `import google` → ModuleNotFoundError, and no network to install
+# one). The processor SEMANTICS run everywhere
 # via the fake-handle contract tests (test_spend_tracker_processor_
 # contract / test_cusum_monitor_processor_contract); only the protobuf
 # state-server transport is environment-gated. On a standard Spark
