@@ -118,14 +118,34 @@ PROBE_OPS = [
     # frame is FIXED at FEAT_B rows and the output at top-20, so the
     # ratio isolates the explode+agg scan cost (the intended 100 TB
     # shape: corpus-width work, constant-width state).
-    # (embedding_anisotropy_report is decade-safe by the same argument
-    # — one element explode to a d-row agg, no pair surface — but the
-    # probe's 2^k magnitude shells would push its milli-unit moments
-    # past BIGINT, an artifact of the shell transform, not the
-    # operator's unit-norm-embedding domain; timeseries_ewma_unbounded
-    # reads lineitem, which this corpus does not replicate — its
-    # (key, chunk) windows are <=2K rows by construction at any length.)
+    # (timeseries_ewma_unbounded reads lineitem, which this corpus does
+    # not replicate — its (key, chunk) windows are <=2K rows by
+    # construction at any length.)
     "text_hashed_ngram_features",
+    # r13: the anisotropy report joins the probe — the r12 exclusion
+    # (2^k magnitude shells pushing milli-unit moments past BIGINT) is
+    # RETIRED by the r13 decimal(38,0)/HUGEINT moment fix; one element
+    # explode to a d-row agg, no pair surface, so the ratio isolates
+    # the scan
+    "embedding_anisotropy_report",
+    # r13: normalized-key exact dedup — word-salted replicas share no
+    # text, so raw/norm group structure is replica-local and the probe
+    # isolates the two thin digest-keyed aggregations growing R× (the
+    # output is ONE summary row at any scale)
+    "dedup_normalized_exact",
+    # r13: the Gopher source-share cap — salted docs keep their source
+    # column, so #sources is CONSTANT while tokens grow R×; the ratio
+    # isolates the corpus token-count scan from the metadata-sized
+    # fixpoint solve
+    "mixture_source_share_cap",
+    # r13: the ANN rebuild-policy monitor — fixed 8-query audit sample
+    # (replica ids are huge, only replica 0 queries) over a growing
+    # corpus; NOTE the coarse cells also grow (vec_id % 100 survives
+    # the +k·10⁷ shift), so assignment work is N·C — super-linear by
+    # design here, same as similarity_ivf_pq_residual_topk's build
+    # passes; at production, assignments are the index's own
+    # maintenance byproduct and the monitor reads them
+    "ann_rebuild_policy",
 ]
 
 
