@@ -2240,19 +2240,25 @@ def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frozen = ~F.col("m7").isin(*REBUILD_EPOCH_MODS)
 
-    def ivf_topk(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    def quantize(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(assign, probe) under one quantizer. Assignment is a pure
+        function of (vector, quantizer) — corpus membership plays no
+        role — so the FROZEN quantizer's frames are built ONCE over the
+        full table and filtered per stage below, instead of re-running
+        the corpus × cells scoring pass for every epoch (the rebuilt
+        quantizer changes per stage and cannot share)."""
         c = F.broadcast(
             cents.select(F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"))
         )
         assign = (
-            corpus.crossJoin(c)
+            base.crossJoin(c)
             .select(
-                "vec_id", "cent_id",
+                "vec_id", "m7", "cent_id",
                 (-F.round(dot(F.col("e"), F.col("ce")), 4)).alias("ns"),
             )
-            .groupBy("vec_id")
+            .groupBy("vec_id", "m7")
             .agg(F.min(F.struct("ns", "cent_id")).alias("b"))
-            .select("vec_id", F.col("b.cent_id").alias("cent_id"))
+            .select("vec_id", "m7", F.col("b.cent_id").alias("cent_id"))
         )
         wq = Window.partitionBy("query_id").orderBy("ns", "cent_id")
         probe = (
@@ -2265,13 +2271,20 @@ def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= N_PROBES)
             .select("query_id", "cent_id")
         )
+        return assign, probe
+
+    fassign, fprobe = quantize(seeds.filter(frozen))
+    fassign = tracked_persist(fassign)
+    fprobe = tracked_persist(fprobe)
+
+    def ivf_topk(cpred, assign: DataFrame, probe: DataFrame) -> DataFrame:
         wk = Window.partitionBy("query_id").orderBy(
             F.col("cos").desc(), "vec_id"
         )
         return (
-            probe.join(assign, "cent_id")
+            probe.join(assign.filter(cpred).drop("m7"), "cent_id")
             .filter(F.col("vec_id") != F.col("query_id"))
-            .join(corpus.select("vec_id", F.col("e").alias("ce")), "vec_id")
+            .join(base.select("vec_id", F.col("e").alias("ce")), "vec_id")
             .join(F.broadcast(qs), "query_id")
             .select(
                 "query_id", "vec_id",
@@ -2308,11 +2321,16 @@ def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for epoch, cpred, rpred in stages:
         corpus = base.filter(cpred)
         gt = tracked_persist(exact_topk(corpus))
-        hits_a = gt.join(ivf_topk(corpus, seeds.filter(frozen)),
+        # epoch 0's "rebuilt" quantizer IS the frozen one (same seed
+        # set) — reuse the persisted frames instead of re-scoring
+        rassign, rprobe = (
+            (fassign, fprobe) if epoch == 0 else quantize(seeds.filter(rpred))
+        )
+        hits_a = gt.join(ivf_topk(cpred, fassign, fprobe),
                          ["query_id", "vec_id"]).agg(
             F.count(F.lit(1)).cast("long").alias("hits_appended")
         )
-        hits_r = gt.join(ivf_topk(corpus, seeds.filter(rpred)),
+        hits_r = gt.join(ivf_topk(cpred, rassign, rprobe),
                          ["query_id", "vec_id"]).agg(
             F.count(F.lit(1)).cast("long").alias("hits_rebuilt")
         )

@@ -553,8 +553,14 @@ SRC_CAP_PCT = 5
                toks AS t_first_unc, t_last_cap
         FROM ranked CROSS JOIN tot
         UNION ALL
+        -- drop-all fallback: ALWAYS selectable (synthetic d = 1 -> cap
+        -- = 0 since s_u = 0), ordered last so any separating cut wins
+        -- first. Practical trigger: n*c < 100 with every source
+        -- over-cap (e.g. 3 equal whales -> only fixpoint is K = 0);
+        -- the unconditional form is defense-in-depth so the operator
+        -- can never return an empty frame.
         SELECT n_src AS m, CAST(0 AS BIGINT) AS s_u,
-               100 - n_src * {SRC_CAP_PCT} AS d,
+               CAST(1 AS BIGINT) AS d,
                CAST(0 AS BIGINT) AS t_first_unc, min_toks AS t_last_cap
         FROM tot
     ),
@@ -594,8 +600,12 @@ def mixture_source_share_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     implied cap separates the sort at position m (smallest valid m wins,
     keeping the most data — a deterministic pick both engines share).
     Validity tests cross-multiply (t·d ≷ c·S_u) so the whole solve is
-    exact integer arithmetic; the m = n "cap unsatisfiable, drop all"
-    fallback row keeps the operator total even on degenerate corpora.
+    exact integer arithmetic; an always-selectable "cap unsatisfiable,
+    drop all" fallback row (ordered last, so any separating cut wins)
+    keeps the operator total on degenerate corpora — fewer than 1/c
+    sources with every one over-cap (e.g. 3 equal whales) has K = 0 as
+    its only fixpoint, and the unconditional fallback guarantees a
+    non-empty result frame on ANY input.
     Emits per source: supply, grant, capped flag, the realized cap and
     kept totals, and before/after mixture shares.
 
@@ -638,10 +648,16 @@ def mixture_source_share_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks").alias("t_first_unc"),
         "t_last_cap",
     ).unionByName(
+        # drop-all fallback: ALWAYS selectable (synthetic d = 1 → cap
+        # = 0 since s_u = 0), ordered last so any separating cut wins
+        # first. Practical trigger: n·c < 100 with every source
+        # over-cap (e.g. 3 equal whales → only fixpoint is K = 0); the
+        # unconditional form is defense-in-depth so the operator can
+        # never return an empty frame
         tot.select(
             F.col("n_src").alias("m"),
             F.lit(0).cast("long").alias("s_u"),
-            (F.lit(100) - F.col("n_src") * SRC_CAP_PCT).alias("d"),
+            F.lit(1).cast("long").alias("d"),
             F.lit(0).cast("long").alias("t_first_unc"),
             F.col("min_toks").alias("t_last_cap"),
         )

@@ -1,0 +1,180 @@
+"""Differential fuzzing for the r13 curation operators:
+
+- mixture_source_share_cap: random per-source token supplies against a
+  pure-Python replay of the full fixpoint contract — smallest valid
+  cut m, implied cap, grants, capped flags, kept totals — including
+  the degenerate all-capped (drop-all fallback) and single-source
+  corners that fixed fixtures rarely hit.
+- dedup_normalized_exact: random corpora with random case flips /
+  punctuation swaps / whitespace padding against an independent
+  Python replay of both digests' group structure (raw and CCNet-
+  normalized), the min-doc_id survivor rule, and the token accounting.
+
+Both replays are independent implementations (Python ints / re, no
+Spark/DuckDB); each example round-trips a real parquet file through
+load_table, mirroring the registered queries exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from hyperloglog_pyspark_spark.operators.trainprep import SRC_CAP_PCT
+from hyperloglog_pyspark_spark.registry import REGISTRY, queries
+
+queries()
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _write_documents(rows, dirpath):
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array([r[2] for r in rows]),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(dirpath, "documents.parquet"),
+    )
+
+
+# --- mixture_source_share_cap ----------------------------------------------
+
+
+def _reference_share_cap(supply: dict[str, int]):
+    """Pure-Python fixpoint: smallest m whose implied cap separates the
+    (tokens DESC, source) sort at position m; grants = min(t, cap)."""
+    order = sorted(supply.items(), key=lambda kv: (-kv[1], kv[0]))
+    toks = [t for _, t in order]
+    total, n, c = sum(toks), len(toks), SRC_CAP_PCT
+    cap = None
+    for m in range(n + 1):
+        s_u, d = total - sum(toks[:m]), 100 - m * c
+        if d <= 0:
+            continue
+        first_unc = toks[m] if m < n else 0
+        if first_unc * d <= c * s_u and (m == 0 or toks[m - 1] * d > c * s_u):
+            cap = (c * s_u) // d
+            break
+    if cap is None:
+        cap = 0  # no separating cut: the drop-all fallback fires
+    grants = {s: min(t, cap) for s, t in supply.items()}
+    return cap, grants, sum(grants.values())
+
+
+@st.composite
+def supplies(draw):
+    n = draw(st.integers(1, 36))
+    # clustered magnitudes so exact ties and near-boundary cuts occur
+    vals = draw(
+        st.lists(
+            st.sampled_from([1, 5, 25, 25, 25, 90, 400]),
+            min_size=n, max_size=n,
+        )
+    )
+    return {f"s{i:02d}": v for i, v in enumerate(vals)}
+
+
+@given(supply=supplies())
+@_SETTINGS
+def test_share_cap_matches_reference(supply, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("capfuzz"))
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(t)), s)
+        for i, (s, t) in enumerate(sorted(supply.items()))
+    ]
+    _write_documents(rows, d)
+    cap, grants, kept = _reference_share_cap(supply)
+    out = {r["source"]: r for r in
+           REGISTRY["mixture_source_share_cap"].fn(spark, d).collect()}
+    assert set(out) == set(supply)
+    for s, r in out.items():
+        assert r["tokens_available"] == supply[s]
+        assert r["cap_tokens"] == cap, (s, supply)
+        assert r["granted_tokens"] == grants[s], (s, supply)
+        assert r["capped"] == (supply[s] > cap)
+        assert r["kept_total_tokens"] == kept
+        if kept == 0:
+            assert r["share_after_pct"] is None
+        else:
+            # Gopher contract on the kept mixture (+1 token floor slack)
+            assert r["granted_tokens"] * 100 <= SRC_CAP_PCT * kept + 100
+
+
+# --- dedup_normalized_exact -------------------------------------------------
+
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _reference_normalized(texts):
+    def norm(t):
+        return _NORM_RE.sub(" ", t.lower()).strip()
+
+    def summarize(keys):
+        groups = defaultdict(list)
+        for i, k in enumerate(keys):
+            groups[k].append(i)
+        dropped = sum(len(g) - 1 for g in groups.values())
+        reclaimed = sum(
+            sum(len(texts[i].split(" ")) for i in g[1:]) for g in groups.values()
+        )
+        return len(groups), dropped, reclaimed
+
+    raw = summarize(texts)
+    nm = summarize([norm(t) for t in texts])
+    return raw, nm
+
+
+@st.composite
+def mutated_corpora(draw):
+    n_base = draw(st.integers(1, 6))
+    words = ["aa", "bb", "cc", "dd"]
+    bases = [
+        " ".join(draw(st.lists(st.sampled_from(words), min_size=1, max_size=6)))
+        for _ in range(n_base)
+    ]
+    texts = []
+    for b in bases:
+        texts.append(b)
+        for _ in range(draw(st.integers(0, 3))):
+            t = b
+            if draw(st.booleans()):
+                t = t.upper()
+            if draw(st.booleans()):
+                t = t.replace(" ", "  ", 1)
+            if draw(st.booleans()):
+                t = t + draw(st.sampled_from([".", "!!", ", ", " ?"]))
+            texts.append(t)
+    return texts
+
+
+@given(texts=mutated_corpora())
+@_SETTINGS
+def test_normalized_exact_matches_reference(texts, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("normfuzz"))
+    _write_documents([(i, t, "src") for i, t in enumerate(texts)], d)
+    (rg, rd, rr), (ng, nd, nr) = _reference_normalized(texts)
+    row = REGISTRY["dedup_normalized_exact"].fn(spark, d).collect()[0]
+    assert row["n_docs"] == len(texts)
+    assert (row["raw_groups"], row["raw_dropped"],
+            row["raw_tokens_reclaimed"]) == (rg, rd, rr)
+    assert (row["norm_groups"], row["norm_dropped"],
+            row["norm_tokens_reclaimed"]) == (ng, nd, nr)
+    assert row["extra_dropped"] == nd - rd
+    assert row["extra_tokens_reclaimed"] == nr - rr
