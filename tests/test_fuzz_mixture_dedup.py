@@ -44,10 +44,10 @@ def _write_documents(rows, dirpath):
         pa.table(
             {
                 "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-                "text": pa.array([r[1] for r in rows]),
+                "text": pa.array([r[1] for r in rows], pa.string()),
                 "lang": pa.array(["en"] * len(rows)),
                 "source": pa.array([r[2] for r in rows]),
-                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+                "n_chars": pa.array([len(r[1] or "") for r in rows], pa.int64()),
             }
         ),
         os.path.join(dirpath, "documents.parquet"),
@@ -178,3 +178,42 @@ def test_normalized_exact_matches_reference(texts, spark, tmp_path_factory):
             row["norm_tokens_reclaimed"]) == (ng, nd, nr)
     assert row["extra_dropped"] == nd - rd
     assert row["extra_tokens_reclaimed"] == nr - rr
+
+
+def test_r13_operators_agree_under_null_text(spark, tmp_path_factory):
+    """NULL/empty text — the least-exercised surface (fixtures are
+    NULL-free): both engines must agree on md5(NULL) group keys (NULLs
+    group together), size(split(NULL)) = NULL skipped by the token
+    sums, and the share-cap's per-source totals when a source's only
+    rows are NULL. Strict engine compare on the two document-side r13
+    operators (ann_rebuild_policy reads embeddings, which are non-null
+    by schema) plus the Zipf audit (explode drops NULL token arrays on
+    both engines)."""
+    import duckdb
+
+    from hyperloglog_pyspark_spark.registry import oracle_sql
+    from tests.helpers import compare
+
+    d = str(tmp_path_factory.mktemp("nulldocs"))
+    texts = ["aa bb cc", None, "aa bb cc", "dd ee", None, ""]
+    _write_documents(
+        [
+            (i, t, s)
+            for i, (t, s) in enumerate(
+                zip(texts, ["s0", "s0", "s1", "s1", "s2", "s2"])
+            )
+        ],
+        d,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    for name in (
+        "dedup_normalized_exact",
+        "mixture_source_share_cap",
+        "quality_zipf_audit",
+    ):
+        compare(REGISTRY[name].fn(spark, d), con, oracle_sql()[name],
+                f"nulls:{name}")
