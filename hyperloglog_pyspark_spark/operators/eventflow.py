@@ -649,8 +649,8 @@ T_CRIT = 1.96  # two-sided 95% normal critical value
     stats AS (
         SELECT event_type, variant,
                COUNT(c) AS n,
-               CAST(SUM(c) AS BIGINT) AS s1,
-               CAST(SUM(c * c) AS BIGINT) AS s2
+               CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
         FROM obs GROUP BY event_type, variant
     ),
     sides AS (
@@ -683,9 +683,11 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, and a significance verdict at the 95% normal threshold.
 
     Determinism discipline: values become integer cents, so Σx and Σx²
-    are EXACT BIGINTs (order-independent, overflow-bounded: cents² ≤
-    2.5e9 × 100k rows « 2⁶³) — means and variances derive from two exact
-    integers per side and round identically everywhere. ONE groupBy
+    are EXACT decimal(38,0)/HUGEINT moments (order-independent; int64
+    would overflow Σx² at ~1e9 rows per side — the r13 moment-sizing
+    sweep upgraded every corpus-scale squared sum) — means and
+    variances derive from two exact integers per side and round
+    identically everywhere. ONE groupBy
     computes both variants' moments as conditional sums (map-side
     partials) — the split-per-variant-then-rejoin form re-embedded the
     fact scan once per variant.
@@ -706,8 +708,10 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # denominator (and the streaming twin's dropna fold,
             # streaming/pipelines.py, counts exactly the same rows)
             F.count(F.when(on, F.col("c"))).alias(f"n_{suffix}"),
-            F.sum(F.when(on, F.col("c"))).alias(f"s1_{suffix}"),
-            F.sum(F.when(on, F.col("c") * F.col("c"))).alias(f"s2_{suffix}"),
+            F.sum(F.when(on, F.col("c").cast("decimal(38,0)")))
+            .alias(f"s1_{suffix}"),
+            F.sum(F.when(on, (F.col("c") * F.col("c")).cast("decimal(38,0)")))
+            .alias(f"s2_{suffix}"),
         ]
 
     # the oracle's variant inner join + n > 1 guard drops metrics

@@ -1106,7 +1106,8 @@ SPIKE_Z = 2.0  # |z| at or above this flags the day
         SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1
     ),
     stats AS (
-        SELECT COUNT(*) AS n, SUM(c) AS sc, SUM(c * c) AS sc2 FROM daily
+        SELECT COUNT(*) AS n, SUM(CAST(c AS HUGEINT)) AS sc,
+               SUM(CAST(c AS HUGEINT) * c) AS sc2 FROM daily
     ),
     scored AS (
         SELECT day, c,
@@ -1147,8 +1148,10 @@ def quality_anomaly_volume_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = daily.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("sc"),
-        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        # decimal moments: a 100 TB day is ~1e9-1e10 events, so Σc²
+        # blows int64 within a thousand days (r13 moment-sizing sweep)
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sc2"),
     )
     mean = F.col("sc").cast("double") / F.col("n")
     std = F.sqrt(

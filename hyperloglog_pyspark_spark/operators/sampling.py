@@ -445,8 +445,8 @@ NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
     WITH stats AS (
         SELECT event_type,
                COUNT(*) AS nh,
-               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s1,
-               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+               SUM(CAST(ROUND(value * 100, 0) AS HUGEINT)) AS s1,
+               SUM(CAST(ROUND(value * 100, 0) AS HUGEINT)
                    * CAST(ROUND(value * 100, 0) AS BIGINT)) AS s2
         FROM events GROUP BY event_type
     ),
@@ -471,7 +471,8 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total budget is proportional to N_h·σ_h (bigger and more
     variable strata get more samples — the allocation that minimizes the
     estimator's variance at fixed budget), computed from EXACT integer
-    cent moments so σ_h derives from two exact BIGINTs per stratum. The
+    cent moments so σ_h derives from two exact decimal(38,0)/HUGEINT
+    integers per stratum (int64 Σc² would overflow at ~1e9 rows). The
     output is the allocation table (stratum size, σ, allocated n,
     per-stratum rate) that a deterministic-rate sampler
     (``sample_stratified``) then executes.
@@ -485,8 +486,10 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
     ).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nh"),
-        F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        # decimal moments: int64 Σc² dies at ~1e9 rows per stratum
+        # (r13 moment-sizing sweep); the cents product itself is safe
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
     )
     sigma = (
         F.sqrt(

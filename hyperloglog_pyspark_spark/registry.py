@@ -381,31 +381,35 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # and (c) rotate the oldest greens through the remaining slots.
 # Round 13: the three new queries lead (normalized-key exact dedup, the
 # Gopher-style per-source share cap, the ANN rebuild-policy monitor),
-# then the three whose operator code changed since their r12 green row
+# then the six whose operator code changed since their last green row
 # (Zipf's decimal moments, the anisotropy decimal/reduced-PR rewrite,
-# the sketch store's atomic staged build), then the FULL remaining r7
+# the sketch store's atomic staged build, and the three other squared
+# sums the moment-sizing sweep upgraded), then the FULL remaining r7
 # cohort (27 names — the oldest attestation age in the registry), then
-# the oldest-alphabetical 17 of the 49 r8-aged greens fill to 50.
+# the oldest-alphabetical 14 of the 49 r8-aged greens fill to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r13 = all 27
-# r7-aged names + the oldest 17 of the 49 r8-aged greens; r14 = the
-# remaining 32 r8 names + the oldest r9 block; after that the cohorts
-# cycle (~50/round). ALWAYS recompute the cohorts from the
-# CORRECTNESS_r*.json artifacts (latest green round per name) rather
-# than trusting this comment — the r9, r10 AND r12 reviews all caught
-# comment drift here.
+# r7-aged names + 15 r8-aged (14 oldest-alphabetical + ab_ttest via the
+# changed block); r14 = the remaining 34 r8 names + the oldest r9
+# block; after that the cohorts cycle (~50/round). ALWAYS recompute the
+# cohorts from the CORRECTNESS_r*.json artifacts (latest green round
+# per name) rather than trusting this comment — the r9, r10 AND r12
+# reviews all caught comment drift here.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # round-13 new queries (no driver row yet), locally verified at
     # sf0.001, sf0.01 AND sf0.1 against their oracles
     "dedup_normalized_exact", "mixture_source_share_cap",
     "ann_rebuild_policy",
-    # operator code changed since the r12 green row (b6de01e): Zipf's
+    # operator code changed since the last green row (b6de01e): Zipf's
     # regression moments moved to decimal(38,0)/HUGEINT; the anisotropy
     # report's moments did too, with the participation ratio now a
     # reduced-integer micro-rounded ratio; the sketch store build is
-    # staged + atomically promoted
+    # staged + atomically promoted; the r13 moment-sizing sweep then
+    # upgraded the three other corpus-scale squared sums (t-test,
+    # volume-spike z, Neyman σ) the same way
     "quality_zipf_audit", "embedding_anisotropy_report",
-    "sink_hll_sketch_store",
+    "sink_hll_sketch_store", "experiment_ab_ttest",
+    "quality_anomaly_volume_spike", "sample_neyman_allocation",
     # latest green = round 7 (the full remaining stale cohort)
     "orderby_limit_topk", "pack_sequences_greedy", "percentile_exact",
     "pipeline_corpus_curation", "pipeline_curation_v2", "pivot_order_status",
@@ -417,15 +421,16 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "sql_pricing", "sql_q3", "subquery_exists_notin", "subquery_scalar_avg",
     "text_bm25_topk", "text_fingerprint", "text_langid", "text_stats",
     "text_token_freq",
-    # latest green = round 8 (oldest alphabetical block; the remaining
-    # 32 r8 names queue for r14 — recompute from CORRECTNESS_r*.json)
+    # latest green = round 8 (oldest alphabetical block, minus
+    # experiment_ab_ttest which moved into the changed block above; the
+    # remaining 34 r8 names queue for r14 — recompute from
+    # CORRECTNESS_r*.json)
     "bitmap_distinct_rollup", "bloom_membership", "corpus_dashboard",
     "corpus_overlap_grams", "dedup_canonical_pick",
     "dedup_incremental_epochs", "dedup_incremental_probe",
     "embedding_kmeans_lloyd", "embedding_quantize_int8", "event_path_mining",
-    "experiment_ab_ttest", "funnel_conversion", "governance_erasure_sweep",
-    "hll_accuracy_report", "hll_merge_compat", "hll_set_intersection",
-    "join_asof",
+    "funnel_conversion", "governance_erasure_sweep",
+    "hll_accuracy_report", "hll_merge_compat",
 )
 
 

@@ -163,7 +163,8 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
     names = list(E.queries())
     changed = [
         "quality_zipf_audit", "embedding_anisotropy_report",
-        "sink_hll_sketch_store",
+        "sink_hll_sketch_store", "experiment_ab_ttest",
+        "quality_anomaly_volume_spike", "sample_neyman_allocation",
     ]
     from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
 

@@ -217,3 +217,55 @@ def test_r13_operators_agree_under_null_text(spark, tmp_path_factory):
     ):
         compare(REGISTRY[name].fn(spark, d), con, oracle_sql()[name],
                 f"nulls:{name}")
+
+
+def test_moment_stats_survive_large_magnitudes(spark, tmp_path_factory):
+    """Regression for the r13 moment-sizing sweep: values at 1e7 units
+    (1e9 cents) push per-stratum Σc² to ~1e20 — past int64, which the
+    pre-r13 BIGINT moments crashed on under ANSI — while staying exact
+    in the decimal(38,0)/HUGEINT accumulators. Strict engine compare of
+    experiment_ab_ttest and sample_neyman_allocation on the extreme
+    corpus (t/σ outputs are rounded doubles of sub-2^53-difference
+    operands here, so the compare stays bit-strict)."""
+    import datetime
+
+    import duckdb
+
+    from hyperloglog_pyspark_spark.registry import oracle_sql
+    from tests.helpers import compare
+
+    d = str(tmp_path_factory.mktemp("bigmoments"))
+    base = datetime.datetime(2024, 1, 1)
+    n = 120
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                base + datetime.timedelta(minutes=i),
+                i,  # user_id parity = variant
+                "purchase" if i % 3 else "click",
+                1.0e7 + (i % 7) * 1.25e5,  # cents ~1e9, c^2 ~1e18
+                "{}",
+            )
+        )
+    pa_tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(pa_tbl, os.path.join(d, "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    for name in ("experiment_ab_ttest", "sample_neyman_allocation"):
+        df = REGISTRY[name].fn(spark, d)
+        compare(df, con, oracle_sql()[name], f"bigmoments:{name}")
+        assert df.count() > 0
