@@ -845,6 +845,89 @@ def quality_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
+K_ANON = 5  # groups smaller than this re-identify their members
+
+
+@register(
+    "governance_k_anonymity",
+    category="quality",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    s AS (
+        SELECT CAST(MIN(n_rows) AS BIGINT) AS k_level,
+               CAST(SUM(CASE WHEN n_rows < {K_ANON} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_risky_groups,
+               CAST(SUM(CASE WHEN n_rows < {K_ANON} THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(SUM(n_rows) AS BIGINT) AS n_total
+        FROM g
+    )
+    SELECT g.c_nationkey, g.c_mktsegment, g.bal_bucket, g.n_rows,
+           g.n_rows < {K_ANON} AS is_risky,
+           s.k_level, s.n_risky_groups, s.rows_at_risk,
+           CAST(round(s.rows_at_risk * 1.0 / s.n_total, 6) AS DOUBLE)
+               AS risk_rate
+    FROM g CROSS JOIN s
+    """,
+)
+def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (Sweeney 2002): group
+    the customer table by the QI tuple (nation, market segment, $1000
+    account-balance bucket) and flag every group smaller than k =
+    {K_ANON} — those members are re-identifiable by anyone who knows
+    their QI values, the classic linkage-attack surface a
+    training-data release has to measure BEFORE publishing. Emits one
+    row per QI group (size + risky flag) plus the table-level verdict
+    columns: k_level (the realized k — min group size), risky-group and
+    at-risk-row counts, and the at-risk fraction — the numbers a
+    privacy review gates a release on, and the inputs to choosing a
+    coarser bucket grain (generalization) or suppression.
+
+    Determinism: counts are exact BIGINTs; the only double is the
+    bucket floor (2-dp balances over a 1000.0 divisor — correctly
+    rounded and floor'd identically on both engines, negatives
+    included: floor(−0.99999) = −1, never a truncate-toward-zero
+    `div`, which the two engines disagree on for negatives) and the
+    final rounded rate of two exact integers.
+
+    Scale: ONE partial+final count on the QI key (map-side combine);
+    the summary is an aggregate over the QI-cardinality frame
+    (|nations| × |segments| × |buckets| — domain-bounded, never
+    row-scale) broadcast back onto it. At 100 TB nothing but the scan
+    grows; with the table bucketed on any QI column the shuffle
+    disappears."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = tracked_persist(
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+            .alias("bal_bucket"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    risky = F.col("n_rows") < K_ANON
+    s = g.agg(
+        F.min("n_rows").cast("long").alias("k_level"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("long")
+        .alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("n_rows")).otherwise(0)).cast("long")
+        .alias("rows_at_risk"),
+        F.sum("n_rows").cast("long").alias("n_total"),
+    )
+    return g.crossJoin(F.broadcast(s)).select(
+        "c_nationkey", "c_mktsegment", "bal_bucket", "n_rows",
+        risky.alias("is_risky"),
+        "k_level", "n_risky_groups", "rows_at_risk",
+        F.round(F.col("rows_at_risk") * 1.0 / F.col("n_total"), 6)
+        .cast("double").alias("risk_rate"),
+    )
+
+
 ERASE_MOD = 97  # c_custkey % 97 == 0 → simulated right-to-be-forgotten set
 
 

@@ -269,3 +269,53 @@ def test_moment_stats_survive_large_magnitudes(spark, tmp_path_factory):
         df = REGISTRY[name].fn(spark, d)
         compare(df, con, oracle_sql()[name], f"bigmoments:{name}")
         assert df.count() > 0
+
+
+def test_k_anonymity_accounting_on_known_groups(spark, tmp_path_factory):
+    """governance_k_anonymity on a hand-built customer table: one group
+    of 6 (safe at k=5), one of 3, one of 1 (both risky), plus a
+    negative-balance bucket pinning the floor semantics (-999.99 →
+    bucket -1 on BOTH engines — floor, never truncate-toward-zero)."""
+    import duckdb
+
+    from hyperloglog_pyspark_spark.registry import oracle_sql
+    from tests.helpers import compare
+
+    d = str(tmp_path_factory.mktemp("kanon"))
+    rows = (
+        [(i, 1, "AUTO", 1500.0) for i in range(6)]
+        + [(10 + i, 2, "AUTO", 2500.0) for i in range(3)]
+        + [(20, 3, "HOUSE", -999.99)]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_name": pa.array([f"c{r[0]}" for r in rows]),
+                "c_nationkey": pa.array([r[1] for r in rows], pa.int32()),
+                "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+                "c_mktsegment": pa.array([r[2] for r in rows]),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{d}/customer.parquet')"
+    )
+    df = REGISTRY["governance_k_anonymity"].fn(spark, d)
+    compare(df, con, oracle_sql()["governance_k_anonymity"], "kanon_fix")
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_bucket"]): r
+        for r in df.collect()
+    }
+    assert got[(1, "AUTO", 1)]["n_rows"] == 6
+    assert not got[(1, "AUTO", 1)]["is_risky"]
+    assert got[(2, "AUTO", 2)]["is_risky"]
+    assert got[(3, "HOUSE", -1)]["is_risky"]  # floor(-0.99999) = -1
+    any_row = got[(1, "AUTO", 1)]
+    assert any_row["k_level"] == 1
+    assert any_row["n_risky_groups"] == 2
+    assert any_row["rows_at_risk"] == 4
+    assert any_row["risk_rate"] == 0.4
