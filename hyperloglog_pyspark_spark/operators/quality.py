@@ -627,6 +627,135 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-sample KS critical factor at alpha = 0.05: c² = −ln(α/2)/2 =
+# 1.844439…, held as an exact micro-unit integer so the significance
+# compare is pure integer arithmetic (no sqrt at decision time).
+KS_CRIT_SQ_MICRO = 1_844_440
+
+
+@register(
+    "quality_ks_drift",
+    category="quality",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+               CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS in_a
+        FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (
+        SELECT event_type, c,
+               SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b
+        FROM obs GROUP BY event_type, c
+    ),
+    stepped AS (
+        SELECT event_type,
+               CAST(SUM(n_a) OVER (PARTITION BY event_type ORDER BY c
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cc_a,
+               CAST(SUM(n_b) OVER (PARTITION BY event_type ORDER BY c
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cc_b,
+               CAST(SUM(n_a) OVER (PARTITION BY event_type) AS HUGEINT) AS t_a,
+               CAST(SUM(n_b) OVER (PARTITION BY event_type) AS HUGEINT) AS t_b
+        FROM counts
+    ),
+    agg AS (
+        SELECT event_type, MAX(t_a) AS t_a, MAX(t_b) AS t_b,
+               CAST(MAX(ABS(cc_a * t_b - cc_b * t_a)) AS HUGEINT) AS d_num
+        FROM stepped GROUP BY event_type
+    ),
+    ksd AS (
+        SELECT event_type, t_a, t_b,
+               CAST((2 * d_num * 1000000 + t_a * t_b)
+                    // (2 * NULLIF(t_a * t_b, 0)) AS BIGINT) AS ks_micro
+        FROM agg
+    )
+    SELECT event_type,
+           CAST(t_a AS BIGINT) AS n_a, CAST(t_b AS BIGINT) AS n_b,
+           ks_micro,
+           CAST(ks_micro AS DOUBLE) / 1000000 AS ks,
+           CAST(ks_micro AS HUGEINT) * ks_micro * (t_a * t_b)
+               > {KS_CRIT_SQ_MICRO} * (t_a + t_b) * CAST(1000000 AS HUGEINT)
+               AS significant
+    FROM ksd
+    """,
+)
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per event type between
+    the same two periods quality_psi_drift monitors — the exact
+    nonparametric complement to PSI's binned, Laplace-smoothed score:
+    KS = max |ECDF_a − ECDF_b| sees shape changes PSI's coarse bins
+    blur, needs no bin or smoothing knobs, and carries a proper
+    significance threshold (α = 0.05 asymptotic:
+    D > c(α)·√((n_a+n_b)/(n_a·n_b)), c² = −ln(α/2)/2).
+
+    Determinism: the ECDF difference is computed as the exact integer
+    cross-multiplication |cc_a·t_b − cc_b·t_a| in decimal(38,0)/HUGEINT
+    (counts to 1e12 rows per side stay exact), its max half-up
+    micro-rounded in exact integer division, and the significance
+    verdict compares ks_micro²·n_a·n_b against c²·(n_a+n_b) in pure
+    integers — no sqrt, no double anywhere before the reported ks
+    value (an exact small-int cast). A type absent from one period
+    yields NULL ks/verdict on both engines (NULLIF), never a
+    divide-by-zero. NULL values are not observations (filtered
+    identically); NULL timestamps land in period b, matching PSI.
+
+    Scale: one conditional count per (event_type, cents value) —
+    map-side combine — then cumulative windows over the per-type
+    DISTINCT-VALUE frame (2-dp cents on a bounded domain: ~1e5-1e6
+    rows per type, domain-bounded, never row-scale) and a per-type
+    max. At 100 TB the scan is the cost; the ECDF frames are
+    metadata."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    obs = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("c"),
+        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("in_a"),
+    )
+    counts = obs.groupBy("event_type", "c").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("n_b"),
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    wc = wt.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = counts.select(
+        "event_type",
+        F.sum("n_a").over(wc).cast(dec).alias("cc_a"),
+        F.sum("n_b").over(wc).cast(dec).alias("cc_b"),
+        F.sum("n_a").over(wt).cast(dec).alias("t_a"),
+        F.sum("n_b").over(wt).cast(dec).alias("t_b"),
+    )
+    diff = F.abs(F.col("cc_a") * F.col("t_b") - F.col("cc_b") * F.col("t_a"))
+    agg = stepped.groupBy("event_type").agg(
+        F.max("t_a").alias("t_a"),
+        F.max("t_b").alias("t_b"),
+        F.max(diff).cast(dec).alias("d_num"),
+    )
+    ksd = agg.select(
+        "event_type", "t_a", "t_b",
+        F.expr(
+            "(2 * d_num * 1000000 + t_a * t_b) div "
+            "(2 * nullif(t_a * t_b, 0))"
+        ).cast("long").alias("ks_micro"),
+    )
+    return ksd.select(
+        "event_type",
+        F.col("t_a").cast("long").alias("n_a"),
+        F.col("t_b").cast("long").alias("n_b"),
+        "ks_micro",
+        (F.col("ks_micro").cast("double") / F.lit(1_000_000.0)).alias("ks"),
+        (
+            F.col("ks_micro").cast(dec) * F.col("ks_micro")
+            * (F.col("t_a") * F.col("t_b"))
+            > F.lit(KS_CRIT_SQ_MICRO).cast(dec)
+            * (F.col("t_a") + F.col("t_b")) * F.lit(1_000_000)
+        ).alias("significant"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join-explosion pre-audit (cardinality forecast from per-key counts).
 # ---------------------------------------------------------------------------

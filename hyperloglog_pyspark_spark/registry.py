@@ -379,9 +379,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
 # last green row — changed code outranks stale-but-unchanged greens —
 # and (c) rotate the oldest greens through the remaining slots.
-# Round 13: the four new queries lead (normalized-key exact dedup, the
+# Round 13: the five new queries lead (normalized-key exact dedup, the
 # Gopher-style per-source share cap, the ANN rebuild-policy monitor,
-# the k-anonymity audit),
+# the k-anonymity audit, the exact two-sample KS drift test),
 # then the six whose operator code changed since their last green row
 # (Zipf's decimal moments, the anisotropy decimal/reduced-PR rewrite,
 # the sketch store's atomic staged build, and the three other squared
@@ -390,8 +390,8 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # the oldest-alphabetical 14 of the 49 r8-aged greens fill to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r13 = all 27
-# r7-aged names + 14 r8-aged (13 oldest-alphabetical + ab_ttest via the
-# changed block); r14 = the remaining 35 r8 names + the oldest r9
+# r7-aged names + 13 r8-aged (12 oldest-alphabetical + ab_ttest via the
+# changed block); r14 = the remaining 36 r8 names + the oldest r9
 # block; after that the cohorts cycle (~50/round). ALWAYS recompute the
 # cohorts from the CORRECTNESS_r*.json artifacts (latest green round
 # per name) rather than trusting this comment — the r9, r10 AND r12
@@ -400,7 +400,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # round-13 new queries (no driver row yet), locally verified at
     # sf0.001, sf0.01 AND sf0.1 against their oracles
     "dedup_normalized_exact", "mixture_source_share_cap",
-    "ann_rebuild_policy", "governance_k_anonymity",
+    "ann_rebuild_policy", "governance_k_anonymity", "quality_ks_drift",
     # operator code changed since the last green row (b6de01e): Zipf's
     # regression moments moved to decimal(38,0)/HUGEINT; the anisotropy
     # report's moments did too, with the participation ratio now a
@@ -431,7 +431,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_epochs", "dedup_incremental_probe",
     "embedding_kmeans_lloyd", "embedding_quantize_int8", "event_path_mining",
     "funnel_conversion", "governance_erasure_sweep",
-    "hll_accuracy_report",
 )
 
 

@@ -319,3 +319,86 @@ def test_k_anonymity_accounting_on_known_groups(spark, tmp_path_factory):
     assert any_row["n_risky_groups"] == 2
     assert any_row["rows_at_risk"] == 4
     assert any_row["risk_rate"] == 0.4
+
+
+def test_ks_drift_detects_shift_and_matches_replay(spark, tmp_path_factory):
+    """quality_ks_drift on a corpus with a REAL period shift: 'drift'
+    events double their values after the PSI/KS split date (KS = 0.5,
+    significant at n=400/side), while 'stable' events keep one
+    distribution (not significant). Exact-integer Python replay of the
+    cross-multiplied ECDF max and the micro-rounded KS; strict engine
+    compare on top."""
+    import datetime
+
+    import duckdb
+
+    from hyperloglog_pyspark_spark.operators.quality import (
+        _PSI_SPLIT,
+        KS_CRIT_SQ_MICRO,
+    )
+    from hyperloglog_pyspark_spark.registry import oracle_sql
+    from tests.helpers import compare
+
+    split = datetime.datetime.fromisoformat(_PSI_SPLIT)
+    before = split - datetime.timedelta(days=5)
+    after = split + datetime.timedelta(days=5)
+    rows = []
+    for i in range(400):
+        # drift: uniform cents 100..499 before, 600..999 after
+        rows.append((len(rows), before, i, "drift", 1.0 + (i % 400) / 100.0))
+        rows.append((len(rows), after, i, "drift", 6.0 + (i % 400) / 100.0))
+        # stable: same uniform both sides
+        rows.append((len(rows), before, i, "stable", 1.0 + (i % 50) / 100.0))
+        rows.append((len(rows), after, i, "stable", 1.0 + ((i + 7) % 50) / 100.0))
+    d = str(tmp_path_factory.mktemp("ksdrift"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    df = REGISTRY["quality_ks_drift"].fn(spark, d)
+    compare(df, con, oracle_sql()["quality_ks_drift"], "ks_drift_fix")
+
+    # independent integer replay
+    def replay(typ):
+        a, b = {}, {}
+        for _, ts, _, t, v in rows:
+            if t != typ:
+                continue
+            c = int(round(v * 100))
+            (a if ts < split else b)[c] = (a if ts < split else b).get(c, 0) + 1
+        vals = sorted(set(a) | set(b))
+        ta, tb = sum(a.values()), sum(b.values())
+        ca = cb = 0
+        d_num = 0
+        for v in vals:
+            ca += a.get(v, 0)
+            cb += b.get(v, 0)
+            d_num = max(d_num, abs(ca * tb - cb * ta))
+        ks_micro = (2 * d_num * 1_000_000 + ta * tb) // (2 * ta * tb)
+        sig = ks_micro * ks_micro * ta * tb > KS_CRIT_SQ_MICRO * (ta + tb) * 1_000_000
+        return ta, tb, ks_micro, sig
+
+    got = {r["event_type"]: r for r in df.collect()}
+    for typ in ("drift", "stable"):
+        ta, tb, ks_micro, sig = replay(typ)
+        r = got[typ]
+        assert (r["n_a"], r["n_b"], r["ks_micro"], r["significant"]) == (
+            ta, tb, ks_micro, sig
+        ), typ
+    assert got["drift"]["significant"] is True
+    assert got["drift"]["ks"] >= 0.5
+    assert got["stable"]["significant"] is False
