@@ -974,87 +974,112 @@ def quality_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
-K_ANON = 5  # groups smaller than this re-identify their members
+GOV_K_ANON = 5  # groups smaller than this re-identify their members
+# Generalization ladder: balance-bucket grains from finest to coarsest,
+# each derived by re-flooring the FINEST bucket (floor(bal/100) — floor
+# composes: floor(b100/10) = floor(bal/1000)), so every level reads the
+# one persisted finest-grain count frame, never the corpus again.
+_GKA_LEVELS = [
+    ("nation+segment+bal_100", 1),
+    ("nation+segment+bal_1000", 10),
+    ("nation+segment+bal_10000", 100),
+    ("nation+segment", None),
+]
+
+
+def _gka_level_sql(level: str, div: int | None) -> str:
+    key = ("c_nationkey, c_mktsegment"
+           if div is None else
+           f"c_nationkey, c_mktsegment, CAST(FLOOR(b100 / {div}.0) AS BIGINT)")
+    return f"""
+        SELECT '{level}' AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(cs) AS BIGINT) AS k_level,
+               CAST(SUM(CASE WHEN cs < {GOV_K_ANON} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_risky_groups,
+               CAST(SUM(CASE WHEN cs < {GOV_K_ANON} THEN cs ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(round(SUM(CASE WHEN cs < {GOV_K_ANON} THEN cs ELSE 0 END)
+                          * 1.0 / SUM(cs), 6) AS DOUBLE) AS risk_rate,
+               MIN(cs) >= {GOV_K_ANON} AS satisfies_k
+        FROM (SELECT CAST(SUM(cs) AS BIGINT) AS cs FROM finest GROUP BY {key})
+    """
 
 
 @register(
     "governance_k_anonymity",
     category="quality",
     oracle=f"""
-    WITH g AS (
+    WITH finest AS (
         SELECT c_nationkey, c_mktsegment,
-               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
-               CAST(COUNT(*) AS BIGINT) AS n_rows
+               CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS b100,
+               CAST(COUNT(*) AS BIGINT) AS cs
         FROM customer GROUP BY 1, 2, 3
-    ),
-    s AS (
-        SELECT CAST(MIN(n_rows) AS BIGINT) AS k_level,
-               CAST(SUM(CASE WHEN n_rows < {K_ANON} THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_risky_groups,
-               CAST(SUM(CASE WHEN n_rows < {K_ANON} THEN n_rows ELSE 0 END)
-                    AS BIGINT) AS rows_at_risk,
-               CAST(SUM(n_rows) AS BIGINT) AS n_total
-        FROM g
     )
-    SELECT g.c_nationkey, g.c_mktsegment, g.bal_bucket, g.n_rows,
-           g.n_rows < {K_ANON} AS is_risky,
-           s.k_level, s.n_risky_groups, s.rows_at_risk,
-           CAST(round(s.rows_at_risk * 1.0 / s.n_total, 6) AS DOUBLE)
-               AS risk_rate
-    FROM g CROSS JOIN s
+    {" UNION ALL ".join(_gka_level_sql(lv, dv) for lv, dv in _GKA_LEVELS)}
     """,
 )
 def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over quasi-identifiers (Sweeney 2002): group
-    the customer table by the QI tuple (nation, market segment, $1000
-    account-balance bucket) and flag every group smaller than k =
-    {K_ANON} — those members are re-identifiable by anyone who knows
-    their QI values, the classic linkage-attack surface a
-    training-data release has to measure BEFORE publishing. Emits one
-    row per QI group (size + risky flag) plus the table-level verdict
-    columns: k_level (the realized k — min group size), risky-group and
-    at-risk-row counts, and the at-risk fraction — the numbers a
-    privacy review gates a release on, and the inputs to choosing a
-    coarser bucket grain (generalization) or suppression.
+    """k-anonymity GENERALIZATION LADDER (Sweeney 2002) — the decision
+    layer over quality_k_anonymity's flat class-size audit: that
+    operator reports which (nation, segment) classes are small; this
+    one answers the question the privacy review actually asks — WHICH
+    generalization grain of the continuous quasi-identifier first
+    satisfies k. Four levels, finest to coarsest ($100 / $1000 /
+    $10000 balance buckets, then dropping the balance entirely), each
+    with its realized k (min class size), risky-class and at-risk-row
+    counts at k = {GOV_K_ANON}, and a satisfies_k verdict: release at
+    the finest level whose verdict is true, or suppress.
 
-    Determinism: counts are exact BIGINTs; the only double is the
-    bucket floor (2-dp balances over a 1000.0 divisor — correctly
+    Determinism: counts are exact BIGINTs; the only doubles are the
+    bucket floors (2-dp balances over 100.0/10.0 divisors — correctly
     rounded and floor'd identically on both engines, negatives
     included: floor(−0.99999) = −1, never a truncate-toward-zero
-    `div`, which the two engines disagree on for negatives) and the
-    final rounded rate of two exact integers.
+    integer `div`, whose negative behavior the engines disagree on)
+    and the final rounded rate of two exact integers.
 
-    Scale: ONE partial+final count on the QI key (map-side combine);
-    the summary is an aggregate over the QI-cardinality frame
-    (|nations| × |segments| × |buckets| — domain-bounded, never
-    row-scale) broadcast back onto it. At 100 TB nothing but the scan
-    grows; with the table bucketed on any QI column the shuffle
-    disappears."""
+    Scale: ONE partial+final count at the FINEST QI grain (map-side
+    combine; the frame is domain-bounded — |nations| × |segments| ×
+    |$100 buckets| — never row-scale, and persisted); every coarser
+    level re-aggregates THAT frame by re-flooring the finest bucket
+    (floor composes), so the ladder costs one corpus scan total plus
+    metadata-sized arithmetic. At 100 TB nothing but the scan grows."""
     cust = load_table(spark, sf_dir, "customer")
-    g = tracked_persist(
+    finest = tracked_persist(
         cust.groupBy(
             "c_nationkey",
             "c_mktsegment",
-            F.floor(F.col("c_acctbal") / 1000.0).cast("long")
-            .alias("bal_bucket"),
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            F.floor(F.col("c_acctbal") / 100.0).cast("long").alias("b100"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("cs"))
     )
-    risky = F.col("n_rows") < K_ANON
-    s = g.agg(
-        F.min("n_rows").cast("long").alias("k_level"),
-        F.sum(F.when(risky, 1).otherwise(0)).cast("long")
-        .alias("n_risky_groups"),
-        F.sum(F.when(risky, F.col("n_rows")).otherwise(0)).cast("long")
-        .alias("rows_at_risk"),
-        F.sum("n_rows").cast("long").alias("n_total"),
-    )
-    return g.crossJoin(F.broadcast(s)).select(
-        "c_nationkey", "c_mktsegment", "bal_bucket", "n_rows",
-        risky.alias("is_risky"),
-        "k_level", "n_risky_groups", "rows_at_risk",
-        F.round(F.col("rows_at_risk") * 1.0 / F.col("n_total"), 6)
-        .cast("double").alias("risk_rate"),
-    )
+    out = None
+    for level, div in _GKA_LEVELS:
+        keys = ["c_nationkey", "c_mktsegment"]
+        if div is not None:
+            keys.append(
+                F.floor(F.col("b100") / float(div)).cast("long").alias("bb")
+            )
+        classes = finest.groupBy(*keys).agg(
+            F.sum("cs").cast("long").alias("cs")
+        )
+        risky = F.col("cs") < GOV_K_ANON
+        row = classes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("cs").cast("long").alias("k_level"),
+            F.sum(F.when(risky, 1).otherwise(0)).cast("long")
+            .alias("n_risky_groups"),
+            F.sum(F.when(risky, F.col("cs")).otherwise(0)).cast("long")
+            .alias("rows_at_risk"),
+            F.sum("cs").cast("long").alias("n_total"),
+        ).select(
+            F.lit(level).alias("level"),
+            "n_groups", "k_level", "n_risky_groups", "rows_at_risk",
+            F.round(F.col("rows_at_risk") * 1.0 / F.col("n_total"), 6)
+            .cast("double").alias("risk_rate"),
+            (F.col("k_level") >= GOV_K_ANON).alias("satisfies_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 ERASE_MOD = 97  # c_custkey % 97 == 0 → simulated right-to-be-forgotten set

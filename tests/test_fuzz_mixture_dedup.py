@@ -271,11 +271,14 @@ def test_moment_stats_survive_large_magnitudes(spark, tmp_path_factory):
         assert df.count() > 0
 
 
-def test_k_anonymity_accounting_on_known_groups(spark, tmp_path_factory):
-    """governance_k_anonymity on a hand-built customer table: one group
-    of 6 (safe at k=5), one of 3, one of 1 (both risky), plus a
-    negative-balance bucket pinning the floor semantics (-999.99 →
-    bucket -1 on BOTH engines — floor, never truncate-toward-zero)."""
+def test_k_anonymity_ladder_on_known_groups(spark, tmp_path_factory):
+    """governance_k_anonymity's generalization ladder on a hand-built
+    customer table: at the $100 grain three AUTO classes (6/3/2) plus a
+    negative-balance singleton; the $1000 grain MERGES the 3+2 classes
+    (the generalization win) but the singleton persists until the
+    balance is dropped entirely — only nation+segment satisfies k=5.
+    The -999.99 balance pins floor semantics (bucket -10/-1, never a
+    truncate-toward-zero div). Strict engine compare on top."""
     import duckdb
 
     from hyperloglog_pyspark_spark.registry import oracle_sql
@@ -284,8 +287,9 @@ def test_k_anonymity_accounting_on_known_groups(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("kanon"))
     rows = (
         [(i, 1, "AUTO", 1500.0) for i in range(6)]
-        + [(10 + i, 2, "AUTO", 2500.0) for i in range(3)]
-        + [(20, 3, "HOUSE", -999.99)]
+        + [(10 + i, 1, "AUTO", 2500.0) for i in range(3)]
+        + [(20 + i, 1, "AUTO", 2650.0) for i in range(2)]
+        + [(30, 1, "AUTO", -999.99)]
     )
     pq.write_table(
         pa.table(
@@ -305,20 +309,22 @@ def test_k_anonymity_accounting_on_known_groups(spark, tmp_path_factory):
         f"read_parquet('{d}/customer.parquet')"
     )
     df = REGISTRY["governance_k_anonymity"].fn(spark, d)
-    compare(df, con, oracle_sql()["governance_k_anonymity"], "kanon_fix")
-    got = {
-        (r["c_nationkey"], r["c_mktsegment"], r["bal_bucket"]): r
-        for r in df.collect()
+    compare(df, con, oracle_sql()["governance_k_anonymity"], "kanon_ladder")
+    got = {r["level"]: r for r in df.collect()}
+    want = {
+        # level: (n_groups, k_level, n_risky, rows_at_risk, satisfies)
+        "nation+segment+bal_100": (4, 1, 3, 6, False),
+        "nation+segment+bal_1000": (3, 1, 1, 1, False),
+        "nation+segment+bal_10000": (2, 1, 1, 1, False),
+        "nation+segment": (1, 12, 0, 0, True),
     }
-    assert got[(1, "AUTO", 1)]["n_rows"] == 6
-    assert not got[(1, "AUTO", 1)]["is_risky"]
-    assert got[(2, "AUTO", 2)]["is_risky"]
-    assert got[(3, "HOUSE", -1)]["is_risky"]  # floor(-0.99999) = -1
-    any_row = got[(1, "AUTO", 1)]
-    assert any_row["k_level"] == 1
-    assert any_row["n_risky_groups"] == 2
-    assert any_row["rows_at_risk"] == 4
-    assert any_row["risk_rate"] == 0.4
+    assert set(got) == set(want)
+    for lv, (ng, k, nr, rar, sat) in want.items():
+        r = got[lv]
+        assert (r["n_groups"], r["k_level"], r["n_risky_groups"],
+                r["rows_at_risk"], r["satisfies_k"]) == (ng, k, nr, rar, sat), lv
+    assert got["nation+segment+bal_100"]["risk_rate"] == 0.5
+    assert got["nation+segment"]["risk_rate"] == 0.0
 
 
 def test_ks_drift_detects_shift_and_matches_replay(spark, tmp_path_factory):
