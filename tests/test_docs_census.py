@@ -208,3 +208,39 @@ def test_bench_summary_line_fits_driver_tail_window():
     parsed = _json.loads(line)
     assert parsed["n_queries"] == len(times)
     assert len(parsed["queries"]) == 10
+
+
+def test_no_shadowed_module_constants():
+    """A registered query's Spark closure reads module-level constants
+    at CALL time while its oracle f-string froze them at registration —
+    so a second `NAME = ...` later in the same module silently diverges
+    the two engines (caught live in r13: a new K_ANON = 5 shadowed
+    quality_k_anonymity's K_ANON = 10 and would have hash-mismatched
+    35 classes at the sf0.01 driver gate). Reject any duplicate
+    top-level UPPERCASE assignment in the engine package."""
+    import ast
+    import collections
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "hyperloglog_pyspark_spark")
+    offenders = []
+    for f in sorted(glob.glob(os.path.join(pkg, "**", "*.py"),
+                              recursive=True)):
+        lines = collections.defaultdict(list)
+        for node in ast.parse(open(f).read()).body:
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = [t for t in node.targets if isinstance(t, ast.Name)]
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                targets = [node.target]
+            for t in targets:
+                if t.id.isupper():
+                    lines[t.id].append(node.lineno)
+        for name, ls in lines.items():
+            if len(ls) > 1:
+                offenders.append((os.path.basename(f), name, ls))
+    assert not offenders, f"shadowed module constants: {offenders}"
