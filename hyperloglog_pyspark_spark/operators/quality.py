@@ -1035,7 +1035,9 @@ def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket floors (2-dp balances over 100.0/10.0 divisors — correctly
     rounded and floor'd identically on both engines, negatives
     included: floor(−0.99999) = −1, never a truncate-toward-zero
-    integer `div`, whose negative behavior the engines disagree on)
+    integer `div` — both engines truncate identically, but truncation
+    would misbucket small negatives into bucket 0 with the small
+    positives, corrupting the class structure)
     and the final rounded rate of two exact integers.
 
     Scale: ONE partial+final count at the FINEST QI grain (map-side

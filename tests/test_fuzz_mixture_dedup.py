@@ -277,8 +277,9 @@ def test_k_anonymity_ladder_on_known_groups(spark, tmp_path_factory):
     negative-balance singleton; the $1000 grain MERGES the 3+2 classes
     (the generalization win) but the singleton persists until the
     balance is dropped entirely — only nation+segment satisfies k=5.
-    The -999.99 balance pins floor semantics (bucket -10/-1, never a
-    truncate-toward-zero div). Strict engine compare on top."""
+    The -999.99 balance pins floor semantics (bucket -10/-1 — a
+    truncate-toward-zero div would misbucket it to 0 with the small
+    positives). Strict engine compare on top."""
     import duckdb
 
     from hyperloglog_pyspark_spark.registry import oracle_sql
