@@ -35,6 +35,35 @@ from hyperloglog_pyspark_spark.session import get_spark
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+# Quiet-machine min-of-7 reading of the calibration micro-plan (measured
+# 2026-08-16, 1-min load 0.28, zero other java processes). The ambient
+# factor in the payload is relative to this pin; re-pin only from an
+# equally quiet isolated measure.
+CALIBRATION_QUIET_S = 0.20
+
+
+def calibration(spark) -> float:
+    """Time a fixed data-independent CPU-bound micro-plan (min of 3).
+
+    Round-13 postmortem: two consecutive rounds, the driver's bench and
+    the builder's same-code bench disagreed ~30% and the judge had to
+    reconstruct machine state from prose (host-steal contention on this
+    firecracker guest shows load 8-10 with ZERO local processes). This
+    runs at bench START and END and lands in the payload as
+    ``calibration_s`` plus ``ambient_factor`` (worst calibration /
+    CALIBRATION_QUIET_S), so an inflated artifact carries its own
+    machine-state evidence: ambient_factor ~1 = believe the walls,
+    ambient_factor >>1 = contention band, discount before adjudicating.
+    """
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum((id * 2654435761) % 1000003) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 4)
+
 # Adjudicated correctness/architecture-over-toy-scale-speed trades whose
 # elevated ratios are EXPECTED (BASELINE.md §"Standing trades" holds the
 # rationale and the re-opening rule). Annotated into the bench summary so
@@ -61,6 +90,7 @@ def main() -> None:
 
     # Warm-up: JVM, codegen, parquet footer caches.
     next(iter(bench_qs.values())).fn(spark, sf_dir).limit(1).collect()
+    calib_start = calibration(spark)
 
     times: dict[str, float] = {}
     times_min: dict[str, float] = {}
@@ -73,6 +103,7 @@ def main() -> None:
         times[name] = round(statistics.median(samples), 4)
         times_min[name] = round(min(samples), 4)
 
+    calib_end = calibration(spark)
     total = round(sum(times.values()), 4)
     payload = {
         "metric": "headline_queries_total_wall",
@@ -88,6 +119,14 @@ def main() -> None:
         "queries_min": times_min,
         "value_min": round(sum(times_min.values()), 4),
         "sf": sf,
+        # Machine-state evidence (r13 verdict #2): the same fixed
+        # micro-plan timed before and after the sweep, vs its pinned
+        # quiet-machine reading. ~1.0 = clean session; >>1 = ambient
+        # contention — discount wall inflation before adjudicating.
+        "calibration_s": {"start": calib_start, "end": calib_end},
+        "ambient_factor": round(
+            max(calib_start, calib_end) / CALIBRATION_QUIET_S, 2
+        ),
     }
     # Full-precision payload to disk first — survives any stdout capture.
     local = os.path.join(
@@ -115,6 +154,7 @@ def summary_line(payload: dict) -> str:
         "unit": payload["unit"],
         "sf": payload["sf"],
         "n_queries": len(times),
+        "ambient_factor": payload.get("ambient_factor"),
         "queries": {n: round(t, 2) for n, t in slowest.items()},
         "standing_trades": [n for n in STANDING_TRADES if n in times],
         "all_queries_file": "BENCH_LOCAL.json",

@@ -200,6 +200,8 @@ def test_bench_summary_line_fits_driver_tail_window():
             "unit": "sec",
             "queries": times,
             "sf": 0.1,
+            "calibration_s": {"start": 9999.9999, "end": 9999.9999},
+            "ambient_factor": 99999.99,
         }
     )
     assert len(line) < 1500, f"bench summary line grew to {len(line)} chars"
@@ -208,6 +210,9 @@ def test_bench_summary_line_fits_driver_tail_window():
     parsed = _json.loads(line)
     assert parsed["n_queries"] == len(times)
     assert len(parsed["queries"]) == 10
+    # r13 verdict #2: the artifact must carry its own machine-state
+    # evidence so driver-vs-builder wall divergence self-diagnoses.
+    assert parsed["ambient_factor"] == 99999.99
 
 
 def test_no_shadowed_module_constants():
