@@ -710,7 +710,10 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(on, F.col("c"))).alias(f"n_{suffix}"),
             F.sum(F.when(on, F.col("c").cast("decimal(38,0)")))
             .alias(f"s1_{suffix}"),
-            F.sum(F.when(on, (F.col("c") * F.col("c")).cast("decimal(38,0)")))
+            # widen one operand BEFORE the multiply so the square is
+            # computed in decimal — long*long wraps above ~3.0e9 cents
+            # where the oracle (HUGEINT) stays exact
+            F.sum(F.when(on, F.col("c").cast("decimal(38,0)") * F.col("c")))
             .alias(f"s2_{suffix}"),
         ]
 

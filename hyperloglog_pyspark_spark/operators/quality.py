@@ -1028,7 +1028,7 @@ def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfies k. Four levels, finest to coarsest ($100 / $1000 /
     $10000 balance buckets, then dropping the balance entirely), each
     with its realized k (min class size), risky-class and at-risk-row
-    counts at k = {GOV_K_ANON}, and a satisfies_k verdict: release at
+    counts at k = GOV_K_ANON (currently 5), and a satisfies_k verdict: release at
     the finest level whose verdict is true, or suppress.
 
     Determinism: counts are exact BIGINTs; the only doubles are the

@@ -693,7 +693,7 @@ INCIDENT_ERRORS_PER_HOUR = 7  # error burst threshold defining an incident
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join: per-user daily activity intervals
     [first event, last event] matched against error-burst incident hours
-    (≥ {N} errors/hour) on the standard half-open overlap predicate
+    (≥ {INCIDENT_ERRORS_PER_HOUR} errors/hour) on the standard half-open overlap predicate
     a.start < i.end AND i.start <= a.end — "which users were active
     during the outage", the blast-radius query of every incident review.
 

@@ -489,7 +489,9 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal moments: int64 Σc² dies at ~1e9 rows per stratum
         # (r13 moment-sizing sweep); the cents product itself is safe
         F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
-        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+        # widen before multiplying: long*long wraps above ~3.0e9 cents
+        # where the oracle's HUGEINT square stays exact
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
     )
     sigma = (
         F.sqrt(

@@ -2105,13 +2105,23 @@ REBUILD_EPOCH_MODS = (1, 4)
 REBUILD_T_PCT = 95  # page when appended recall < 95% of rebuilt recall
 
 
+def _mods_not_in_sql(mods: tuple[int, ...]) -> str:
+    """``m7 NOT IN (...)`` with an explicit comma-join — tuple repr
+    renders a 1-tuple as ``(1,)``, which is invalid SQL — and ``TRUE``
+    for the empty (fully-grown) corpus. Single source of truth for
+    every per-stage corpus/seed predicate (r13 advice: the stage list
+    used to hardcode the classes and editing REBUILD_EPOCH_MODS would
+    silently desync the frozen seed set from the staged corpora)."""
+    return f"m7 NOT IN ({', '.join(map(str, mods))})" if mods else "TRUE"
+
+
 def _rebuild_stage_sql(tag: str, epoch: int, cpred: str, rpred: str) -> str:
     """One stage's oracle CTEs: corpus under ``cpred``, exact top-k
     ground truth, and two exact-scored IVF probe legs — the FROZEN
     quantizer (a: base-class seeds) vs the REBUILT one (r: ``rpred``
     seeds) — reduced to a single counts row."""
     legs = ""
-    for leg, qpred in (("a", f"m7 NOT IN {REBUILD_EPOCH_MODS}"), ("r", rpred)):
+    for leg, qpred in (("a", _mods_not_in_sql(REBUILD_EPOCH_MODS)), ("r", rpred)):
         legs += f""",
     {tag}{leg}cent AS (SELECT vec_id AS cent_id, e AS ce FROM rseeds WHERE {qpred}),
     {tag}{leg}assign AS (
@@ -2164,6 +2174,23 @@ def _rebuild_stage_sql(tag: str, epoch: int, cpred: str, rpred: str) -> str:
     )"""
 
 
+# Epoch i's corpus has absorbed the first i append classes, i.e. it
+# still EXCLUDES mods[i:]; epoch len(mods) is the fully-grown corpus.
+# Both the staged corpora and each stage's rebuilt-quantizer seeds
+# derive from REBUILD_EPOCH_MODS here, mirroring the Spark stage list.
+_REBUILD_STAGES_SQL = "".join(
+    _rebuild_stage_sql(
+        f"s{i}",
+        i,
+        _mods_not_in_sql(REBUILD_EPOCH_MODS[i:]),
+        _mods_not_in_sql(REBUILD_EPOCH_MODS[i:]),
+    )
+    for i in range(len(REBUILD_EPOCH_MODS) + 1)
+)
+_REBUILD_UNION_SQL = " UNION ALL\n          ".join(
+    f"SELECT * FROM s{i}row" for i in range(len(REBUILD_EPOCH_MODS) + 1)
+)
+
 _REBUILD_ORACLE = f"""
     WITH remb AS (
         SELECT vec_id, embedding::DOUBLE[] AS e, vec_id % 7 AS m7
@@ -2171,9 +2198,7 @@ _REBUILD_ORACLE = f"""
     ),
     rseeds AS (SELECT vec_id, e, m7 FROM remb WHERE vec_id % {N_CENT_MOD} = 0),
     rq AS (SELECT vec_id AS query_id, e AS qe FROM remb WHERE vec_id < {N_QUERIES})
-    {_rebuild_stage_sql("s0", 0, "m7 NOT IN (1, 4)", "m7 NOT IN (1, 4)")}
-    {_rebuild_stage_sql("s1", 1, "m7 NOT IN (4)", "m7 NOT IN (4)")}
-    {_rebuild_stage_sql("s2", 2, "TRUE", "TRUE")}
+    {_REBUILD_STAGES_SQL}
     SELECT epoch, n_exact, hits_appended, hits_rebuilt,
            CAST(round(hits_appended * 1.0 / NULLIF(n_exact, 0), 6) AS DOUBLE)
                AS recall_appended,
@@ -2181,9 +2206,7 @@ _REBUILD_ORACLE = f"""
                AS recall_rebuilt,
            hits_appended * 100 < {REBUILD_T_PCT} * hits_rebuilt
                AS rebuild_needed
-    FROM (SELECT * FROM s0row UNION ALL
-          SELECT * FROM s1row UNION ALL
-          SELECT * FROM s2row)
+    FROM ({_REBUILD_UNION_SQL})
     """
 
 
@@ -2196,11 +2219,11 @@ _REBUILD_ORACLE = f"""
 def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-staleness monitor — the decision layer between
     sink_ann_index_append (add between retrains) and a fresh rebuild:
-    per append epoch, recall@{TOP_K} of serving on the FROZEN base
-    coarse quantizer vs serving on a quantizer REBUILT on the grown
+    per append epoch, recall at TOP_K (top-10) of serving on the FROZEN
+    base coarse quantizer vs serving on a quantizer REBUILT on the grown
     corpus, both against that epoch's exact brute-force ground truth,
     with a rebuild_needed verdict when appended recall drops below
-    {REBUILD_T_PCT}% of rebuilt recall. This is the FAISS
+    REBUILD_T_PCT percent (currently 95%) of rebuilt recall. This is the FAISS
     add-then-retrain discipline made measurable: add_with_ids between
     retrains is cheap but the coarse geometry goes stale as the corpus
     distribution drifts, and the published guidance (FAISS wiki,
@@ -2238,7 +2261,11 @@ def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    frozen = ~F.col("m7").isin(*REBUILD_EPOCH_MODS)
+    def _mods_not_in(mods: tuple[int, ...]):
+        # Column twin of _mods_not_in_sql — same single source of truth
+        return ~F.col("m7").isin(*mods) if mods else F.lit(True)
+
+    frozen = _mods_not_in(REBUILD_EPOCH_MODS)
 
     def quantize(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(assign, probe) under one quantizer. Assignment is a pure
@@ -2312,10 +2339,15 @@ def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id")
         )
 
+    # derived from REBUILD_EPOCH_MODS exactly as the oracle's
+    # _REBUILD_STAGES_SQL is: epoch i still excludes mods[i:]
     stages = [
-        (0, ~F.col("m7").isin(1, 4), ~F.col("m7").isin(1, 4)),
-        (1, ~F.col("m7").isin(4), ~F.col("m7").isin(4)),
-        (2, F.lit(True), F.lit(True)),
+        (
+            i,
+            _mods_not_in(REBUILD_EPOCH_MODS[i:]),
+            _mods_not_in(REBUILD_EPOCH_MODS[i:]),
+        )
+        for i in range(len(REBUILD_EPOCH_MODS) + 1)
     ]
     out = None
     for epoch, cpred, rpred in stages:
@@ -2807,7 +2839,10 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = el.groupBy((F.col("i0") + 1).alias("i")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("e").cast(dec)).cast(dec).alias("s1"),
-        F.sum((F.col("e") * F.col("e")).cast(dec)).cast(dec).alias("s2"),
+        # widen BEFORE multiplying (long*long wraps/ANSI-raises above
+        # ~3.0e9 milli-units while the oracle's CAST(e AS HUGEINT) * e
+        # stays exact) — matches the oracle's cast-before-multiply shape
+        F.sum(F.col("e").cast(dec) * F.col("e")).cast(dec).alias("s2"),
     )
     var = dim.select(
         "i", "n",

@@ -1184,7 +1184,21 @@ def sink_hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 try:
                     os.rename(stage, base)
                 except OSError:
-                    shutil.rmtree(stage, ignore_errors=True)
+                    # Retry also failed. Only discard the stage if some
+                    # concurrent session promoted a _DONE store in the
+                    # meantime; otherwise nothing was promoted and the
+                    # serve phase below would die on an opaque
+                    # path-not-found after silently discarding the build
+                    # — fail loudly instead (r13 advice, sketch.py:1187).
+                    if os.path.exists(done):
+                        shutil.rmtree(stage, ignore_errors=True)
+                    else:
+                        raise RuntimeError(
+                            "sketch-store promote failed twice and no "
+                            f"completed store exists at {base!r}; the "
+                            f"staged build was left at {stage!r} for "
+                            "inspection"
+                        )
 
     # ---- serve from the persisted store only ----
     stored = (

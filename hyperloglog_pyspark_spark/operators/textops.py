@@ -1355,9 +1355,12 @@ def quality_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast(dec).alias("k"),
         F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
         F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).alias("syy"),
+        # widen one operand BEFORE each product: micro-unit logs keep
+        # x,y < ~4e7 so long*long is safe today, but the oracle squares
+        # in HUGEINT — cast-before-multiply keeps the shapes symmetric
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
     )
     stat = fit.select(
         (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
@@ -1649,9 +1652,15 @@ def quality_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        # products widened to decimal BEFORE multiplying (the oracle's
+        # SUM(x*x) accumulates in HUGEINT); the final cast to long is
+        # the oracle's CAST(... AS BIGINT) and is exact in-domain
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("long").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("long").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("long").alias("syy"),
     )
     stat = fit.select(
         (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),

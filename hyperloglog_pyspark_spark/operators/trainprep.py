@@ -593,7 +593,8 @@ SRC_CAP_PCT = 5
 def mixture_source_share_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source share cap (the Gopher-style domain budget, the
     domain-diversity twin of mixture_budget_rates): no source may exceed
-    {SRC_CAP_PCT}% of the KEPT tokens. That is a fixpoint, not a simple
+    SRC_CAP_PCT percent (currently 5%) of the KEPT tokens — the oracle
+    f-string is what freezes the value. That is a fixpoint, not a simple
     clip — g_s = min(t_s, c·K) with K = Σ g_s — solved closed-form: sort
     sources by tokens descending; if the top m are capped, the kept
     total is K(m) = Σ_uncapped t / (1 − m·c), and m is valid iff the

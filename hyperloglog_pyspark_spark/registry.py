@@ -16,6 +16,8 @@ Hash-match discipline (see tests/helpers.py for the mirror harness):
 
 from __future__ import annotations
 
+import re
+import sys
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -204,6 +206,30 @@ def release_caches(keep: str | None = None) -> None:
     _live_caches = kept
 
 
+def _interpolate_doc(fn: QueryFn) -> str:
+    """Resolve ``{UPPER_CONSTANT}`` placeholders in a query docstring
+    against the defining module's namespace, at registration time.
+
+    Query docstrings quote their tuning constants (k, caps, band
+    widths); the oracle f-strings interpolate those constants but a
+    plain docstring cannot (an f-string is not a docstring — CPython
+    only sets ``__doc__`` for literal strings), so help() used to
+    render the literal ``{SRC_CAP_PCT}`` brace text (r13 advice).
+    Freezing the value here matches exactly when the oracle freezes
+    its copy. Only ``{ALL_CAPS}`` tokens that resolve to an attribute
+    of the module are substituted — literal braces in prose or dict
+    examples pass through untouched.
+    """
+    doc = fn.__doc__ or ""
+    mod = sys.modules.get(fn.__module__)
+
+    def sub(m: re.Match) -> str:
+        val = getattr(mod, m.group(1), None)
+        return str(val) if val is not None else m.group(0)
+
+    return re.sub(r"\{([A-Z][A-Z0-9_]*)\}", sub, doc)
+
+
 def register(
     name: str,
     oracle: str | None = None,
@@ -214,6 +240,7 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        fn.__doc__ = _interpolate_doc(fn)
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Free caches left behind by other queries (keep our own so

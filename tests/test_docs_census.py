@@ -215,6 +215,27 @@ def test_bench_summary_line_fits_driver_tail_window():
     assert parsed["ambient_factor"] == 99999.99
 
 
+def test_docstring_constants_interpolated():
+    """registry._interpolate_doc resolves {UPPER_CONSTANT} docstring
+    placeholders at registration (r14, from r13 advice: help() used to
+    render literal '{SRC_CAP_PCT}' brace text). A leftover token in a
+    registered query's __doc__ means the constant is defined BELOW the
+    function (decoration-time getattr missed it) or was renamed —
+    either way the docs lie; fail loudly."""
+    import re
+
+    queries()
+    bad = {}
+    for name, q in REGISTRY.items():
+        left = re.findall(r"\{[A-Z][A-Z0-9_]*\}", q.fn.__doc__ or "")
+        if left:
+            bad[name] = left
+        # Query.doc (the COVERAGE/PLANS rendering source) must agree
+        # with the live __doc__ — both come from the same registration.
+        assert (q.fn.__doc__ or "").strip() == q.doc, name
+    assert not bad, f"unresolved docstring constants: {bad}"
+
+
 def test_no_shadowed_module_constants():
     """A registered query's Spark closure reads module-level constants
     at CALL time while its oracle f-string froze them at registration —
