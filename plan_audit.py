@@ -68,6 +68,130 @@ GLOBAL_WINDOW_ALLOWED = frozenset(
     }
 )
 
+#: window sort keys that are Catalyst-NULLABLE, effectively NULLS FIRST
+#: (Spark's ASC default — DuckDB defaults NULLS LAST both directions, so
+#: a null value reaching one of these keys would reorder window frames on
+#: one engine only), and NOT a base parquet column the data census can
+#: prove null-free: query name -> (exact expr-name set, why the
+#: expression can never actually be null). tests/test_layout.py enforces
+#: this against the live plans — a NEW nullable ASC window key anywhere
+#: in the registry fails CI until it is either proven non-null here or
+#: reworked with explicit matching null ordering on BOTH engines. The
+#: expr sets are exact: adding a second nullable key to an allowlisted
+#: query re-flags it.
+WINDOW_NULLFIRST_ALLOWED: dict[str, tuple[frozenset[str], str]] = {
+    "ann_rebuild_policy": (
+        frozenset({"cent_id", "ns"}),
+        "ns = -round(dot(e, ce), 4) over non-null embedding arrays; "
+        "cent_id is a key column surviving inner joins",
+    ),
+    "similarity_ivf": (
+        frozenset({"cent_id", "ns"}),
+        "same argmin shape as ann_rebuild_policy: negated rounded dot of "
+        "non-null arrays, key column through inner joins",
+    ),
+    "similarity_ivf_pq_recall": (
+        frozenset({"adc", "d2", "seed_vec_id"}),
+        "adc/d2 are sums of squares of non-null subvector lookups; "
+        "seed_vec_id is a key column",
+    ),
+    "similarity_ivf_pq_rerank_recall": (
+        frozenset({"adc"}),
+        "ADC score: sum over complete codebook lookups of non-null arrays",
+    ),
+    "similarity_ivf_pq_rerank_topk": (
+        frozenset({"adc"}),
+        "ADC score: sum over complete codebook lookups of non-null arrays",
+    ),
+    "similarity_ivf_pq_residual_recall": (
+        frozenset({"adc"}),
+        "ADC score: sum over complete codebook lookups of non-null arrays",
+    ),
+    "similarity_ivf_pq_residual_topk": (
+        frozenset({"adc"}),
+        "ADC score: sum over complete codebook lookups of non-null arrays",
+    ),
+    "similarity_ivf_pq_topk": (
+        frozenset({"adc", "d2", "seed_vec_id"}),
+        "adc/d2 squared-distance sums over non-null subvectors; "
+        "seed_vec_id is a key column",
+    ),
+    "similarity_pq_adc_topk": (
+        frozenset({"adc", "d2", "seed_vec_id"}),
+        "adc/d2 squared-distance sums over non-null subvectors; "
+        "seed_vec_id is a key column",
+    ),
+    "similarity_pq_codebook": (
+        frozenset({"d2", "seed_vec_id"}),
+        "d2 squared distance over non-null subvectors; seed_vec_id key",
+    ),
+    "sink_ann_index_partitioned": (
+        frozenset({"adc"}),
+        "ADC score: sum over complete codebook lookups of non-null arrays",
+    ),
+    "curriculum_quality_bins": (
+        frozenset({"quality"}),
+        "quality = deterministic arithmetic over null-free doc stats "
+        "(length/punct ratios of non-null text)",
+    ),
+    "event_rfm_segmentation": (
+        frozenset({"val"}),
+        "val = R/F/M aggregate (max ts / count / sum value) over "
+        "non-null event columns, inner-joined",
+    ),
+    "join_asof_nearest": (
+        frozenset({"_w0", "click_id"}),
+        "_w0 = abs(ts - ts) gap of non-null timestamps; click_id is "
+        "event_id aliased (null-free key)",
+    ),
+    "layout_range_sort_buckets": (
+        frozenset({"cents"}),
+        "cents = round(o_totalprice * 100) of a null-free column",
+    ),
+    "pipeline_curation_v2": (
+        frozenset({"avg_s"}),
+        "avg_s = AVG over a non-empty group of non-null scores "
+        "(surprisal arithmetic on null-free text)",
+    ),
+    "quality_ks_drift": (
+        frozenset({"c"}),
+        "c = round(value * 100) cents of the null-free events value",
+    ),
+    "sample_exact_k_stratified": (
+        frozenset({"h"}),
+        "h = xxhash64(doc_id, seed) — non-null for non-null input",
+    ),
+    "sessionize_salted_stitch": (
+        frozenset({"end_us", "start_us", "ts_us"}),
+        "unix_micros(ts) of the null-free events timestamp",
+    ),
+    "sketch_ddsketch_quantiles": (
+        frozenset({"bucket"}),
+        "bucket = ceil(log(cents)/log(gamma)) index of positive "
+        "null-free prices",
+    ),
+    "text_hashed_ngram_features": (
+        frozenset({"bucket"}),
+        "bucket = pmod(xxhash64(ngram), B) of non-null shingles",
+    ),
+    "timeseries_drift_cusum": (
+        frozenset({"slot"}),
+        "slot = floor(unix_micros(ts) / window) of null-free timestamps",
+    ),
+    "timeseries_ewma_smooth": (
+        frozenset({"day"}),
+        "day = to_date(ts) of the null-free events timestamp",
+    ),
+    "timeseries_ewma_unbounded": (
+        frozenset({"cents"}),
+        "cents = round(l_extendedprice * 100) of a null-free column",
+    ),
+    "window_range_frame": (
+        frozenset({"day_no"}),
+        "day_no = datediff of null-free order dates",
+    ),
+}
+
 #: queries allowed to plan ≥2 runtime scan sites of a fact table (outside
 #: caches): name -> (table, ceiling, structural rationale). Every entry is
 #: a genuinely two-sided shape — the two sites read DIFFERENT slices /
@@ -163,6 +287,7 @@ def audit_plan(df) -> dict:
     names = []
     global_window = False
     fact_scans: dict[str, int] = {}
+    nullfirst_orders: set[str] = set()
     for n in walk_plan(jplan):
         nm = n.nodeName()
         names.append(nm)
@@ -172,6 +297,22 @@ def audit_plan(df) -> dict:
                     global_window = True
             except Exception:  # node variant without partitionSpec()
                 global_window = True
+            # Window sort keys whose expression is Catalyst-nullable AND
+            # effectively ordered NULLS FIRST (Spark's ASC default).
+            # DuckDB defaults NULLS LAST for BOTH directions, so this is
+            # exactly the cross-engine oracle divergence surface: a null
+            # actually reaching such a key reorders the window frames on
+            # one engine only (r13 "Known gaps" #4 → r14 enforced lint;
+            # tests/test_layout.py proves each flagged name non-null at
+            # the data level or requires an allowlisted rationale).
+            try:
+                spec = n.orderSpec()
+                for i in range(spec.size()):
+                    so = spec.apply(i)
+                    if so.child().nullable() and "FIRST" in so.nullOrdering().sql():
+                        nullfirst_orders.add(so.child().sql().strip("`"))
+            except Exception:
+                pass  # node variant without orderSpec()
         if "Scan" in nm and "InMemory" not in nm:
             # read the scan's root paths directly — simpleString truncates
             # Location metadata at spark.sql.maxMetadataStringLength
@@ -212,6 +353,7 @@ def audit_plan(df) -> dict:
         # runtime-rerun truth — the build's scan runs once at
         # materialization, not per reference.
         "fact_scans": fact_scans,
+        "nullfirst_orders": sorted(nullfirst_orders),
     }
 
 

@@ -441,13 +441,15 @@ def test_registry_plans_no_cartesian_no_unbounded_global_window(spark, sf_dir):
     from plan_audit import (
         GLOBAL_WINDOW_ALLOWED,
         MULTI_FACT_SCAN_ALLOWED,
+        WINDOW_NULLFIRST_ALLOWED,
         audit_plan,
     )
 
     from hyperloglog_pyspark_spark.registry import lazy_caches
 
+    nullfree = _nullfree_base_columns()
     queries()
-    carts, gwins, scans = [], [], []
+    carts, gwins, scans, nullords = [], [], [], []
     with lazy_caches():
         for name, q in REGISTRY.items():
             facts = audit_plan(q.fn(spark, sf_dir))
@@ -461,12 +463,54 @@ def test_registry_plans_no_cartesian_no_unbounded_global_window(spark, sf_dir):
                     continue
                 if allowed is None or allowed[0] != table or n > allowed[1]:
                     scans.append((name, table, n))
+            derived = set(facts["nullfirst_orders"]) - nullfree
+            if derived:
+                ok_set = WINDOW_NULLFIRST_ALLOWED.get(name, (frozenset(),))[0]
+                if not derived <= ok_set:
+                    nullords.append((name, sorted(derived - ok_set)))
     assert not carts, f"CartesianProduct planned by: {carts}"
     assert not gwins, f"unallowlisted global window planned by: {gwins}"
     assert not scans, (
         "unallowlisted multi-fact-scan plans (add a rationale to "
         f"plan_audit.MULTI_FACT_SCAN_ALLOWED or collapse the scan): {scans}"
     )
+    assert not nullords, (
+        "nullable window sort key ordered NULLS FIRST (Spark ASC default; "
+        "DuckDB defaults NULLS LAST, so a null value here silently "
+        "reorders frames on one engine only). Prove the expression "
+        "non-null in plan_audit.WINDOW_NULLFIRST_ALLOWED or use explicit "
+        f"matching null ordering on BOTH engines: {nullords}"
+    )
+
+
+def _nullfree_base_columns() -> set[str]:
+    """Column names provably null-free in the testdata — zero NULLs in
+    EVERY table of both the driver-gate (sf0.01) and sweep (sf0.1)
+    parquet, checked live. A window ordering one of these by plain
+    name cannot hit the Spark-NULLS-FIRST / DuckDB-NULLS-LAST default
+    divergence at oracle-comparison scale. Limitation (documented): a
+    DERIVED nullable expression deliberately aliased to a base-column
+    name would auto-pass — the allowlist review habit is the defense."""
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    everseen: set[str] = set()
+    hasnulls: set[str] = set()
+    for sfd in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        for p in sorted(glob.glob(sfd + "/*.parquet")):
+            cols = [
+                r[0]
+                for r in con.execute(f"DESCRIBE SELECT * FROM '{p}'").fetchall()
+            ]
+            checks = ", ".join(
+                f'SUM(CASE WHEN "{c}" IS NULL THEN 1 ELSE 0 END)' for c in cols
+            )
+            counts = con.execute(f"SELECT {checks} FROM '{p}'").fetchone()
+            everseen.update(cols)
+            hasnulls.update(c for c, n in zip(cols, counts) if n)
+    return everseen - hasnulls
 
 
 def test_embedding_family_stays_array_native(spark, sf_dir):
