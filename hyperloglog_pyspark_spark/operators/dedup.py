@@ -1878,3 +1878,149 @@ def dedup_exact_substring(
             "shared_token_mass",
         )
     )
+
+
+ER_MAX_LEV = 1  # blocked pairs at most this edit distance apart are matches
+
+
+@register(
+    "entity_resolution_blocked",
+    category="dedup",
+    oracle=f"""
+    WITH RECURSIVE
+    ent AS (
+        SELECT c_custkey AS id, c_name AS name,
+               CAST(c_nationkey AS INTEGER) AS nat,
+               substr(c_name, 1, length(c_name) - 2) AS blk
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.nat, a.id AS u, b.id AS v,
+               levenshtein(a.name, b.name) AS lev
+        FROM ent a
+        JOIN ent b ON a.nat = b.nat AND a.blk = b.blk AND a.id < b.id
+    ),
+    edges AS (SELECT u, v FROM pairs WHERE lev <= {ER_MAX_LEV}),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    reach(node, lbl) AS (
+        SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT s.u AS node, r.lbl FROM sym s JOIN reach r ON s.v = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    csize AS (
+        SELECT e.nat, c.component, COUNT(*) AS sz
+        FROM comp c JOIN ent e ON c.node = e.id
+        GROUP BY e.nat, c.component
+    ),
+    pagg AS (
+        SELECT nat, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN lev <= {ER_MAX_LEV} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matches
+        FROM pairs GROUP BY nat
+    ),
+    cagg AS (
+        SELECT nat, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(MAX(sz) AS BIGINT) AS largest_cluster,
+               CAST(SUM(sz) AS BIGINT) AS n_merged_rows
+        FROM csize GROUP BY nat
+    )
+    SELECT e.nat AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(COUNT(DISTINCT e.blk) AS BIGINT) AS n_blocks,
+           COALESCE(MAX(pagg.n_pairs), 0) AS n_pairs,
+           COALESCE(MAX(pagg.n_matches), 0) AS n_matches,
+           COALESCE(MAX(cagg.n_clusters), 0) AS n_clusters,
+           COALESCE(MAX(cagg.largest_cluster), 0) AS largest_cluster,
+           COALESCE(MAX(cagg.n_merged_rows), 0) AS n_merged_rows
+    FROM ent e
+    LEFT JOIN pagg ON pagg.nat = e.nat
+    LEFT JOIN cagg ON cagg.nat = e.nat
+    GROUP BY e.nat
+    """,
+)
+def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage / entity resolution over a STRUCTURED table — the
+    classic blocking → pairwise-scoring → transitive-closure pipeline
+    the document dedup family (MinHash/SimHash) runs on text, here run
+    on entity names: candidates are blocked on (nation, name-prefix) so
+    only same-block pairs are ever scored, scored with true Levenshtein
+    edit distance (JVM built-in on both engines — a deterministic
+    metric, so the oracle hash-checks every count), matched at lev <=
+    ER_MAX_LEV, and merged into entities with the same large-star /
+    small-star connected-components fixpoint the near-dup clusters use
+    (connected_components above — O(log² n) rounds, never O(diameter)).
+    Per nation: entity/block/pair/match counts and the resulting
+    cluster census (clusters, largest, rows merged).
+
+    The oracle computes the SAME closure via a recursive min-label CTE
+    — tractable for DuckDB because matches are block-bounded; the Spark
+    side never materializes reachability sets, only star edges.
+
+    Scale: the block self-join is the only candidate generator —
+    Σ(block²) bounded by construction (a block is one name-prefix
+    within one nation, ≤100 ids), the exact pigeonhole discipline of
+    dedup_minhash_lsh's band buckets. CC runs on the MATCH edges (a few
+    hundred per million rows at this threshold), not the corpus. At
+    100 TB: blocks shard perfectly; no all-pairs anything.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    ent = tracked_persist(
+        cust.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("int").alias("nat"),
+            F.expr("substr(c_name, 1, length(c_name) - 2)").alias("blk"),
+        )
+    )
+    a = ent.select(
+        "nat", "blk", F.col("id").alias("u"), F.col("name").alias("name_u")
+    )
+    b = ent.select(
+        "nat", "blk", F.col("id").alias("v"), F.col("name").alias("name_v")
+    )
+    pairs = tracked_persist(
+        a.join(b, ["nat", "blk"])
+        .filter(F.col("u") < F.col("v"))
+        .select(
+            "nat", "u", "v",
+            F.levenshtein("name_u", "name_v").alias("lev"),
+        )
+    )
+    edges = pairs.filter(F.col("lev") <= ER_MAX_LEV).select("u", "v")
+    comp = connected_components(edges)
+    csize = (
+        comp.join(
+            ent.select(F.col("id").alias("node"), "nat"), "node"
+        )
+        .groupBy("nat", "component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pagg = pairs.groupBy("nat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("lev") <= ER_MAX_LEV, 1).otherwise(0))
+        .cast("long").alias("n_matches"),
+    )
+    cagg = csize.groupBy("nat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.max("sz").cast("long").alias("largest_cluster"),
+        F.sum("sz").cast("long").alias("n_merged_rows"),
+    )
+    base = ent.groupBy("nat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.count_distinct("blk").cast("long").alias("n_blocks"),
+    )
+    return (
+        base.join(F.broadcast(pagg), "nat", "left")
+        .join(F.broadcast(cagg), "nat", "left")
+        .select(
+            F.col("nat").alias("nationkey"),
+            "n_entities",
+            "n_blocks",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.coalesce("n_clusters", F.lit(0)).alias("n_clusters"),
+            F.coalesce("largest_cluster", F.lit(0)).alias("largest_cluster"),
+            F.coalesce("n_merged_rows", F.lit(0)).alias("n_merged_rows"),
+        )
+    )

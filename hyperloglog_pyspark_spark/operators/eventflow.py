@@ -1267,3 +1267,149 @@ def event_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_monetary_cents"),
         )
     )
+
+
+@register(
+    "survival_km_table",
+    category="eventflow",
+    bench=True,
+    oracle="""
+    WITH pe AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE event_type IN ('signup', 'purchase')
+    ),
+    entries AS (
+        SELECT user_id, MIN(ts) AS entry_ts FROM pe
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    maxday AS (
+        SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS horizon FROM pe
+    ),
+    convs AS (
+        SELECT e.user_id, MIN(p.ts) AS conv_ts
+        FROM entries e JOIN pe p ON p.user_id = e.user_id
+        WHERE p.event_type = 'purchase' AND p.ts >= e.entry_ts
+        GROUP BY e.user_id
+    ),
+    dur AS (
+        SELECT CAST(date_trunc('week', e.entry_ts) AS DATE) AS cohort_week,
+               CASE WHEN c.conv_ts IS NOT NULL
+                    THEN datediff('day',
+                         CAST(date_trunc('day', e.entry_ts) AS DATE),
+                         CAST(date_trunc('day', c.conv_ts) AS DATE))
+                    ELSE datediff('day',
+                         CAST(date_trunc('day', e.entry_ts) AS DATE),
+                         maxday.horizon)
+               END AS t,
+               CASE WHEN c.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM entries e LEFT JOIN convs c ON e.user_id = c.user_id
+        CROSS JOIN maxday
+    ),
+    km AS (
+        SELECT cohort_week, t,
+               CAST(SUM(ev) AS BIGINT) AS n_events,
+               CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+        FROM dur GROUP BY cohort_week, t
+    ),
+    risk AS (
+        SELECT cohort_week, t, n_events, n_censored,
+               CAST(SUM(n_events + n_censored)
+                        OVER (PARTITION BY cohort_week) -
+                    (SUM(n_events + n_censored)
+                        OVER (PARTITION BY cohort_week ORDER BY t)
+                     - (n_events + n_censored)) AS BIGINT) AS n_risk
+        FROM km
+    )
+    SELECT cohort_week, CAST(t AS BIGINT) AS t, n_risk, n_events,
+           n_censored,
+           CAST((1000000 * n_events + n_risk // 2) // n_risk AS BIGINT)
+               AS hazard_ppm
+    FROM risk
+    """,
+)
+def survival_km_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival table for signup → first-purchase
+    conversion, per weekly entry cohort. funnel_time_to_convert reports
+    delay quantiles over CONVERTERS ONLY — the biased view; survival
+    analysis is the unbiased one: users who never purchase are
+    RIGHT-CENSORED at the observation horizon (the corpus's last day)
+    and stay in the risk set until then. Per (cohort_week, duration day
+    t): n_risk (users whose observed time >= t), n_events (conversions
+    at exactly t), n_censored (horizon exits at t), and the discrete
+    hazard d/n as an EXACT half-up-rounded integer ppm — the classic KM
+    estimator's columns, all in exact integer arithmetic (the survival
+    product itself is one fold over this table, left to the consumer so
+    no cross-engine float-product order can diverge).
+
+    n_risk comes from the textbook identity n(t) = N_cohort − Σ_{s<t}
+    (d(s)+c(s)), computed as a cumulative window over the KM frame —
+    #distinct duration days per cohort (≤ the corpus day span), never
+    user rows.
+
+    Scale: ONE events scan (persisted projection of the two relevant
+    types) feeds the entry aggregation, the conversion probe (shuffle
+    on user_id — broadcastable only at toy scale, so it is NOT
+    broadcast), and the scalar horizon; everything after the per-user
+    durations frame is metadata-sized. At 100 TB the user-keyed shuffle
+    is the cost, exactly like sessionize.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pe = tracked_persist(
+        ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+            "user_id", "event_type", "ts"
+        )
+    )
+    entries = pe.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("entry_ts"))
+    horizon = pe.agg(
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("horizon")
+    )
+    convs = (
+        pe.filter(F.col("event_type") == "purchase")
+        .join(entries, "user_id")
+        .filter(F.col("ts") >= F.col("entry_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    dur = (
+        entries.join(convs, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.to_date(F.date_trunc("week", "entry_ts")).alias("cohort_week"),
+            F.when(
+                F.col("conv_ts").isNotNull(),
+                F.datediff(
+                    F.to_date(F.date_trunc("day", "conv_ts")),
+                    F.to_date(F.date_trunc("day", "entry_ts")),
+                ),
+            )
+            .otherwise(
+                F.datediff(
+                    F.col("horizon"),
+                    F.to_date(F.date_trunc("day", "entry_ts")),
+                )
+            )
+            .alias("t"),
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    km = dur.groupBy("cohort_week", "t").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("n_censored"),
+    )
+    wcum = Window.partitionBy("cohort_week").orderBy("t")
+    wtot = Window.partitionBy("cohort_week")
+    exits = F.col("n_events") + F.col("n_censored")
+    risk = km.select(
+        "cohort_week", F.col("t").cast("long").alias("t"),
+        "n_events", "n_censored",
+        (
+            F.sum(exits).over(wtot) - (F.sum(exits).over(wcum) - exits)
+        ).cast("long").alias("n_risk"),
+    )
+    return risk.select(
+        "cohort_week", "t", "n_risk", "n_events", "n_censored",
+        F.expr("(1000000 * n_events + n_risk div 2) div n_risk")
+        .cast("long").alias("hazard_ppm"),
+    )

@@ -1503,3 +1503,219 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev > F.lit(_BENFORD_DEV)).alias("flagged"),
         )
     )
+
+
+L_DIVERSITY = 3  # classes with fewer distinct sensitive values leak
+
+
+@register(
+    "governance_l_diversity",
+    category="quality",
+    oracle=f"""
+    WITH sens AS (
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+               c_mktsegment AS segment,
+               CAST(FLOOR(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                          / 100000.0) AS BIGINT) AS s
+        FROM customer
+    ),
+    cell AS (
+        SELECT nationkey, segment, s, COUNT(*) AS n
+        FROM sens GROUP BY nationkey, segment, s
+    )
+    SELECT nationkey, segment,
+           CAST(SUM(n) AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(MAX(n) AS BIGINT) AS top_sensitive_n,
+           COUNT(*) < {L_DIVERSITY} AS at_risk,
+           MAX(n) = SUM(n) AS homogeneous
+    FROM cell GROUP BY nationkey, segment
+    """,
+)
+def governance_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement of the
+    k-anonymity family (quality_k_anonymity / governance_k_anonymity):
+    a class can be large enough to satisfy k yet still leak if every
+    member shares the SAME sensitive value (the homogeneity attack).
+    Per quasi-identifier class (nation, segment), the sensitive
+    attribute is the $1000 account-balance bucket (true FLOOR on exact
+    cents, so negative balances bucket correctly on both engines);
+    reported: class_size, l_distinct (distinct sensitive values — the
+    "l"), top_sensitive_n (the modal bucket's count, the adversary's
+    best single guess), at_risk (l < L_DIVERSITY, value frozen in the
+    oracle f-string), and homogeneous (modal = all — certain
+    disclosure).
+
+    All counts are exact BIGINTs; the only double op is the bucket
+    floor on exact sub-2^53 cents — identical on both engines.
+
+    Scale: one dimension-table scan collapsing map-side to
+    #(nation, segment, bucket) cells, then a metadata-sized re-group
+    to #(nation, segment) classes — the same one-scan-two-thin-aggs
+    posture as the k-anonymity ladder; at 100 TB the class frame is
+    what travels, never rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    cell = (
+        cust.select(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(cents / F.lit(100000.0)).cast("long").alias("s"),
+        )
+        .groupBy("nationkey", "segment", "s")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cell.groupBy("nationkey", "segment").agg(
+        F.sum("n").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.max("n").cast("long").alias("top_sensitive_n"),
+        (F.count(F.lit(1)) < F.lit(L_DIVERSITY)).alias("at_risk"),
+        (F.max("n") == F.sum("n")).alias("homogeneous"),
+    )
+
+
+DP_CLIP_PCT = 99  # clip per-(user, day) contributions at this exact-rank pct
+
+
+@register(
+    "governance_dp_sensitivity",
+    category="quality",
+    bench=True,
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, user_id, day
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MAX(c) AS BIGINT) AS max_user_day
+        FROM g GROUP BY event_type
+    ),
+    user_days AS (
+        SELECT event_type, CAST(MAX(nd) AS BIGINT) AS max_days_per_user
+        FROM (SELECT event_type, user_id, COUNT(*) AS nd
+              FROM g GROUP BY event_type, user_id)
+        GROUP BY event_type
+    ),
+    cdist AS (
+        SELECT event_type, c, COUNT(*) AS nc FROM g GROUP BY event_type, c
+    ),
+    cum AS (
+        SELECT event_type, c, nc,
+               SUM(nc) OVER (PARTITION BY event_type ORDER BY c) AS cum_c,
+               SUM(nc) OVER (PARTITION BY event_type) AS tot_c
+        FROM cdist
+    ),
+    thr AS (
+        SELECT event_type, CAST(MIN(c) AS BIGINT) AS clip_threshold
+        FROM cum
+        WHERE cum_c >= CAST(ceil({DP_CLIP_PCT} / 100.0 * tot_c) AS BIGINT)
+        GROUP BY event_type
+    ),
+    loss AS (
+        SELECT g.event_type,
+               CAST(SUM(CASE WHEN c > clip_threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clipped_cells,
+               CAST(SUM(CASE WHEN c > clip_threshold
+                             THEN c - clip_threshold ELSE 0 END)
+                    AS BIGINT) AS clipped_events
+        FROM g JOIN thr ON g.event_type = thr.event_type
+        GROUP BY g.event_type
+    )
+    SELECT event_type, n_users, n_cells, max_user_day, max_days_per_user,
+           clip_threshold, clipped_cells, clipped_events
+    FROM per_type
+    JOIN user_days USING (event_type)
+    JOIN thr USING (event_type)
+    JOIN loss USING (event_type)
+    """,
+)
+def governance_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy sensitivity audit — the numbers a DP release
+    needs BEFORE any noise is drawn (noise itself is deliberately out of
+    scope: nondeterminism can't be oracle-checked, and calibrating the
+    clip is the data-engineering half of the job anyway). Per
+    event_type: the worst-case single-user single-day contribution
+    (max_user_day — the L-infinity sensitivity of a daily count
+    release), the worst-case number of days one user touches
+    (max_days_per_user — the L0 factor a user-level guarantee must
+    multiply in), and the recommended clipping threshold = the exact
+    integer rank-DP_CLIP_PCT percentile of per-(user, day)
+    contributions, with its utility price (clipped_cells /
+    clipped_events = how much signal the clip discards). All exact
+    BIGINTs — no interpolated percentile, no doubles anywhere.
+
+    Scale: ONE events scan collapsing map-side to the (type, user, day)
+    contribution frame; everything downstream aggregates that frame or
+    its (type, count)-distinct distribution (the percentile window
+    orders #distinct contribution VALUES per type — dozens of rows, not
+    cells). The clip-loss join broadcasts the #types-row threshold
+    table. At 100 TB the contribution frame is the only shuffle.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = tracked_persist(
+        ev.groupBy(
+            "event_type",
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_type = g.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("c").cast("long").alias("max_user_day"),
+    )
+    user_days = (
+        g.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .groupBy("event_type")
+        .agg(F.max("nd").cast("long").alias("max_days_per_user"))
+    )
+    cdist = g.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("nc"))
+    wcum = Window.partitionBy("event_type").orderBy("c")
+    wtot = Window.partitionBy("event_type")
+    thr = (
+        cdist.select(
+            "event_type", "c",
+            F.sum("nc").over(wcum).alias("cum_c"),
+            F.sum("nc").over(wtot).alias("tot_c"),
+        )
+        .filter(
+            F.col("cum_c")
+            >= F.ceil(F.lit(DP_CLIP_PCT) / F.lit(100.0) * F.col("tot_c"))
+        )
+        .groupBy("event_type")
+        .agg(F.min("c").cast("long").alias("clip_threshold"))
+    )
+    loss = (
+        g.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("c") > F.col("clip_threshold"), 1).otherwise(0)
+            ).cast("long").alias("clipped_cells"),
+            F.sum(
+                F.when(
+                    F.col("c") > F.col("clip_threshold"),
+                    F.col("c") - F.col("clip_threshold"),
+                ).otherwise(0)
+            ).cast("long").alias("clipped_events"),
+        )
+    )
+    return (
+        per_type.join(user_days, "event_type")
+        .join(F.broadcast(thr), "event_type")
+        .join(F.broadcast(loss), "event_type")
+        .select(
+            "event_type", "n_users", "n_cells", "max_user_day",
+            "max_days_per_user", "clip_threshold", "clipped_cells",
+            "clipped_events",
+        )
+    )

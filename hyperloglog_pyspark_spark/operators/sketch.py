@@ -1061,11 +1061,12 @@ def hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sketch_store_dir(sf_dir: str) -> str:
-    """Content-keyed scratch path for the persisted sketch store — same
+def _sketch_store_dir(sf_dir: str, kind: str = "hll") -> str:
+    """Content-keyed scratch path for a persisted sketch store — same
     keying discipline as similarity._ann_index_scratch_dir (input file
     identity + engine code hash), so sweep reruns REUSE one build and
-    any code/data change keys a fresh path."""
+    any code/data change keys a fresh path. ``kind`` separates sketch
+    families sharing the same input (hll vs dd) into distinct stores."""
     import hashlib
     import os
     import tempfile
@@ -1082,8 +1083,60 @@ def _sketch_store_dir(sf_dir: str) -> str:
     h.update(f"{st.st_size}:{st.st_mtime_ns}".encode() + b"\0")
     h.update(os.path.basename(_package_zip()).encode())
     return os.path.join(
-        tempfile.gettempdir(), f"hllps_sketch_store_{h.hexdigest()[:16]}"
+        tempfile.gettempdir(),
+        f"hllps_{kind}_sketch_store_{h.hexdigest()[:16]}",
     )
+
+
+def _build_store_atomically(base: str, build_into) -> None:
+    """Build-once discipline shared by the persisted sketch stores:
+    ``build_into(stage_dir)`` writes the full store into a PRIVATE
+    staging dir, which is then promoted with ONE atomic os.rename — a
+    concurrent session keyed to the same content can never read a
+    half-written store or interleave its appends with ours (the
+    pre-r13 check-rmtree-write-mark sequence could duplicate rows
+    under that race). No-op when ``<base>/_DONE`` already exists."""
+    import os
+    import shutil
+    import uuid
+
+    done = os.path.join(base, "_DONE")
+    if os.path.exists(done):
+        return
+    stage = f"{base}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage)
+    build_into(stage)
+    with open(os.path.join(stage, "_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(stage, base)
+    except OSError:
+        if os.path.exists(done):
+            # a concurrent session promoted an identical build
+            # (content-keyed path) first — serve theirs
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            # stale partial dir from a crashed pre-r13 build (it was
+            # never promoted, so no _DONE): clear it and retry once
+            shutil.rmtree(base, ignore_errors=True)
+            try:
+                os.rename(stage, base)
+            except OSError:
+                # Retry also failed. Only discard the stage if some
+                # concurrent session promoted a _DONE store in the
+                # meantime; otherwise nothing was promoted and the
+                # serve phase would die on an opaque path-not-found
+                # after silently discarding the build — fail loudly
+                # instead (r13 advice, sketch.py:1187).
+                if os.path.exists(done):
+                    shutil.rmtree(stage, ignore_errors=True)
+                else:
+                    raise RuntimeError(
+                        "sketch-store promote failed twice and no "
+                        f"completed store exists at {base!r}; the "
+                        f"staged build was left at {stage!r} for "
+                        "inspection"
+                    )
 
 
 @register(
@@ -1133,7 +1186,6 @@ def sink_hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_overlap_matrix's.
     """
     import os
-    import shutil
 
     ev = load_table(spark, sf_dir, "events")
     day = F.to_date(F.date_trunc("day", "ts"))
@@ -1143,17 +1195,8 @@ def sink_hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _sketch_store_dir(sf_dir)
     store_path = os.path.join(base, "sketches")
-    done = os.path.join(base, "_DONE")
-    if not os.path.exists(done):
-        # Build into a private staging dir and promote with ONE atomic
-        # os.rename: a concurrent session keyed to the same content can
-        # never read a half-written store or interleave its appends with
-        # ours (the pre-r13 check-rmtree-write-mark sequence could
-        # duplicate (event_type, day) rows under that race).
-        import uuid
 
-        stage = f"{base}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        os.makedirs(stage)
+    def build_into(stage: str) -> None:
         # epoch split is a pure function of the day (deterministic on
         # any corpus): roughly 3/4 of days build the base, the rest
         # arrive as the append increment
@@ -1168,37 +1211,8 @@ def sink_hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .write.mode("append")
                 .parquet(os.path.join(stage, "sketches"))
             )
-        with open(os.path.join(stage, "_DONE"), "w") as f:
-            f.write("ok")
-        try:
-            os.rename(stage, base)
-        except OSError:
-            if os.path.exists(done):
-                # a concurrent session promoted an identical build
-                # (content-keyed path) first — serve theirs
-                shutil.rmtree(stage, ignore_errors=True)
-            else:
-                # stale partial dir from a crashed pre-r13 build (it was
-                # never promoted, so no _DONE): clear it and retry once
-                shutil.rmtree(base, ignore_errors=True)
-                try:
-                    os.rename(stage, base)
-                except OSError:
-                    # Retry also failed. Only discard the stage if some
-                    # concurrent session promoted a _DONE store in the
-                    # meantime; otherwise nothing was promoted and the
-                    # serve phase below would die on an opaque
-                    # path-not-found after silently discarding the build
-                    # — fail loudly instead (r13 advice, sketch.py:1187).
-                    if os.path.exists(done):
-                        shutil.rmtree(stage, ignore_errors=True)
-                    else:
-                        raise RuntimeError(
-                            "sketch-store promote failed twice and no "
-                            f"completed store exists at {base!r}; the "
-                            f"staged build was left at {stage!r} for "
-                            "inspection"
-                        )
+
+    _build_store_atomically(base, build_into)
 
     # ---- serve from the persisted store only ----
     stored = (
@@ -1227,4 +1241,169 @@ def sink_hll_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_store") - F.col("n_exact"))
             <= F.lit(3 * stderr) * F.col("n_exact")
         ).alias("approx_ok"),
+    )
+
+
+DD_STORE_QS = (0.5, 0.95, 0.99)  # the serving tier's p50/p95/p99
+
+
+@register(
+    "sink_ddsketch_store",
+    category="sink",
+    bench=True,
+    oracle=f"""
+    WITH bounds(bucket, lo, hi) AS (VALUES {_DD_VALUES_SQL}),
+    cents AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, bucket, lo, hi, COUNT(*) AS n
+        FROM cents JOIN bounds ON c >= lo AND c < hi
+        GROUP BY event_type, bucket, lo, hi
+    ),
+    days AS (
+        SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+        FROM cents GROUP BY event_type
+    ),
+    cum AS (
+        SELECT event_type, bucket, lo, hi, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum_n,
+               SUM(n) OVER (PARTITION BY event_type) AS total_n
+        FROM sk
+    )
+    SELECT event_type, q, days.n_days,
+           CAST(MIN(total_n) AS BIGINT) AS total_n,
+           CAST(MIN(bucket) AS BIGINT) AS bucket,
+           CAST(MIN(lo) AS BIGINT) AS est_lo_cents,
+           CAST(MIN(hi) AS BIGINT) AS est_hi_cents,
+           TRUE AS store_matches_direct
+    FROM cum JOIN days USING (event_type)
+    CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in DD_STORE_QS)}]) AS q)
+    WHERE cum_n >= CAST(ceil(q * total_n) AS BIGINT)
+    GROUP BY event_type, q, days.n_days
+    """,
+)
+def sink_ddsketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DDSketch twin of sink_hll_sketch_store — the reference's
+    merge discipline (HLL/HyperLogLog.py:157-179) applied to the
+    OTHER mergeable sketch in this engine (sketch_ddsketch_quantiles):
+    epoch 0 writes a per-(event_type, day) bucket-count table to
+    parquet (bucket = γ-log-spaced integer cent range, γ=1.02); epoch 1
+    APPENDS the remaining days with the base files frozen; the serve
+    phase answers per-segment p50/p95/p99 by merging the STORED bucket
+    counts alone — merge is plain ADDITION of counts per (segment,
+    bucket), so the store is re-aggregatable to any coarser grain with
+    zero corpus rescans.
+
+    Where the HLL store's register-max merge is idempotent, DDSketch
+    merge is ADDITIVE — a duplicated epoch would silently double-count,
+    which is exactly why the build is staged + atomically promoted here
+    (shared _build_store_atomically) and why the streaming twin's
+    per-batch-id epoch OVERWRITE commit is load-bearing
+    (streaming/pipelines.py::ddsketch_store_epoch_writer; the parity
+    test re-delivers a micro-batch and the counts must NOT move).
+
+    Bucket assignment is pure integer comparison against ~900
+    precomputed integer boundaries (no float/transcendental in the data
+    path), so store-merged counts are BIT-EQUAL to a direct one-pass
+    sketch — store_matches_direct is an exact per-bucket frame identity
+    (null-safe count equality over a full outer join), not a tolerance
+    check, and every output column (quantile bucket, cent range, day
+    grain, totals) is exact-integer hash-checked against the oracle.
+
+    Scale: the store is #(segment, day) × ≤900-bucket rows of BIGINT
+    counts — kilobytes per cell; appends scan only NEW days; serving
+    cost is a metadata-scale sum + a per-segment cumulative window over
+    ≤900 bucket rows. At 100 TB this is the quantile rollup a telemetry
+    tier actually queries.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    typed = ev.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    bounds = spark.createDataFrame(_DD_ROWS, "bucket int, lo long, hi long")
+    bucketed = typed.join(
+        F.broadcast(bounds),
+        (F.col("c") >= F.col("lo")) & (F.col("c") < F.col("hi")),
+    )
+
+    base = _sketch_store_dir(sf_dir, kind="dd")
+    store_path = os.path.join(base, "sketches")
+
+    def build_into(stage: str) -> None:
+        # same deterministic day split as the HLL store: ~3/4 of days
+        # build the base, the rest arrive as the frozen append epoch
+        is_append = F.pmod(F.dayofmonth("day"), F.lit(4)) == 0
+        for epoch, pred in ((0, ~is_append), (1, is_append)):
+            (
+                bucketed.filter(pred)
+                .groupBy("event_type", "day", "bucket", "lo", "hi")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("epoch", F.lit(epoch))
+                .repartition(1)
+                .write.mode("append")
+                .parquet(os.path.join(stage, "sketches"))
+            )
+
+    _build_store_atomically(base, build_into)
+
+    # ---- serve from the persisted store only ----
+    stored = spark.read.parquet(store_path)
+    merged = tracked_persist(
+        stored.groupBy("event_type", "bucket", "lo", "hi").agg(
+            F.sum("n").cast("long").alias("n")
+        )
+    )
+    n_days = stored.groupBy("event_type").agg(
+        F.count_distinct("day").cast("long").alias("n_days")
+    )
+    # exact per-bucket identity vs a direct one-pass sketch: integer
+    # counts, so full-frame equality — a missing bucket on either side
+    # fails the null-safe comparison
+    direct = bucketed.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct")
+    )
+    matches = (
+        merged.select("event_type", "bucket", "n")
+        .join(direct, ["event_type", "bucket"], "full_outer")
+        .groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("n").eqNullSafe(F.col("n_direct")))
+            .alias("store_matches_direct")
+        )
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bucket")
+    wtot = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type", "bucket", "lo", "hi",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n").over(wtot).alias("total_n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in DD_STORE_QS], "q double")
+    quantiles = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum_n") >= F.ceil(F.col("q") * F.col("total_n")))
+        .groupBy("event_type", "q")
+        .agg(
+            F.min("total_n").cast("long").alias("total_n"),
+            F.min("bucket").cast("long").alias("bucket"),
+            F.min("lo").alias("est_lo_cents"),
+            F.min("hi").alias("est_hi_cents"),
+        )
+    )
+    return (
+        quantiles.join(F.broadcast(n_days), "event_type")
+        .join(F.broadcast(matches), "event_type")
+        .select(
+            "event_type", "q", "n_days", "total_n", "bucket",
+            "est_lo_cents", "est_hi_cents", "store_matches_direct",
+        )
     )

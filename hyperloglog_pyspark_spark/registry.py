@@ -274,6 +274,10 @@ def register(
 # re-attestation onto the names whose green row is oldest (see
 # SWEEP_PRIORITY below).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 13 greens (CORRECTNESS_r13.json) — new names only; the other 45
+    # r13 samples were re-attestations of names already listed below
+    "dedup_normalized_exact", "mixture_source_share_cap",
+    "ann_rebuild_policy", "governance_k_anonymity", "quality_ks_drift",
     # round 12 greens (CORRECTNESS_r12.json) — new names only; the other 44
     # r12 samples were re-attestations of names already listed below
     "timeseries_ewma_unbounded", "embedding_anisotropy_report",
@@ -406,58 +410,55 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
 # last green row — changed code outranks stale-but-unchanged greens —
 # and (c) rotate the oldest greens through the remaining slots.
-# Round 13: the five new queries lead (normalized-key exact dedup, the
-# Gopher-style per-source share cap, the ANN rebuild-policy monitor,
-# the k-anonymity audit, the exact two-sample KS drift test),
-# then the six whose operator code changed since their last green row
-# (Zipf's decimal moments, the anisotropy decimal/reduced-PR rewrite,
-# the sketch store's atomic staged build, and the three other squared
-# sums the moment-sizing sweep upgraded), then the FULL remaining r7
-# cohort (27 names — the oldest attestation age in the registry), then
-# the oldest-alphabetical 14 of the 49 r8-aged greens fill to 50.
+# Round 14: the five new queries lead (the persisted DDSketch store, the
+# l-diversity and DP-sensitivity governance audits, blocked entity
+# resolution, the Kaplan-Meier survival table), then the seven whose
+# operator code changed since their last green row (the widen-before-
+# multiply sweep touched anisotropy/t-test/Neyman/Zipf/Heaps, the
+# rebuild-policy stage predicates are now derived from
+# REBUILD_EPOCH_MODS, and the HLL store build moved into the shared
+# _build_store_atomically helper), then the FULL remaining r8 cohort
+# (36 names — the oldest attestation age in the registry), then the two
+# oldest-alphabetical r9 greens fill to 50.
 #
-# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r13 = all 27
-# r7-aged names + 13 r8-aged (12 oldest-alphabetical + ab_ttest via the
-# changed block); r14 = the remaining 36 r8 names + the oldest r9
-# block; after that the cohorts cycle (~50/round). ALWAYS recompute the
-# cohorts from the CORRECTNESS_r*.json artifacts (latest green round
-# per name) rather than trusting this comment — the r9, r10 AND r12
-# reviews all caught comment drift here.
+# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r14 = all 36
+# r8-aged names + the 2 oldest r9; r15 = the remaining 42 r9 names +
+# the oldest r10 block; after that the cohorts cycle (~50/round).
+# ALWAYS recompute the cohorts from the CORRECTNESS_r*.json artifacts
+# (latest green round per name) rather than trusting this comment — the
+# r9, r10 AND r12 reviews all caught comment drift here.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # round-13 new queries (no driver row yet), locally verified at
+    # round-14 new queries (no driver row yet), locally verified at
     # sf0.001, sf0.01 AND sf0.1 against their oracles
-    "dedup_normalized_exact", "mixture_source_share_cap",
-    "ann_rebuild_policy", "governance_k_anonymity", "quality_ks_drift",
-    # operator code changed since the last green row (b6de01e): Zipf's
-    # regression moments moved to decimal(38,0)/HUGEINT; the anisotropy
-    # report's moments did too, with the participation ratio now a
-    # reduced-integer micro-rounded ratio; the sketch store build is
-    # staged + atomically promoted; the r13 moment-sizing sweep then
-    # upgraded the three other corpus-scale squared sums (t-test,
-    # volume-spike z, Neyman σ) the same way
-    "quality_zipf_audit", "embedding_anisotropy_report",
-    "sink_hll_sketch_store", "experiment_ab_ttest",
-    "quality_anomaly_volume_spike", "sample_neyman_allocation",
-    # latest green = round 7 (the full remaining stale cohort)
-    "orderby_limit_topk", "pack_sequences_greedy", "percentile_exact",
-    "pipeline_corpus_curation", "pipeline_curation_v2", "pivot_order_status",
-    "retrieval_mrr_report", "retrieval_ndcg_report",
-    "set_intersect_all_counts", "set_union_by_name", "similarity_ann_lsh",
-    "similarity_recall_report", "similarity_topk_bruteforce",
-    "sink_partitioned_parquet", "source_csv_roundtrip",
-    "source_json_roundtrip", "source_orc_roundtrip", "split_leakage_audit",
-    "sql_pricing", "sql_q3", "subquery_exists_notin", "subquery_scalar_avg",
-    "text_bm25_topk", "text_fingerprint", "text_langid", "text_stats",
-    "text_token_freq",
-    # latest green = round 8 (oldest alphabetical block, minus
-    # experiment_ab_ttest which moved into the changed block above; the
-    # remaining 34 r8 names queue for r14 — recompute from
-    # CORRECTNESS_r*.json)
-    "bitmap_distinct_rollup", "bloom_membership", "corpus_dashboard",
-    "corpus_overlap_grams", "dedup_canonical_pick",
-    "dedup_incremental_epochs", "dedup_incremental_probe",
-    "embedding_kmeans_lloyd", "embedding_quantize_int8", "event_path_mining",
-    "funnel_conversion", "governance_erasure_sweep",
+    "sink_ddsketch_store", "governance_l_diversity",
+    "governance_dp_sensitivity", "entity_resolution_blocked",
+    "survival_km_table",
+    # operator code changed since the last green row (69d0343): the
+    # r13-advice widen-before-multiply sweep (decimal cast moved inside
+    # the square for anisotropy/t-test/Neyman/Zipf/Heaps), the
+    # rebuild-policy predicates now derived from REBUILD_EPOCH_MODS,
+    # and the sketch-store build extracted into _build_store_atomically
+    "embedding_anisotropy_report", "experiment_ab_ttest",
+    "sample_neyman_allocation", "quality_zipf_audit", "quality_heaps_law",
+    "ann_rebuild_policy", "sink_hll_sketch_store",
+    # latest green = round 8 (the full remaining stale cohort, 36 names
+    # recomputed from CORRECTNESS_r1..r13 artifacts this round)
+    "hll_accuracy_report", "hll_merge_compat", "hll_set_intersection",
+    "join_asof", "join_asof_nearest", "mixture_downsample_temperature",
+    "quality_freshness_watermark", "quality_key_discovery",
+    "quality_psi_drift", "quality_winsorize_clamp", "recursive_cte_spine",
+    "sample_deterministic", "sample_stratified", "scan_project_filter",
+    "scd2_status_history", "semdedup_centroid_prune", "sessionize_gap_ids",
+    "sessionize_salted_stitch", "set_union_intersect_except",
+    "similarity_hybrid_rrf", "similarity_hybrid_rrf_ann", "similarity_ivf",
+    "split_train_val_test", "string_funcs", "temporal_point_in_time",
+    "text_outlier_zscore", "theta_set_algebra", "timeseries_anomaly_mad",
+    "timeseries_resample_ffill", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q18_large_orders", "udtf_bigrams",
+    "unpivot_nation_metrics", "window_running_sum", "window_topk_per_group",
+    # latest green = round 9 (oldest alphabetical pair; the remaining
+    # 42 r9 names queue for r15 — recompute from CORRECTNESS_r*.json)
+    "agg_histogram_equiwidth", "approx_quantile_check",
 )
 
 

@@ -844,3 +844,62 @@ def sketch_store_stream(events: DataFrame, store_path: str):
     the streaming engine: O(1) engine state regardless of stream length,
     the sketch-store analogue of EwmaTracker's bounded-state contract."""
     return events.writeStream.foreachBatch(sketch_store_epoch_writer(store_path))
+
+
+def ddsketch_store_epoch_writer(store_path: str):
+    """foreachBatch body for ``ddsketch_store_stream`` — exposed
+    separately so tests can re-deliver a micro-batch by hand and assert
+    the idempotent-commit contract directly.
+
+    Each micro-batch collapses to per-(event_type, day, bucket)
+    DDSketch bucket COUNTS (γ-boundary assignment matched to the batch
+    store, operators/sketch.py::_DD_ROWS) committed as ONE immutable
+    epoch directory keyed by the Structured Streaming batch_id —
+    ``<store>/epoch=<batch_id>``, mode("overwrite") of that directory
+    only. For the HLL store this overwrite commit was belt-and-braces
+    (register-max union is idempotent); here it is LOAD-BEARING:
+    DDSketch merge is plain ADDITION of counts, so a crash-retry that
+    APPENDED a second copy of the same batch would silently
+    double-count every value in it. The parity test re-delivers batch 0
+    under its original batch_id and asserts the served counts do not
+    move."""
+    from hyperloglog_pyspark_spark.operators.sketch import _DD_ROWS
+
+    def write_epoch(df: DataFrame, batch_id: int) -> None:
+        bounds = df.sparkSession.createDataFrame(
+            _DD_ROWS, "bucket int, lo long, hi long"
+        )
+        (
+            df.select(
+                "event_type",
+                F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+            )
+            .join(
+                F.broadcast(bounds),
+                (F.col("c") >= F.col("lo")) & (F.col("c") < F.col("hi")),
+            )
+            .groupBy("event_type", "day", "bucket", "lo", "hi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/epoch={batch_id}")
+        )
+
+    return write_epoch
+
+
+def ddsketch_store_stream(events: DataFrame, store_path: str):
+    """Streaming twin of sink_ddsketch_store's build phase: the batch
+    operator freezes day-ranged epochs once; this form grows the SAME
+    store shape one epoch per micro-batch, unbounded, with exactly-once
+    file commits (see ddsketch_store_epoch_writer). Serving is
+    identical for both: read every epoch, SUM bucket counts per
+    (segment, bucket), walk the ≤900-bucket cumulative window for
+    p50/p95/p99. Counts being exact integers, stream-vs-batch parity is
+    bit-exact frame equality, not a tolerance. State lives in the store
+    files, not the streaming engine: O(1) engine state regardless of
+    stream length."""
+    return events.writeStream.foreachBatch(
+        ddsketch_store_epoch_writer(store_path)
+    )

@@ -170,6 +170,16 @@ WINDOW_NULLFIRST_ALLOWED: dict[str, tuple[frozenset[str], str]] = {
         "bucket = ceil(log(cents)/log(gamma)) index of positive "
         "null-free prices",
     ),
+    "sink_ddsketch_store": (
+        frozenset({"bucket"}),
+        "same γ-boundary bucket index as sketch_ddsketch_quantiles, "
+        "read back from the store it was written to",
+    ),
+    "survival_km_table": (
+        frozenset({"t"}),
+        "t = datediff of day-truncated non-null timestamps (entry from "
+        "a MIN over null-free ts, exit from conv or the scalar horizon)",
+    ),
     "text_hashed_ngram_features": (
         frozenset({"bucket"}),
         "bucket = pmod(xxhash64(ngram), B) of non-null shingles",

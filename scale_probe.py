@@ -146,6 +146,12 @@ PROBE_OPS = [
     # passes; at production, assignments are the index's own
     # maintenance byproduct and the monitor reads them
     "ann_rebuild_policy",
+    # r14: blocked entity resolution — replica names get a replica-tag
+    # PREFIX (see _replica_cust), so the (nation, name-prefix) blocks
+    # are replica-local and the pair/match/cluster structure repeats
+    # per replica: total pairs R× the base, never R² (the same salting
+    # argument as the word-salted documents); CC runs on an R× edge set
+    "entity_resolution_blocked",
 ]
 
 
@@ -185,19 +191,45 @@ def _replica_emb(emb, k: int):
     )
 
 
+def _replica_cust(cust, k: int):
+    # replica tag PREPENDED to the name: the ER block key is
+    # substr(name, 1, len-2), so a prefix tag makes every replica's
+    # blocks disjoint from every other's (a SUFFIX tag would collapse
+    # each name's R copies into one block — R² pairs); within a replica
+    # the digit structure (and so every Levenshtein distance) is
+    # untouched, so pair/match/cluster counts repeat exactly per replica
+    if k == 0:
+        return cust.select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+    return cust.select(
+        (F.col("c_custkey") + F.lit(k * 10_000_000)).alias("c_custkey"),
+        F.concat(F.lit(f"R{k}#"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+
+
 def build_corpus(spark, out_dir: str, replicas: int) -> None:
     docs = load_table(spark, BASE_DIR, "documents")
     emb = load_table(spark, BASE_DIR, "embeddings")
+    cust = load_table(spark, BASE_DIR, "customer")
     d = _salted_docs(docs, 0)
     e = _replica_emb(emb, 0)
+    c = _replica_cust(cust, 0)
     for k in range(1, replicas):
         d = d.union(_salted_docs(docs, k))
         e = e.union(_replica_emb(emb, k))
+        c = c.union(_replica_cust(cust, k))
     d.repartition(16).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
     e.repartition(16).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
+    )
+    c.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "customer.parquet")
     )
 
 

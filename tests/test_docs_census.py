@@ -152,19 +152,19 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-13 contract is: queries with no driver row yet lead (new this
+    round-14 contract is: queries with no driver row yet lead (new this
     round), then the operators whose code changed since their last green
-    row (Zipf decimal moments, anisotropy decimal/reduced-PR, sketch
-    store atomic build), then the full remaining r7-stale cohort, then
-    the oldest r8 greens. Locks the prefix composition against
-    accidental reordering."""
+    row (the widen-before-multiply sweep, the derived rebuild-policy
+    predicates, the extracted atomic store build), then the full
+    remaining r8-stale cohort, then the oldest r9 greens. Locks the
+    prefix composition against accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
     changed = [
-        "quality_zipf_audit", "embedding_anisotropy_report",
-        "sink_hll_sketch_store", "experiment_ab_ttest",
-        "quality_anomaly_volume_spike", "sample_neyman_allocation",
+        "embedding_anisotropy_report", "experiment_ab_ttest",
+        "sample_neyman_allocation", "quality_zipf_audit",
+        "quality_heaps_law", "ann_rebuild_policy", "sink_hll_sketch_store",
     ]
     from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
 

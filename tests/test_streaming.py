@@ -526,9 +526,9 @@ def _have_protobuf() -> bool:
 # (pyspark/sql/streaming/proto/StateMessage_pb2.py) call
 # ValidateProtobufRuntimeVersion(PUBLIC, 6.33.0, ...), so the e2e path
 # needs google.protobuf with runtime >= 6.33.0 — absent in this
-# container (no protobuf at all; re-checked round 13, 2026-08-16:
-# `import google` → ModuleNotFoundError, and no network to install
-# one). The processor SEMANTICS run everywhere
+# container (no protobuf at all; re-checked round 14, 2026-08-16:
+# `import google` → ModuleNotFoundError, and pip index confirms no
+# network route to install one). The processor SEMANTICS run everywhere
 # via the fake-handle contract tests (test_spend_tracker_processor_
 # contract / test_cusum_monitor_processor_contract); only the protobuf
 # state-server transport is environment-gated. On a standard Spark
@@ -1955,3 +1955,71 @@ def test_sketch_store_stream_matches_batch(spark, event_batches, tmp_path):
         # each (event_type, day) seen in <= 2 micro-batches; re-delivery
         # of batch 0 must not have added a third epoch row
         assert g["n_epochs"] <= 2, k
+
+
+def test_ddsketch_store_stream_matches_batch(spark, event_batches, tmp_path):
+    """Streaming twin of sink_ddsketch_store: the store grown one epoch
+    per micro-batch, then a HAND-RE-DELIVERED micro-batch 0 (the
+    crash-between-write-and-checkpoint retry), must equal the bucket
+    table built from the batch data in one pass — BIT-EXACT per
+    (event_type, day, bucket) count equality, because DDSketch state is
+    plain integers. Unlike the HLL twin (register-max union is
+    idempotent, so only the epoch grain could drift there), an append
+    instead of the per-batch-id overwrite here would DOUBLE the batch-0
+    counts and fail the frame equality — the re-delivery exercises the
+    load-bearing idempotent commit, not just bookkeeping."""
+    ev, first, second, src, ckpt = event_batches
+    from hyperloglog_pyspark_spark.operators.sketch import _DD_ROWS
+    from hyperloglog_pyspark_spark.streaming.pipelines import (
+        ddsketch_store_epoch_writer,
+        ddsketch_store_stream,
+        read_events_stream,
+    )
+
+    store = str(tmp_path / "dd_store")
+    _write_batch(spark, first, src)
+    _write_batch(spark, second, src)
+    q = (
+        ddsketch_store_stream(read_events_stream(spark, src), store)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # re-deliver micro-batch 0 under the same batch_id: the idempotent
+    # epoch commit must REPLACE epoch=0, not append a duplicate (which
+    # would double-count every batch-0 value in the additive merge)
+    ddsketch_store_epoch_writer(store)(first, 0)
+
+    merged = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    bounds = spark.createDataFrame(_DD_ROWS, "bucket int, lo long, hi long")
+    direct = (
+        ev.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .join(
+            F.broadcast(bounds),
+            (F.col("c") >= F.col("lo")) & (F.col("c") < F.col("hi")),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    got = {
+        (r["event_type"], str(r["day"]), r["bucket"]): r["n"]
+        for r in merged.collect()
+    }
+    want = {
+        (r["event_type"], str(r["day"]), r["bucket"]): r["n"]
+        for r in direct.collect()
+    }
+    assert got == want, "stream-grown store counts diverged from batch"
