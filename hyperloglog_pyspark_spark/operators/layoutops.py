@@ -475,3 +475,114 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("file_reduction"),
         )
     )
+
+
+JCE_BUCKET_W = 16  # user-id histogram bucket width for the estimator
+
+
+@register(
+    "join_cardinality_estimate",
+    category="layout",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id, event_type
+    ),
+    v AS (SELECT user_id, user_id // {JCE_BUCKET_W} AS bucket, c
+          FROM g WHERE event_type = 'view'),
+    p AS (SELECT user_id, user_id // {JCE_BUCKET_W} AS bucket, c
+          FROM g WHERE event_type = 'purchase'),
+    hv AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_view,
+                  CAST(COUNT(*) AS BIGINT) AS v_view
+           FROM v GROUP BY bucket),
+    hp AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_purch,
+                  CAST(COUNT(*) AS BIGINT) AS v_purch
+           FROM p GROUP BY bucket),
+    act AS (
+        SELECT v.bucket, CAST(SUM(v.c * p.c) AS BIGINT) AS actual
+        FROM v JOIN p ON v.user_id = p.user_id
+        GROUP BY v.bucket
+    )
+    SELECT hv.bucket,
+           n_view, v_view, n_purch, v_purch,
+           (n_view * n_purch) // GREATEST(v_view, v_purch) AS est,
+           COALESCE(act.actual, 0) AS actual,
+           CASE WHEN COALESCE(act.actual, 0) = 0 THEN -1
+                ELSE (1000000 * ABS((n_view * n_purch)
+                          // GREATEST(v_view, v_purch) - act.actual)
+                      + act.actual // 2) // act.actual
+           END AS abs_err_ppm
+    FROM hv JOIN hp ON hv.bucket = hp.bucket
+    LEFT JOIN act ON act.bucket = hv.bucket
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics audit: the textbook histogram join-size
+    estimator |A ⋈ B| ≈ n_A·n_B / max(V(A,key), V(B,key)) evaluated
+    per key-range bucket against the TRUE join cardinality — the
+    calibration report behind every cost-based join reorder / broadcast
+    decision (Spark's own CBO uses exactly these column stats). A = the
+    view-event side, B = the purchase-event side, joined on user_id —
+    both sides multi-row per key, so the uniformity assumption has real
+    error to measure, bucket by bucket.
+
+    The true cardinality needs NO raw join: with per-(user, type)
+    counts c_v, c_p, the join size is Σ_user c_v·c_p — a thin join of
+    two count frames. Everything is exact BIGINT: the estimator uses
+    integer floor division (`//`/`div` truncate identically on these
+    non-negative counts), the error is half-up integer ppm, and empty
+    actuals report -1 (the estimator's divide-by-zero sentinel).
+
+    Scale: ONE events scan collapsing map-side to the (user, type)
+    count frame (persisted; both histogram legs and the actual leg read
+    it), then key-bucket aggregations on #users rows and a user-keyed
+    thin join. At 100 TB this is how the stats collector itself must
+    run — histogram work on digests, never a second corpus pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = tracked_persist(
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bucket = F.expr(f"user_id div {JCE_BUCKET_W}").alias("bucket")
+    v = g.filter(F.col("event_type") == "view").select("user_id", bucket, "c")
+    p = g.filter(F.col("event_type") == "purchase").select(
+        "user_id", bucket, "c"
+    )
+    hv = v.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_view"),
+        F.count(F.lit(1)).cast("long").alias("v_view"),
+    )
+    hp = p.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_purch"),
+        F.count(F.lit(1)).cast("long").alias("v_purch"),
+    )
+    act = (
+        v.select("user_id", "bucket", F.col("c").alias("cv"))
+        .join(p.select("user_id", F.col("c").alias("cp")), "user_id")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("cv") * F.col("cp")).cast("long").alias("actual"))
+    )
+    est = F.expr("(n_view * n_purch) div greatest(v_view, v_purch)")
+    return (
+        hv.join(hp, "bucket")
+        .join(act, "bucket", "left")
+        .select(
+            "bucket", "n_view", "v_view", "n_purch", "v_purch",
+            est.cast("long").alias("est"),
+            F.coalesce("actual", F.lit(0)).cast("long").alias("actual"),
+            F.when(F.coalesce("actual", F.lit(0)) == 0, F.lit(-1))
+            .otherwise(
+                F.expr(
+                    "(1000000 * abs((n_view * n_purch) "
+                    "div greatest(v_view, v_purch) - actual) "
+                    "+ actual div 2) div actual"
+                )
+            )
+            .cast("long")
+            .alias("abs_err_ppm"),
+        )
+    )

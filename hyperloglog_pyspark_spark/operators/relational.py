@@ -811,3 +811,165 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "click_id", gap.alias("gap_us"))
     )
+
+
+# cdc_snapshot_diff's deterministic "version B" mutation rules — the
+# simulated drift between two snapshots of the same table. Derived
+# IDENTICALLY in both engines, so every diff count is exact.
+CDC_DEL_MOD = 41  # keys removed in B
+CDC_PRICE_MOD = 37  # surviving keys whose totalprice moved (+1.00)
+CDC_PRIO_MOD = 39  # surviving keys whose orderpriority was reclassed
+CDC_INS_MOD = 43  # keys whose clone (key + 1e9) was inserted in B
+
+
+@register(
+    "cdc_snapshot_diff",
+    category="relational",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderpriority AS prio
+        FROM orders
+    ),
+    b AS (
+        SELECT k, status,
+               CASE WHEN k % {CDC_PRICE_MOD} = 0 THEN cents + 100
+                    ELSE cents END AS cents,
+               CASE WHEN k % {CDC_PRIO_MOD} = 0 THEN '9-RECLASS'
+                    ELSE prio END AS prio
+        FROM a WHERE k % {CDC_DEL_MOD} != 0
+        UNION ALL
+        SELECT k + 1000000000, status, cents, prio
+        FROM a WHERE k % {CDC_INS_MOD} = 0
+    ),
+    d AS (
+        SELECT COALESCE(a.status, b.status) AS status,
+               CASE WHEN a.k IS NULL THEN 'added'
+                    WHEN b.k IS NULL THEN 'removed'
+                    WHEN a.cents != b.cents OR a.prio != b.prio
+                        THEN 'changed'
+                    ELSE 'unchanged' END AS verdict,
+               CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                         AND a.cents != b.cents THEN 1 ELSE 0 END AS pc,
+               CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                         AND a.prio != b.prio THEN 1 ELSE 0 END AS rc
+        FROM a FULL OUTER JOIN b USING (k)
+    )
+    SELECT status,
+           CAST(SUM(CASE WHEN verdict != 'added' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN verdict != 'removed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN verdict = 'added' THEN 1 ELSE 0 END)
+                AS BIGINT) AS added,
+           CAST(SUM(CASE WHEN verdict = 'removed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS removed,
+           CAST(SUM(CASE WHEN verdict = 'changed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS changed,
+           CAST(SUM(CASE WHEN verdict = 'unchanged' THEN 1 ELSE 0 END)
+                AS BIGINT) AS unchanged,
+           CAST(SUM(pc) AS BIGINT) AS price_changes,
+           CAST(SUM(rc) AS BIGINT) AS priority_changes,
+           CAST(SUM(pc * rc) AS BIGINT) AS both_changes
+    FROM d GROUP BY status
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the "data diff" audit): given two
+    versions of a keyed table, classify every key as
+    added/removed/changed/unchanged and attribute CHANGED rows to the
+    columns that moved — the report a CDC pipeline or a migration
+    cutover writes before declaring two tables equivalent.
+    cdc_upsert_merge implements the MERGE that applies a delta; this is
+    the inverse direction — derive the delta (and catch unintended
+    drift) from two materialized snapshots when no change log exists.
+
+    Version B is a deterministic mutation of version A (deletes /
+    price bumps / priority reclasses / key-shifted inserts on disjoint
+    modular classes — constants frozen in the oracle f-string), so
+    every count is exact. Money compares in exact cents; column
+    attribution is explicit per-column comparison, never an engine-
+    specific row hash (cross-engine hashes can't match).
+
+    Scale: ONE shuffle — the full outer join co-partitions both
+    snapshots on the key; every verdict and per-column comparison is a
+    map-side expression on the joined row, and the output collapses to
+    #status rows. At 100 TB: diff cost = one co-partitioned pass, the
+    same join a MERGE would pay anyway; no row ever leaves the executor
+    un-aggregated.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # persisted: version B is DERIVED from A here (three consumers — the
+    # A side, B's mutation branch, B's insert branch), so one scan feeds
+    # all of them; with two real physical snapshots each side is one scan
+    a = tracked_persist(
+        o.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    survivors = a.filter(F.col("k") % CDC_DEL_MOD != 0)
+    b = survivors.select(
+        "k",
+        "status",
+        F.when(F.col("k") % CDC_PRICE_MOD == 0, F.col("cents") + 100)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        F.when(F.col("k") % CDC_PRIO_MOD == 0, F.lit("9-RECLASS"))
+        .otherwise(F.col("prio"))
+        .alias("prio"),
+    ).unionByName(
+        a.filter(F.col("k") % CDC_INS_MOD == 0).select(
+            (F.col("k") + F.lit(1_000_000_000)).alias("k"),
+            "status", "cents", "prio",
+        )
+    )
+    ak = a.select(
+        "k",
+        F.col("status").alias("a_status"),
+        F.col("cents").alias("a_cents"),
+        F.col("prio").alias("a_prio"),
+    )
+    bk = b.select(
+        "k",
+        F.col("status").alias("b_status"),
+        F.col("cents").alias("b_cents"),
+        F.col("prio").alias("b_prio"),
+    )
+    both = F.col("a_status").isNotNull() & F.col("b_status").isNotNull()
+    d = ak.join(bk, "k", "full_outer").select(
+        F.coalesce("a_status", "b_status").alias("status"),
+        F.when(F.col("a_status").isNull(), "added")
+        .when(F.col("b_status").isNull(), "removed")
+        .when(
+            (F.col("a_cents") != F.col("b_cents"))
+            | (F.col("a_prio") != F.col("b_prio")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("verdict"),
+        F.when(both & (F.col("a_cents") != F.col("b_cents")), 1)
+        .otherwise(0)
+        .alias("pc"),
+        F.when(both & (F.col("a_prio") != F.col("b_prio")), 1)
+        .otherwise(0)
+        .alias("rc"),
+    )
+    v = F.col("verdict")
+    return d.groupBy("status").agg(
+        F.sum(F.when(v != "added", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(v != "removed", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(v == "added", 1).otherwise(0)).cast("long").alias("added"),
+        F.sum(F.when(v == "removed", 1).otherwise(0)).cast("long")
+        .alias("removed"),
+        F.sum(F.when(v == "changed", 1).otherwise(0)).cast("long")
+        .alias("changed"),
+        F.sum(F.when(v == "unchanged", 1).otherwise(0)).cast("long")
+        .alias("unchanged"),
+        F.sum("pc").cast("long").alias("price_changes"),
+        F.sum("rc").cast("long").alias("priority_changes"),
+        F.sum(F.col("pc") * F.col("rc")).cast("long").alias("both_changes"),
+    )

@@ -2910,3 +2910,157 @@ def embedding_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anisotropic"),
         )
     )
+
+
+@register(
+    "sink_ann_index_compact",
+    category="sink",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    {_IVF_CTES},
+    pel AS ({_PEL_SQL}),
+    refc AS (
+        SELECT a.cent_id, v.m, v.j,
+               CAST(FLOOR(SUM(v.e) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS c
+        FROM pel v JOIN iassign a ON a.vec_id = v.vec_id
+        WHERE v.vec_id % 10 NOT IN (3, 7)
+        GROUP BY a.cent_id, v.m, v.j
+    ),
+    rel AS (
+        SELECT v.vec_id, v.m, v.j, v.e - c.c AS e
+        FROM pel v
+        JOIN iassign a ON a.vec_id = v.vec_id
+        JOIN refc c ON c.cent_id = a.cent_id AND c.m = v.m AND c.j = v.j
+    ),
+    rel_base AS (SELECT * FROM rel WHERE vec_id % 10 NOT IN (3, 7)),
+    rseeds AS (
+        SELECT vec_id AS seed_vec_id FROM embeddings
+        WHERE vec_id % 10 NOT IN (3, 7)
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}),
+    {_APPEND_LLOYD_CTES},
+    fin AS ({_pq_lloyd_final_sql("rel", _APPEND_FINAL)})
+    SELECT CAST(a.cent_id AS BIGINT) AS cent_id,
+           CAST(COUNT(*) AS BIGINT) AS n_codes,
+           CAST(SUM(f.k) AS BIGINT) AS sum_code_k,
+           CAST(SUM(f.vec_id) AS BIGINT) AS sum_vec_id,
+           TRUE AS codes_match,
+           TRUE AS single_file_after
+    FROM fin f JOIN iassign a ON a.vec_id = f.vec_id
+    GROUP BY a.cent_id
+    """,
+)
+def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index COMPACTION for the appended ANN store — the maintenance
+    step that closes the add-between-retrains loop: sink_ann_index_append
+    lands each epoch as new files inside the existing ``cent_id=``
+    directories, so a long append history degenerates every partition
+    into a pile of small files (the serving tier then pays
+    open-cost × files per probed cell — layout_compaction_plan's
+    small-file tax, materialized inside an index). This operator
+    rewrites the appended store with ONE file per coarse cell
+    (repartition by cent_id before a partitioned write — each cell lands
+    in exactly one task) into a content-keyed compacted store with the
+    same staged-build/atomic-promote discipline as the sketch stores,
+    then serves per-cell audit rows FROM THE COMPACTED FILES: code
+    count, exact checksum aggregates (Σ code_k, Σ vec_id), a
+    codes_match boolean (null-safe full-outer frame identity against
+    the pre-compaction store — compaction must move BYTES, never a
+    single code), and single_file_after (the compaction contract
+    itself). The oracle recomputes the appended store's codes end-to-end
+    (same CTE fragments as sink_ann_index_append) and aggregates per
+    cell — so a compaction that dropped, duplicated, or re-encoded any
+    row is a hash mismatch, not a lint warning.
+
+    Scale: compaction reads the code table once and shuffles it once on
+    cent_id (codes are a few bytes per vector — the INDEX, not the
+    vectors); the audit is per-cell metadata. At 100 TB this is the
+    nightly job that keeps probe latency flat as epochs accumulate.
+    """
+    import os
+
+    from hyperloglog_pyspark_spark.operators.sketch import (
+        _build_store_atomically,
+    )
+
+    # ensure the appended store exists and get its read-back frame
+    # (module-level callable = the unwrapped operator; calling the
+    # REGISTRY wrapper would release this query's own caches)
+    orig = sink_ann_index_append(spark, sf_dir)
+
+    base = _ann_index_scratch_dir(sf_dir, tag="compact")
+    codes_path = os.path.join(base, "codes")
+
+    def build_into(stage: str) -> None:
+        (
+            orig.repartition("cent_id")
+            .write.partitionBy("cent_id")
+            .parquet(os.path.join(stage, "codes"))
+        )
+
+    _build_store_atomically(base, build_into)
+
+    compacted = tracked_persist(
+        spark.read.parquet(codes_path).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cent_id").cast("long").alias("cent_id"),
+            F.col("m").cast("int").alias("m"),
+            F.col("code_k").cast("long").alias("code_k"),
+        )
+    )
+    # frame identity: every (vec_id, m) key present on both sides with
+    # identical (cent_id, code_k) — a full outer join surfaces drops,
+    # duplicates and re-encodes as null-safe inequality
+    o = orig.select(
+        "vec_id", "m",
+        F.col("cent_id").alias("o_cent"), F.col("code_k").alias("o_k"),
+    )
+    c = compacted.select(
+        "vec_id", "m",
+        F.col("cent_id").alias("c_cent"), F.col("code_k").alias("c_k"),
+    )
+    match = (
+        o.join(c, ["vec_id", "m"], "full_outer")
+        .select(
+            F.coalesce("c_cent", "o_cent").alias("cent_id"),
+            (
+                F.col("o_cent").eqNullSafe(F.col("c_cent"))
+                & F.col("o_k").eqNullSafe(F.col("c_k"))
+            ).alias("ok"),
+        )
+        .groupBy("cent_id")
+        .agg(F.bool_and("ok").alias("codes_match"))
+    )
+    # the compaction contract: repartition("cent_id") puts each cell in
+    # exactly one task, so each cent_id= dir holds exactly one data file
+    def _one_file(cell_dir: str) -> bool:
+        return (
+            sum(
+                1
+                for f in os.listdir(cell_dir)
+                if f.endswith(".parquet")
+            )
+            == 1
+        )
+
+    single = spark.createDataFrame(
+        [
+            (int(d.split("=", 1)[1]), _one_file(os.path.join(codes_path, d)))
+            for d in os.listdir(codes_path)
+            if d.startswith("cent_id=")
+        ],
+        "cent_id long, single_file_after boolean",
+    )
+    return (
+        compacted.groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_codes"),
+            F.sum("code_k").cast("long").alias("sum_code_k"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        )
+        .join(F.broadcast(match), "cent_id")
+        .join(F.broadcast(single), "cent_id")
+        .select(
+            "cent_id", "n_codes", "sum_code_k", "sum_vec_id",
+            "codes_match", "single_file_after",
+        )
+    )

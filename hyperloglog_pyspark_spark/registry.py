@@ -422,8 +422,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # oldest-alphabetical r9 greens fill to 50.
 #
 # Rotation schedule (attestation age stays ≤ ~4-5 rounds): r14 = all 36
-# r8-aged names + the 2 oldest r9; r15 = the remaining 42 r9 names +
-# the oldest r10 block; after that the cohorts cycle (~50/round).
+# r8-aged names (8 new + 6 changed fill the rest); r15 = the 44 r9
+# names + the oldest r10 block; after that the cohorts cycle
+# (~50/round).
 # ALWAYS recompute the cohorts from the CORRECTNESS_r*.json artifacts
 # (latest green round per name) rather than trusting this comment — the
 # r9, r10 AND r12 reviews all caught comment drift here.
@@ -432,15 +433,20 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # sf0.001, sf0.01 AND sf0.1 against their oracles
     "sink_ddsketch_store", "governance_l_diversity",
     "governance_dp_sensitivity", "entity_resolution_blocked",
-    "survival_km_table",
+    "survival_km_table", "cdc_snapshot_diff", "join_cardinality_estimate",
+    "sink_ann_index_compact",
     # operator code changed since the last green row (69d0343): the
     # r13-advice widen-before-multiply sweep (decimal cast moved inside
-    # the square for anisotropy/t-test/Neyman/Zipf/Heaps), the
-    # rebuild-policy predicates now derived from REBUILD_EPOCH_MODS,
-    # and the sketch-store build extracted into _build_store_atomically
+    # the square for anisotropy/t-test/Neyman/Zipf/Heaps) and the
+    # rebuild-policy predicates now derived from REBUILD_EPOCH_MODS.
+    # (sink_hll_sketch_store's build moved into the shared
+    # _build_store_atomically helper the same round — a behavior-neutral
+    # extraction, re-verified locally at all three SFs and exercised by
+    # its stream-parity + promote-failure unit tests; it cedes its pin
+    # slot so the FULL 36-name r8 cohort fits, green row stays r13)
     "embedding_anisotropy_report", "experiment_ab_ttest",
     "sample_neyman_allocation", "quality_zipf_audit", "quality_heaps_law",
-    "ann_rebuild_policy", "sink_hll_sketch_store",
+    "ann_rebuild_policy",
     # latest green = round 8 (the full remaining stale cohort, 36 names
     # recomputed from CORRECTNESS_r1..r13 artifacts this round)
     "hll_accuracy_report", "hll_merge_compat", "hll_set_intersection",
@@ -456,9 +462,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "timeseries_resample_ffill", "tpch_q10_returned_items",
     "tpch_q14_promo_revenue", "tpch_q18_large_orders", "udtf_bigrams",
     "unpivot_nation_metrics", "window_running_sum", "window_topk_per_group",
-    # latest green = round 9 (oldest alphabetical pair; the remaining
-    # 42 r9 names queue for r15 — recompute from CORRECTNESS_r*.json)
-    "agg_histogram_equiwidth", "approx_quantile_check",
 )
 
 

@@ -164,7 +164,7 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
     changed = [
         "embedding_anisotropy_report", "experiment_ab_ttest",
         "sample_neyman_allocation", "quality_zipf_audit",
-        "quality_heaps_law", "ann_rebuild_policy", "sink_hll_sketch_store",
+        "quality_heaps_law", "ann_rebuild_policy",
     ]
     from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
 
