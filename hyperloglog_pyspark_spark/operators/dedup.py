@@ -2024,3 +2024,118 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_merged_rows", F.lit(0)).alias("n_merged_rows"),
         )
     )
+
+
+WJ_T = 0.5  # weighted (multiset) Jaccard report threshold
+
+
+@register(
+    "dedup_weighted_jaccard",
+    category="dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' ')
+               ) AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    tf AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(sh) AS g FROM raw)
+        GROUP BY doc_id, g
+    ),
+    tot AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS toks,
+               CAST(FLOOR(len(sh) / {LEN_BUCKET}.0) AS BIGINT) AS lb
+        FROM raw
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS sum_min
+        FROM tf a JOIN tf b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, ta.toks AS toks_a, tb.toks AS toks_b,
+           p.sum_min,
+           CAST(round(p.sum_min * 1.0
+                      / (ta.toks + tb.toks - p.sum_min), 6) AS DOUBLE)
+               AS w_jaccard
+    FROM pairs p
+    JOIN tot ta ON ta.doc_id = p.doc_a
+    JOIN tot tb ON tb.doc_id = p.doc_b
+    WHERE tb.lb BETWEEN ta.lb - 1 AND ta.lb + 1
+      AND p.sum_min * 1.0 / (ta.toks + tb.toks - p.sum_min) >= {WJ_T}
+    """,
+)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset / bag) Jaccard near-dup detection — the
+    frequency-aware sibling of dedup_ngram_jaccard: J_w(A,B) =
+    Σ_g min(tf_A, tf_B) / Σ_g max(tf_A, tf_B) over word-3-gram BAGS
+    (repeated shingles keep their multiplicity instead of collapsing
+    under array_distinct). Set-Jaccard saturates on documents that
+    repeat boilerplate — ten copies of a navigation block count once —
+    while the bag form weighs the repetition, separating "shares the
+    template" from "IS mostly the template" (the text_repeated_spans
+    signal folded into a pairwise similarity). Σ max needs no second
+    join: Σ max = |A| + |B| − Σ min on bag sizes, so one inverted-index
+    pass computes everything.
+
+    Same candidate discipline as the set form: explode to (doc, gram,
+    tf) postings, equi-join on the gram — only pairs actually sharing a
+    gram materialize, work is Σ_g df(g)², and the length-bucket ±1
+    predicate is kept as a join filter for oracle parity. The oracle
+    uses the SAME inverted join (not a pair CTE), so it verifies
+    directly at sf0.1 — no banding.
+
+    Exactness: sum_min/toks are exact BIGINTs; the one double division
+    is identical bit-for-bit cross-engine (operands < 2^53).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    t = F.split("text", " ")
+    raw_sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+    )
+    sh = docs.filter(F.size(t) >= 3).select(
+        "doc_id",
+        raw_sh.alias("sh"),
+        F.floor(F.size(t) / LEN_BUCKET).alias("lb"),
+    )
+    tf = tracked_persist(
+        sh.select(
+            "doc_id", "lb",
+            F.size("sh").cast("long").alias("toks"),
+            F.explode("sh").alias("g"),
+        )
+        .groupBy("doc_id", "lb", "toks", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    a = tf.select(
+        F.col("doc_id").alias("doc_a"), F.col("lb").alias("lb_a"),
+        F.col("toks").alias("toks_a"), "g", F.col("tf").alias("tf_a"),
+    )
+    b = tf.select(
+        F.col("doc_id").alias("doc_b"), F.col("lb").alias("lb_b"),
+        F.col("toks").alias("toks_b"), "g", F.col("tf").alias("tf_b"),
+    )
+    wj_raw = F.col("sum_min").cast("double") / (
+        F.col("toks_a") + F.col("toks_b") - F.col("sum_min")
+    )
+    return (
+        a.join(
+            b,
+            (a["g"] == b["g"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            & F.col("lb_b").between(F.col("lb_a") - 1, F.col("lb_a") + 1),
+        )
+        .groupBy("doc_a", "doc_b", "toks_a", "toks_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("sum_min"))
+        .filter(wj_raw >= WJ_T)
+        .select(
+            "doc_a", "doc_b", "toks_a", "toks_b", "sum_min",
+            F.round(wj_raw, 6).cast("double").alias("w_jaccard"),
+        )
+    )

@@ -1719,3 +1719,145 @@ def governance_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped_events",
         )
     )
+
+
+T_CLOSE_PPM = 200_000  # flag classes whose EMD from the global dist > 0.2
+
+
+@register(
+    "governance_t_closeness",
+    category="quality",
+    oracle=f"""
+    WITH sens AS (
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+               c_mktsegment AS segment,
+               CAST(FLOOR(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+                          / 100000.0) AS BIGINT) AS s
+        FROM customer
+    ),
+    dom AS (SELECT DISTINCT s FROM sens),
+    gdist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS g FROM sens GROUP BY s),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS n_buckets
+            FROM sens),
+    cls AS (SELECT nationkey, segment, CAST(COUNT(*) AS BIGINT) AS n_class
+            FROM sens GROUP BY nationkey, segment),
+    cell AS (SELECT nationkey, segment, s, CAST(COUNT(*) AS BIGINT) AS c
+             FROM sens GROUP BY nationkey, segment, s),
+    grid AS (
+        SELECT cls.nationkey, cls.segment, cls.n_class, dom.s,
+               COALESCE(cell.c, 0) AS c, gdist.g, tot.n_total, tot.n_buckets
+        FROM cls CROSS JOIN dom
+        JOIN gdist ON gdist.s = dom.s
+        CROSS JOIN tot
+        LEFT JOIN cell ON cell.nationkey = cls.nationkey
+                      AND cell.segment = cls.segment AND cell.s = dom.s
+    ),
+    run AS (
+        SELECT nationkey, segment, n_class, n_total, n_buckets, s,
+               SUM(CAST(c AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n_class)
+                   OVER (PARTITION BY nationkey, segment ORDER BY s) AS r
+        FROM grid
+    ),
+    emd AS (
+        SELECT nationkey, segment, n_class, n_total, n_buckets,
+               CAST(SUM(ABS(r)) AS HUGEINT) AS sum_abs_r
+        FROM run GROUP BY nationkey, segment, n_class, n_total, n_buckets
+    )
+    SELECT nationkey, segment, n_class,
+           CAST((1000000 * sum_abs_r
+                 + (CAST(n_class AS HUGEINT) * n_total * (n_buckets - 1)) // 2)
+                // (CAST(n_class AS HUGEINT) * n_total * (n_buckets - 1))
+                AS BIGINT) AS emd_ppm,
+           (1000000 * sum_abs_r)
+               > {T_CLOSE_PPM} * CAST(n_class AS HUGEINT) * n_total
+                 * (n_buckets - 1) AS exceeds_t
+    FROM emd
+    """,
+)
+def governance_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the classic privacy triad
+    (quality_k_anonymity / governance_k_anonymity count class sizes,
+    governance_l_diversity counts distinct sensitive values; this
+    measures DISTRIBUTIONAL skew): a class can be big AND diverse yet
+    still leak if its sensitive-value distribution differs sharply from
+    the global one (the adversary updates a prior). Per quasi-identifier
+    class (nation, segment), the Earth Mover's Distance between the
+    class's $1000-balance-bucket distribution and the global
+    distribution under the ordered equal-step ground metric — for a 1-D
+    ordered domain EMD = Σ|running (p−q)| / (B−1), computed ENTIRELY in
+    exact integer arithmetic over a common denominator n_class·n_total:
+    the running term is Σ(c·N − g·n), folded in decimal(38,0)/HUGEINT
+    (widened BEFORE the multiply, the r14 discipline), and the final
+    ppm is one half-up integer division. exceeds_t compares
+    cross-multiplied integers — no division at all on the verdict path.
+
+    Scale: one dimension-table scan to the (class, bucket) cell frame;
+    the dense grid is #classes × #buckets (metadata-sized — the
+    balance-bucket domain is bounded), the running-sum window is
+    per-class over that grid. At 100 TB the cell frame is what
+    shuffles, never rows.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    sens = tracked_persist(
+        cust.select(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(cents / F.lit(100000.0)).cast("long").alias("s"),
+        )
+    )
+    dom = sens.select("s").distinct()
+    gdist = sens.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("g"))
+    tot = sens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count_distinct("s").cast("long").alias("n_buckets"),
+    )
+    cls = sens.groupBy("nationkey", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_class")
+    )
+    cell = sens.groupBy("nationkey", "segment", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(dom))
+        .join(F.broadcast(gdist), "s")
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["nationkey", "segment", "s"], "left")
+        .select(
+            "nationkey", "segment", "n_class", "s", "g",
+            "n_total", "n_buckets",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    wrun = Window.partitionBy("nationkey", "segment").orderBy("s")
+    run = grid.select(
+        "nationkey", "segment", "n_class", "n_total", "n_buckets",
+        F.sum(
+            F.col("c").cast(dec) * F.col("n_total")
+            - F.col("g").cast(dec) * F.col("n_class")
+        ).over(wrun).alias("r"),
+    )
+    emd = run.groupBy(
+        "nationkey", "segment", "n_class", "n_total", "n_buckets"
+    ).agg(F.sum(F.abs(F.col("r"))).cast(dec).alias("sum_abs_r"))
+    denom = (
+        F.col("n_class").cast(dec)
+        * F.col("n_total")
+        * (F.col("n_buckets") - 1)
+    )
+    return emd.select(
+        "nationkey", "segment", "n_class",
+        F.expr(
+            "(1000000 * sum_abs_r + (cast(n_class as decimal(38,0)) "
+            "* n_total * (n_buckets - 1)) div 2) "
+            "div (cast(n_class as decimal(38,0)) * n_total * (n_buckets - 1))"
+        ).cast("long").alias("emd_ppm"),
+        (
+            F.lit(1_000_000).cast(dec) * F.col("sum_abs_r")
+            > F.lit(T_CLOSE_PPM).cast(dec) * denom
+        ).alias("exceeds_t"),
+    )

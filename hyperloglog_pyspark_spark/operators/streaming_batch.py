@@ -648,3 +648,135 @@ def timeseries_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+@register(
+    "timeseries_theil_sen",
+    category="timeseries",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY event_type, d
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               (1000000 * (b.y - a.y) + (b.d - a.d) // 2) // (b.d - a.d)
+                   AS sl
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+        SELECT event_type, sl,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY sl, sl) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM pairs
+    ),
+    ts AS (
+        SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+               CAST(MIN(sl) AS BIGINT) AS theil_sen_micro
+        FROM ranked WHERE rn = (np + 1) // 2
+        GROUP BY event_type
+    ),
+    mom AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(d) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               SUM(CAST(d AS HUGEINT) * y) AS sxy,
+               SUM(CAST(d AS HUGEINT) * d) AS sxx
+        FROM daily GROUP BY event_type
+    ),
+    ols AS (
+        SELECT event_type, n_days,
+               CAST((1000000 * (n_days * sxy - sx * sy)
+                     + (n_days * sxx - sx * sx) // 2)
+                    // (n_days * sxx - sx * sx) AS BIGINT) AS ols_micro
+        FROM mom
+    )
+    SELECT event_type, n_days, n_pairs, theil_sen_micro, ols_micro
+    FROM ts JOIN ols USING (event_type)
+    """,
+)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator over per-type daily volumes —
+    the median of all pairwise slopes, the robust-statistics twin of
+    the OLS moment fits (quality_zipf_audit / agg_regression): a single
+    corrupted day drags an OLS slope arbitrarily far but moves a
+    pairwise-slope MEDIAN by at most one rank (29.3% breakdown point).
+    Reported side by side with the OLS slope from the same frame so the
+    gap itself is the outlier signal. Everything is exact integer
+    arithmetic: each pairwise slope is a half-up integer micro-slope
+    ((1e6·Δy + Δd div 2) div Δd — both engines truncate identically,
+    negatives included), the median is the exact lower-median rank
+    selection rn = (n+1) div 2 over the ordered slope values, and the
+    OLS slope folds HUGEINT/decimal moments (widened before the
+    multiply) into one half-up division.
+
+    The pair "join" is per-type over the DAILY frame — at most
+    #days·(#days−1)/2 rows per type (bounded by the calendar span, not
+    the corpus), the same domain-bounded-grid discipline as
+    quality_ks_drift's ECDF cross product.
+
+    Scale: one events scan collapses map-side to #(type, day) rows;
+    pairs, ranking and moments all live on that metadata-sized frame.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    daily = tracked_persist(
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date(F.date_trunc("day", "ts")), F.lit("2024-01-01")
+            ).alias("d"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            F.expr(
+                "(1000000 * (yb - ya) + (db - da) div 2) div (db - da)"
+            ).cast("long").alias("sl"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("sl")
+    wn = Window.partitionBy("event_type")
+    ts = (
+        pairs.select(
+            "event_type", "sl",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("np"),
+        )
+        .filter(F.col("rn") == F.expr("(np + 1) div 2"))
+        .groupBy("event_type")
+        .agg(
+            F.max("np").cast("long").alias("n_pairs"),
+            F.min("sl").cast("long").alias("theil_sen_micro"),
+        )
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("d").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("d").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("d").cast(dec) * F.col("d")).cast(dec).alias("sxx"),
+    )
+    ols = mom.select(
+        "event_type", "n_days",
+        F.expr(
+            "(1000000 * (n_days * sxy - sx * sy) "
+            "+ (n_days * sxx - sx * sx) div 2) "
+            "div (n_days * sxx - sx * sx)"
+        ).cast("long").alias("ols_micro"),
+    )
+    return ts.join(ols, "event_type").select(
+        "event_type", "n_days", "n_pairs", "theil_sen_micro", "ols_micro"
+    )

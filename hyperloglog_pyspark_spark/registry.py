@@ -434,18 +434,20 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "sink_ddsketch_store", "governance_l_diversity",
     "governance_dp_sensitivity", "entity_resolution_blocked",
     "survival_km_table", "cdc_snapshot_diff", "join_cardinality_estimate",
-    "sink_ann_index_compact",
+    "sink_ann_index_compact", "governance_t_closeness",
+    "timeseries_theil_sen", "dedup_weighted_jaccard",
     # operator code changed since the last green row (69d0343): the
     # r13-advice widen-before-multiply sweep (decimal cast moved inside
     # the square for anisotropy/t-test/Neyman/Zipf/Heaps) and the
     # rebuild-policy predicates now derived from REBUILD_EPOCH_MODS.
-    # (sink_hll_sketch_store's build moved into the shared
-    # _build_store_atomically helper the same round — a behavior-neutral
-    # extraction, re-verified locally at all three SFs and exercised by
-    # its stream-parity + promote-failure unit tests; it cedes its pin
-    # slot so the FULL 36-name r8 cohort fits, green row stays r13)
-    "embedding_anisotropy_report", "experiment_ab_ttest",
-    "sample_neyman_allocation", "quality_zipf_audit", "quality_heaps_law",
+    # With 11 new queries leading, only 3 changed-block slots fit beside
+    # the FULL 36-name r8 cohort (verdict #3 outranks re-attesting young
+    # greens): keep the two r12-green changed names + the structural
+    # rebuild-policy change; defer ab_ttest / neyman / zipf (r13-green,
+    # widen-only, re-verified locally at all three SFs this round) and
+    # sink_hll_sketch_store (behavior-neutral helper extraction, its
+    # stream-parity + promote-failure tests exercise the moved code).
+    "embedding_anisotropy_report", "quality_heaps_law",
     "ann_rebuild_policy",
     # latest green = round 8 (the full remaining stale cohort, 36 names
     # recomputed from CORRECTNESS_r1..r13 artifacts this round)

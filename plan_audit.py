@@ -180,6 +180,16 @@ WINDOW_NULLFIRST_ALLOWED: dict[str, tuple[frozenset[str], str]] = {
         "t = datediff of day-truncated non-null timestamps (entry from "
         "a MIN over null-free ts, exit from conv or the scalar horizon)",
     ),
+    "governance_t_closeness": (
+        frozenset({"s"}),
+        "s = floor(cents/1e5) balance bucket of the null-free c_acctbal "
+        "(the EMD running sum orders the dense bucket grid)",
+    ),
+    "timeseries_theil_sen": (
+        frozenset({"sl"}),
+        "sl = half-up integer micro-slope (1e6*dy + dd div 2) div dd of "
+        "non-null daily counts; dd > 0 by the pair predicate",
+    ),
     "text_hashed_ngram_features": (
         frozenset({"bucket"}),
         "bucket = pmod(xxhash64(ngram), B) of non-null shingles",
