@@ -501,7 +501,7 @@ JCE_BUCKET_W = 16  # user-id histogram bucket width for the estimator
                   CAST(COUNT(*) AS BIGINT) AS v_purch
            FROM p GROUP BY bucket),
     act AS (
-        SELECT v.bucket, CAST(SUM(v.c * p.c) AS BIGINT) AS actual
+        SELECT v.bucket, CAST(SUM(CAST(v.c AS HUGEINT) * p.c) AS BIGINT) AS actual
         FROM v JOIN p ON v.user_id = p.user_id
         GROUP BY v.bucket
     )
@@ -564,7 +564,12 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select("user_id", "bucket", F.col("c").alias("cv"))
         .join(p.select("user_id", F.col("c").alias("cp")), "user_id")
         .groupBy("bucket")
-        .agg(F.sum(F.col("cv") * F.col("cp")).cast("long").alias("actual"))
+        # widen before multiplying: per-key count products can pass int64
+        # at corpus scale where the oracle's HUGEINT stays exact
+        .agg(
+            F.sum(F.col("cv").cast("decimal(38,0)") * F.col("cp"))
+            .cast("long").alias("actual")
+        )
     )
     est = F.expr("(n_view * n_purch) div greatest(v_view, v_purch)")
     return (

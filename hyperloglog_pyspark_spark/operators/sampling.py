@@ -360,7 +360,7 @@ def _boot_w_sql(u: str) -> str:
         FROM obs CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b)
     ),
     rep_means AS (
-        SELECT event_type, b, SUM(w * c) * 1.0 / (SUM(w) * 100) AS m
+        SELECT event_type, b, SUM(CAST(w AS HUGEINT) * c) * 1.0 / (SUM(w) * 100) AS m
         FROM reps GROUP BY event_type, b
     ),
     orig AS (
@@ -423,7 +423,13 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w"),
     )
     rep_means = reps.groupBy("event_type", "b").agg(
-        (F.sum(F.col("w") * F.col("c")) * 1.0 / (F.sum("w") * 100)).alias("m")
+        # widen before multiplying (r14 sweep): w*c in long wraps above
+        # ~4e10-per-row corpora while the oracle's HUGEINT stays exact;
+        # the decimal sum casts to double exactly in-domain (< 2^53)
+        (
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("c")).cast("double")
+            / (F.sum("w") * 100)
+        ).alias("m")
     )
     pct = F.expr(
         f"percentile(case when b >= 0 then m end, array({BOOT_CI[0]}, {BOOT_CI[1]}))"

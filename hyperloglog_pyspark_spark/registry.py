@@ -444,7 +444,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # the FULL 36-name r8 cohort (verdict #3 outranks re-attesting young
     # greens): keep the two r12-green changed names + the structural
     # rebuild-policy change; defer ab_ttest / neyman / zipf (r13-green,
-    # widen-only, re-verified locally at all three SFs this round) and
+    # widen-only, re-verified locally at all three SFs this round),
+    # sample_bootstrap_ci (same widen-only change + 3-SF re-verify) and
     # sink_hll_sketch_store (behavior-neutral helper extraction, its
     # stream-parity + promote-failure tests exercise the moved code).
     "embedding_anisotropy_report", "quality_heaps_law",
