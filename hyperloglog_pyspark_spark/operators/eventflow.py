@@ -1413,3 +1413,159 @@ def survival_km_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n_events + n_risk div 2) div n_risk")
         .cast("long").alias("hazard_ppm"),
     )
+
+
+Z_CRIT_SQ_X10K = 38_416  # 1.96² × 10⁴ — two-sided 95% in exact integers
+
+
+@register(
+    "funnel_significance_ztest",
+    category="eventflow",
+    oracle=f"""
+    WITH pe AS (SELECT user_id, event_type, ts FROM events),
+    su AS (
+        SELECT user_id, user_id % 2 AS variant, MIN(ts) AS s_ts
+        FROM pe WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    goal AS (
+        SELECT e.event_type, su.variant, su.user_id,
+               MAX(CASE WHEN e.ts >= su.s_ts
+                         AND e.ts < su.s_ts + INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END) AS conv
+        FROM su JOIN pe e ON e.user_id = su.user_id
+        WHERE e.event_type != 'signup'
+        GROUP BY e.event_type, su.variant, su.user_id
+    ),
+    base AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n
+             FROM su GROUP BY variant),
+    cv AS (
+        SELECT event_type, variant, CAST(SUM(conv) AS BIGINT) AS c
+        FROM goal GROUP BY event_type, variant
+    ),
+    wide AS (
+        SELECT cv.event_type,
+               MAX(CASE WHEN cv.variant = 0 THEN cv.c END) AS c0,
+               MAX(CASE WHEN cv.variant = 1 THEN cv.c END) AS c1,
+               MAX(CASE WHEN b.variant = 0 THEN b.n END) AS n0,
+               MAX(CASE WHEN b.variant = 1 THEN b.n END) AS n1
+        FROM cv JOIN base b ON b.variant = cv.variant
+        GROUP BY cv.event_type
+    )
+    SELECT event_type, n0, c0, n1, c1,
+           CAST(round(c0 * 1.0 / n0, 6) AS DOUBLE) AS rate0,
+           CAST(round(c1 * 1.0 / n1, 6) AS DOUBLE) AS rate1,
+           CASE WHEN (c0 + c1) = 0 OR (c0 + c1) = (n0 + n1) THEN 0
+                ELSE CAST((1000000 * CAST(c0*n1 - c1*n0 AS HUGEINT)
+                               * (c0*n1 - c1*n0) * (n0 + n1)
+                           + (CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
+                              * (n0 + n1 - c0 - c1)) // 2)
+                          // (CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
+                              * (n0 + n1 - c0 - c1)) AS BIGINT)
+           END AS zsq_micro,
+           CASE WHEN (c0 + c1) = 0 OR (c0 + c1) = (n0 + n1) THEN FALSE
+                ELSE 10000 * CAST(c0*n1 - c1*n0 AS HUGEINT)
+                         * (c0*n1 - c1*n0) * (n0 + n1)
+                     >= {Z_CRIT_SQ_X10K} * CAST(n0 AS HUGEINT) * n1
+                         * (c0 + c1) * (n0 + n1 - c0 - c1)
+           END AS significant
+    FROM wide
+    """,
+)
+def funnel_significance_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on funnel conversion — the PROPORTIONS
+    complement of experiment_ab_ttest's Welch test on means: per goal
+    event type, users split by deterministic id parity, conversion =
+    reaching the goal within one hour of first signup, and the pooled
+    two-proportion z² computed ENTIRELY in exact integer arithmetic.
+    With p_i = c_i/n_i the algebra collapses to
+    z² = (c0·n1 − c1·n0)²·(n0+n1) / (n0·n1·(c0+c1)·(n0+n1−c0−c1)),
+    emitted as a half-up micro-unit integer; the significance verdict
+    cross-multiplies against 1.96²·10⁴ = Z_CRIT_SQ_X10K — no sqrt, no
+    division, no float anywhere on the decision path. Degenerate pooled
+    variance (all convert / none convert) reports z² = 0, not
+    significant — identical rates are evidence of nothing.
+
+    Digit budget: the verdict products peak at ~(c·n)²·n ≈ n⁵ — inside
+    the shared 38-digit DECIMAL/HUGEINT headroom through ~3×10⁷ users
+    per variant per type; both engines share the same bound, so an
+    overflow would be a loud error on both, never a silent split.
+
+    Scale: ONE events scan (persisted projection) feeds the entry
+    aggregation and the goal probe (user-keyed shuffle, the sessionize
+    posture); everything after the per-(type, variant) counts is a
+    #types-row computation.
+    """
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    pe = tracked_persist(ev.select("user_id", "event_type", "ts"))
+    su = (
+        pe.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+        .select(
+            "user_id", "s_ts", (F.col("user_id") % 2).alias("variant")
+        )
+    )
+    goal = (
+        pe.filter(F.col("event_type") != "signup")
+        .join(su, "user_id")
+        .groupBy("event_type", "variant", "user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("ts") >= F.col("s_ts"))
+                    & (F.col("ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    base = su.groupBy("variant").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cv = goal.groupBy("event_type", "variant").agg(
+        F.sum("conv").cast("long").alias("c")
+    )
+    wide = (
+        cv.join(F.broadcast(base), "variant")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+            F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+            F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        )
+    )
+    # exact-integer z² pieces, widened to decimal BEFORE any product
+    num = (
+        "(cast(c0 as decimal(38,0)) * n1 - cast(c1 as decimal(38,0)) * n0)"
+    )
+    den = (
+        "(cast(n0 as decimal(38,0)) * n1 * (c0 + c1) * (n0 + n1 - c0 - c1))"
+    )
+    degenerate = (F.col("c0") + F.col("c1") == 0) | (
+        F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1")
+    )
+    return wide.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n0"),
+        F.col("c0").cast("long").alias("c0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("c1").cast("long").alias("c1"),
+        F.round(F.col("c0") * 1.0 / F.col("n0"), 6).cast("double").alias("rate0"),
+        F.round(F.col("c1") * 1.0 / F.col("n1"), 6).cast("double").alias("rate1"),
+        F.when(degenerate, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"(1000000 * {num} * {num} * (n0 + n1) + {den} div 2) div {den}"
+            )
+        )
+        .cast("long")
+        .alias("zsq_micro"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(
+            F.expr(
+                f"10000 * {num} * {num} * (n0 + n1) "
+                f">= {Z_CRIT_SQ_X10K} * {den}"
+            )
+        )
+        .alias("significant"),
+    )

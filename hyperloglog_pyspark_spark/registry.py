@@ -436,20 +436,20 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "survival_km_table", "cdc_snapshot_diff", "join_cardinality_estimate",
     "sink_ann_index_compact", "governance_t_closeness",
     "timeseries_theil_sen", "dedup_weighted_jaccard",
+    "funnel_significance_ztest",
     # operator code changed since the last green row (69d0343): the
     # r13-advice widen-before-multiply sweep (decimal cast moved inside
     # the square for anisotropy/t-test/Neyman/Zipf/Heaps) and the
     # rebuild-policy predicates now derived from REBUILD_EPOCH_MODS.
-    # With 11 new queries leading, only 3 changed-block slots fit beside
+    # With 12 new queries leading, only 2 changed-block slots fit beside
     # the FULL 36-name r8 cohort (verdict #3 outranks re-attesting young
-    # greens): keep the two r12-green changed names + the structural
-    # rebuild-policy change; defer ab_ttest / neyman / zipf (r13-green,
-    # widen-only, re-verified locally at all three SFs this round),
-    # sample_bootstrap_ci (same widen-only change + 3-SF re-verify) and
-    # sink_hll_sketch_store (behavior-neutral helper extraction, its
-    # stream-parity + promote-failure tests exercise the moved code).
-    "embedding_anisotropy_report", "quality_heaps_law",
-    "ann_rebuild_policy",
+    # greens): keep the oldest-green changed name (anisotropy, r12) +
+    # the structural rebuild-policy change; defer ab_ttest / neyman /
+    # zipf / heaps (widen-only, re-verified locally at all three SFs
+    # this round), sample_bootstrap_ci (same) and sink_hll_sketch_store
+    # (behavior-neutral helper extraction, its stream-parity +
+    # promote-failure tests exercise the moved code).
+    "embedding_anisotropy_report", "ann_rebuild_policy",
     # latest green = round 8 (the full remaining stale cohort, 36 names
     # recomputed from CORRECTNESS_r1..r13 artifacts this round)
     "hll_accuracy_report", "hll_merge_compat", "hll_set_intersection",

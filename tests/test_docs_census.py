@@ -162,8 +162,7 @@ def test_sweep_prefix_fronts_new_then_changed_queries():
 
     names = list(E.queries())
     changed = [
-        "embedding_anisotropy_report", "quality_heaps_law",
-        "ann_rebuild_policy",
+        "embedding_anisotropy_report", "ann_rebuild_policy",
     ]
     from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
 
