@@ -35,20 +35,31 @@ from pyspark.sql import SparkSession
 from hyperloglog_pyspark_spark.functions import hll64
 
 
-def estimate_distinct_elements(items, k: int) -> float:
+def estimate_distinct_elements(items, k: int, hash_func=None) -> float:
     """Estimate the number of distinct elements in ``items`` locally.
 
     Mirrors HLL/examples.py:16-25: HyperLogLog64(k) + extend + cardinality,
     with the reference's str()-before-sha1 equality semantics
     (HyperLogLog.py:110) — 11 and "11" collide, 11 and 11.0 do not.
+    ``hash_func`` forwards the reference constructor's pluggable-hash
+    kwarg (HyperLogLog.py:58, ``HyperLogLog(k, hash_func=hashlib.sha1)``)
+    which the reference's example functions hard-wire away; a port that
+    built its sketches with ``hash_func=hashlib.md5`` passes it here.
     """
+    import hashlib
+
     p = hll64.p_from_k(k)
     regs = hll64.empty_registers(p)
-    hll64.update_registers(regs, [str(x) for x in items], p)
+    hll64.update_registers(
+        regs, [str(x) for x in items], p,
+        hash_func=hash_func if hash_func is not None else hashlib.sha1,
+    )
     return hll64.estimate(regs)
 
 
-def estimate_distinct_elements_parallel(lists_of_items, k: int, sc) -> float:
+def estimate_distinct_elements_parallel(
+    lists_of_items, k: int, sc, hash_func=None
+) -> float:
     """Distributed estimate over a collection of sequences.
 
     Mirrors HLL/examples.py:56-67 (the reference flagship): one partial
@@ -57,7 +68,9 @@ def estimate_distinct_elements_parallel(lists_of_items, k: int, sc) -> float:
     one-column DataFrame and runs the two-phase Arrow aggregate — the
     partial/merge pattern the reference hand-codes with
     mapPartitions(init_compute_hmaps)+reduce, planned by Catalyst
-    instead.
+    instead. ``hash_func`` forwards the reference constructor's
+    pluggable hash (HyperLogLog.py:58) into the executor-side sketch
+    updates; pass a picklable top-level constructor (hashlib.md5, ...).
     """
     from hyperloglog_pyspark_spark.functions.hll64_spark import (
         estimate_distinct,
@@ -75,7 +88,9 @@ def estimate_distinct_elements_parallel(lists_of_items, k: int, sc) -> float:
     # full-data shuffle for nothing (createDataFrame already splits
     # across defaultParallelism).
     df = spark.createDataFrame(flat, "v string")
-    return float(estimate_distinct(df, "v", k).first().estimate)
+    return float(
+        estimate_distinct(df, "v", k, hash_func=hash_func).first().estimate
+    )
 
 
 def calculate_empirical_accuracy(items, estimate: float, sc, relative: bool = True) -> float:

@@ -96,7 +96,8 @@ def empty_registers(p: int) -> np.ndarray:
 
 
 def update_registers(
-    registers: np.ndarray, values, p: int, hash_bits: int = 64
+    registers: np.ndarray, values, p: int, hash_bits: int = 64,
+    hash_func=hashlib.sha1,
 ) -> np.ndarray:
     """Fold a batch of already-stringified values into the register array.
 
@@ -104,6 +105,10 @@ def update_registers(
     parse; the register max-merge is a single np.maximum.at scatter.
     hash_bits=32 gives the reference's base (32-bit) sketch semantics:
     an 8-hex-char sha1 prefix and ranks counted from bit 32.
+    hash_func mirrors the reference constructor's pluggable hash
+    (HyperLogLog.py:58, ``HyperLogLog(k, hash_func=hashlib.sha1)``): any
+    hashlib-style callable whose digest is ≥ hash_bits long — the hex
+    prefix of its hexdigest is consumed exactly as sha1's is.
     """
     m = 1 << p
     hex_len = hash_bits // 4
@@ -119,7 +124,7 @@ def update_registers(
     keys = np.empty(len(values), dtype=np.int64)
     ranks = np.empty(len(values), dtype=np.uint8)
     for i, v in enumerate(values):
-        h = int(hashlib.sha1(str(v).encode()).hexdigest()[:hex_len], 16) >> shift
+        h = int(hash_func(str(v).encode()).hexdigest()[:hex_len], 16) >> shift
         keys[i] = h & (m - 1)
         rest = h >> p
         ranks[i] = rank_bits - p - rest.bit_length() + 1

@@ -20,6 +20,7 @@ plain approximate distinct counts prefer the JVM-side built-ins
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,14 +31,22 @@ from pyspark.sql.types import BinaryType, StructField, StructType
 from hyperloglog_pyspark_spark.functions import hll64
 
 
-def hll64_sketch(df: DataFrame, group_cols: list[str], value_col: str, k: int) -> DataFrame:
+def hll64_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int,
+    hash_func=None,
+) -> DataFrame:
     """Aggregate `value_col` into one HLL64 sketch per group.
 
     Returns (group_cols..., sketch: binary). Values are canonicalized with
     CAST(value AS STRING) to preserve the reference's str()-before-hash
-    equality semantics (HyperLogLog.py:110).
+    equality semantics (HyperLogLog.py:110). ``hash_func`` (default sha1)
+    mirrors the reference constructor's pluggable hash
+    (HyperLogLog.py:58); the callable is closure-captured and shipped to
+    executors with the Arrow UDF — pass a top-level hashlib constructor
+    (hashlib.md5, hashlib.sha256, ...) so it pickles.
     """
     p = hll64.p_from_k(k)
+    hf = hash_func if hash_func is not None else hashlib.sha1
     src = df.select(*group_cols, F.col(value_col).cast("string").alias("__v"))
     group_fields = [src.schema[c] for c in group_cols]
     partial_schema = StructType(group_fields + [StructField("sketch", BinaryType())])
@@ -51,7 +60,7 @@ def hll64_sketch(df: DataFrame, group_cols: list[str], value_col: str, k: int) -
                 regs = acc.get(key)
                 if regs is None:
                     regs = acc[key] = hll64.empty_registers(p)
-                hll64.update_registers(regs, vals.to_numpy(), p)
+                hll64.update_registers(regs, vals.to_numpy(), p, hash_func=hf)
         rows = [(*key, hll64.serialize(regs)) for key, regs in acc.items()]
         yield pd.DataFrame(rows, columns=[*group_cols, "sketch"])
 
@@ -78,9 +87,14 @@ def hll64_estimate_col(df: DataFrame, sketch_col: str = "sketch", alias: str = "
     return df.withColumn(alias, _est(F.col(sketch_col)))
 
 
-def estimate_distinct(df: DataFrame, value_col: str, k: int) -> DataFrame:
+def estimate_distinct(
+    df: DataFrame, value_col: str, k: int, hash_func=None
+) -> DataFrame:
     """Global distinct estimate — the engine form of the reference flagship
     estimate_distinct_elements_parallel (HLL/examples.py:56-67): returns a
     one-row DataFrame (estimate: double)."""
-    sketch = hll64_sketch(df.withColumn("__g", F.lit(1)), ["__g"], value_col, k)
+    sketch = hll64_sketch(
+        df.withColumn("__g", F.lit(1)), ["__g"], value_col, k,
+        hash_func=hash_func,
+    )
     return hll64_estimate_col(sketch).select("estimate")

@@ -2049,7 +2049,7 @@ WJ_T = 0.5  # weighted (multiset) Jaccard report threshold
     ),
     tot AS (
         SELECT doc_id, CAST(len(sh) AS BIGINT) AS toks,
-               CAST(FLOOR(len(sh) / {LEN_BUCKET}.0) AS BIGINT) AS lb
+               CAST(FLOOR((len(sh) + 2) / {LEN_BUCKET}.0) AS BIGINT) AS lb
         FROM raw
     ),
     pairs AS (

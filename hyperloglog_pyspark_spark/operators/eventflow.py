@@ -1487,8 +1487,13 @@ def funnel_significance_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Digit budget: the verdict products peak at ~(c·n)²·n ≈ n⁵ — inside
     the shared 38-digit DECIMAL/HUGEINT headroom through ~3×10⁷ users
-    per variant per type; both engines share the same bound, so an
-    overflow would be a loud error on both, never a silent split.
+    per variant per type. Past that bound the failure modes DIFFER:
+    DuckDB HUGEINT overflow raises, while Spark decimal(38,0) overflow
+    in default non-ANSI mode returns NULL silently — so a breach
+    surfaces as a harness hash mismatch (NULL vs error), not as a loud
+    error on both engines. The bound itself is ~30× the 100 TB per-cell
+    population this query partitions to, so the headroom is real; the
+    sentence above records the detection mode honestly.
 
     Scale: ONE events scan (persisted projection) feeds the entry
     aggregation and the goal probe (user-keyed shuffle, the sessionize

@@ -507,13 +507,14 @@ JCE_BUCKET_W = 16  # user-id histogram bucket width for the estimator
     )
     SELECT hv.bucket,
            n_view, v_view, n_purch, v_purch,
-           (n_view * n_purch) // GREATEST(v_view, v_purch) AS est,
+           CAST((CAST(n_view AS HUGEINT) * n_purch)
+                // GREATEST(v_view, v_purch) AS BIGINT) AS est,
            COALESCE(act.actual, 0) AS actual,
-           CASE WHEN COALESCE(act.actual, 0) = 0 THEN -1
-                ELSE (1000000 * ABS((n_view * n_purch)
+           CAST(CASE WHEN COALESCE(act.actual, 0) = 0 THEN -1
+                ELSE (1000000 * ABS((CAST(n_view AS HUGEINT) * n_purch)
                           // GREATEST(v_view, v_purch) - act.actual)
                       + act.actual // 2) // act.actual
-           END AS abs_err_ppm
+           END AS BIGINT) AS abs_err_ppm
     FROM hv JOIN hp ON hv.bucket = hp.bucket
     LEFT JOIN act ON act.bucket = hv.bucket
     """,
@@ -571,7 +572,13 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("actual")
         )
     )
-    est = F.expr("(n_view * n_purch) div greatest(v_view, v_purch)")
+    # widen before multiplying (same discipline as `actual` above): the
+    # bucket-total product n_view * n_purch can pass int64 at corpus
+    # scale — decimal(38,0) here, HUGEINT in the oracle
+    est = F.expr(
+        "(cast(n_view as decimal(38,0)) * n_purch)"
+        " div greatest(v_view, v_purch)"
+    )
     return (
         hv.join(hp, "bucket")
         .join(act, "bucket", "left")
@@ -582,8 +589,8 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.coalesce("actual", F.lit(0)) == 0, F.lit(-1))
             .otherwise(
                 F.expr(
-                    "(1000000 * abs((n_view * n_purch) "
-                    "div greatest(v_view, v_purch) - actual) "
+                    "(1000000 * abs((cast(n_view as decimal(38,0)) "
+                    "* n_purch) div greatest(v_view, v_purch) - actual) "
                     "+ actual div 2) div actual"
                 )
             )

@@ -1264,8 +1264,13 @@ DD_STORE_QS = (0.5, 0.95, 0.99)  # the serving tier's p50/p95/p99
         GROUP BY event_type, bucket, lo, hi
     ),
     days AS (
+        -- day population of the STORE (bucket-joined), not of raw
+        -- events: a (event_type, day) cell whose values all fall
+        -- outside every bucket never reaches the persisted sketches,
+        -- and Spark serves n_days from the store alone
         SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
-        FROM cents GROUP BY event_type
+        FROM cents JOIN bounds ON c >= lo AND c < hi
+        GROUP BY event_type
     ),
     cum AS (
         SELECT event_type, bucket, lo, hi, n,

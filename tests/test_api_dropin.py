@@ -67,3 +67,49 @@ def test_parallel_accepts_session_or_context(spark):
         seqs, K, spark.sparkContext
     )
     assert via_session == via_context
+
+
+def test_hash_func_kwarg_local():
+    # The reference constructor takes a pluggable hash
+    # (HyperLogLog.py:58, hash_func=hashlib.sha1); the drop-in surface
+    # forwards it. md5 must (a) run, (b) agree with a hand-rolled
+    # reference-semantics md5 sketch, (c) differ from the sha1 estimate
+    # on the same items (different hash -> different registers).
+    import hashlib
+    import math
+
+    from hyperloglog_pyspark_spark.functions import hll64
+
+    items = list(range(500))
+    est_md5 = estimate_distinct_elements(items, K, hash_func=hashlib.md5)
+    est_sha1 = estimate_distinct_elements(items, K)
+    assert est_md5 != est_sha1
+
+    # reference semantics by hand: first 16 hex chars of md5(str(x)),
+    # key = low p bits, rank over the remaining bits
+    p = hll64.p_from_k(K)
+    m = 1 << p
+    regs = [0] * m
+    for x in items:
+        h = int(hashlib.md5(str(x).encode()).hexdigest()[:16], 16)
+        key = h & (m - 1)
+        rest = h >> p
+        regs[key] = max(regs[key], 64 - p - rest.bit_length() + 1)
+    zeros = regs.count(0)
+    lc = m * math.log(m / zeros)
+    assert est_md5 == pytest.approx(lc, abs=1e-9)
+
+
+def test_hash_func_kwarg_parallel(spark):
+    # local and distributed sketches are the same monoid: with md5
+    # threaded through the Arrow aggregate, the parallel estimate of a
+    # flattened corpus equals the local estimate of the same elements.
+    import hashlib
+
+    items = [f"u{i}" for i in range(300)]
+    seqs = [items[:150], items[100:]]
+    est_par = estimate_distinct_elements_parallel(
+        seqs, K, spark, hash_func=hashlib.md5
+    )
+    est_loc = estimate_distinct_elements(items, K, hash_func=hashlib.md5)
+    assert est_par == pytest.approx(est_loc, abs=1e-9)
