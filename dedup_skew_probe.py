@@ -201,8 +201,28 @@ def _exact_substring(cap):
     return fn
 
 
+def _weighted_jaccard(cap):
+    def fn(spark, sf_dir: str):
+        from hyperloglog_pyspark_spark.operators.dedup import (
+            dedup_weighted_jaccard,
+        )
+
+        return dedup_weighted_jaccard(spark, sf_dir, df_cap=cap)
+
+    return fn
+
+
+def _weighted_prefix(spark, sf_dir: str):
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        dedup_weighted_prefix_filter,
+    )
+
+    return dedup_weighted_prefix_filter(spark, sf_dir)
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("dedup-skew-probe")
     spark.sparkContext.setLogLevel("ERROR")
     registry.EAGER_CACHES = True
@@ -234,12 +254,25 @@ def main() -> None:
         # cap excludes, and a real span survives unless every one of
         # its grams is ubiquitous.
         ("exact_substring", "uncapped", _exact_substring(None)),
+        # r15: the weighted (bag) Jaccard postings join under the gram
+        # whale (verdict #1): the boilerplate string's word-3-grams each
+        # sit in every hot doc, so the uncapped inverted join emits df²
+        # rows per gram. Ablations: the derived df-cap (drops
+        # corpus-ubiquitous grams, approximate on whale pairs) and the
+        # registered EXACT mitigation, the weighted prefix filter
+        # (rarest-first prefixes keep hot grams out of the candidate
+        # join with zero false negatives).
+        ("weighted_jaccard", "uncapped", _weighted_jaccard(None)),
+        ("weighted_jaccard", "derived_cap", _weighted_jaccard("derived")),
+        ("weighted_jaccard", "prefix_filter", _weighted_prefix),
         # r12: the registered form DERIVES the cap from the gram-df
         # distribution (max(FLOOR, HEADROOM*p99.9)); the boilerplate
         # whale's grams are <0.1% of distinct grams, so p99.9 stays on
         # the natural-text df and the whale still drops.
         ("exact_substring", "derived_cap", _exact_substring("derived")),
     ]
+    if only is not None:
+        runs = [r for r in runs if only in r[0]]
     results = []
     for op, form, fn in runs:
         secs = {}

@@ -1711,6 +1711,47 @@ XSUB_DF_FLOOR = 8  # never cap below this (tiny-corpus safety)
 XSUB_DF_HEADROOM = 16  # cap = HEADROOM × p99.9 of the gram-df distribution
 
 
+def _derived_df_whales(
+    dfs: DataFrame, floor: int, headroom: int, gram_col: str = "g"
+) -> DataFrame:
+    """Whale grams under the derived df-cap: given a ``(gram_col, df)``
+    frame, return the grams whose document frequency exceeds
+    max(floor, headroom × p99.9(df)).
+
+    The p99.9 is an exact integer order statistic computed over the
+    df HISTOGRAM (#distinct df values — a handful of rows), in pure
+    integer arithmetic so both engines derive the identical threshold
+    at every corpus size. Shared by dedup_exact_substring (registered,
+    oracle mirrors the derivation) and the weighted-Jaccard probe
+    ablation (dedup_skew_probe.py)."""
+    dfs = tracked_persist(dfs)
+    hist = dfs.groupBy("df").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "df",
+        F.sum("c").over(
+            Window.orderBy("df").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cum"),
+    )
+    thr = hist.agg(F.expr("(999 * sum(c) + 999) div 1000").alias("t"))
+    cap = (
+        cum.crossJoin(F.broadcast(thr))
+        .filter(F.col("cum") >= F.col("t"))
+        .agg(F.min("df").alias("p999"))
+        .select(
+            F.greatest(
+                F.lit(floor), F.lit(headroom) * F.col("p999")
+            ).alias("cap")
+        )
+    )
+    return (
+        dfs.crossJoin(F.broadcast(cap))
+        .filter(F.col("df") > F.col("cap"))
+        .select(gram_col)
+    )
+
+
 @register(
     "dedup_exact_substring",
     category="dedup",
@@ -1815,36 +1856,9 @@ def dedup_exact_substring(
     else:
         dfs = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
         if df_cap == "derived":
-            # exact p99.9 of df via the counting construction over the
-            # df histogram (#distinct df values — a handful of rows);
-            # threshold in pure integer arithmetic so both engines
-            # agree at every N
-            dfs = tracked_persist(dfs)
-            hist = dfs.groupBy("df").agg(F.count(F.lit(1)).alias("c"))
-            cum = hist.select(
-                "df",
-                F.sum("c").over(
-                    Window.orderBy("df").rowsBetween(
-                        Window.unboundedPreceding, Window.currentRow
-                    )
-                ).alias("cum"),
-            )
-            thr = hist.agg(F.expr("(999 * sum(c) + 999) div 1000").alias("t"))
-            cap = (
-                cum.crossJoin(F.broadcast(thr))
-                .filter(F.col("cum") >= F.col("t"))
-                .agg(F.min("df").alias("p999"))
-                .select(
-                    F.greatest(
-                        F.lit(XSUB_DF_FLOOR),
-                        F.lit(XSUB_DF_HEADROOM) * F.col("p999"),
-                    ).alias("cap")
-                )
-            )
-            whales = (
-                dfs.crossJoin(F.broadcast(cap))
-                .filter(F.col("df") > F.col("cap"))
-                .select("gram")
+            whales = _derived_df_whales(
+                dfs, floor=XSUB_DF_FLOOR, headroom=XSUB_DF_HEADROOM,
+                gram_col="gram",
             )
         else:
             whales = dfs.filter(F.col("df") > df_cap).select("gram")
@@ -2070,7 +2084,9 @@ WJ_T = 0.5  # weighted (multiset) Jaccard report threshold
       AND p.sum_min * 1.0 / (ta.toks + tb.toks - p.sum_min) >= {WJ_T}
     """,
 )
-def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_weighted_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int | None | str = None
+) -> DataFrame:
     """Weighted (multiset / bag) Jaccard near-dup detection — the
     frequency-aware sibling of dedup_ngram_jaccard: J_w(A,B) =
     Σ_g min(tf_A, tf_B) / Σ_g max(tf_A, tf_B) over word-3-gram BAGS
@@ -2092,6 +2108,14 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: sum_min/toks are exact BIGINTs; the one double division
     is identical bit-for-bit cross-engine (operands < 2^53).
+
+    ``df_cap`` is the probe-only whale guard (dedup_skew_probe.py): an
+    int drops grams whose document frequency exceeds it BEFORE the
+    self-join; "derived" derives the cap from the gram-df distribution
+    exactly as dedup_exact_substring does (max(floor, headroom ×
+    p99.9(df))). None — the registered default — is the exact
+    inverted-index join the oracle mirrors. The EXACT no-false-negative
+    scale path for this threshold is dedup_weighted_prefix_filter.
     """
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     t = F.split("text", " ")
@@ -2113,6 +2137,17 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lb", "toks", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    if df_cap is not None:
+        # probe-only ablation: one tf row per (doc, gram), so df(g) is a
+        # plain row count; whales leave the postings before the join
+        dfs = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        if df_cap == "derived":
+            whales = _derived_df_whales(
+                dfs, floor=XSUB_DF_FLOOR, headroom=XSUB_DF_HEADROOM
+            )
+        else:
+            whales = dfs.filter(F.col("df") > df_cap).select("g")
+        tf = tf.join(F.broadcast(whales), "g", "left_anti")
     a = tf.select(
         F.col("doc_id").alias("doc_a"), F.col("lb").alias("lb_a"),
         F.col("toks").alias("toks_a"), "g", F.col("tf").alias("tf_a"),
@@ -2134,6 +2169,179 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b", "toks_a", "toks_b")
         .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("sum_min"))
         .filter(wj_raw >= WJ_T)
+        .select(
+            "doc_a", "doc_b", "toks_a", "toks_b", "sum_min",
+            F.round(wj_raw, 6).cast("double").alias("w_jaccard"),
+        )
+    )
+
+
+WPF_T_NUM = 1  # weighted-prefix-filter threshold t = NUM/DEN = 0.5
+WPF_T_DEN = 2
+
+
+@register(
+    "dedup_weighted_prefix_filter",
+    category="dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' ')
+               ) AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    tf AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(sh) AS g FROM raw)
+        GROUP BY doc_id, g
+    ),
+    tot AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS toks FROM raw
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS sum_min
+        FROM tf a JOIN tf b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, ta.toks AS toks_a, tb.toks AS toks_b,
+           p.sum_min,
+           CAST(round(p.sum_min * 1.0
+                      / (ta.toks + tb.toks - p.sum_min), 6) AS DOUBLE)
+               AS w_jaccard
+    FROM pairs p
+    JOIN tot ta ON ta.doc_id = p.doc_a
+    JOIN tot tb ON tb.doc_id = p.doc_b
+    WHERE p.sum_min * {WPF_T_DEN}
+          >= {WPF_T_NUM} * (ta.toks + tb.toks - p.sum_min)
+    """,
+)
+def dedup_weighted_prefix_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted (bag) Jaccard self-join with an EXACT prefix filter —
+    the no-false-negative scale path for the weighted family, playing
+    the role dedup_prefix_filter (PPJoin) plays for set Jaccard.
+
+    The TRUE answer set at t = {WPF_T_NUM}/{WPF_T_DEN}: every pair with
+    J_w = Σmin/Σmax ≥ t over word-3-gram BAGS — no MinHash
+    probabilities, no length-bucket banding (dedup_weighted_jaccard's
+    lb±1 predicate can exclude true pairs whose masses straddle two
+    buckets; this operator has no such blind spot and the fixture test
+    pins a pair only it finds), no df-cap recall loss.
+
+    Candidate generation is the mass-weighted AllPairs/PPJoin prefix
+    argument: under a GLOBAL gram order (document-frequency ascending,
+    ties lexicographic), sort each doc's (gram, tf) entries and keep
+    the minimal PREFIX whose remaining suffix mass is < t·|A|. If two
+    bags with J_w ≥ t shared no common gram in both prefixes, take the
+    first common gram g₁ in global order: every common gram sits at or
+    after g₁, so the overlap Σmin would fit inside a suffix of mass
+    < t·|A| — contradicting Σmin ≥ t·max(|A|,|B|) (which follows from
+    J_w ≥ t and Σmin ≤ min(|A|,|B|)). Hence the prefix-prefix equi-join
+    finds every qualifying pair, and the rarest-first order pushes
+    boilerplate whale grams (huge posting lists) OUT of prefixes — the
+    candidate join's cost is Σ_g df_prefix(g)², bounded by rare grams.
+    The same Σmin ≥ t·max bound gives the mass-ratio pruning predicate
+    {WPF_T_DEN}·min(|A|,|B|) ≥ {WPF_T_NUM}·max(|A|,|B|) applied inside
+    the candidate join. Verification then joins the FULL postings of
+    surviving pairs only.
+
+    Everything on the decision path is exact integer arithmetic (prefix
+    boundary: suffix_mass·{WPF_T_DEN} ≥ toks·{WPF_T_NUM}; admission:
+    Σmin·{WPF_T_DEN} ≥ {WPF_T_NUM}·(toks_a+toks_b−Σmin)); the oracle
+    computes the same answer by the naive inverted join, so equality IS
+    the no-false-negative proof at every SF. One double division at the
+    emit edge, operands < 2^53.
+
+    Scale posture measured in dedup_skew_probe.py (weighted_jaccard
+    legs, SCALE.md round-15 table): under a 3 % boilerplate whale this
+    plan's skew penalty is 1.11 (flat — whale grams have corpus-scale
+    df, sort LAST, never enter a prefix) vs the uncapped inverted
+    join's 1.34-and-growing-quadratically. The honest trade: at
+    t = 0.5 prefixes hold ≥ half of every doc's mass, so the uniform-
+    corpus wall runs ~4.5× the inverted join's — prefix-filter
+    selectivity grows with t, making this the right plan for
+    high-threshold near-dup sweeps (t ≥ 0.8: short prefixes, exact,
+    whale-immune) and the df-cap/MinHash routes the right ones at
+    broad-similarity thresholds.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    t = F.split("text", " ")
+    raw_sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+    )
+    sh = docs.filter(F.size(t) >= 3).select(
+        "doc_id", raw_sh.alias("sh")
+    )
+    tf = tracked_persist(
+        sh.select(
+            "doc_id",
+            F.size("sh").cast("long").alias("toks"),
+            F.explode("sh").alias("g"),
+        )
+        .groupBy("doc_id", "toks", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfs = tf.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
+    ranked = tf.join(dfs, "g").select(
+        "doc_id", "toks", "g", "tf",
+        (
+            F.col("toks")
+            - F.sum("tf").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            + F.col("tf")
+        ).alias("suffix_mass"),
+    )
+    prefix = ranked.filter(
+        F.col("suffix_mass") * WPF_T_DEN >= F.col("toks") * WPF_T_NUM
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), "g"
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), "g"
+    )
+    cand = (
+        pa.join(
+            pb,
+            (pa["g"] == pb["g"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("toks_a", "toks_b") * WPF_T_DEN
+                >= F.greatest("toks_a", "toks_b") * WPF_T_NUM
+            ),
+        )
+        .select("doc_a", "doc_b", "toks_a", "toks_b")
+        .distinct()
+    )
+    ta = tf.select(
+        F.col("doc_id").alias("doc_a"), "g", F.col("tf").alias("tf_a")
+    )
+    tb = tf.select(
+        F.col("doc_id").alias("doc_b"), "g", F.col("tf").alias("tf_b")
+    )
+    sum_min = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b", "toks_a", "toks_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("sum_min"))
+    )
+    wj_raw = F.col("sum_min").cast("double") / (
+        F.col("toks_a") + F.col("toks_b") - F.col("sum_min")
+    )
+    return (
+        sum_min.filter(
+            F.col("sum_min") * WPF_T_DEN
+            >= WPF_T_NUM
+            * (F.col("toks_a") + F.col("toks_b") - F.col("sum_min"))
+        )
         .select(
             "doc_a", "doc_b", "toks_a", "toks_b", "sum_min",
             F.round(wj_raw, 6).cast("double").alias("w_jaccard"),
