@@ -752,6 +752,329 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACF_MAX_LAG = 7  # autocorrelation horizon: one week of daily lags
+
+
+@register(
+    "timeseries_autocorrelation",
+    category="eventflow",
+    oracle=f"""
+    WITH pe AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM pe),
+    days AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM pe),
+    cnt AS (
+        SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pe GROUP BY event_type, day
+    ),
+    s AS (
+        SELECT t.event_type, d.day, COALESCE(c.c, 0) AS x
+        FROM types t CROSS JOIN days d
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day
+    ),
+    st AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx
+        FROM s GROUP BY event_type
+    ),
+    dev AS (
+        SELECT s.event_type, s.day, st.n, st.sx,
+               CAST(st.n AS HUGEINT) * s.x - st.sx AS d
+        FROM s JOIN st ON st.event_type = s.event_type
+    ),
+    den AS (
+        SELECT event_type, SUM(d * d) AS den FROM dev
+        GROUP BY event_type
+    ),
+    lagged AS (
+        SELECT a.event_type, a.n, a.sx, k.lag, a.d AS da, b.d AS db
+        FROM dev a
+        CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG}))
+                        AS lag) k
+        JOIN dev b ON b.event_type = a.event_type
+                  AND b.day = a.day + CAST(k.lag AS INTEGER)
+    ),
+    num AS (
+        SELECT event_type, lag, MIN(n) AS n_days, MIN(sx) AS total_events,
+               SUM(da * db) AS num
+        FROM lagged GROUP BY event_type, lag
+    )
+    SELECT num.event_type, CAST(num.lag AS BIGINT) AS lag,
+           num.n_days, num.total_events,
+           CASE WHEN den.den > 0
+                THEN CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+           END AS acf
+    FROM num JOIN den ON den.event_type = num.event_type
+    """,
+)
+def timeseries_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample autocorrelation of each event type's daily volume series
+    at lags 1..{ACF_MAX_LAG} — the weekly-periodicity detector that
+    complements timeseries_seasonal_index (which ASSUMES the weekly
+    cycle; the ACF measures whether and how strongly one exists:
+    a spike at lag 7 is the signature). ACF_k = Σ(x_t−x̄)(x_{{t+k}}−x̄)
+    / Σ(x_t−x̄)² over a DENSE day spine — missing days are real zeros
+    of the volume series, not absent observations, so the spine is
+    generated (sequence of the corpus day span × event types) and
+    left-joined; skipping that inflates every lag's alignment.
+
+    Determinism discipline: deviations are n-scaled to stay integer —
+    d_t = n·x_t − Σx (exact decimal(38,0)/HUGEINT; the n² scaling
+    cancels in the ratio) — and numerator/denominator are exact integer
+    sums of d_t·d_{{t+k}} products; the single float step is one
+    IEEE-correctly-rounded division, bit-equal cross-engine. A
+    constant series (den = 0) emits NULL acf on both engines rather
+    than a fabricated statistic.
+
+    Scale: ONE events scan collapses map-side to the (type, day) count
+    grid; everything after — spine join, deviation, ONE window pass
+    producing all {ACF_MAX_LAG} leads (stacked, not re-scanned) — is
+    #types × #days rows. At 100 TB the series stays metadata-sized
+    while the scan does the work; the decimal widening keeps d² exact
+    through ~10¹³ events/day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pe = tracked_persist(
+        ev.select(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+    )
+    bounds = pe.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = pe.select("event_type").distinct()
+    cnt = pe.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s = (
+        types.crossJoin(days)
+        .join(cnt, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("c", F.lit(0)).alias("x")
+        )
+    )
+    st = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    dev = tracked_persist(
+        s.join(F.broadcast(st), "event_type").select(
+            "event_type", "day", "n", "sx",
+            (F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("sx"))
+            .alias("d"),
+        )
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).alias("den")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    leads = dev.select(
+        "event_type", "n", "sx", "d",
+        *[
+            F.lead("d", k).over(w).alias(f"d{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    stack_args = ", ".join(f"{k}, d{k}" for k in range(1, ACF_MAX_LAG + 1))
+    num = (
+        leads.select(
+            "event_type", "n", "sx", "d",
+            F.expr(f"stack({ACF_MAX_LAG}, {stack_args}) as (lag, dk)"),
+        )
+        .filter(F.col("dk").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
+            F.min("n").cast("long").alias("n_days"),
+            F.min("sx").cast("long").alias("total_events"),
+            F.sum(F.col("d") * F.col("dk")).alias("num"),
+        )
+    )
+    return num.join(F.broadcast(den), "event_type").select(
+        "event_type", F.col("lag").cast("long").alias("lag"),
+        "n_days", "total_events",
+        F.when(
+            F.col("den") > 0,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        ).alias("acf"),
+    )
+
+
+@register(
+    "experiment_cuped_adjustment",
+    category="eventflow",
+    oracle="""
+    WITH pe AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    cut AS (
+        SELECT MIN(day) + CAST(datediff('day', MIN(day), MAX(day)) // 2
+                               AS INTEGER) AS cutday
+        FROM pe
+    ),
+    peru AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(SUM(CASE WHEN day < cutday THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN day >= cutday THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM pe CROSS JOIN cut GROUP BY user_id
+    ),
+    pool AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM peru
+    ),
+    scal AS (
+        SELECT n, sx,
+               CASE WHEN n * sxx - sx * sx > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+               END AS theta,
+               CASE WHEN (n * sxx - sx * sx > 0)
+                         AND (n * syy - sy * sy > 0)
+                    THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                          * CAST(n * sxy - sx * sy AS DOUBLE))
+                         / (CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+               END AS rho2
+        FROM pool
+    ),
+    pv AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS HUGEINT) AS sx_v,
+               CAST(SUM(y) AS HUGEINT) AS sy_v
+        FROM peru GROUP BY variant
+    )
+    SELECT pv.variant, pv.n_users,
+           CAST(sx_v AS DOUBLE) / pv.n_users AS mean_x,
+           CAST(sy_v AS DOUBLE) / pv.n_users AS mean_y,
+           s.theta,
+           CAST(sy_v AS DOUBLE) / pv.n_users
+               - s.theta * (CAST(sx_v AS DOUBLE) / pv.n_users
+                            - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+               AS mean_y_adj,
+           s.rho2
+    FROM pv CROSS JOIN scal s
+    """,
+)
+def experiment_cuped_adjustment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013 — "Improving the Sensitivity of Online Controlled
+    Experiments by Utilizing Pre-Experiment Data"): the covariate
+    adjustment every mature experimentation platform applies before
+    the t-test that experiment_ab_ttest runs. The corpus day span is
+    split at its midpoint; each user's PRE-period activity count x is
+    the covariate, the EXPERIMENT-period count y is the metric, the
+    pooled θ = cov(x,y)/var(x) is fitted across both variants (fitting
+    θ per-variant would bias the contrast — the whole point is a
+    common pre-period regression), and each variant's adjusted mean is
+    ȳ_v − θ·(x̄_v − x̄). ρ² = cov²/(var(x)·var(y)) is the achieved
+    variance-reduction fraction: the adjusted estimator's variance is
+    (1 − ρ²) of the raw one, which is why CUPED detects lifts the raw
+    test misses at the same sample size.
+
+    Determinism discipline: every sum (n, Σx, Σy, Σx², Σxy, Σy²) is an
+    EXACT decimal(38,0)/HUGEINT integer; the n-scaled covariance and
+    variances (n·Σxy − ΣxΣy ≈ n²·x·y ≈ 10²⁶ at a 10⁹-user corpus) stay
+    inside 38 digits where their SQUARES would not — so ρ² is formed
+    by multiplying two exact-integer-derived DOUBLES instead (every
+    float step is an IEEE correctly-rounded +,−,×,÷ applied in the
+    identical order on both engines, so the emitted doubles are
+    bit-equal; no libm transcendentals anywhere). Degenerate pooled
+    variance emits NULL θ/ρ² on both engines.
+
+    Scale: ONE events scan (persisted thin projection) feeds the
+    midpoint scalar and the per-user conditional aggregation (the
+    user-keyed shuffle, sessionize posture); the moment folds are
+    map-side partial aggregations to ONE pooled row + two variant
+    rows, and the final select is a broadcast of two scalar frames.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pe = tracked_persist(
+        ev.select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+    )
+    cut = pe.agg(
+        F.date_add(
+            F.min("day"),
+            F.expr("datediff(max(day), min(day)) div 2").cast("int"),
+        ).alias("cutday")
+    )
+    peru = (
+        pe.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("cutday"), 1).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when(F.col("day") >= F.col("cutday"), 1).otherwise(0))
+            .cast("long").alias("y"),
+        )
+        .select(
+            F.pmod("user_id", F.lit(2)).cast("long").alias("variant"),
+            "x", "y",
+        )
+    )
+    peru = tracked_persist(peru)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pool = peru.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    covn = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varxn = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    varyn = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    scal = pool.select(
+        "n", "sx",
+        F.when(
+            varxn > 0, covn.cast("double") / varxn.cast("double")
+        ).alias("theta"),
+        F.when(
+            (varxn > 0) & (varyn > 0),
+            (covn.cast("double") * covn.cast("double"))
+            / (varxn.cast("double") * varyn.cast("double")),
+        ).alias("rho2"),
+    )
+    pv = peru.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(dec("x")).alias("sx_v"),
+        F.sum(dec("y")).alias("sy_v"),
+    )
+    mean_x = F.col("sx_v").cast("double") / F.col("n_users")
+    mean_y = F.col("sy_v").cast("double") / F.col("n_users")
+    pool_mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    return pv.crossJoin(F.broadcast(scal)).select(
+        "variant", "n_users",
+        mean_x.alias("mean_x"),
+        mean_y.alias("mean_y"),
+        "theta",
+        (mean_y - F.col("theta") * (mean_x - pool_mean_x))
+        .alias("mean_y_adj"),
+        "rho2",
+    )
+
+
 @register(
     "timeseries_seasonal_index",
     category="eventflow",
@@ -1412,6 +1735,107 @@ def survival_km_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_week", "t", "n_risk", "n_events", "n_censored",
         F.expr("(1000000 * n_events + n_risk div 2) div n_risk")
         .cast("long").alias("hazard_ppm"),
+    )
+
+
+@register(
+    "survival_nelson_aalen",
+    category="eventflow",
+    oracle="""
+    WITH pe AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE event_type IN ('signup', 'purchase')
+    ),
+    entries AS (
+        SELECT user_id, MIN(ts) AS entry_ts FROM pe
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    maxday AS (
+        SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS horizon FROM pe
+    ),
+    convs AS (
+        SELECT e.user_id, MIN(p.ts) AS conv_ts
+        FROM entries e JOIN pe p ON p.user_id = e.user_id
+        WHERE p.event_type = 'purchase' AND p.ts >= e.entry_ts
+        GROUP BY e.user_id
+    ),
+    dur AS (
+        SELECT CAST(date_trunc('week', e.entry_ts) AS DATE) AS cohort_week,
+               CASE WHEN c.conv_ts IS NOT NULL
+                    THEN datediff('day',
+                         CAST(date_trunc('day', e.entry_ts) AS DATE),
+                         CAST(date_trunc('day', c.conv_ts) AS DATE))
+                    ELSE datediff('day',
+                         CAST(date_trunc('day', e.entry_ts) AS DATE),
+                         maxday.horizon)
+               END AS t,
+               CASE WHEN c.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM entries e LEFT JOIN convs c ON e.user_id = c.user_id
+        CROSS JOIN maxday
+    ),
+    km AS (
+        SELECT cohort_week, t,
+               CAST(SUM(ev) AS BIGINT) AS n_events,
+               CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+        FROM dur GROUP BY cohort_week, t
+    ),
+    risk AS (
+        SELECT cohort_week, t, n_events, n_censored,
+               CAST(SUM(n_events + n_censored)
+                        OVER (PARTITION BY cohort_week) -
+                    (SUM(n_events + n_censored)
+                        OVER (PARTITION BY cohort_week ORDER BY t)
+                     - (n_events + n_censored)) AS BIGINT) AS n_risk
+        FROM km
+    )
+    SELECT cohort_week, CAST(t AS BIGINT) AS t, n_risk, n_events,
+           n_censored,
+           CAST(SUM((1000000 * n_events + n_risk // 2) // n_risk)
+                OVER (PARTITION BY cohort_week ORDER BY t) AS BIGINT)
+               AS cum_hazard_x1e6,
+           CAST(SUM((1000000000000 * CAST(n_events AS HUGEINT)
+                     + CAST(n_risk AS HUGEINT) * n_risk // 2)
+                    // (CAST(n_risk AS HUGEINT) * n_risk))
+                OVER (PARTITION BY cohort_week ORDER BY t) AS BIGINT)
+               AS cum_var_x1e12
+    FROM risk
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard table — the integrator over
+    survival_km_table's per-duration frame: H(t) = Σ_{s≤t} d(s)/n(s)
+    and Aalen's variance estimator Var(t) = Σ_{s≤t} d(s)/n(s)², per
+    weekly signup cohort. Where the KM table answers "what is the
+    instantaneous conversion pressure at day t", the NA estimator
+    answers "how much conversion pressure has accumulated by day t" —
+    the standard quantity for comparing cohorts' lifetime behavior and
+    the input to the exp(−H) survival transform (left to the consumer:
+    exp is libm-dependent and would break cross-engine bit equality).
+
+    Exactness discipline: each increment is half-up-rounded in integer
+    micro-units BEFORE summation (Σ round(10⁶·d/n), Σ round(10¹²·d/n²))
+    so the cumulative values are sums of integers — no float
+    accumulation order to diverge. The variance term widens n·n and
+    10¹²·d to decimal(38,0)/HUGEINT before multiplying: at a 10⁹-user
+    cohort 10¹²·d alone passes int64.
+
+    Builds on the module-level survival_km_table (same single persisted
+    events projection, same risk-set identity); everything added here
+    is a cumulative window over the metadata-sized (cohort, duration)
+    frame — #cohorts × #distinct-duration-days rows, never user rows.
+    """
+    wcum = Window.partitionBy("cohort_week").orderBy("t")
+    base = survival_km_table(spark, sf_dir)
+    var_inc = F.expr(
+        "(1000000000000 * cast(n_events as decimal(38,0))"
+        " + cast(n_risk as decimal(38,0)) * n_risk div 2)"
+        " div (cast(n_risk as decimal(38,0)) * n_risk)"
+    )
+    return base.select(
+        "cohort_week", "t", "n_risk", "n_events", "n_censored",
+        F.sum("hazard_ppm").over(wcum).cast("long")
+        .alias("cum_hazard_x1e6"),
+        F.sum(var_inc).over(wcum).cast("long").alias("cum_var_x1e12"),
     )
 
 

@@ -1210,6 +1210,300 @@ def governance_erasure_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAR_MOD = 131  # c_custkey % 131 == 0 → simulated subject-access request set
+
+
+@register(
+    "governance_subject_access",
+    category="quality",
+    oracle=f"""
+    WITH subj AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % {SAR_MOD} = 0
+    ),
+    so AS (
+        SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders o JOIN subj s ON o.o_custkey = s.c_custkey
+    ),
+    oagg AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(o_orderdate) AS first_order_date,
+               MAX(o_orderdate) AS last_order_date,
+               CAST(SUM(cents) AS BIGINT) AS total_spent_cents
+        FROM so GROUP BY o_custkey
+    ),
+    liagg AS (
+        SELECT so.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM lineitem l JOIN so ON l.l_orderkey = so.o_orderkey
+        GROUP BY so.o_custkey
+    ),
+    evagg AS (
+        SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.event_type) AS BIGINT)
+                   AS n_event_types,
+               CAST(date_trunc('day', MIN(e.ts)) AS DATE)
+                   AS first_event_day,
+               CAST(date_trunc('day', MAX(e.ts)) AS DATE)
+                   AS last_event_day
+        FROM events e JOIN subj s ON e.user_id = s.c_custkey
+        GROUP BY e.user_id
+    )
+    SELECT s.c_custkey AS custkey, s.c_mktsegment AS mktsegment,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.first_order_date, DATE '1900-01-01')
+               AS first_order_date,
+           COALESCE(o.last_order_date, DATE '1900-01-01')
+               AS last_order_date,
+           COALESCE(o.total_spent_cents, 0) AS total_spent_cents,
+           COALESCE(li.n_lineitems, 0) AS n_lineitems,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.n_event_types, 0) AS n_event_types,
+           COALESCE(e.first_event_day, DATE '1900-01-01')
+               AS first_event_day,
+           COALESCE(e.last_event_day, DATE '1900-01-01')
+               AS last_event_day
+    FROM subj s
+    LEFT JOIN oagg o ON o.o_custkey = s.c_custkey
+    LEFT JOIN liagg li ON li.o_custkey = s.c_custkey
+    LEFT JOIN evagg e ON e.user_id = s.c_custkey
+    """,
+)
+def governance_subject_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access-request manifest (GDPR Art. 15 / CCPA "right to
+    know") — the read twin of governance_erasure_sweep's delete audit:
+    for each requesting subject (deterministic ~0.8 % of customers,
+    modulus {SAR_MOD}), one row enumerating every place the platform
+    holds their data: order count + date range + monetary footprint in
+    exact cents, lineitem rows reached through the order chain, event
+    count / distinct event types / activity day range. Subjects with no
+    activity in a table keep the row, with zero counts and the epoch
+    sentinel DATE 1900-01-01 in date fields (an explicit non-NULL
+    "nothing held" — NULL dates canonicalize engine-dependently, and an
+    access request must answer absence explicitly anyway), so the spine
+    is the request set, never an inner join.
+
+    Scale: the request set is tiny by construction (DSAR queues are
+    operationally bounded) and persisted once; each fact table pays ONE
+    scan — the subjects' orders are persisted as a thin
+    (custkey, orderkey, date, cents) projection that feeds both the
+    order aggregate and the lineitem chain, so orders is not scanned
+    twice. Joins carry no forced broadcast hint: the planner broadcasts
+    the subject set while it fits and degrades to shuffle semi-joins
+    beyond that (the erasure-sweep posture). Output is #subjects rows —
+    the export manifest a DSAR pipeline feeds to the document
+    generator.
+    """
+    subj = tracked_persist(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % SAR_MOD == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    so = tracked_persist(
+        load_table(spark, sf_dir, "orders")
+        .join(subj.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    oagg = so.groupBy(
+        F.col("o_custkey").alias("ok_o")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("o_orderdate").alias("first_order_date"),
+        F.max("o_orderdate").alias("last_order_date"),
+        F.sum("cents").cast("long").alias("total_spent_cents"),
+    )
+    liagg = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .join(so.select("o_custkey", "o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("ok_li"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+    )
+    evagg = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .join(subj.select(F.col("c_custkey").alias("user_id")), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("event_type").cast("long")
+            .alias("n_event_types"),
+            F.to_date(F.date_trunc("day", F.min("ts")))
+            .alias("first_event_day"),
+            F.to_date(F.date_trunc("day", F.max("ts")))
+            .alias("last_event_day"),
+        )
+    )
+    return (
+        subj.join(oagg, subj["c_custkey"] == oagg["ok_o"], "left")
+        .join(liagg, subj["c_custkey"] == liagg["ok_li"], "left")
+        .join(evagg, subj["c_custkey"] == evagg["user_id"], "left")
+        .select(
+            subj["c_custkey"].alias("custkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("first_order_date", F.lit("1900-01-01").cast("date"))
+            .alias("first_order_date"),
+            F.coalesce("last_order_date", F.lit("1900-01-01").cast("date"))
+            .alias("last_order_date"),
+            F.coalesce("total_spent_cents", F.lit(0)).cast("long")
+            .alias("total_spent_cents"),
+            F.coalesce("n_lineitems", F.lit(0)).cast("long")
+            .alias("n_lineitems"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("n_event_types", F.lit(0)).cast("long")
+            .alias("n_event_types"),
+            F.coalesce("first_event_day", F.lit("1900-01-01").cast("date"))
+            .alias("first_event_day"),
+            F.coalesce("last_event_day", F.lit("1900-01-01").cast("date"))
+            .alias("last_event_day"),
+        )
+    )
+
+
+CRAMER_PAIRS = (  # (pair label, table, row-category col, col-category col)
+    ("orders:priority_x_status", "orders", "o_orderpriority", "o_orderstatus"),
+    ("customer:segment_x_nation", "customer", "c_mktsegment", "c_nationkey"),
+    ("lineitem:returnflag_x_linestatus", "lineitem", "l_returnflag",
+     "l_linestatus"),
+)
+
+
+@register(
+    "quality_cramers_v",
+    category="quality",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'orders:priority_x_status' AS pair,
+               CAST(o_orderpriority AS VARCHAR) AS x,
+               CAST(o_orderstatus AS VARCHAR) AS y
+        FROM orders
+        UNION ALL
+        SELECT 'customer:segment_x_nation',
+               CAST(c_mktsegment AS VARCHAR), CAST(c_nationkey AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem:returnflag_x_linestatus',
+               CAST(l_returnflag AS VARCHAR), CAST(l_linestatus AS VARCHAR)
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT pair, x, y, CAST(COUNT(*) AS BIGINT) AS o
+        FROM pairs GROUP BY pair, x, y
+    ),
+    rt AS (SELECT pair, x, CAST(SUM(o) AS BIGINT) AS r
+           FROM cells GROUP BY pair, x),
+    ct AS (SELECT pair, y, CAST(SUM(o) AS BIGINT) AS c
+           FROM cells GROUP BY pair, y),
+    terms AS (
+        SELECT cells.pair,
+               (1000000000000 * CAST(o AS HUGEINT) * o
+                + (CAST(r AS HUGEINT) * c) // 2)
+               // (CAST(r AS HUGEINT) * c) AS t
+        FROM cells
+        JOIN rt ON rt.pair = cells.pair AND rt.x = cells.x
+        JOIN ct ON ct.pair = cells.pair AND ct.y = cells.y
+    ),
+    dims AS (
+        SELECT pair, CAST(COUNT(DISTINCT x) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT y) AS BIGINT) AS nc,
+               CAST(SUM(o) AS BIGINT) AS n
+        FROM cells GROUP BY pair
+    ),
+    phi AS (
+        SELECT pair,
+               CAST(GREATEST(SUM(t) - 1000000000000, 0) AS BIGINT)
+                   AS phi2_x1e12
+        FROM terms GROUP BY pair
+    )
+    SELECT d.pair, d.n, d.nr, d.nc,
+           CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS dof,
+           p.phi2_x1e12,
+           SQRT(CAST(p.phi2_x1e12 AS DOUBLE)
+                / CAST(1000000000000 * LEAST(d.nr - 1, d.nc - 1)
+                       AS BIGINT)) AS cramers_v
+    FROM dims d JOIN phi p ON p.pair = d.pair
+    """,
+)
+def quality_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V categorical-association audit over three
+    (table, column-pair) contingency grids — the categorical sibling of
+    agg_regression's numeric correlation: does order priority predict
+    order status, market segment predict nation, return flag predict
+    line status? The audit a feature-engineering pipeline runs to drop
+    redundant categorical features and a drift monitor runs to catch a
+    dependence structure appearing where none belongs.
+
+    Exactness discipline: the textbook χ² = Σ(O−E)²/E needs
+    10⁶·(O·N−r·c)², which passes 38 digits near 10⁸ rows — so the
+    algebra is restated as φ² = χ²/N = Σ_cells O²/(r·c) − 1, whose
+    per-cell term 10¹²·O² stays inside DECIMAL(38,0)/HUGEINT through
+    ~10¹³ rows. Each term is half-up-rounded in pico-units and summed
+    as integers (clamped at 0: exact φ² is non-negative, per-cell
+    rounding can dip a hair under); the ONLY float steps are one
+    division by the integer 10¹²·min(nr−1, nc−1) and one square root —
+    both IEEE-754 correctly-rounded operations, so the double is
+    bit-identical cross-engine (exp/ln are libm-dependent and banned;
+    sqrt is not).
+
+    Scale: one scan per audited table collapsing straight to its
+    contingency grid (partial aggregation map-side — the shuffle moves
+    #cells rows, ≤ 125 here); row/column totals re-aggregate the GRID,
+    not the table. Everything after the three grid aggregations is
+    metadata-sized. Output: one row per pair.
+    """
+    out = None
+    for pair, table, xcol, ycol in CRAMER_PAIRS:
+        base = load_table(spark, sf_dir, table).select(
+            F.col(xcol).cast("string").alias("x"),
+            F.col(ycol).cast("string").alias("y"),
+        )
+        cells = tracked_persist(
+            base.groupBy("x", "y").agg(
+                F.count(F.lit(1)).cast("long").alias("o")
+            )
+        )
+        rt = cells.groupBy("x").agg(F.sum("o").cast("long").alias("r"))
+        ct = cells.groupBy("y").agg(F.sum("o").cast("long").alias("c"))
+        terms = (
+            cells.join(F.broadcast(rt), "x")
+            .join(F.broadcast(ct), "y")
+            .select(
+                F.expr(
+                    "(1000000000000 * cast(o as decimal(38,0)) * o"
+                    " + (cast(r as decimal(38,0)) * c) div 2)"
+                    " div (cast(r as decimal(38,0)) * c)"
+                ).alias("t"),
+                "o", "x", "y",
+            )
+        )
+        row = terms.agg(
+            F.lit(pair).alias("pair"),
+            F.sum("o").cast("long").alias("n"),
+            F.count_distinct("x").cast("long").alias("nr"),
+            F.count_distinct("y").cast("long").alias("nc"),
+            F.greatest(
+                F.sum("t") - F.lit(10**12), F.lit(0)
+            ).cast("long").alias("phi2_x1e12"),
+        ).select(
+            "pair", "n", "nr", "nc",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long")
+            .alias("dof"),
+            "phi2_x1e12",
+            F.sqrt(
+                F.col("phi2_x1e12").cast("double")
+                / (F.lit(10**12) * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                .cast("long")
+            ).alias("cramers_v"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 WINSOR_PCT = 100  # clamp below rank n/100 and above rank n - n/100 (≈ p1/p99)
 
 
