@@ -274,6 +274,14 @@ def register(
 # re-attestation onto the names whose green row is oldest (see
 # SWEEP_PRIORITY below).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # round 14 greens (CORRECTNESS_r14.json) — new names only; the other 38
+    # r14 samples were re-attestations of names already listed below
+    "sink_ddsketch_store", "governance_l_diversity",
+    "governance_dp_sensitivity", "entity_resolution_blocked",
+    "survival_km_table", "cdc_snapshot_diff", "join_cardinality_estimate",
+    "sink_ann_index_compact", "governance_t_closeness",
+    "timeseries_theil_sen", "dedup_weighted_jaccard",
+    "funnel_significance_ztest",
     # round 13 greens (CORRECTNESS_r13.json) — new names only; the other 45
     # r13 samples were re-attestations of names already listed below
     "dedup_normalized_exact", "mixture_source_share_cap",
@@ -404,67 +412,58 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Sweep-order pins. Every registered query through round 9 is
-# driver-green (r9 sample: 50/50 full pass), so the ~50-query prefix the
-# driver samples each round exists to (a) attest queries with no driver
-# row yet, (b) RE-attest queries whose OPERATOR CODE CHANGED since their
-# last green row — changed code outranks stale-but-unchanged greens —
-# and (c) rotate the oldest greens through the remaining slots.
-# Round 14: the five new queries lead (the persisted DDSketch store, the
-# l-diversity and DP-sensitivity governance audits, blocked entity
-# resolution, the Kaplan-Meier survival table), then the seven whose
-# operator code changed since their last green row (the widen-before-
-# multiply sweep touched anisotropy/t-test/Neyman/Zipf/Heaps, the
-# rebuild-policy stage predicates are now derived from
-# REBUILD_EPOCH_MODS, and the HLL store build moved into the shared
-# _build_store_atomically helper), then the FULL remaining r8 cohort
-# (36 names — the oldest attestation age in the registry), then the two
-# oldest-alphabetical r9 greens fill to 50.
+# Sweep-order pins. Every registered query through round 14 is
+# driver-green; the ~50-query prefix the driver samples each round
+# exists to (a) attest queries with no driver row yet, (b) RE-attest
+# queries whose OPERATOR CODE CHANGED since their last green row, and
+# (c) rotate the oldest greens through the remaining slots.
+# Round 15: the six new queries lead (weighted prefix filter,
+# Nelson-Aalen, subject access, Cramér's V, CUPED, autocorrelation),
+# then the FULL 44-name r9-aged cohort — the oldest attestation age in
+# the registry (age 6 at r15 judging, same age the r8 cohort rotated at
+# in r14). 6 + 44 = 50 leaves ZERO changed-block slots; the r15
+# changed-code queries are all age-1 r14 greens re-verified locally at
+# sf0.001/0.01/0.1 AND through a bare-session driver-contract run after
+# their oracle fixes (dedup_weighted_jaccard length-bucket symmetry,
+# sink_ddsketch_store n_days population, join_cardinality_estimate est
+# widening — commit 8c8eebf), so deferring their driver re-attestation
+# one round is the verdict-sanctioned trade (full-oldest-cohort-in
+# outranks re-attesting young changed greens; r14 precedent). Also
+# deferred on the same grounds: survival_km_table (consumed unchanged
+# by the new Nelson-Aalen op) and hll64_parity (hash_func kwarg is
+# additive, default path byte-identical, md5 parity tests added).
 #
-# Rotation schedule (attestation age stays ≤ ~4-5 rounds): r14 = all 36
-# r8-aged names (8 new + 6 changed fill the rest); r15 = the 44 r9
-# names + the oldest r10 block; after that the cohorts cycle
-# (~50/round).
-# ALWAYS recompute the cohorts from the CORRECTNESS_r*.json artifacts
-# (latest green round per name) rather than trusting this comment — the
-# r9, r10 AND r12 reviews all caught comment drift here.
+# Rotation schedule (attestation age stays <= ~5-6 rounds):
+# r16 = the changed-code block above + the 46-name r10 cohort (46 + a
+# few new fills 50). ALWAYS recompute the cohorts from the
+# CORRECTNESS_r*.json artifacts (latest green round per name) rather
+# than trusting this comment — the r9, r10 AND r12 reviews all caught
+# comment drift here.
 SWEEP_PRIORITY: tuple[str, ...] = (
-    # round-14 new queries (no driver row yet), locally verified at
+    # round-15 new queries (no driver row yet), locally verified at
     # sf0.001, sf0.01 AND sf0.1 against their oracles
-    "sink_ddsketch_store", "governance_l_diversity",
-    "governance_dp_sensitivity", "entity_resolution_blocked",
-    "survival_km_table", "cdc_snapshot_diff", "join_cardinality_estimate",
-    "sink_ann_index_compact", "governance_t_closeness",
-    "timeseries_theil_sen", "dedup_weighted_jaccard",
-    "funnel_significance_ztest",
-    # operator code changed since the last green row (69d0343): the
-    # r13-advice widen-before-multiply sweep (decimal cast moved inside
-    # the square for anisotropy/t-test/Neyman/Zipf/Heaps) and the
-    # rebuild-policy predicates now derived from REBUILD_EPOCH_MODS.
-    # With 12 new queries leading, only 2 changed-block slots fit beside
-    # the FULL 36-name r8 cohort (verdict #3 outranks re-attesting young
-    # greens): keep the oldest-green changed name (anisotropy, r12) +
-    # the structural rebuild-policy change; defer ab_ttest / neyman /
-    # zipf / heaps (widen-only, re-verified locally at all three SFs
-    # this round), sample_bootstrap_ci (same) and sink_hll_sketch_store
-    # (behavior-neutral helper extraction, its stream-parity +
-    # promote-failure tests exercise the moved code).
-    "embedding_anisotropy_report", "ann_rebuild_policy",
-    # latest green = round 8 (the full remaining stale cohort, 36 names
-    # recomputed from CORRECTNESS_r1..r13 artifacts this round)
-    "hll_accuracy_report", "hll_merge_compat", "hll_set_intersection",
-    "join_asof", "join_asof_nearest", "mixture_downsample_temperature",
-    "quality_freshness_watermark", "quality_key_discovery",
-    "quality_psi_drift", "quality_winsorize_clamp", "recursive_cte_spine",
-    "sample_deterministic", "sample_stratified", "scan_project_filter",
-    "scd2_status_history", "semdedup_centroid_prune", "sessionize_gap_ids",
-    "sessionize_salted_stitch", "set_union_intersect_except",
-    "similarity_hybrid_rrf", "similarity_hybrid_rrf_ann", "similarity_ivf",
-    "split_train_val_test", "string_funcs", "temporal_point_in_time",
-    "text_outlier_zscore", "theta_set_algebra", "timeseries_anomaly_mad",
-    "timeseries_resample_ffill", "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue", "tpch_q18_large_orders", "udtf_bigrams",
-    "unpivot_nation_metrics", "window_running_sum", "window_topk_per_group",
+    "dedup_weighted_prefix_filter", "survival_nelson_aalen",
+    "governance_subject_access", "quality_cramers_v",
+    "experiment_cuped_adjustment", "timeseries_autocorrelation",
+    # latest green = round 9 (the full remaining stale cohort, 44 names
+    # recomputed from CORRECTNESS_r1..r14 artifacts this round)
+
+    "agg_histogram_equiwidth", "approx_quantile_check", "array_higher_order",
+    "bitwise_funcs", "chunk_documents_overlap", "curriculum_quality_bins",
+    "dedup_containment", "dedup_minhash_accuracy", "event_cooccurrence_lift",
+    "explode_positional", "graph_pagerank_nations", "graph_triangle_count",
+    "hll_sliding_distinct", "join_interval_overlap", "join_salted_skew",
+    "json_variant", "map_funcs", "map_higher_order", "null_safe_arithmetic",
+    "profile_table", "sample_weighted_systematic", "scalar_serde_roundtrip",
+    "sink_python_datasink", "source_python_datasource",
+    "source_text_roundtrip", "text_decontaminate", "text_pii_redact",
+    "text_token_bpe", "tpch_q12_priority_lines", "tpch_q13_custdist",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_balances", "tpch_q4_priority_count", "window_distribution",
+    "window_lag_lead", "window_range_frame", "window_range_interval",
+    "window_rank_dense_ntile", "window_session", "window_sliding",
+    "window_tumbling",
 )
 
 

@@ -180,6 +180,12 @@ WINDOW_NULLFIRST_ALLOWED: dict[str, tuple[frozenset[str], str]] = {
         "t = datediff of day-truncated non-null timestamps (entry from "
         "a MIN over null-free ts, exit from conv or the scalar horizon)",
     ),
+    "survival_nelson_aalen": (
+        frozenset({"t"}),
+        "same t as survival_km_table (the NA integrator windows over "
+        "the KM risk frame): datediff of day-truncated non-null "
+        "timestamps",
+    ),
     "governance_t_closeness": (
         frozenset({"s"}),
         "s = floor(cents/1e5) balance bucket of the null-free c_acctbal "

@@ -152,24 +152,33 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-14 contract is: queries with no driver row yet lead (new this
-    round), then the operators whose code changed since their last green
-    row (the widen-before-multiply sweep, the derived rebuild-policy
-    predicates, the extracted atomic store build), then the full
-    remaining r8-stale cohort, then the oldest r9 greens. Locks the
+    round-15 contract is: the six queries with no driver row yet lead
+    (new this round), then the FULL 44-name r9-aged cohort — which
+    consumes every remaining slot, so the changed-code block is EMPTY
+    this round (the r15 oracle-fix queries are all age-1 r14 greens,
+    re-verified locally at three SFs + bare session; see the
+    SWEEP_PRIORITY comment for the deferral rationale). Locks the
     prefix composition against accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())
-    changed = [
-        "embedding_anisotropy_report", "ann_rebuild_policy",
-    ]
-    from hyperloglog_pyspark_spark.registry import DRIVER_VERIFIED
+    changed: list[str] = []
+    from hyperloglog_pyspark_spark.registry import (
+        DRIVER_VERIFIED,
+        SWEEP_PRIORITY,
+    )
 
     n_new = sum(1 for n in names if n not in DRIVER_VERIFIED)
     assert names[n_new : n_new + len(changed)] == changed, (
         "changed-operator block drifted"
     )
+    # every never-driver-verified name must be pinned (a new query left
+    # off SWEEP_PRIORITY would still front the sample, but silently
+    # displace an aged-cohort pin past slot 50)
+    unpinned_new = [
+        n for n in names[:n_new] if n not in set(SWEEP_PRIORITY)
+    ]
+    assert not unpinned_new, f"new queries missing from pins: {unpinned_new}"
     # pin-pool integrity: registry names dedupe through the dict, so
     # assert on SWEEP_PRIORITY itself — a duplicate there silently
     # shrinks the 50-slot rotation
