@@ -114,6 +114,51 @@ def build_documents(spark, out_dir: str, replicas: int, skewed: bool) -> None:
     )
 
 
+def build_customers(spark, out_dir: str, replicas: int, skewed: bool) -> None:
+    """ER's whale is a BLOCK flood, not a gram flood: ~HOT_PCT% of all
+    customers (same xxhash64 rule) get ONE placeholder name prefix
+    ("the call-center default") in ONE nation — every replica's hot
+    rows land in the same (nation, name-prefix) block, whose pairwise
+    is |b|²/2 Levenshteins. Uniform replicas carry a replica-tag name
+    PREFIX (scale_probe's argument: blocks stay replica-local)."""
+    cust = load_table(spark, BASE_DIR, "customer")
+    parts = []
+    for k in range(replicas):
+        name = (
+            F.col("c_name") if k == 0
+            else F.concat(F.lit(f"R{k}#"), F.col("c_name"))
+        )
+        parts.append(
+            cust.select(
+                (F.col("c_custkey") + F.lit(k * 10_000_000))
+                .alias("c_custkey"),
+                name.alias("c_name"),
+                "c_nationkey", "c_acctbal", "c_mktsegment",
+            )
+        )
+    c = parts[0]
+    for p in parts[1:]:
+        c = c.union(p)
+    if skewed:
+        hot = F.pmod(F.xxhash64("c_custkey"), F.lit(100)) < HOT_PCT
+        c = c.select(
+            "c_custkey",
+            F.when(
+                hot,
+                F.concat(
+                    F.lit("UNKNOWN#PLACEHOLDER"),
+                    F.lpad(F.pmod("c_custkey", F.lit(97)), 2, "0"),
+                ),
+            ).otherwise(F.col("c_name")).alias("c_name"),
+            F.when(hot, F.lit(0)).otherwise(F.col("c_nationkey"))
+            .cast("int").alias("c_nationkey"),
+            "c_acctbal", "c_mktsegment",
+        )
+    c.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "customer.parquet")
+    )
+
+
 def capped_minhash_lsh(spark, sf_dir: str):
     """The product knob: ``dedup_minhash_lsh(bucket_cap=CAP)`` — ≤CAP
     buckets do exact pairwise (unchanged LSH fast path); >CAP buckets
@@ -220,6 +265,17 @@ def _weighted_prefix(spark, sf_dir: str):
     return dedup_weighted_prefix_filter(spark, sf_dir)
 
 
+def _entity_resolution(cap):
+    def fn(spark, sf_dir: str):
+        from hyperloglog_pyspark_spark.operators.dedup import (
+            entity_resolution_blocked,
+        )
+
+        return entity_resolution_blocked(spark, sf_dir, block_cap=cap)
+
+    return fn
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2] if len(sys.argv) > 2 else None
@@ -232,6 +288,7 @@ def main() -> None:
     shutil.rmtree(WORK_DIR, ignore_errors=True)
     for tag, (r, skewed) in dirs.items():
         build_documents(spark, os.path.join(WORK_DIR, tag), r, skewed)
+        build_customers(spark, os.path.join(WORK_DIR, tag), r, skewed)
 
     runs = [
         ("minhash_lsh", "uncapped", registry.REGISTRY["dedup_minhash_lsh"].fn),
@@ -265,6 +322,15 @@ def main() -> None:
         ("weighted_jaccard", "uncapped", _weighted_jaccard(None)),
         ("weighted_jaccard", "derived_cap", _weighted_jaccard("derived")),
         ("weighted_jaccard", "prefix_filter", _weighted_prefix),
+        # r15: blocked entity resolution under a BLOCK flood — a
+        # placeholder name ("UNKNOWN#...") defeats the (nation,
+        # name-prefix) blocking key, so the uncapped block self-join
+        # pays |b|²/2 Levenshteins on the whale block. The stop-block
+        # cap (record-linkage frequency filtering) excludes oversized
+        # blocks from pairing entirely: placeholder floods are data
+        # noise, not linkable evidence.
+        ("entity_resolution", "uncapped", _entity_resolution(None)),
+        ("entity_resolution", "stop_block_cap", _entity_resolution(CAP)),
         # r12: the registered form DERIVES the cap from the gram-df
         # distribution (max(FLOOR, HEADROOM*p99.9)); the boilerplate
         # whale's grams are <0.1% of distinct grams, so p99.9 stays on

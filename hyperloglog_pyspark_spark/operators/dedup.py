@@ -1953,7 +1953,9 @@ ER_MAX_LEV = 1  # blocked pairs at most this edit distance apart are matches
     GROUP BY e.nat
     """,
 )
-def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def entity_resolution_blocked(
+    spark: SparkSession, sf_dir: str, block_cap: int | None = None
+) -> DataFrame:
     """Record-linkage / entity resolution over a STRUCTURED table — the
     classic blocking → pairwise-scoring → transitive-closure pipeline
     the document dedup family (MinHash/SimHash) runs on text, here run
@@ -1976,7 +1978,17 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     within one nation, ≤100 ids), the exact pigeonhole discipline of
     dedup_minhash_lsh's band buckets. CC runs on the MATCH edges (a few
     hundred per million rows at this threshold), not the corpus. At
-    100 TB: blocks shard perfectly; no all-pairs anything.
+    100 TB: blocks shard perfectly; no all-pairs anything — UNLESS the
+    name data itself defeats the blocking key: a placeholder name
+    ("UNKNOWN", "FNU", a call-center default) floods one block and its
+    |b|²/2 pairwise explodes. ``block_cap`` is the standard
+    record-linkage answer (frequency-filtered / stop blocks, Christen
+    2012 §4.5): blocks larger than the cap are EXCLUDED from pairing —
+    a thousand-member identical-prefix block is data noise, not
+    linkable evidence — while still counted in the block census.
+    Registered default None keeps the exact registered plan/oracle;
+    the whale penalty and the cap's flattening are measured in
+    dedup_skew_probe.py (entity legs).
     """
     cust = load_table(spark, sf_dir, "customer")
     ent = tracked_persist(
@@ -1987,10 +1999,22 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(c_name, 1, length(c_name) - 2)").alias("blk"),
         )
     )
-    a = ent.select(
+    if block_cap is not None:
+        stop_blocks = (
+            ent.groupBy("nat", "blk")
+            .agg(F.count(F.lit(1)).alias("bs"))
+            .filter(F.col("bs") > block_cap)
+            .select("nat", "blk")
+        )
+        pairable = ent.join(
+            F.broadcast(stop_blocks), ["nat", "blk"], "left_anti"
+        )
+    else:
+        pairable = ent
+    a = pairable.select(
         "nat", "blk", F.col("id").alias("u"), F.col("name").alias("name_u")
     )
-    b = ent.select(
+    b = pairable.select(
         "nat", "blk", F.col("id").alias("v"), F.col("name").alias("name_v")
     )
     pairs = tracked_persist(

@@ -430,8 +430,12 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # one round is the verdict-sanctioned trade (full-oldest-cohort-in
 # outranks re-attesting young changed greens; r14 precedent). Also
 # deferred on the same grounds: survival_km_table (consumed unchanged
-# by the new Nelson-Aalen op) and hll64_parity (hash_func kwarg is
-# additive, default path byte-identical, md5 parity tests added).
+# by the new Nelson-Aalen op), hll64_parity (hash_func kwarg is
+# additive, default path byte-identical, md5 parity tests added), and
+# entity_resolution_blocked / dedup_weighted_jaccard's probe-only
+# block_cap / df_cap knobs (registered default None is plan-identical;
+# both re-verified at three SFs after the change, stop-block fixture
+# in tests/test_round15_ops.py).
 #
 # Rotation schedule (attestation age stays <= ~5-6 rounds):
 # r16 = the changed-code block above + the 46-name r10 cohort (46 + a

@@ -392,3 +392,58 @@ def test_autocorrelation_alternating_series_and_dense_spine(
         assert r["n_days"] == 14 and r["total_events"] == 42
     assert got[("sparse", 1)]["n_days"] == 14
     assert got[("sparse", 1)]["total_events"] == 2
+
+
+def test_entity_resolution_stop_block_cap_drops_placeholder_flood(
+    spark, tmp_path_factory
+):
+    """A placeholder name flooding one (nation, name-prefix) block is
+    the blocking key's failure mode: 120 'UNKNOWN#...' rows produce
+    ~7k pairwise Levenshteins uncapped. The stop-block cap (frequency
+    filtering) must exclude that block from pairing entirely — zero
+    whale pairs — while an honest near-dup pair in a small block keeps
+    matching; the registered (uncapped) form still hash-matches its
+    recursive-CTE oracle on the same fixture."""
+    queries()
+    d = str(tmp_path_factory.mktemp("erstop"))
+    names = ["Customer#000000001", "Customer#000000002"]  # lev 1, one block
+    nats = [3, 3]
+    for i in range(96):  # the whale block, nation 0: 2-char suffixes
+        # keep every name the same length so substr(name, 1, len-2)
+        # lands on ONE shared block key
+        names.append(f"UNKNOWN#PLACEHOLD{i:02d}")
+        nats.append(0)
+    n = len(names)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n), pa.int64()),
+                "c_name": pa.array(names),
+                "c_nationkey": pa.array(nats, pa.int32()),
+                "c_acctbal": pa.array([1.0] * n, pa.float64()),
+                "c_mktsegment": pa.array(["BUILDING"] * n),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    con = _duck(d, "customer")
+    df = REGISTRY["entity_resolution_blocked"].fn(spark, d)
+    compare(df, con, oracle_sql()["entity_resolution_blocked"], "er_stop")
+    uncapped = {r["nationkey"]: r for r in df.collect()}
+    assert uncapped[0]["n_pairs"] == 96 * 95 // 2
+    assert uncapped[3]["n_pairs"] == 1 and uncapped[3]["n_matches"] == 1
+
+    from hyperloglog_pyspark_spark.operators.dedup import (
+        entity_resolution_blocked,
+    )
+
+    capped = {
+        r["nationkey"]: r
+        for r in entity_resolution_blocked(spark, d, block_cap=50).collect()
+    }
+    # whale block excluded from pairing; census still counts it
+    assert capped[0]["n_pairs"] == 0 and capped[0]["n_matches"] == 0
+    assert capped[0]["n_entities"] == 96 and capped[0]["n_blocks"] == 1
+    # the honest pair in the small block is untouched
+    assert capped[3]["n_pairs"] == 1 and capped[3]["n_matches"] == 1
+    assert capped[3]["n_clusters"] == 1 and capped[3]["n_merged_rows"] == 2
