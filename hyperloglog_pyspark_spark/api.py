@@ -1,9 +1,10 @@
 """Drop-in surface for users of the reference library.
 
-The reference's whole public API is three functions (HLL/examples.py:16,
-56, 70). This module re-exposes them with the SAME signatures and the
-same sha1/str() estimate semantics — a script written against the
-reference switches by changing one import:
+The reference's public API is three example functions
+(HLL/examples.py:16, 56, 70) plus the two sketch CLASSES they build on
+(HLL/HyperLogLog.py:42, 179). This module re-exposes all five with the
+SAME signatures and the same sha1/str() estimate semantics — a script
+written against the reference switches by changing one import:
 
     from hyperloglog_pyspark_spark.api import (
         estimate_distinct_elements,
@@ -30,9 +31,109 @@ parity in tests/test_api_dropin.py).
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 from pyspark.sql import SparkSession
 
 from hyperloglog_pyspark_spark.functions import hll64
+
+
+class HyperLogLog:
+    """Drop-in for the reference's 32-bit sketch CLASS
+    (HLL/HyperLogLog.py:42-177) — the surface users who instantiate
+    sketches directly (rather than calling the example functions) code
+    against: ``HyperLogLog(k, hash_func=...)`` + ``append`` /
+    ``extend`` / ``cardinality`` / ``merge`` / ``+``, with the same
+    public attributes (k, p, m, effective_k, alpha, error, hmap).
+
+    Clean-room over the engine's vectorized register functions
+    (functions/hll64.py) — the numpy array IS the state; ``hmap``
+    is a reference-compatible list view of it.
+
+    Deliberate divergences (same doctrine as functions/hll64.py):
+    - merge compatibility is checked on p, not raw k
+      (HyperLogLog.py:165-167 refuses k=250 vs k=256, which share
+      p=8 and merge exactly);
+    - the 32-bit high-range branch calls math.log (the reference's
+      bare ``log`` NameErrors at runtime, HyperLogLog.py:153);
+    - ranks count only the bits that survive the p%4 hex-truncation
+      shift (see functions/hll64.py's rank-width note — register keys,
+      and so every linear-counting golden, are bit-identical).
+    """
+
+    hash_bits = 32
+
+    def __init__(self, k: int, hash_func=hashlib.sha1):
+        self.k = int(k)
+        self.hash_func = hash_func
+        self.p = hll64.p_from_k(k, hash_bits=self.hash_bits)
+        self.m = self.effective_k = 2**self.p
+        self.registers = hll64.empty_registers(self.p)
+        self.alpha = hll64.alpha(self.m)
+        self.error = 1.04 / math.sqrt(self.m)
+
+    @property
+    def hmap(self) -> list[int]:
+        """Reference-compatible register view (HyperLogLog.py:84)."""
+        return [int(r) for r in self.registers]
+
+    def append(self, element) -> None:
+        hll64.update_registers(
+            self.registers, [str(element)], self.p,
+            hash_bits=self.hash_bits, hash_func=self.hash_func,
+        )
+
+    def extend(self, elements) -> None:
+        hll64.update_registers(
+            self.registers, [str(x) for x in elements], self.p,
+            hash_bits=self.hash_bits, hash_func=self.hash_func,
+        )
+
+    @property
+    def _raw_estimate(self) -> float:
+        import numpy as np
+
+        harm = float(np.sum(np.exp2(-self.registers.astype(np.float64))))
+        return self.alpha * self.m * self.m / harm
+
+    @property
+    def cardinality(self) -> float:
+        return hll64.estimate32(self.registers)
+
+    def merge(self, *others: "HyperLogLog") -> None:
+        for other in others:
+            if self.p != other.p:
+                raise ValueError(
+                    f"incompatible sketch precisions: p={self.p} vs "
+                    f"p={other.p} (register counts {self.m} vs {other.m})"
+                )
+        for other in others:
+            self.registers = hll64.merge_registers(
+                self.registers, other.registers
+            )
+
+    def __add__(self, other: "HyperLogLog") -> "HyperLogLog":
+        out = self.__class__(self.k, self.hash_func)
+        out.merge(self, other)
+        return out
+
+
+class HyperLogLog64(HyperLogLog):
+    """Drop-in for the reference's 64-bit sketch class
+    (HLL/HyperLogLog.py:179-255): 16-hex-char hashes, k up to 2¹⁸, and
+    the HLL++ estimate staging (linear counting inside its threshold
+    regime, bias-corrected raw estimate to 5m) — via the engine's
+    published-table implementation (functions/hllpp_bias_tables.py),
+    whose 6-NN interpolation indexes the bias curve absolutely (the
+    reference's slice-relative indexing bug is fixed, not reproduced;
+    divergence pinned in tests/test_hll64.py)."""
+
+    hash_bits = 64
+
+    @property
+    def cardinality(self) -> float:
+        return hll64.estimate(self.registers)
 
 
 def estimate_distinct_elements(items, k: int, hash_func=None) -> float:

@@ -113,3 +113,92 @@ def test_hash_func_kwarg_parallel(spark):
     )
     est_loc = estimate_distinct_elements(items, K, hash_func=hashlib.md5)
     assert est_par == pytest.approx(est_loc, abs=1e-9)
+
+
+def test_class_dropin_golden_and_surface():
+    # the CLASS drop-in (HyperLogLog.py:179) must reproduce the same
+    # golden as the function path on the reference's own fixture, and
+    # expose the reference's public attributes
+    from hyperloglog_pyspark_spark.api import HyperLogLog64
+
+    items = _load("data.txt")
+    h = HyperLogLog64(K)
+    h.extend(items)
+    assert h.cardinality == pytest.approx(645.2579301443818, abs=1e-12)
+    assert h.k == K and h.m == K and h.effective_k == K and h.p == 12
+    assert h.error == pytest.approx(1.04 / K**0.5)
+    assert len(h.hmap) == K and sum(1 for r in h.hmap if r > 0) > 0
+    # append == one-element extend (HyperLogLog.py:121-130 semantics)
+    h2 = HyperLogLog64(K)
+    for x in items:
+        h2.append(x)
+    assert h2.hmap == h.hmap
+
+
+def test_class_merge_and_add_operator():
+    # h1 + h2 must equal the single-pass sketch (register max-merge,
+    # HyperLogLog.py:157-179), and the reduce(+) pattern the reference
+    # flagship uses must work on these instances
+    from functools import reduce
+
+    from hyperloglog_pyspark_spark.api import HyperLogLog64
+
+    items = [f"u{i}" for i in range(400)]
+    whole = HyperLogLog64(K)
+    whole.extend(items)
+    parts = []
+    for lo in range(0, 400, 100):
+        h = HyperLogLog64(K)
+        h.extend(items[lo : lo + 100])
+        parts.append(h)
+    merged = reduce(lambda a, b: a + b, parts)
+    assert merged.hmap == whole.hmap
+    assert merged.cardinality == whole.cardinality
+
+
+def test_class_merge_p_compat_fixes_reference_k_equality():
+    # k=250 and k=256 share p=8 (identical register layout): the
+    # reference refuses to merge them (HyperLogLog.py:165-167); the
+    # engine's p-compat rule merges them exactly. Genuinely different
+    # precisions still raise.
+    import pytest as _pt
+
+    from hyperloglog_pyspark_spark.api import HyperLogLog64
+
+    a, b = HyperLogLog64(250), HyperLogLog64(256)
+    a.extend(["x", "y"])
+    b.extend(["y", "z"])
+    c = a + b
+    one = HyperLogLog64(256)
+    one.extend(["x", "y", "z"])
+    assert c.hmap == one.hmap
+    with _pt.raises(ValueError):
+        HyperLogLog64(2**8) + HyperLogLog64(2**9)
+
+
+def test_class_32bit_variant_and_hash_func():
+    # the base 32-bit class (8-hex-char prefix, high-range branch that
+    # the reference NameErrors on) and the constructor's pluggable hash
+    import hashlib
+
+    from hyperloglog_pyspark_spark.api import (
+        HyperLogLog,
+        estimate_distinct_elements,
+    )
+    from hyperloglog_pyspark_spark.functions import hll64
+
+    h = HyperLogLog(2**8)
+    h.extend(["abc", "def", "ghi"] * 5)
+    regs = hll64.empty_registers(8)
+    hll64.update_registers(regs, ["abc", "def", "ghi"], 8, hash_bits=32)
+    assert h.hmap == [int(r) for r in regs]
+    assert h.cardinality == hll64.estimate32(regs)
+    # md5 class path == md5 function path (same registers, same staging)
+    items = list(range(300))
+    from hyperloglog_pyspark_spark.api import HyperLogLog64
+
+    hm = HyperLogLog64(K, hash_func=hashlib.md5)
+    hm.extend(items)
+    assert hm.cardinality == pytest.approx(
+        estimate_distinct_elements(items, K, hash_func=hashlib.md5), abs=1e-9
+    )
