@@ -32,8 +32,15 @@ stays linear instead of forming R-sized near-dup cliques):
   assignment replica-local, cluster SIZE constant, and the
   Σ|cluster|²·d pair work R×, not R².
 
-Run: ``python scale_probe.py [R]`` (default 10). Prints one JSON line
-per operator with base/inflated wall seconds and the ratio.
+- events (r15): R replicas with offset user/event ids and UNTOUCHED
+  timestamps — per-user structure repeats per replica while the
+  calendar (day spine, cohort weeks, CUPED midpoint) stays fixed, so
+  the event-scan analytics family's "scan grows, frames don't" claim
+  is measurable.
+
+Run: ``python scale_probe.py [R] [substring]`` (default 10, all ops;
+the optional substring restricts to matching op names). Prints one
+JSON line per operator with base/inflated wall seconds and the ratio.
 """
 
 from __future__ import annotations
@@ -152,6 +159,16 @@ PROBE_OPS = [
     # per replica: total pairs R× the base, never R² (the same salting
     # argument as the word-salted documents); CC runs on an R× edge set
     "entity_resolution_blocked",
+    # r15: the EVENT-SCAN analytics family — every one argues "ONE
+    # events scan + metadata-sized frames after"; the replicated events
+    # corpus (user ids offset per replica, timestamps untouched so the
+    # calendar/day spine stays fixed) turns the argument into a
+    # measured decade: per-user shuffles grow R×, the (cohort, t) /
+    # (type, day) / variant frames stay calendar-bounded.
+    "survival_nelson_aalen",
+    "experiment_cuped_adjustment",
+    "timeseries_autocorrelation",
+    "funnel_significance_ztest",
 ]
 
 
@@ -211,17 +228,39 @@ def _replica_cust(cust, k: int):
     )
 
 
+def _replica_events(ev, k: int):
+    # user ids offset per replica (replica-local funnels/cohorts/
+    # variants: the offset is even, so id-parity variant splits are
+    # preserved per replica); event ids offset to stay unique;
+    # timestamps UNTOUCHED — the corpus day span, and so every
+    # calendar-bounded frame (KM durations, ACF day spine, CUPED
+    # midpoint), is identical at any R
+    if k == 0:
+        return ev.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+    return ev.select(
+        (F.col("event_id") + F.lit(k * 1_000_000_000)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.lit(k * 2_000_000_000)).alias("user_id"),
+        "event_type", "value", "props",
+    )
+
+
 def build_corpus(spark, out_dir: str, replicas: int) -> None:
     docs = load_table(spark, BASE_DIR, "documents")
     emb = load_table(spark, BASE_DIR, "embeddings")
     cust = load_table(spark, BASE_DIR, "customer")
+    ev = load_table(spark, BASE_DIR, "events")
     d = _salted_docs(docs, 0)
     e = _replica_emb(emb, 0)
     c = _replica_cust(cust, 0)
+    v = _replica_events(ev, 0)
     for k in range(1, replicas):
         d = d.union(_salted_docs(docs, k))
         e = e.union(_replica_emb(emb, k))
         c = c.union(_replica_cust(cust, k))
+        v = v.union(_replica_events(ev, k))
     d.repartition(16).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
@@ -231,10 +270,14 @@ def build_corpus(spark, out_dir: str, replicas: int) -> None:
     c.repartition(4).write.mode("overwrite").parquet(
         os.path.join(out_dir, "customer.parquet")
     )
+    v.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
 
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     registry.EAGER_CACHES = True
@@ -246,8 +289,9 @@ def main() -> None:
     build_corpus(spark, one, 1)
     build_corpus(spark, big, replicas)
 
+    ops = [n for n in PROBE_OPS if only is None or only in n]
     results = []
-    for name in PROBE_OPS:
+    for name in ops:
         fn = registry.REGISTRY[name].fn
         t0 = time.perf_counter()
         n1 = fn(spark, one).count()
