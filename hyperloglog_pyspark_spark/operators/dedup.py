@@ -2244,7 +2244,8 @@ WPF_T_DEN = 2
     """,
 )
 def dedup_weighted_prefix_filter(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str,
+    t_num: int = WPF_T_NUM, t_den: int = WPF_T_DEN,
 ) -> DataFrame:
     """Weighted (bag) Jaccard self-join with an EXACT prefix filter —
     the no-false-negative scale path for the weighted family, playing
@@ -2291,7 +2292,15 @@ def dedup_weighted_prefix_filter(
     selectivity grows with t, making this the right plan for
     high-threshold near-dup sweeps (t ≥ 0.8: short prefixes, exact,
     whale-immune) and the df-cap/MinHash routes the right ones at
-    broad-similarity thresholds.
+    broad-similarity thresholds. ``t_num``/``t_den`` expose the
+    threshold as an exact rational (registered default
+    {WPF_T_NUM}/{WPF_T_DEN}, the oracle's value): raising t keeps only
+    entries whose suffix mass ≥ t·|doc| in each prefix, so prefixes
+    SHRINK and the candidate join gets cheaper exactly when the sweep
+    gets stricter — the production knob the guidance above refers to.
+    The completeness argument is threshold-generic;
+    tests/test_fuzz_round15.py re-proves the naive-join equality at
+    t = 4/5.
     """
     docs = load_table(spark, sf_dir, "documents", spread_scan=True)
     t = F.split("text", " ")
@@ -2324,7 +2333,7 @@ def dedup_weighted_prefix_filter(
         ).alias("suffix_mass"),
     )
     prefix = ranked.filter(
-        F.col("suffix_mass") * WPF_T_DEN >= F.col("toks") * WPF_T_NUM
+        F.col("suffix_mass") * t_den >= F.col("toks") * t_num
     )
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), "g"
@@ -2338,8 +2347,8 @@ def dedup_weighted_prefix_filter(
             (pa["g"] == pb["g"])
             & (F.col("doc_a") < F.col("doc_b"))
             & (
-                F.least("toks_a", "toks_b") * WPF_T_DEN
-                >= F.greatest("toks_a", "toks_b") * WPF_T_NUM
+                F.least("toks_a", "toks_b") * t_den
+                >= F.greatest("toks_a", "toks_b") * t_num
             ),
         )
         .select("doc_a", "doc_b", "toks_a", "toks_b")
@@ -2362,8 +2371,8 @@ def dedup_weighted_prefix_filter(
     )
     return (
         sum_min.filter(
-            F.col("sum_min") * WPF_T_DEN
-            >= WPF_T_NUM
+            F.col("sum_min") * t_den
+            >= t_num
             * (F.col("toks_a") + F.col("toks_b") - F.col("sum_min"))
         )
         .select(

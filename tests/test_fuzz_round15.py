@@ -91,8 +91,8 @@ def bag_corpora(draw):
     return texts
 
 
-def _bag_truth(texts: list[str]):
-    """Naive all-pairs weighted-Jaccard truth at t = 1/2."""
+def _bag_truth(texts: list[str], t_num: int = 1, t_den: int = 2):
+    """Naive all-pairs weighted-Jaccard truth at t = t_num/t_den."""
     bags, toks = {}, {}
     for i, t in enumerate(texts):
         w = t.split(" ")
@@ -107,7 +107,7 @@ def _bag_truth(texts: list[str]):
         for y in range(x + 1, len(ids)):
             a, b = ids[x], ids[y]
             m = sum((bags[a] & bags[b]).values())
-            if m * 2 >= 1 * (toks[a] + toks[b] - m):
+            if m * t_den >= t_num * (toks[a] + toks[b] - m):
                 out[(a, b)] = (toks[a], toks[b], m)
     return out
 
@@ -137,6 +137,19 @@ def test_weighted_prefix_filter_matches_naive_truth(texts, spark):
             for r in REGISTRY["dedup_weighted_jaccard"].fn(spark, d).collect()
         }
         assert banded <= set(got)
+        # the threshold knob: at t = 4/5 the prefix filter must still
+        # equal the naive truth — shorter prefixes, same completeness
+        from hyperloglog_pyspark_spark.operators.dedup import (
+            dedup_weighted_prefix_filter,
+        )
+
+        strict = {
+            (r["doc_a"], r["doc_b"]): (r["toks_a"], r["toks_b"], r["sum_min"])
+            for r in dedup_weighted_prefix_filter(
+                spark, d, t_num=4, t_den=5
+            ).collect()
+        }
+        assert strict == _bag_truth(texts, 4, 5)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
