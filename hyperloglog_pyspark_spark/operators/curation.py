@@ -928,3 +928,241 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: the fastText/CCNet-style linear classifier
+# over the SAME hashed uni+bigram feature space text_hashed_ngram_features
+# audits (textops.FEAT_B buckets, shared 60-bit md5 bucketing). The weight
+# vector stands in for a trained model artifact: FEAT_B milli-unit integer
+# weights, derived deterministically from the bucket id so Spark and the
+# DuckDB oracle share the identical table without a sidecar file. Scores
+# are exact BIGINT margins (milli-weights x gram occurrences), mean-pooled
+# per document the way fastText mean-pools its input layer.
+
+from hyperloglog_pyspark_spark.operators.textops import FEAT_B  # noqa: E402
+
+QM_W_MOD = 2001  # weights uniform over [-1000, 1000] milli-units
+QM_BIAS_MILLI = 25  # affine bias added to the mean-pooled margin
+QM_THRESHOLDS = [-60, -30, 0, 30, 60]  # swept decision thresholds (milli)
+QM_N_BINS = 4  # curriculum bins over the model score
+
+# Shared CTE chain ending in `scored(doc_id, source, score_milli)` — the
+# doc-grain model output both registered consumers (keep/drop sweep,
+# curriculum bins) compose, the oracle twin of _qm_doc_scores below.
+_QM_SCORED_SQL = f"""toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT doc_id, source, unnest(t) AS gram FROM toks),
+    bi AS (
+        SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS gram
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    grams AS (
+        SELECT doc_id, source, {texttools.md5_long_sql("gram")} % {FEAT_B} AS bucket
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    w AS (
+        SELECT i AS bucket,
+               {texttools.md5_long_sql("'qw:' || CAST(i AS VARCHAR)")} % {QM_W_MOD} - 1000 AS w_milli
+        FROM range({FEAT_B}) AS r(i)
+    ),
+    doc AS (
+        SELECT doc_id, source,
+               COUNT(*) AS n_grams,
+               SUM(w_milli) AS margin_milli
+        FROM grams JOIN w USING (bucket)
+        GROUP BY doc_id, source
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               {QM_BIAS_MILLI} + CAST(FLOOR(margin_milli * 1.0 / n_grams) AS BIGINT)
+                   AS score_milli
+        FROM doc
+    )"""
+
+
+def _qm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, score_milli) — the linear model's mean-pooled
+    margin per document, exact integer milli-units. One documents scan:
+    uni+bigrams concat-exploded from a single token array, bucketed by
+    the shared 60-bit md5 hash, dotted against the broadcast FEAT_B-row
+    weight vector, mean-pooled with one floor division. tracked_persist
+    so the sweep and curriculum consumers share one computation."""
+    docs = load_table(spark, sf_dir, "documents", spread_scan=True)
+    t = F.split("text", " ")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", "source", F.explode(F.concat(t, bigrams)).alias("gram")
+    ).select(
+        "doc_id",
+        "source",
+        (texttools.md5_long(F.col("gram")) % FEAT_B).alias("bucket"),
+    )
+    weights = spark.range(FEAT_B).select(
+        F.col("id").alias("bucket"),
+        (
+            texttools.md5_long(
+                F.concat(F.lit("qw:"), F.col("id").cast("string"))
+            )
+            % QM_W_MOD
+            - 1000
+        ).alias("w_milli"),
+    )
+    doc = (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w_milli").alias("margin_milli"),
+        )
+    )
+    return tracked_persist(
+        doc.select(
+            "doc_id",
+            "source",
+            (
+                F.lit(QM_BIAS_MILLI)
+                + F.floor(F.col("margin_milli") * 1.0 / F.col("n_grams"))
+            )
+            .cast("long")
+            .alias("score_milli"),
+        )
+    )
+
+
+@register(
+    "quality_model_score",
+    category="text",
+    bench=True,
+    oracle=f"""
+    WITH {_QM_SCORED_SQL},
+    thr AS (SELECT unnest({QM_THRESHOLDS}) AS threshold_milli)
+    SELECT source,
+           CAST(threshold_milli AS BIGINT) AS threshold_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score_milli >= threshold_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(SUM(CASE WHEN score_milli >= threshold_milli THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS keep_rate
+    FROM scored CROSS JOIN thr
+    GROUP BY source, threshold_milli
+    """,
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter — the linear (fastText/CCNet-style)
+    quality classifier applied at corpus scale: every document is scored
+    by a broadcast weight vector over the hashed uni+bigram feature space
+    ({FEAT_B} buckets, the exact featurization text_hashed_ngram_features
+    audits), and the output is the table a curation pipeline acts on —
+    per-source keep/drop rates under a sweep of {QM_THRESHOLDS} milli-unit
+    decision thresholds. Per-source keep curves are how a threshold is
+    actually chosen: pick the cut where the low-quality source's keep
+    rate collapses while the reference source's survives.
+
+    Determinism: weights are integer milli-units derived from the bucket
+    id (md5 % {QM_W_MOD} - 1000 — the deterministic stand-in for a trained
+    artifact, constructed identically on both engines); each document's
+    margin is an exact BIGINT dot product (weight x occurrence), mean-
+    pooled with one floor division — the same single-quantization
+    discipline as text_unigram_logprob. No floats until the final
+    keep_rate rounding.
+
+    Scale: ONE documents scan (uni+bigrams concat-exploded from the same
+    token array — no second scan for bigrams); the {FEAT_B}-row weight
+    vector is broadcast (a model artifact is KBs — never shuffle the
+    corpus to meet it); the per-doc margin aggregate is map-side
+    combinable; the threshold sweep is a conditional-sum pivot at SOURCE
+    grain (5 counters per source) followed by a constant-width explode —
+    the corpus is never replicated per threshold. Output is bounded by
+    #sources x {QM_THRESHOLDS} rows, not data size."""
+    scored = _qm_doc_scores(spark, sf_dir)
+    per_src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum((F.col("score_milli") >= F.lit(T)).cast("long"))
+            .cast("long")
+            .alias(f"k_{i}")
+            for i, T in enumerate(QM_THRESHOLDS)
+        ],
+    )
+    sweep = F.array(
+        *[
+            F.struct(
+                F.lit(T).cast("long").alias("threshold_milli"),
+                F.col(f"k_{i}").alias("n_keep"),
+            )
+            for i, T in enumerate(QM_THRESHOLDS)
+        ]
+    )
+    return (
+        per_src.select("source", "n_docs", F.explode(sweep).alias("p"))
+        .select(
+            "source",
+            F.col("p.threshold_milli").alias("threshold_milli"),
+            "n_docs",
+            F.col("p.n_keep").alias("n_keep"),
+            F.round(F.col("p.n_keep") / F.col("n_docs"), 6)
+            .cast("double")
+            .alias("keep_rate"),
+        )
+    )
+
+
+@register(
+    "curriculum_model_bins",
+    category="trainprep",
+    oracle=f"""
+    WITH {_QM_SCORED_SQL},
+    binned AS (
+        SELECT source, score_milli,
+               NTILE({QM_N_BINS}) OVER (PARTITION BY source
+                   ORDER BY score_milli, doc_id) AS bin
+        FROM scored
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
+           CAST(MAX(score_milli) AS BIGINT) AS max_score_milli,
+           ROUND(AVG(score_milli), 6) AS avg_score_milli
+    FROM binned GROUP BY source, bin
+    """,
+)
+def curriculum_model_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule driven by the MODEL quality score: NTILE
+    {QM_N_BINS} bins per source over quality_model_score's doc-grain
+    margin (curriculum_quality_bins' heuristic twin, upgraded to the
+    classifier signal) — the integration that makes the model score a
+    pipeline input, not just a report: feed bin 1 early epochs, bin
+    {QM_N_BINS} late. doc_id tiebreak makes bin assignment total-order
+    deterministic cross-engine; bin envelopes are exact BIGINT.
+
+    Scale: the doc-grain score frame is shared (one persisted pass, see
+    _qm_doc_scores); the only added work is ONE window partitioned by
+    source — bounded partitions, no global sort — and a grouped
+    aggregate to #sources x {QM_N_BINS} rows."""
+    scored = _qm_doc_scores(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("score_milli", "doc_id")
+    return (
+        scored.withColumn("bin", F.ntile(QM_N_BINS).over(w))
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("score_milli").alias("min_score_milli"),
+            F.max("score_milli").alias("max_score_milli"),
+            F.round(F.avg("score_milli"), 6).alias("avg_score_milli"),
+        )
+        .select(
+            "source",
+            F.col("bin").cast("long").alias("bin"),
+            "n_docs",
+            "min_score_milli",
+            "max_score_milli",
+            "avg_score_milli",
+        )
+    )

@@ -80,6 +80,14 @@ GLOBAL_WINDOW_ALLOWED = frozenset(
 #: expr sets are exact: adding a second nullable key to an allowlisted
 #: query re-flags it.
 WINDOW_NULLFIRST_ALLOWED: dict[str, tuple[frozenset[str], str]] = {
+    "curriculum_model_bins": (
+        frozenset({"score_milli"}),
+        "mean-pooled model margin: every doc has >= 1 gram (split() never "
+        "yields an empty array) so n_grams >= 1, and the weights join is "
+        "TOTAL (md5 % FEAT_B lands in the complete 0..FEAT_B-1 range "
+        "spark.range materializes) — margin/n_grams are non-null, so the "
+        "bias + floor(margin/n_grams) score is non-null for every row",
+    ),
     "ann_rebuild_policy": (
         frozenset({"cent_id", "ns"}),
         "ns = -round(dot(e, ce), 4) over non-null embedding arrays; "
