@@ -45,18 +45,24 @@ from hyperloglog_pyspark_spark.sources.catalog import load_table
 SEMDEDUP_TAU = 0.35  # within-cluster cosine above which the later vector drops
 
 
-@register(
-    "text_unigram_logprob",
-    category="text",
-    bench=True,
-    oracle="""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+# Unigram-surprisal CTE chain (tok..surp) — shared by the
+# text_unigram_logprob oracle and the quality_signal_agreement oracle,
+# which consumes the same doc-grain surprisal as its second signal.
+_SURP_CTES = """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
     tot AS (SELECT SUM(cnt) AS tot FROM vocab),
     surp AS (
         SELECT w, CAST(FLOOR(1000.0 * ln(CAST(tot AS DOUBLE) / cnt) + 0.5) AS BIGINT) AS surp
         FROM vocab CROSS JOIN tot
-    )
+    )"""
+
+
+@register(
+    "text_unigram_logprob",
+    category="text",
+    bench=True,
+    oracle=f"""
+    WITH {_SURP_CTES}
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(surp) AS BIGINT) AS surprisal_sum,
@@ -1165,4 +1171,132 @@ def curriculum_model_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_score_milli",
             "avg_score_milli",
         )
+    )
+
+
+def _frac_ranks2(df: DataFrame, val: str, out: str) -> DataFrame:
+    """Doubled fractional (average) ranks of ``val`` within each source,
+    computed at VALUE grain: per (source, val) tie-group of size c with
+    cum docs before it, every member's doubled average rank is
+    2*cum + c + 1 (= 2*RANK() + c - 1, exactly the window-RANK identity
+    the oracle uses). The running sum and the rank table live at
+    distinct-value grain — the corpus never passes through a window."""
+    g = df.groupBy("source", val).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return g.select(
+        "source",
+        val,
+        (
+            2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+        ).alias(out),
+    )
+
+
+@register(
+    "quality_signal_agreement",
+    category="text",
+    oracle=f"""
+    WITH {_QM_SCORED_SQL},
+    {_SURP_CTES},
+    docsurp AS (
+        SELECT doc_id, CAST(FLOOR(SUM(surp) * 1.0 / COUNT(*)) AS BIGINT) AS y
+        FROM tok JOIN surp USING (w)
+        GROUP BY doc_id
+    ),
+    j AS (
+        SELECT s.source, s.score_milli AS x, d.y
+        FROM scored s JOIN docsurp d USING (doc_id)
+    ),
+    r AS (
+        SELECT source,
+               2 * RANK() OVER (PARTITION BY source ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY source, x) - 1 AS rx,
+               2 * RANK() OVER (PARTITION BY source ORDER BY y)
+                   + COUNT(*) OVER (PARTITION BY source, y) - 1 AS ry
+        FROM j
+    ),
+    m AS (
+        SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(rx AS HUGEINT)) AS sx,
+               SUM(CAST(ry AS HUGEINT)) AS sy,
+               SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+               SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+               SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+        FROM r GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS spearman_rho
+    FROM m
+    """,
+)
+def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rank correlation between the two independent
+    quality signals the pipeline computes — the model score
+    (quality_model_score's mean-pooled linear margin) and the unigram-LM
+    surprisal (text_unigram_logprob) — the signal-QA table that says
+    whether the cheap heuristic and the classifier would keep the same
+    documents: rho near +-1 means one signal is redundant, rho near 0
+    means the filters disagree and the intersection/union choice
+    actually matters per source.
+
+    Determinism: Spearman is Pearson on fractional (average) ranks;
+    DOUBLED ranks (2*cum_before + ties + 1) stay integer, so all five
+    moments are exact integer sums (decimal(38,0) on Spark, HUGEINT in
+    the oracle — the widen-before-multiply discipline); the only floats
+    are one sqrt of a product of exact-integer-valued doubles and one
+    division, both IEEE-identical cross-engine, rounded to 6dp.
+    Degenerate sources (a constant signal) yield NULL on both engines.
+
+    Scale: ranks are computed at VALUE grain — per (source, value) tie
+    counts plus a running sum over the distinct-value frame (bounded by
+    the milli-unit score range, thousands of rows, NOT corpus rows) —
+    then joined back to the doc-grain pairing; the only corpus-scale
+    work is two small-table joins and one five-moment aggregate. A
+    doc-grain RANK() window (the oracle's formulation) would instead
+    sort every source's documents in one task — the value-grain
+    construction is the same identity without the sort."""
+    scored = _qm_doc_scores(spark, sf_dir)
+    surp = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_surprisal_milli").alias("y")
+    )
+    j = tracked_persist(
+        scored.select("doc_id", "source", F.col("score_milli").alias("x"))
+        .join(surp, "doc_id")
+    )
+    rx = _frac_ranks2(j, "x", "rx")
+    ry = _frac_ranks2(j, "y", "ry")
+    ranked = j.join(rx, ["source", "x"]).join(ry, ["source", "y"])
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("rx")).alias("sx"),
+        F.sum(dec("ry")).alias("sy"),
+        F.sum(dec("rx") * F.col("rx")).alias("sxx"),
+        F.sum(dec("ry") * F.col("ry")).alias("syy"),
+        F.sum(dec("rx") * F.col("ry")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            )
+        )
+        .alias("spearman_rho"),
     )

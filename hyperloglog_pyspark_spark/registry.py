@@ -445,11 +445,13 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 # comment drift here.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # round-15 new queries (no driver row yet), locally verified at
-    # sf0.001, sf0.01 AND sf0.1 against their oracles. 8 new + 42 of the
-    # 44 r9-aged names = 50 slots: the two cohort names that no longer
-    # fit (window_sliding / window_tumbling, both unchanged-code stable
-    # greens) are deferred to the FRONT of the r16 rotation.
+    # sf0.001, sf0.01 AND sf0.1 against their oracles. 9 new + 41 of the
+    # 44 r9-aged names = 50 slots: the three cohort names that no longer
+    # fit (window_session / window_sliding / window_tumbling, all
+    # unchanged-code stable greens) are deferred to the FRONT of the
+    # r16 rotation.
     "quality_model_score", "curriculum_model_bins",
+    "quality_signal_agreement",
     "dedup_weighted_prefix_filter", "survival_nelson_aalen",
     "governance_subject_access", "quality_cramers_v",
     "experiment_cuped_adjustment", "timeseries_autocorrelation",
@@ -470,9 +472,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
     "tpch_q22_idle_balances", "tpch_q4_priority_count", "window_distribution",
     "window_lag_lead", "window_range_frame", "window_range_interval",
-    "window_rank_dense_ntile", "window_session",
-    # window_sliding / window_tumbling (also r9-aged) deferred to r16 —
-    # displaced by the two new round-15 quality-model queries above
+    "window_rank_dense_ntile",
+    # window_session / window_sliding / window_tumbling (also r9-aged)
+    # deferred to r16 — displaced by the three new round-15
+    # quality-model queries above
 )
 
 

@@ -80,6 +80,14 @@ GLOBAL_WINDOW_ALLOWED = frozenset(
 #: expr sets are exact: adding a second nullable key to an allowlisted
 #: query re-flags it.
 WINDOW_NULLFIRST_ALLOWED: dict[str, tuple[frozenset[str], str]] = {
+    "quality_signal_agreement": (
+        frozenset({"x", "y"}),
+        "x = quality_model_score's score_milli (non-null: n_grams >= 1 "
+        "and the bucket-weights join is total — see curriculum_model_bins "
+        "entry); y = text_unigram_logprob's avg_surprisal_milli (non-null: "
+        "every doc has >= 1 token and every token joins the vocabulary it "
+        "was counted into). Both windows run at distinct-value grain.",
+    ),
     "curriculum_model_bins": (
         frozenset({"score_milli"}),
         "mean-pooled model margin: every doc has >= 1 gram (split() never "

@@ -169,6 +169,18 @@ PROBE_OPS = [
     "experiment_cuped_adjustment",
     "timeseries_autocorrelation",
     "funnel_significance_ztest",
+    # r15: the model-quality family — the gram explode and the doc-grain
+    # margin agg grow R× while the broadcast weight vector stays FEAT_B
+    # rows and the output stays #sources × thresholds (salted docs keep
+    # their source column); the same corpus-width-work/constant-state
+    # shape text_hashed_ngram_features measures, plus a doc-grain agg
+    "quality_model_score",
+    # r15: the Spearman agreement — doubled-rank tables live at
+    # DISTINCT-VALUE grain (bounded by the milli score range, not the
+    # corpus), so the R× work is the two signal scans and the moment
+    # agg; vocab grows R× under word salting, surprisal stays
+    # vocabulary-sized
+    "quality_signal_agreement",
 ]
 
 

@@ -152,14 +152,14 @@ def test_plans_audit_census():
 
 def test_sweep_prefix_fronts_new_then_changed_queries():
     """The driver samples a ~50-name prefix of queries() each round; the
-    round-15 contract is: the eight queries with no driver row yet lead
-    (new this round), then 42 of the 44 r9-aged names — which consumes
+    round-15 contract is: the nine queries with no driver row yet lead
+    (new this round), then 41 of the 44 r9-aged names — which consumes
     every remaining slot, so the changed-code block is EMPTY this round
     (the r15 oracle-fix queries are all age-1 r14 greens, re-verified
-    locally at three SFs + bare session; window_sliding/window_tumbling
-    defer to the front of r16; see the SWEEP_PRIORITY comment for the
-    deferral rationale). Locks the prefix composition against
-    accidental reordering."""
+    locally at three SFs + bare session; window_session/window_sliding/
+    window_tumbling defer to the front of r16; see the SWEEP_PRIORITY
+    comment for the deferral rationale). Locks the prefix composition
+    against accidental reordering."""
     import __spark_entry__ as E
 
     names = list(E.queries())

@@ -164,3 +164,93 @@ def test_curriculum_model_bins_orders_by_score(spark, tmp_path_factory):
     for r in out:
         assert r["min_score_milli"] <= r["avg_score_milli"] <= r["max_score_milli"]
     compare(q.fn(spark, d), _duck(d), q.oracle, "curriculum_model_bins")
+
+
+def _py_surprisal(texts: list[str]) -> list[int]:
+    """Pure-Python twin of text_unigram_logprob's avg_surprisal_milli."""
+    import math
+
+    cnt: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            cnt[w] = cnt.get(w, 0) + 1
+    total = sum(cnt.values())
+    surp = {
+        w: math.floor(1000.0 * math.log(total / c) + 0.5)
+        for w, c in cnt.items()
+    }
+    out = []
+    for t in texts:
+        toks = t.split(" ")
+        s = sum(surp[w] for w in toks)
+        out.append(s // len(toks))
+    return out
+
+
+def _py_spearman(xs: list[int], ys: list[int]) -> float | None:
+    """Pearson on doubled fractional ranks — the operator's statistic."""
+    import math
+
+    def ranks2(vs: list[int]) -> list[int]:
+        out = []
+        for v in vs:
+            below = sum(1 for u in vs if u < v)
+            ties = sum(1 for u in vs if u == v)
+            out.append(2 * below + ties + 1)
+        return out
+
+    rx, ry = ranks2(xs), ranks2(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx == 0 or vy == 0:
+        return None
+    return round((n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy)), 6)
+
+
+def test_signal_agreement_pure_python_spearman(spark, tmp_path_factory):
+    """The per-source rho must equal a from-scratch Python Spearman
+    (average-rank ties, both signals recomputed from first principles),
+    and the whole table must strict-match the DuckDB oracle."""
+    queries()
+    d = str(tmp_path_factory.mktemp("qagree"))
+    texts = [
+        "alpha beta gamma", "beta beta gamma gamma", "delta epsilon",
+        "zeta eta theta iota", "alpha alpha alpha", "kappa",
+        "lambda mu nu xi omicron", "pi rho sigma",
+    ]
+    _write_documents(d, [(t, "s0") for t in texts])
+    q = REGISTRY["quality_signal_agreement"]
+    row = q.fn(spark, d).collect()[0]
+    xs = [_py_score(t) for t in texts]
+    ys = _py_surprisal(texts)
+    want = _py_spearman(xs, ys)
+    assert row["n_docs"] == len(texts)
+    assert row["spearman_rho"] == want, (row["spearman_rho"], want)
+    compare(q.fn(spark, d), _duck(d), q.oracle, "quality_signal_agreement")
+
+
+def test_signal_agreement_degenerate_source_is_null(
+    spark, tmp_path_factory
+):
+    """A source whose docs are all identical has two constant signals —
+    rho must be NULL (not 0, not a crash) on BOTH engines, while a
+    mixed source in the same corpus still gets a real rho."""
+    import math
+
+    queries()
+    d = str(tmp_path_factory.mktemp("qdegen"))
+    rows = [("same same same", "const") for _ in range(5)] + [
+        (f"tok{i} tok{i * 3 + 1} tok{i * 7 + 2}", "mixed") for i in range(9)
+    ]
+    _write_documents(d, rows)
+    q = REGISTRY["quality_signal_agreement"]
+    got = {r["source"]: r for r in q.fn(spark, d).collect()}
+    assert got["const"]["spearman_rho"] is None
+    assert got["mixed"]["spearman_rho"] is not None
+    assert abs(got["mixed"]["spearman_rho"]) <= 1.0
+    assert not math.isnan(got["mixed"]["spearman_rho"])
+    compare(q.fn(spark, d), _duck(d), q.oracle, "quality_signal_agreement")
