@@ -468,7 +468,7 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tie-break as the previous min(struct) form) — a groupBy(vec_id)
     # over N×k scored rows plus a join-back would add two corpus-scale
     # exchanges to the cache build for the identical result
-    best = _nearest_centroid(F.col("mv"))
+    best = _nearest_centroid("mv")
     ae = tracked_persist(
         ev.crossJoin(F.broadcast(_centroid_set(_label_centroid_arrays(ev, "k"))))
         .select(

@@ -926,7 +926,15 @@ def as_milli(col: str | Column) -> Column:
     oracle hash at sf0.1). ``_km_el_sql`` is its per-element oracle twin.
     Operators that pair vectors keep the whole vector in one row and
     compute dots with ``dot_long`` (zip_with/aggregate — JVM codegen),
-    so their shuffles carry N rows instead of N·dim element rows."""
+    so their shuffles carry N rows instead of N·dim element rows.
+
+    String inputs parse the whole transform in ONE ``expr()`` round-trip
+    (round-15 py4j-chatter diet; Column inputs keep the algebra path)."""
+    if isinstance(col, str):
+        return F.expr(
+            f"transform(cast({col} AS array<double>),"
+            f" x -> cast(floor(x * {CENT_SCALE}D + 0.5D) AS bigint))"
+        )
     return F.transform(
         as_double(col),
         lambda x: F.floor(x * CENT_SCALE + F.lit(0.5)).cast("long"),
@@ -953,11 +961,8 @@ def _label_centroid_arrays(ev: DataFrame, out_key: str) -> DataFrame:
     )
     return (
         cent_el.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
-        .select(
-            F.col("label").alias(out_key),
-            F.transform("ic", lambda s: s["c"]).alias("cv"),
-        )
+        .agg(F.expr("array_sort(collect_list(struct(i, c))) AS ic"))
+        .selectExpr(f"label AS {out_key}", "transform(ic, s -> s.c) AS cv")
     )
 
 
@@ -968,29 +973,25 @@ def _centroid_set(cent: DataFrame, key: str = "k") -> DataFrame:
     BroadcastNestedLoopJoin against a single row plus a per-row argmin —
     ZERO shuffles of the vector corpus."""
     return cent.groupBy().agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(key).alias("k"), "cv"))
-        ).alias("cents")
+        F.expr(f"array_sort(collect_list(struct({key} AS k, cv))) AS cents")
     )
 
 
-def _nearest_centroid(mv: Column) -> Column:
+def _nearest_centroid(mv: str = "mv") -> Column:
     """struct(d2, k) of the nearest centroid in the broadcast ``cents``
     array: exact integer Σ(a−b)² per candidate (nested zip_with /
     aggregate — JVM codegen), argmin via array_min's struct ordering,
-    which is (d2 ASC, k ASC) — the oracle's ROW_NUMBER tie-break."""
+    which is (d2 ASC, k ASC) — the oracle's ROW_NUMBER tie-break.
 
-    def d2(c):
-        return F.aggregate(
-            F.zip_with(mv, c["cv"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    return F.array_min(
-        F.transform(
-            F.col("cents"), lambda c: F.struct(d2(c).alias("d2"), c["k"].alias("k"))
-        )
+    Takes the vector column as SQL text and parses the WHOLE argmin in
+    ONE ``expr()`` round-trip: the old Column-algebra build (nested
+    zip_with/aggregate lambdas per candidate) cost ~60 py4j calls per
+    use — measured as a visible slice of per-rep driver time in the
+    round-15 profiling (guide §7.3: planning cost is real cost)."""
+    return F.expr(
+        f"array_min(transform(cents, c -> struct("
+        f"aggregate(zip_with({mv}, c.cv, (a, b) -> (a - b) * (a - b)), 0L,"
+        f" (acc, x) -> acc + x) AS d2, c.k AS k)))"
     )
 
 
@@ -1062,7 +1063,7 @@ def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "label", as_milli("embedding").alias("mv"))
     )
     cent = _label_centroid_arrays(ev, "k")
-    best = _nearest_centroid(F.col("mv"))
+    best = _nearest_centroid("mv")
     return (
         ev.crossJoin(F.broadcast(_centroid_set(cent)))
         .select(
@@ -1189,21 +1190,23 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _centroid_set(_label_centroid_arrays(ev, "k"))
 
     def assign(cents_row: DataFrame) -> DataFrame:
-        best = _nearest_centroid(F.col("mv"))
+        best = _nearest_centroid("mv")
         return ev.crossJoin(F.broadcast(cents_row)).select(
             "vec_id", "mv", best["d2"].alias("d2"), best["k"].alias("k")
         )
 
     for _ in range(KM_ITERS):
-        # per-centroid updated vectors: (k, i)-grain map-side partial
-        # sums (the only corpus-width pass), re-assembled per centroid,
-        # then ONE k-entry map row — the exchange after the (k, i) agg
-        # carries k·d rows, the map build k rows. (Measured alternative:
-        # d per-dimension sum(mv[i]) aggregates skip the explode and one
-        # exchange but plan/codegen a d+1-wide agg per round — 3×
-        # interleaved A/B at sf0.1 showed it consistently SLOWER; the
-        # explode shape wins while per-round cost is stage-overhead-
-        # bound, and both are model-sized at any corpus scale)
+        # per-centroid updated means: (k, i)-grain map-side partial sums
+        # (the only corpus-width pass), then ONE (k, i)-keyed map row.
+        # Round 15 fused the former intermediate per-k array regroup
+        # away: (k,i) → (k) → () cost TWO model-sized exchanges per
+        # round; keying the merge map by struct(k, i) needs only the
+        # (k,i) agg exchange plus the single-row collect — one fewer
+        # shuffle per round at any scale (guide §2.4), and one fewer
+        # AQE stage job per round here. (Measured alternative, kept
+        # documented: d per-dimension sum(mv[i]) aggregates skip the
+        # explode but plan/codegen a d+1-wide agg per round — 3×
+        # interleaved A/B at sf0.1 showed it consistently SLOWER.)
         upd = (
             assign(cent)
             .select("k", F.posexplode("mv").alias("i", "e"))
@@ -1213,27 +1216,24 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("u")
             )
-            .groupBy("k")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "u"))),
-                    lambda t: t["u"],
-                ).alias("uv")
-            )
             .groupBy()
-            .agg(F.map_from_entries(F.collect_list(F.struct("k", "uv"))).alias("m"))
+            .agg(
+                F.expr(
+                    "map_from_entries(collect_list("
+                    "struct(struct(k AS k, i AS i) AS key, u AS value))) AS m"
+                )
+            )
         )
-        # empty clusters have no map entry and keep their previous
-        # centroid (the oracle's per-(k, i) LEFT JOIN + COALESCE)
+        # empty clusters have no map entries and keep their previous
+        # centroid (the oracle's per-(k, i) LEFT JOIN + COALESCE): a
+        # cluster with members contributes EVERY dimension, so the
+        # per-dimension coalesce is exactly the old per-array one.
         cent = checkpoint_rounds(
-            cent.crossJoin(F.broadcast(upd)).select(
-                F.transform(
-                    F.col("cents"),
-                    lambda c: F.struct(
-                        c["k"].alias("k"),
-                        F.coalesce(F.element_at("m", c["k"]), c["cv"]).alias("cv"),
-                    ),
-                ).alias("cents")
+            cent.crossJoin(F.broadcast(upd)).selectExpr(
+                "transform(cents, c -> struct(c.k AS k,"
+                " transform(c.cv, (x, i) ->"
+                "   coalesce(element_at(m, struct(c.k AS k, i AS i)), x)) AS cv))"
+                " AS cents"
             )
         )
     final = assign(cent)
@@ -1340,14 +1340,19 @@ def _pq_ms():
     return F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m")
 
 
+_PQ_MS_SQL = "explode(array({})) AS m".format(
+    ", ".join(str(m) for m in range(PQ_M))
+)
+
+
 def _pq_sub_milli(frame: DataFrame, vec_col: str) -> DataFrame:
     """(…ids, m, sv): explode an array<long> vector column into its PQ_M
     milli-unit subvectors; all other columns pass through."""
     keep = [c for c in frame.columns if c != vec_col]
-    return frame.select(*keep, vec_col, _pq_ms()).select(
+    return frame.select(*keep, vec_col, _pq_ms()).selectExpr(
         *keep,
-        F.col("m").cast("int").alias("m"),
-        F.expr(f"slice({vec_col}, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
+        "cast(m AS int) AS m",
+        f"slice({vec_col}, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv",
     )
 
 
@@ -1358,29 +1363,26 @@ def _pq_model_row(entries: DataFrame) -> DataFrame:
     task, so assignment is a BroadcastNestedLoopJoin + per-row argmin,
     ZERO shuffles of the subvector corpus."""
     return entries.groupBy().agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("m").cast("int").alias("m"),
-                    F.col("k").cast("long").alias("k"),
-                    F.col("cv").alias("cv"),
-                )
-            )
-        ).alias("cents")
+        F.expr(
+            "array_sort(collect_list(struct(cast(m AS int) AS m,"
+            " cast(k AS bigint) AS k, cv AS cv))) AS cents"
+        )
     )
 
 
-def _pq_nearest_sub(sv) -> Column:
+def _pq_nearest_sub(sv: str = "sv") -> Column:
     """struct(d2, k) of the nearest SAME-SUBSPACE centroid in the
     broadcast ``cents`` model (fields m, k, cv): exact integer Σ(a−b)²
     per candidate, argmin via array_min's struct ordering (d2 ASC,
     k ASC) — the oracle's ROW_NUMBER tie-break. The consuming row must
-    carry its subspace id in column ``m``."""
-    return F.array_min(
-        F.transform(
-            F.filter(F.col("cents"), lambda c: c["m"] == F.col("m")),
-            lambda c: F.struct(_d2_long(sv, c["cv"]).alias("d2"), c["k"].alias("k")),
-        )
+    carry its subspace id in column ``m``. Takes the subvector column as
+    SQL text and parses the whole argmin in ONE ``expr()`` round-trip
+    (the Column-algebra build cost ~80 py4j calls per use — see
+    ``_nearest_centroid``)."""
+    return F.expr(
+        f"array_min(transform(filter(cents, c -> c.m = m), c -> struct("
+        f"aggregate(zip_with({sv}, c.cv, (a, b) -> (a - b) * (a - b)), 0L,"
+        f" (acc, x) -> acc + x) AS d2, c.k AS k)))"
     )
 
 
@@ -1397,10 +1399,15 @@ def _pq_lloyd_train(sub: DataFrame, model0: DataFrame) -> DataFrame:
     references it twice, so an unchained plan doubles per round)."""
     model = model0
     for _ in range(PQ_TRAIN_ITERS):
-        best = _pq_nearest_sub(F.col("sv"))
+        best = _pq_nearest_sub("sv")
         asg = sub.crossJoin(F.broadcast(model)).select(
             "m", best["k"].alias("k"), "sv"
         )
+        # Round 15: the merge map is keyed struct(m, k, j) straight off
+        # the (m, k, j)-grain agg — the former per-(m, k) array regroup
+        # cost an extra model-sized exchange per round (see
+        # embedding_kmeans_lloyd's round comment; same fusion, same
+        # one-shuffle-per-round saving).
         upd = (
             asg.select("m", "k", F.posexplode("sv").alias("j", "e"))
             .groupBy("m", "k", "j")
@@ -1409,44 +1416,23 @@ def _pq_lloyd_train(sub: DataFrame, model0: DataFrame) -> DataFrame:
                 .cast("long")
                 .alias("u")
             )
-            .groupBy("m", "k")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "u"))),
-                    lambda t: t["u"],
-                ).alias("uv")
-            )
             .groupBy()
             .agg(
-                F.map_from_entries(
-                    F.collect_list(
-                        F.struct(
-                            F.struct(
-                                F.col("m").cast("int").alias("m"),
-                                F.col("k").cast("long").alias("k"),
-                            ).alias("key"),
-                            F.col("uv").alias("value"),
-                        )
-                    )
-                ).alias("mp")
+                F.expr(
+                    "map_from_entries(collect_list(struct("
+                    "struct(cast(m AS int) AS m, cast(k AS bigint) AS k,"
+                    " j AS j) AS key, u AS value))) AS mp"
+                )
             )
         )
+        # empty cells have no map entries and keep their previous
+        # centroid (a cell with members contributes every j, so the
+        # per-dimension coalesce equals the old per-array one).
         model = checkpoint_rounds(
-            model.crossJoin(F.broadcast(upd)).select(
-                F.transform(
-                    F.col("cents"),
-                    lambda c: F.struct(
-                        c["m"].alias("m"),
-                        c["k"].alias("k"),
-                        F.coalesce(
-                            F.element_at(
-                                "mp",
-                                F.struct(c["m"].alias("m"), c["k"].alias("k")),
-                            ),
-                            c["cv"],
-                        ).alias("cv"),
-                    ),
-                ).alias("cents")
+            model.crossJoin(F.broadcast(upd)).selectExpr(
+                "transform(cents, c -> struct(c.m AS m, c.k AS k,"
+                " transform(c.cv, (x, j) -> coalesce(element_at(mp,"
+                "   struct(c.m AS m, c.k AS k, j AS j)), x)) AS cv)) AS cents"
             )
         )
     return model
@@ -1459,7 +1445,7 @@ def _pq_assign_codes(sub: DataFrame, model: DataFrame) -> DataFrame:
     ride the partition key (cent_id) along instead of re-joining it
     back at corpus scale."""
     keep = [c for c in sub.columns if c != "sv"]
-    best = _pq_nearest_sub(F.col("sv"))
+    best = _pq_nearest_sub("sv")
     return sub.crossJoin(F.broadcast(model)).select(
         *keep, best["k"].alias("k"), best["d2"].alias("d2")
     )
@@ -1474,10 +1460,10 @@ def _pq_seed_model(vecs: DataFrame, vec_col: str) -> DataFrame:
         .limit(PQ_K)
         .select(F.col("vec_id").alias("k"), F.col(vec_col).alias("seedv"))
     )
-    entries = seeds.select("k", "seedv", _pq_ms()).select(
+    entries = seeds.select("k", "seedv", _pq_ms()).selectExpr(
         "k",
-        F.col("m").cast("int").alias("m"),
-        F.expr(f"slice(seedv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("cv"),
+        "cast(m AS int) AS m",
+        f"slice(seedv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS cv",
     )
     return _pq_model_row(entries)
 
@@ -1638,11 +1624,7 @@ def _residual_index_build(spark: SparkSession, sf_dir: str):
     res = tracked_persist(
         iassign.join(ev, "vec_id")
         .join(F.broadcast(refc), "cent_id")
-        .select(
-            "vec_id",
-            "cent_id",
-            F.zip_with("mv", "cv", lambda x, y: x - y).alias("r"),
-        )
+        .selectExpr("vec_id", "cent_id", "zip_with(mv, cv, (x, y) -> x - y) AS r")
     )
     # cent_id rides through the subvector explode and the encode pass,
     # so the persisted-index writer never re-joins the corpus for it
@@ -1667,33 +1649,32 @@ def _residual_query_lut(
             F.col("query_id") == F.col("vec_id"),
         )
         .join(F.broadcast(refc), F.col("probe_cent") == F.col("cent_id"))
-        .select(
-            "query_id",
-            "cent_id",
-            F.zip_with("mv", "cv", lambda x, y: x - y).alias("qr"),
+        .selectExpr(
+            "query_id", "cent_id", "zip_with(mv, cv, (x, y) -> x - y) AS qr"
         )
     )
-    qrsub = qres.select("query_id", "cent_id", "qr", _pq_ms()).select(
+    qrsub = qres.selectExpr("query_id", "cent_id", "qr", _PQ_MS_SQL).selectExpr(
         "query_id",
         "cent_id",
-        F.col("m").cast("int").alias("m"),
-        F.expr(f"slice(qr, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("qv"),
+        "cast(m AS int) AS m",
+        f"slice(qr, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS qv",
     )
     return (
         qrsub.crossJoin(F.broadcast(model))
-        .select(
+        .selectExpr(
             "query_id",
             "cent_id",
             "m",
             "qv",
-            F.explode(F.filter(F.col("cents"), lambda c: c["m"] == F.col("m"))).alias("c"),
+            "explode(filter(cents, c -> c.m = m)) AS c",
         )
-        .select(
+        .selectExpr(
             "query_id",
             "cent_id",
             "m",
-            F.col("c.k").alias("k"),
-            _d2_long(F.col("qv"), F.col("c.cv")).alias("qd2"),
+            "c.k AS k",
+            "aggregate(zip_with(qv, c.cv, (a, b) -> (a - b) * (a - b)), 0L,"
+            " (acc, x) -> acc + x) AS qd2",
         )
     )
 

@@ -112,7 +112,7 @@ def test_nearest_centroid_argmin_ties_break_on_smaller_k(data, spark):
     cent = spark.createDataFrame(
         [(k, c) for k, c in enumerate(cents)], "k long, cv array<long>"
     )
-    best = _nearest_centroid(F.col("mv"))
+    best = _nearest_centroid("mv")
     got = {
         r["vec_id"]: (r["d2"], r["k"])
         for r in ev.crossJoin(F.broadcast(_centroid_set(cent)))
