@@ -1710,7 +1710,7 @@ def test_streaming_ann_index_append_matches_batch_rebuild(spark, sf_dir, tmp_pat
     cents_row = spark.createDataFrame([cents])
 
     def assign(frame):
-        best = _nearest_centroid(F.col("mv"))
+        best = _nearest_centroid("mv")
         return frame.crossJoin(F.broadcast(cents_row)).select(
             "vec_id", "mv", best["k"].alias("cent_id")
         )
