@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hyperloglog_pyspark_spark.registry import checkpoint_rounds, register, tracked_persist
-from hyperloglog_pyspark_spark.sources.catalog import load_table
+from hyperloglog_pyspark_spark.sources.catalog import literal_frame, load_table
 
 PR_SCALE = 10**12  # integer rank scale
 PR_ITERS = 3
@@ -325,7 +325,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = tracked_persist(_trade_edges(spark, sf_dir))
     spark_sess = edges.sparkSession
-    visited = spark_sess.createDataFrame([(BFS_SOURCE, 0)], "node string, level long")
+    visited = literal_frame(spark_sess, [(BFS_SOURCE, 0)], "node string, level long")
     frontier = visited
     for depth in range(1, BFS_MAX_DEPTH + 1):
         nxt = checkpoint_rounds(

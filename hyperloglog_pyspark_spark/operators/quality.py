@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from hyperloglog_pyspark_spark.registry import register, tracked_persist
-from hyperloglog_pyspark_spark.sources.catalog import load_table
+from hyperloglog_pyspark_spark.sources.catalog import literal_frame, load_table
 
 # ---------------------------------------------------------------------------
 # Constraint audit: (table, rule, violation predicate). The predicate is
@@ -1773,8 +1773,8 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the expectation table IS the 1-9 spine (single place the domain
     # is encoded; mirrors the oracle's bp VALUES list)
-    bp = spark.createDataFrame(
-        [(d, p) for d, p in _BENFORD_P.items()], "digit int, benford_p double"
+    bp = literal_frame(
+        spark, [(d, p) for d, p in _BENFORD_P.items()], "digit int, benford_p double"
     )
     from pyspark.sql import Window
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hyperloglog_pyspark_spark.registry import register, tracked_persist
-from hyperloglog_pyspark_spark.sources.catalog import load_table
+from hyperloglog_pyspark_spark.sources.catalog import literal_frame, load_table
 
 # 3-sigma acceptance per the reference's observed envelope (BASELINE.md):
 # |rel err| ≤ 3 × stderr, stderr = 1.04/√m.
@@ -907,7 +907,7 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantile scan is a per-group window over ≤900 bucket rows.
     """
     ev = load_table(spark, sf_dir, "events")
-    bounds = spark.createDataFrame(_DD_ROWS, "bucket int, lo long, hi long")
+    bounds = literal_frame(spark, _DD_ROWS, "bucket int, lo long, hi long")
     cents = ev.select(
         "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
     )
@@ -928,7 +928,7 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wcum).alias("cum_n"),
         F.sum("n").over(wtot).alias("total_n"),
     )
-    qs = spark.createDataFrame([(q,) for q in DD_QS], "q double")
+    qs = literal_frame(spark, [(q,) for q in DD_QS], "q double")
     return (
         cum.crossJoin(F.broadcast(qs))
         .filter(F.col("cum_n") >= F.ceil(F.col("q") * F.col("total_n")))
@@ -1334,7 +1334,7 @@ def sink_ddsketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.date_trunc("day", "ts")).alias("day"),
         F.round(F.col("value") * 100, 0).cast("long").alias("c"),
     )
-    bounds = spark.createDataFrame(_DD_ROWS, "bucket int, lo long, hi long")
+    bounds = literal_frame(spark, _DD_ROWS, "bucket int, lo long, hi long")
     bucketed = typed.join(
         F.broadcast(bounds),
         (F.col("c") >= F.col("lo")) & (F.col("c") < F.col("hi")),
@@ -1392,7 +1392,7 @@ def sink_ddsketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wcum).alias("cum_n"),
         F.sum("n").over(wtot).alias("total_n"),
     )
-    qs = spark.createDataFrame([(q,) for q in DD_STORE_QS], "q double")
+    qs = literal_frame(spark, [(q,) for q in DD_STORE_QS], "q double")
     quantiles = (
         cum.crossJoin(F.broadcast(qs))
         .filter(F.col("cum_n") >= F.ceil(F.col("q") * F.col("total_n")))

@@ -21,7 +21,7 @@ from hyperloglog_pyspark_spark.functions.texttools import (
     word_shingles,
 )
 from hyperloglog_pyspark_spark.registry import register, tracked_persist
-from hyperloglog_pyspark_spark.sources.catalog import load_table
+from hyperloglog_pyspark_spark.sources.catalog import literal_frame, load_table
 
 _STOP_SQL = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
 
@@ -597,8 +597,8 @@ def _tfq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     MRR / NDCG / hybrid-RRF) pays. Each consumer joins the broadcast
     (query_id, term) map back on; before this was factored out, every
     report re-read the full tf cache for the same restriction."""
-    terms = spark.createDataFrame(
-        [(t,) for t in sorted({t for _, t in BM25_QUERIES})], "term string"
+    terms = literal_frame(
+        spark, [(t,) for t in sorted({t for _, t in BM25_QUERIES})], "term string"
     )
     tf = _tf_table(spark, sf_dir)
     return tracked_persist(
@@ -669,7 +669,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    qterms = literal_frame(spark, BM25_QUERIES, "query_id long, term string")
     tfq = _tfq_table(spark, sf_dir).join(F.broadcast(qterms), "term").select(
         "query_id", "term", "doc_id", "tf"
     )
@@ -1057,7 +1057,7 @@ def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, not a constant. Reciprocal ranks are 1/BIGINT rounded to 6dp
     — cross-engine exact."""
     lex = text_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
-    qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    qterms = literal_frame(spark, BM25_QUERIES, "query_id long, term string")
     qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
     rel = (
         _tfq_table(spark, sf_dir)
@@ -1194,7 +1194,7 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     grade join reuses the persisted tf table restricted by the broadcast
     query terms."""
     lex = text_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
-    qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    qterms = literal_frame(spark, BM25_QUERIES, "query_id long, term string")
     # The grade join runs over the persisted query-term-restricted tf
     # rows (docs-containing-query-terms scale, shared with BM25/MRR via
     # the plan-canonical cache) — never the full tf table.
@@ -1214,8 +1214,8 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed = matches.groupBy("query_id", "rank").agg(
         F.expr("shiftleft(1, sum(matched)) - 1").alias("gain")
     )
-    disc = spark.createDataFrame(
-        [(r + 1, d) for r, d in enumerate(NDCG_DISCOUNT_MICRO)], "rank int, d long"
+    disc = literal_frame(
+        spark, [(r + 1, d) for r, d in enumerate(NDCG_DISCOUNT_MICRO)], "rank int, d long"
     )
     fixed = tracked_persist(fixed)
     dcg = (

@@ -34,7 +34,7 @@ from hyperloglog_pyspark_spark.functions.texttools import (
     word_shingles,
 )
 from hyperloglog_pyspark_spark.registry import register, tracked_persist
-from hyperloglog_pyspark_spark.sources.catalog import load_table
+from hyperloglog_pyspark_spark.sources.catalog import literal_frame, load_table
 
 PACK_BUDGET = 2048  # tokens per pack (context-window accounting unit)
 
@@ -480,8 +480,8 @@ def mixture_budget_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine. Scale: one corpus scan reduces to #langs
     rows; everything after is arithmetic on a broadcast frame."""
     lt = _lang_tokens(spark, sf_dir)
-    tgt = spark.createDataFrame(
-        list(MIX_TARGET_PCT.items()), "lang string, pct int"
+    tgt = literal_frame(
+        spark, list(MIX_TARGET_PCT.items()), "lang string, pct int"
     )
     tot = lt.agg(
         F.expr(f"sum(toks) * {MIX_BUDGET_PCT} div 100").alias("budget")
@@ -762,7 +762,7 @@ def mixture_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus scan reduces to #languages rows; weights and ESS
     are arithmetic on a broadcast frame."""
     lt = _lang_tokens(spark, sf_dir)
-    tgt = spark.createDataFrame(list(MIX_TARGET_PCT.items()), "lang string, pct int")
+    tgt = literal_frame(spark, list(MIX_TARGET_PCT.items()), "lang string, pct int")
     tot = lt.agg(F.sum("toks").alias("t"))
     w = (
         lt.join(F.broadcast(tgt), "lang")

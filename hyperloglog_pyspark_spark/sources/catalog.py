@@ -115,6 +115,49 @@ def load_table(
     return df
 
 
+def _sql_literal(v: object, sql_type: str) -> str:
+    """Render one python value as a CAST SQL literal of ``sql_type``."""
+    if v is None:
+        return f"CAST(NULL AS {sql_type})"
+    if isinstance(v, bool):
+        lit = "true" if v else "false"
+    elif isinstance(v, (int, float)):
+        lit = repr(v)
+    elif isinstance(v, str):
+        lit = "'" + v.replace("'", "''") + "'"
+    else:
+        raise TypeError(f"literal_frame: unsupported value {v!r}")
+    return f"CAST({lit} AS {sql_type})"
+
+
+def literal_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A small literal table as a canonical-STABLE plan (VALUES + casts).
+
+    ``spark.createDataFrame`` on local python data plans a ``LogicalRDD``
+    whose canonicalization is identity-based — two calls with identical
+    data never compare equal, so ANY persisted frame whose plan contains
+    one can never be found again by the CacheManager's plan-canonical
+    lookup: every bench rep (and every composing query) silently rebuilt
+    frames like the query-term-restricted tf table from scratch, and each
+    rebuild's ``persist()`` registered a fresh dead cache entry (measured:
+    text_bm25_topk 2.5 s per WARM rep, re-scanning documents.parquet 8×
+    per executed plan — guide §5 / §2.4). A ``VALUES`` projection is a
+    ``LocalRelation``, which canonicalizes by content, so identical dims
+    from different calls are plan-equal and every downstream cache hits.
+
+    ``schema`` is DDL like ``"query_id long, term string"`` — each value
+    is wrapped in an explicit CAST so types match createDataFrame's
+    exactly. Literal dims only (str/int/float/bool/None).
+    """
+    cols = [c.strip().split(None, 1) for c in schema.split(",")]
+    rendered = ", ".join(
+        "(" + ", ".join(_sql_literal(v, t) for v, (_, t) in zip(row, cols)) + ")"
+        for row in rows
+    )
+    names = ", ".join(n for n, _ in cols)
+    return spark.sql(f"SELECT * FROM VALUES {rendered} AS t({names})")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in (names or TABLES)}
 
