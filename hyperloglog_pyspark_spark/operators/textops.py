@@ -673,8 +673,17 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfq = _tfq_table(spark, sf_dir).join(F.broadcast(qterms), "term").select(
         "query_id", "term", "doc_id", "tf"
     )
-    dfq = tfq.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("long").alias("df")
+    # df per term: _tfq_table is UNIQUE per (term, doc_id) by
+    # construction (tf-table grain), so the distinct count is a plain
+    # row count taken BEFORE the query join duplicates rows per
+    # query_id — one HashAggregate exchange instead of the two-level
+    # Expand-distinct over the duplicated frame (guide §2.3: aggregate
+    # before you shuffle). Same value as the oracle's
+    # COUNT(DISTINCT doc_id) over the query-joined CTE.
+    dfq = (
+        _tfq_table(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
@@ -1059,11 +1068,15 @@ def retrieval_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = text_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
     qterms = literal_frame(spark, BM25_QUERIES, "query_id long, term string")
     qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    # the joined frame is UNIQUE per (query_id, term, doc_id) — tf-table
+    # grain × the (query_id, term) map — so the distinct term count per
+    # (query_id, doc_id) is a plain row count: one exchange, no Expand
+    # (guide §2.3).
     rel = (
         _tfq_table(spark, sf_dir)
         .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.count_distinct("term").alias("nt"))
+        .agg(F.count(F.lit(1)).alias("nt"))
         .join(F.broadcast(qn), "query_id")
         .filter(F.col("nt") == F.col("n_terms"))
         .select("query_id", F.col("doc_id").alias("rel_doc"))
