@@ -13,7 +13,11 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from hyperloglog_pyspark_spark.functions.vector import as_double, cosine_rounded, dot
+from hyperloglog_pyspark_spark.functions.vector import (
+    as_double,
+    cosine_rounded_sql,
+    neg_round_dot_sql,
+)
 from hyperloglog_pyspark_spark.registry import (
     REGISTRY,
     checkpoint_rounds,
@@ -107,7 +111,7 @@ def _bruteforce_topk(base: DataFrame) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     c = base.select("vec_id", F.col("e").alias("ce"))
-    cos = cosine_rounded(F.col("qe"), F.col("ce"), 4)
+    cos = F.expr(cosine_rounded_sql("qe", "ce", 4))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         F.broadcast(q)
@@ -185,7 +189,7 @@ def _ann_lsh_topk(bucketed: DataFrame) -> DataFrame:
         )
     )
     c = bucketed.select("vec_id", F.col("e").alias("ce"), "bucket")
-    cos = cosine_rounded(F.col("qe"), F.col("ce"), 4)
+    cos = F.expr(cosine_rounded_sql("qe", "ce", 4))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         F.broadcast(probes)
@@ -279,7 +283,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "ev",
             "cent_id",
-            (-F.round(dot(F.col("ev"), F.col("ce")), 4)).alias("ns"),
+            F.expr(neg_round_dot_sql("ev", "ce", 4)).alias("ns"),
         )
     )
     assign = (
@@ -298,7 +302,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cent_id").alias("probe_cent"),
         )
     )
-    cos = cosine_rounded(F.col("qe"), F.col("ev"), 4)
+    cos = F.expr(cosine_rounded_sql("qe", "ev", 4))
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         F.broadcast(qprobe)
@@ -737,7 +741,7 @@ def _ivf_coarse(emb: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     iscored = emb.crossJoin(F.broadcast(icent)).select(
         "vec_id",
         "cent_id",
-        (-F.round(dot(F.col("e"), F.col("ce")), 4)).alias("ns"),
+        F.expr(neg_round_dot_sql("e", "ce", 4)).alias("ns"),
     )
     iassign = tracked_persist(
         iscored.groupBy("vec_id")
@@ -2040,7 +2044,7 @@ def sink_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(
                     "vec_id",
                     "cent_id",
-                    (-F.round(dot(F.col("e"), F.col("ce")), 4)).alias("ns"),
+                    F.expr(neg_round_dot_sql("e", "ce", 4)).alias("ns"),
                 )
                 .groupBy("vec_id")
                 .agg(F.min(F.struct("ns", "cent_id")).alias("b"))
@@ -2262,7 +2266,7 @@ def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.crossJoin(c)
             .select(
                 "vec_id", "m7", "cent_id",
-                (-F.round(dot(F.col("e"), F.col("ce")), 4)).alias("ns"),
+                F.expr(neg_round_dot_sql("e", "ce", 4)).alias("ns"),
             )
             .groupBy("vec_id", "m7")
             .agg(F.min(F.struct("ns", "cent_id")).alias("b"))
@@ -2273,7 +2277,7 @@ def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             qs.crossJoin(c)
             .select(
                 "query_id", "cent_id",
-                (-F.round(dot(F.col("qe"), F.col("ce")), 4)).alias("ns"),
+                F.expr(neg_round_dot_sql("qe", "ce", 4)).alias("ns"),
             )
             .withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= N_PROBES)
@@ -2296,7 +2300,7 @@ def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(qs), "query_id")
             .select(
                 "query_id", "vec_id",
-                cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos"),
+                F.expr(cosine_rounded_sql("qe", "ce", 4)).alias("cos"),
             )
             .withColumn("rn", F.row_number().over(wk))
             .filter(F.col("rn") <= TOP_K)
@@ -2313,7 +2317,7 @@ def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "query_id", "vec_id",
-                cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos"),
+                F.expr(cosine_rounded_sql("qe", "ce", 4)).alias("cos"),
             )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= TOP_K)
@@ -2438,7 +2442,7 @@ def similarity_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "query_id",
             "vec_id",
-            cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos_sim"),
+            F.expr(cosine_rounded_sql("qe", "ce", 4)).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -2533,7 +2537,7 @@ def _matryoshka_serve(pref: DataFrame, full: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine_rounded(F.col("qp"), F.col("p"), 4).alias("coarse"),
+            F.expr(cosine_rounded_sql("qp", "p", 4)).alias("coarse"),
         )
         .withColumn("crank", F.row_number().over(w_coarse))
         .filter(F.col("crank") <= MRL_SHORT)
@@ -2549,7 +2553,7 @@ def _matryoshka_serve(pref: DataFrame, full: DataFrame) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine_rounded(F.col("qe"), F.col("ce"), 4).alias("cos_sim"),
+            F.expr(cosine_rounded_sql("qe", "ce", 4)).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
