@@ -225,36 +225,36 @@ _H_SQL = f"({md5_long_sql('sh_el')} % {_MINHASH_P})"
 def _minhash_sigs(docs: DataFrame) -> DataFrame:
     """Per-doc minhash signature columns sig0..sig{N_SEEDS-1}: one md5 per
     shingle folded to [0, P-1], then each seed a cheap integer permutation
-    of that hash (A·h+B mod P), not another md5."""
-    hashed = docs.select(
-        "doc_id", F.transform("sh", lambda x: md5_long(x) % _MINHASH_P).alias("ha")
+    of that hash (A·h+B mod P), not another md5. Both projections parse
+    as single SQL strings — the per-seed Column-lambda build cost ~120
+    py4j round-trips per plan (round-15 chatter diet; same expressions
+    token for token)."""
+    hashed = docs.selectExpr(
+        "doc_id",
+        "transform(sh, x -> CAST(conv(substring(md5(x), 1, 15), 16, 10)"
+        f" AS BIGINT) % {_MINHASH_P}) AS ha",
     )
-
-    def min_sig(seed: int):
-        a, b = _PERM_A[seed], _PERM_B[seed]
-        return (
-            F.array_min(F.transform("ha", lambda h: (h * a + b) % _MINHASH_P))
-            .cast("string")
-            .alias(f"sig{seed}")
-        )
-
-    return hashed.select("doc_id", *[min_sig(s) for s in range(N_SEEDS)])
+    sig_exprs = [
+        f"CAST(array_min(transform(ha, h -> (h * {_PERM_A[s]} + {_PERM_B[s]})"
+        f" % {_MINHASH_P})) AS STRING) AS sig{s}"
+        for s in range(N_SEEDS)
+    ]
+    return hashed.selectExpr("doc_id", *sig_exprs)
 
 
 def _band_table(sigs: DataFrame, band_r: int = BAND_R) -> DataFrame:
     """(doc_id, band, band_hash) rows: each band hash is the md5 of its
     ``band_r`` consecutive signature values — the LSH bucket key."""
     band_cols = [
-        F.md5(F.concat_ws("|", *[f"sig{s}" for s in range(b * band_r, (b + 1) * band_r)])).alias(
-            f"band{b}"
+        "md5(concat_ws('|', {})) AS band{}".format(
+            ", ".join(f"sig{s}" for s in range(b * band_r, (b + 1) * band_r)), b
         )
         for b in range(N_SEEDS // band_r)
     ]
-    return sigs.select("doc_id", *band_cols).select(
+    bands_arr = ", ".join(f"band{b}" for b in range(N_SEEDS // band_r))
+    return sigs.selectExpr("doc_id", *band_cols).selectExpr(
         "doc_id",
-        F.posexplode(F.array(*[f"band{b}" for b in range(N_SEEDS // band_r)])).alias(
-            "band", "band_hash"
-        ),
+        f"posexplode(array({bands_arr})) AS (band, band_hash)",
     )
 
 

@@ -2234,140 +2234,142 @@ def ann_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments are the index's own maintenance byproducts, and the
     monitor costs a scan — not a rebuild, which is exactly the spend
     it gates."""
+    # Round-15 build-chatter diet: this operator's relational structure is
+    # unchanged (same frames, same persist boundaries, same join/window
+    # shapes — see the _before/_after plans), but the interior is authored
+    # as a handful of spark.sql statements over temp views instead of
+    # ~5 000 Column-API py4j round-trips per plan build (cProfile: the
+    # gateway chatter was >half of the query's warm wall — guide §1.2
+    # per-task work includes the DRIVER's work). Expressions are the
+    # token-identical SQL the Column form rendered.
     emb = load_table(spark, sf_dir, "embeddings")
     base = tracked_persist(
-        emb.select(
-            "vec_id",
-            as_double("embedding").alias("e"),
-            (F.col("vec_id") % 7).alias("m7"),
+        emb.selectExpr(
+            "vec_id", "CAST(embedding AS array<double>) AS e", "vec_id % 7 AS m7"
         )
     )
-    seeds = base.filter(F.col("vec_id") % N_CENT_MOD == 0)
-    qs = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    def _mods_not_in(mods: tuple[int, ...]):
-        # Column twin of _mods_not_in_sql — same single source of truth
-        return ~F.col("m7").isin(*mods) if mods else F.lit(True)
+    base.createOrReplaceTempView("arp_base")
+    spark.sql(
+        f"SELECT vec_id AS query_id, e AS qe FROM arp_base"
+        f" WHERE vec_id < {N_QUERIES}"
+    ).createOrReplaceTempView("arp_qs")
 
-    frozen = _mods_not_in(REBUILD_EPOCH_MODS)
+    ns_corp = neg_round_dot_sql("v.e", "c.ce", 4)
+    ns_query = neg_round_dot_sql("q.qe", "c.ce", 4)
+    cos_cand = cosine_rounded_sql("q.qe", "v.ce", 4)
 
-    def quantize(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(assign, probe) under one quantizer. Assignment is a pure
-        function of (vector, quantizer) — corpus membership plays no
-        role — so the FROZEN quantizer's frames are built ONCE over the
-        full table and filtered per stage below, instead of re-running
-        the corpus × cells scoring pass for every epoch (the rebuilt
-        quantizer changes per stage and cannot share)."""
-        c = F.broadcast(
-            cents.select(F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"))
-        )
-        assign = (
-            base.crossJoin(c)
-            .select(
-                "vec_id", "m7", "cent_id",
-                F.expr(neg_round_dot_sql("e", "ce", 4)).alias("ns"),
-            )
-            .groupBy("vec_id", "m7")
-            .agg(F.min(F.struct("ns", "cent_id")).alias("b"))
-            .select("vec_id", "m7", F.col("b.cent_id").alias("cent_id"))
-        )
-        wq = Window.partitionBy("query_id").orderBy("ns", "cent_id")
-        probe = (
-            qs.crossJoin(c)
-            .select(
-                "query_id", "cent_id",
-                F.expr(neg_round_dot_sql("qe", "ce", 4)).alias("ns"),
-            )
-            .withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= N_PROBES)
-            .select("query_id", "cent_id")
-        )
-        return assign, probe
-
-    fassign, fprobe = quantize(seeds.filter(frozen))
-    fassign = tracked_persist(fassign)
-    fprobe = tracked_persist(fprobe)
-
-    def ivf_topk(cpred, assign: DataFrame, probe: DataFrame) -> DataFrame:
-        wk = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), "vec_id"
-        )
+    def cents_sql(qpred: str) -> str:
         return (
-            probe.join(assign.filter(cpred).drop("m7"), "cent_id")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .join(base.select("vec_id", F.col("e").alias("ce")), "vec_id")
-            .join(F.broadcast(qs), "query_id")
-            .select(
-                "query_id", "vec_id",
-                F.expr(cosine_rounded_sql("qe", "ce", 4)).alias("cos"),
-            )
-            .withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") <= TOP_K)
-            .select("query_id", "vec_id")
+            f"(SELECT vec_id AS cent_id, e AS ce FROM arp_base"
+            f" WHERE vec_id % {N_CENT_MOD} = 0 AND {qpred})"
         )
 
-    def exact_topk(corpus: DataFrame) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
-        return (
-            F.broadcast(qs)
-            .join(
-                corpus.select("vec_id", F.col("e").alias("ce")),
-                F.col("vec_id") != F.col("query_id"),
-            )
-            .select(
-                "query_id", "vec_id",
-                F.expr(cosine_rounded_sql("qe", "ce", 4)).alias("cos"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= TOP_K)
-            .select("query_id", "vec_id")
-        )
+    def assign_sql(qpred: str) -> str:
+        """Corpus coarse assignment under one quantizer: min(struct(ns,
+        cent_id)) argmin against the broadcast cell set — assignment is a
+        pure function of (vector, quantizer), so the FROZEN quantizer's
+        frame is built once and filtered per stage; rebuilt quantizers
+        change per stage and cannot share."""
+        return f"""
+            SELECT vec_id, m7, b.cent_id AS cent_id FROM (
+                SELECT vec_id, m7, min(struct(ns, cent_id)) AS b FROM (
+                    SELECT /*+ BROADCAST(c) */ v.vec_id, v.m7, c.cent_id,
+                           {ns_corp} AS ns
+                    FROM arp_base v CROSS JOIN {cents_sql(qpred)} c
+                ) GROUP BY vec_id, m7
+            )"""
 
-    # derived from REBUILD_EPOCH_MODS exactly as the oracle's
-    # _REBUILD_STAGES_SQL is: epoch i still excludes mods[i:]
-    stages = [
-        (
-            i,
-            _mods_not_in(REBUILD_EPOCH_MODS[i:]),
-            _mods_not_in(REBUILD_EPOCH_MODS[i:]),
-        )
-        for i in range(len(REBUILD_EPOCH_MODS) + 1)
-    ]
+    def probe_sql(qpred: str) -> str:
+        return f"""
+            SELECT query_id, cent_id FROM (
+                SELECT query_id, cent_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ns, cent_id) AS rn
+                FROM (
+                    SELECT /*+ BROADCAST(c) */ q.query_id, c.cent_id,
+                           {ns_query} AS ns
+                    FROM arp_qs q CROSS JOIN {cents_sql(qpred)} c
+                )
+            ) WHERE rn <= {N_PROBES}"""
+
+    frozen = _mods_not_in_sql(REBUILD_EPOCH_MODS)
+    fassign = tracked_persist(spark.sql(assign_sql(frozen)))
+    fprobe = tracked_persist(spark.sql(probe_sql(frozen)))
+    fassign.createOrReplaceTempView("arp_fassign")
+    fprobe.createOrReplaceTempView("arp_fprobe")
+
+    def ivf_topk_sql(cpred: str, assign: str, probe: str) -> str:
+        """Serve one IVF leg: probed cells' candidates, exact-scored and
+        rank-cut — identical candidate set and tie-breaks as before."""
+        return f"""
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rn
+                FROM (
+                    SELECT /*+ BROADCAST(q) */ p.query_id, a.vec_id,
+                           {cos_cand} AS cos
+                    FROM ({probe}) p
+                    JOIN (SELECT vec_id, cent_id FROM ({assign}) t
+                          WHERE {cpred}) a ON a.cent_id = p.cent_id
+                    JOIN (SELECT vec_id, e AS ce FROM arp_base) v
+                         ON v.vec_id = a.vec_id
+                    JOIN arp_qs q ON q.query_id = p.query_id
+                    WHERE a.vec_id <> p.query_id
+                )
+            ) WHERE rn <= {TOP_K}"""
+
+    def exact_topk_sql(cpred: str) -> str:
+        return f"""
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rn
+                FROM (
+                    SELECT /*+ BROADCAST(q) */ q.query_id, v.vec_id,
+                           {cos_cand} AS cos
+                    FROM arp_qs q
+                    JOIN (SELECT vec_id, e AS ce FROM arp_base
+                          WHERE {cpred}) v ON v.vec_id <> q.query_id
+                )
+            ) WHERE rn <= {TOP_K}"""
+
+    # epoch i still excludes mods[i:] — single source of truth with the
+    # oracle's _REBUILD_STAGES_SQL
     out = None
-    for epoch, cpred, rpred in stages:
-        corpus = base.filter(cpred)
-        gt = tracked_persist(exact_topk(corpus))
+    for epoch in range(len(REBUILD_EPOCH_MODS) + 1):
+        cpred = _mods_not_in_sql(REBUILD_EPOCH_MODS[epoch:])
+        gt = tracked_persist(spark.sql(exact_topk_sql(cpred)))
+        gt.createOrReplaceTempView(f"arp_gt{epoch}")
+        appended = ivf_topk_sql(cpred, "SELECT * FROM arp_fassign",
+                                "SELECT * FROM arp_fprobe")
         # epoch 0's "rebuilt" quantizer IS the frozen one (same seed
-        # set) — reuse the persisted frames instead of re-scoring
-        rassign, rprobe = (
-            (fassign, fprobe) if epoch == 0 else quantize(seeds.filter(rpred))
+        # set) — the legs are the same statement
+        rebuilt = (
+            appended
+            if epoch == 0
+            else ivf_topk_sql(cpred, assign_sql(cpred), probe_sql(cpred))
         )
-        hits_a = gt.join(ivf_topk(cpred, fassign, fprobe),
-                         ["query_id", "vec_id"]).agg(
-            F.count(F.lit(1)).cast("long").alias("hits_appended")
-        )
-        hits_r = gt.join(ivf_topk(cpred, rassign, rprobe),
-                         ["query_id", "vec_id"]).agg(
-            F.count(F.lit(1)).cast("long").alias("hits_rebuilt")
-        )
-        row = (
-            gt.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-            .crossJoin(hits_a)
-            .crossJoin(hits_r)
-            .select(F.lit(epoch).cast("int").alias("epoch"), "*")
-        )
+        row = spark.sql(f"""
+            SELECT CAST({epoch} AS INT) AS epoch, n_exact, hits_appended,
+                   hits_rebuilt
+            FROM (SELECT CAST(count(*) AS BIGINT) AS n_exact
+                  FROM arp_gt{epoch})
+            CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS hits_appended
+                        FROM arp_gt{epoch} g JOIN ({appended}) h
+                        USING (query_id, vec_id))
+            CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS hits_rebuilt
+                        FROM arp_gt{epoch} g JOIN ({rebuilt}) h
+                        USING (query_id, vec_id))""")
         out = row if out is None else out.unionByName(row)
-    return out.select(
+    return out.selectExpr(
         "epoch", "n_exact", "hits_appended", "hits_rebuilt",
-        F.round(
-            F.col("hits_appended") * 1.0 / F.nullif(F.col("n_exact"), F.lit(0)), 6
-        ).cast("double").alias("recall_appended"),
-        F.round(
-            F.col("hits_rebuilt") * 1.0 / F.nullif(F.col("n_exact"), F.lit(0)), 6
-        ).cast("double").alias("recall_rebuilt"),
-        (F.col("hits_appended") * 100 < F.lit(REBUILD_T_PCT) * F.col("hits_rebuilt"))
-        .alias("rebuild_needed"),
+        "CAST(round(hits_appended * 1.0 / nullif(n_exact, 0), 6) AS DOUBLE)"
+        " AS recall_appended",
+        "CAST(round(hits_rebuilt * 1.0 / nullif(n_exact, 0), 6) AS DOUBLE)"
+        " AS recall_rebuilt",
+        f"hits_appended * 100 < {REBUILD_T_PCT} * hits_rebuilt"
+        " AS rebuild_needed",
     )
 
 

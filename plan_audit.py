@@ -97,9 +97,17 @@ WINDOW_NULLFIRST_ALLOWED: dict[str, tuple[frozenset[str], str]] = {
         "bias + floor(margin/n_grams) score is non-null for every row",
     ),
     "ann_rebuild_policy": (
-        frozenset({"cent_id", "ns"}),
+        frozenset({
+            "cent_id", "ns",
+            # round-15 SQL-authored interior: the same sort keys now reach
+            # the lint under the parser's auto subquery qualifier
+            "__auto_generated_subquery_name.cent_id",
+            "__auto_generated_subquery_name.ns",
+            "__auto_generated_subquery_name.vec_id",
+        }),
         "ns = -round(dot(e, ce), 4) over non-null embedding arrays; "
-        "cent_id is a key column surviving inner joins",
+        "cent_id/vec_id are key columns surviving inner joins (vec_id "
+        "additionally NOT NULL at the scan)",
     ),
     "similarity_ivf": (
         frozenset({"cent_id", "ns"}),
