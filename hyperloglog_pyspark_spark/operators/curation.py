@@ -917,14 +917,20 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same plan family as the dup-ratio — one inverted-index
     shuffle on the shingle key (MIN(doc_id) instead of df, equally
     map-side mergeable), one shuffle back to doc grain; never pairwise.
+    Round-15: the per-shingle first_doc is a window MIN over the shingle
+    partition instead of a groupBy + join-back — the former plan paid the
+    aggregate exchange AND a ~25 MB broadcast build of the 800k-row
+    firsts table per rep; the window reuses the single shingle exchange
+    (3 exchanges + broadcast → 3 exchanges, one of them the tiny
+    doc-grain agg; values identical — MIN over the same partition).
     """
     post = tracked_persist(
         _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
     )
-    firsts = post.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("s"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
     return (
-        post.join(firsts, "s")
+        post.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),

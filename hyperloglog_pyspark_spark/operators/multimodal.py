@@ -223,38 +223,34 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The compressed IDAT byte count is deliberately NOT an output column:
     zlib output length isn't portable arithmetic.)
 
-    Scale: same posture as multimodal_decode — two chained mapInPandas
-    stages, payload bytes never shuffle, memory bounded by Arrow batch,
-    parallelism from the spread scan.
+    Scale: ONE mapInPandas stage — synth writes the PNG bytes and
+    decode_media parses them back inside the same Arrow batch, so the
+    payload never crosses the JVM↔Python boundary at all (round-15
+    fusion: the former two-stage form re-serialized every blob twice per
+    direction for no plan benefit); payload bytes never shuffle, memory
+    bounded by Arrow batch, parallelism from the spread scan.
     """
     docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
 
-    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def synth_decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            out: dict[str, list] = {
+                "doc_id": [], "status": [], "width": [], "height": [],
+                "bit_depth": [], "raw_len": [],
+            }
             for doc_id in pdf["doc_id"]:
                 png = synth_png(
                     1 + doc_id % 100, 1 + doc_id % 37, seed=int(doc_id)
                 )
                 if doc_id % 11 == 0:  # corrupt the IEND CRC's last byte
                     png = png[:-1] + bytes([png[-1] ^ 0xFF])
-                payloads.append(png)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "status": [], "width": [], "height": [],
-                "bit_depth": [], "raw_len": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(doc_id)
                 try:
-                    m = decode_media(bytes(payload))
+                    m = decode_media(png)
                     out["status"].append("ok")
                     out["width"].append(m["width"])
                     out["height"].append(m["height"])
@@ -266,8 +262,8 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out[k].append(None)
             yield pd.DataFrame(out)
 
-    return blobs.mapInPandas(
-        decode_batches,
+    return docs.mapInPandas(
+        synth_decode_batches,
         schema=(
             "doc_id long, status string, width long, height long, "
             "bit_depth long, raw_len long"
@@ -307,17 +303,24 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     to fail. (The compressed LZW byte count is deliberately NOT an output
     column: entropy-coder output length isn't portable arithmetic.)
 
-    Scale: same posture as multimodal_decode_png — two chained
-    mapInPandas stages, payload bytes never shuffle, memory bounded by
-    the Arrow batch, parallelism from the spread scan.
+    Scale: same posture as multimodal_decode_png — ONE fused mapInPandas
+    stage (synth + full LZW decode inside the same Arrow batch, payload
+    never crossing the JVM↔Python boundary), payload bytes never
+    shuffle, memory bounded by the Arrow batch, parallelism from the
+    spread scan.
     """
     docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
 
-    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def synth_decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            out: dict[str, list] = {
+                "doc_id": [], "status": [], "width": [], "height": [],
+                "n_colors": [], "pixel_count": [],
+            }
             for doc_id in pdf["doc_id"]:
                 gif = synth_gif(1 + doc_id % 40, 1 + doc_id % 25, seed=int(doc_id))
                 if doc_id % 22 == 0:  # chop the 0x3B trailer byte
@@ -326,21 +329,9 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # fixed synth layout: 6 hdr + 7 LSD + 768 GCT + 8 GCE
                     # + 10 image descriptor = offset 799
                     gif = gif[:799] + b"\x0c" + gif[800:]
-                payloads.append(gif)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "status": [], "width": [], "height": [],
-                "n_colors": [], "pixel_count": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(doc_id)
                 try:
-                    m = decode_media(bytes(payload))
+                    m = decode_media(gif)
                     out["status"].append("ok")
                     out["width"].append(m["width"])
                     out["height"].append(m["height"])
@@ -352,8 +343,8 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out[k].append(None)
             yield pd.DataFrame(out)
 
-    return blobs.mapInPandas(
-        decode_batches,
+    return docs.mapInPandas(
+        synth_decode_batches,
         schema=(
             "doc_id long, status string, width long, height long, "
             "n_colors long, pixel_count long"
@@ -389,19 +380,24 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the same dimensions/rates arithmetically, so a
     parser that misreads any header field hash-mismatches.
 
-    Two chained mapInPandas stages (encode → binary column → decode) —
-    the write-side and read-side of a media lakehouse in one plan.
+    One fused mapInPandas stage: the write-side (container synth) and
+    read-side (header parse) of a media lakehouse run back-to-back on
+    the same Arrow batch, so the payload never crosses the JVM↔Python
+    boundary (round-15 fusion of the former encode → binary column →
+    decode pair).
 
-    Scale: both stages are map-side Arrow batch iterators; payload bytes
-    never shuffle, memory is bounded by the batch size, and partition
-    parallelism comes from the scan (spread to cores — single-row-group
-    testdata would otherwise plan one task).
+    Scale: a map-side Arrow batch iterator; payload bytes never shuffle,
+    memory is bounded by the batch size, and partition parallelism comes
+    from the scan (spread to cores — single-row-group testdata would
+    otherwise plan one task).
     """
     docs = load_table(spark, sf_dir, "documents", spread_scan=True).select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
 
-    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def synth_decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
@@ -413,13 +409,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(
                         synth_wav(8000 * (1 + doc_id % 3), 1 + n_chars % 4000)
                     )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = [decode_media(bytes(p)) for p in pdf["payload"]]
+            metas = [decode_media(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -432,8 +422,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return blobs.mapInPandas(
-        decode_batches,
+    return docs.mapInPandas(
+        synth_decode_batches,
         schema=(
             "doc_id long, media_type string, width long, height long, "
             "sample_rate long, duration_ms long, n_bytes long"
@@ -608,7 +598,7 @@ def _perc_grid(doc_id: int) -> list[list[int]]:
 
 def _fingerprint_table(spark, sf_dir: str, synth_fn, fp_fn) -> DataFrame:
     """Persisted (doc_id, b0..b3, n_bytes) fingerprint table — the single
-    copy of the two-stage mapInPandas scaffolding shared by the image and
+    copy of the fused one-stage mapInPandas scaffolding shared by the image and
     audio perceptual dedups: ``synth_fn(doc_id) -> bytes`` renders each
     document's media payload, ``fp_fn(bytes) -> 4x16-bit bands``
     REAL-decodes it back and fingerprints the content. Persisted because
@@ -631,29 +621,27 @@ def _fingerprint_table(spark, sf_dir: str, synth_fn, fp_fn) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id")
     )
 
-    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def synth_hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # Round-15 fusion: synth + decode + fingerprint in ONE Python
+        # stage — the rendered payload is consumed by fp_fn in the same
+        # batch loop, so the blob bytes never cross the JVM↔Python
+        # boundary (the former two-stage form Arrow-serialized every
+        # payload out of and back into Python purely to re-enter the
+        # next mapInPandas).
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [synth_fn(int(d)) for d in pdf["doc_id"]],
-                }
-            )
-
-    blobs = docs.mapInPandas(synth_batches, schema="doc_id long, payload binary")
-
-    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            bands = [fp_fn(bytes(p)) for p in pdf["payload"]]
+            payloads = [synth_fn(int(d)) for d in pdf["doc_id"]]
+            bands = [fp_fn(p) for p in payloads]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 **{f"b{i}": [b[i] for b in bands] for i in range(4)},
-                "n_bytes": [len(p) for p in pdf["payload"]],
+                "n_bytes": [len(p) for p in payloads],
             })
 
     return tracked_persist(
-        blobs.mapInPandas(
-            hash_batches,
+        docs.mapInPandas(
+            synth_hash_batches,
             schema="doc_id long, b0 long, b1 long, b2 long, b3 long, n_bytes long",
         )
     )
