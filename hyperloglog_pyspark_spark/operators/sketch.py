@@ -906,7 +906,7 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative extraction runs on #groups×#buckets rows, never raw data.
     The quantile scan is a per-group window over ≤900 bucket rows.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread_scan=True)
     bounds = literal_frame(spark, _DD_ROWS, "bucket int, lo long, hi long")
     cents = ev.select(
         "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
@@ -1328,7 +1328,7 @@ def sink_ddsketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread_scan=True)
     typed = ev.select(
         "event_type",
         F.to_date(F.date_trunc("day", "ts")).alias("day"),

@@ -213,7 +213,10 @@ SHUFFLE_BUDGET = {
     # quality_freshness_watermark persists its per-type aggregate (gmax
     # derives from it, not a second fact scan) — excluded for the
     # InMemoryRelation text-inflation reason above (runtime: 2 fact scans).
-    "sketch_ddsketch_quantiles": 4,   # bucket agg + extraction windows + final agg
+    # +1 in r15: the events scan is spread to cores before the 900-bound
+    # range join (single-row-group input planned the whole BNL join as
+    # ONE task); the repartition exchange buys a 32-way bucket pass
+    "sketch_ddsketch_quantiles": 5,   # spread + bucket agg + windows + final agg
     "experiment_ab_ttest": 1,         # ONE conditional moment agg, no self-join
     "timeseries_seasonal_index": 3,   # daily agg + dow agg + 7-row window
     "temporal_point_in_time": 4,      # dim window + co-keyed interval join + agg
