@@ -1189,13 +1189,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documented would-change-at-100× plan; interleaved A/B at sf0.1
     # (3×3 runs) shows the two merges wall-clock-equal at k=10, so the
     # asymptotic fix costs nothing here
-    def assign(cents_row: DataFrame) -> DataFrame:
-        best = _nearest_centroid("mv")
-        return ev.crossJoin(F.broadcast(cents_row)).select(
-            "vec_id", "mv", best["d2"].alias("d2"), best["k"].alias("k")
-        )
-
-    final = assign(_km_trained_centroids(ev))
+    final = _km_assign(ev, _km_trained_centroids(ev))
     return (
         final.groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_members"), F.sum("d2").alias("inertia"))
@@ -1213,6 +1207,19 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: unrolled interior visible to the plan audits.
 _KM_CENT_MEMO: dict[tuple[str, int], tuple] = {}
 registry_mod.SESSION_MEMOS.append(_KM_CENT_MEMO)
+_KM_CENT_MEMO_CAP = 8
+
+
+def _km_assign(ev: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of the milli-vector frame ``ev``
+    against the one-row centroid set: BroadcastNestedLoopJoin + per-row
+    array_min argmin — the shared assignment pass of
+    embedding_kmeans_lloyd (final report) and _km_trained_centroids
+    (training rounds)."""
+    best = _nearest_centroid("mv")
+    return ev.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", "mv", best["d2"].alias("d2"), best["k"].alias("k")
+    )
 
 
 def _km_trained_centroids(ev: DataFrame) -> DataFrame:
@@ -1234,12 +1241,6 @@ def _km_trained_centroids(ev: DataFrame) -> DataFrame:
     if hit is not None and hit[0].sameResult(jplan):
         return hit[1]
 
-    def assign(cents_row: DataFrame) -> DataFrame:
-        best = _nearest_centroid("mv")
-        return ev.crossJoin(F.broadcast(cents_row)).select(
-            "vec_id", "mv", best["d2"].alias("d2"), best["k"].alias("k")
-        )
-
     # seed goes unchained: round 1's two references to it dedupe via
     # exchange reuse, and the first round's checkpoint resets lineage —
     # a seed checkpoint only adds a materialization job (measured)
@@ -1257,7 +1258,7 @@ def _km_trained_centroids(ev: DataFrame) -> DataFrame:
         # explode but plan/codegen a d+1-wide agg per round — 3×
         # interleaved A/B at sf0.1 showed it consistently SLOWER.)
         upd = (
-            assign(cent)
+            _km_assign(ev, cent)
             .select("k", F.posexplode("mv").alias("i", "e"))
             .groupBy("k", "i")
             .agg(
@@ -1288,7 +1289,12 @@ def _km_trained_centroids(ev: DataFrame) -> DataFrame:
     if key is not None:
         cent = registry_mod.checkpoint_memoized(cent)
         if key in _KM_CENT_MEMO:  # semanticHash-collision recompute
-            registry_mod.release_memo_frame(_KM_CENT_MEMO[key][1])
+            registry_mod.release_memo_frame(_KM_CENT_MEMO.pop(key)[1])
+        while len(_KM_CENT_MEMO) >= _KM_CENT_MEMO_CAP:  # FIFO cap — the
+            # _PQ_MODEL_MEMO discipline: a long session over many sf_dirs
+            # must not accumulate unevictable checkpointed frames
+            oldest = next(iter(_KM_CENT_MEMO))
+            registry_mod.release_memo_frame(_KM_CENT_MEMO.pop(oldest)[1])
         _KM_CENT_MEMO[key] = (jplan, cent)
     return cent
 
@@ -1535,6 +1541,10 @@ def _pq_lloyd_train(sub: DataFrame, model0: DataFrame) -> DataFrame:
         # survives the per-query release (the _cc_memo_store discipline,
         # including FIFO eviction through release_memo_frame)
         model = registry_mod.checkpoint_memoized(model)
+        if key in _PQ_MODEL_MEMO:  # semanticHash-collision recompute:
+            # release the replaced entry's "_memo"-owned blocks (they
+            # would otherwise leak until a FULL release_caches)
+            registry_mod.release_memo_frame(_PQ_MODEL_MEMO.pop(key)[2])
         while len(_PQ_MODEL_MEMO) >= _PQ_MODEL_MEMO_CAP:
             oldest = next(iter(_PQ_MODEL_MEMO))
             registry_mod.release_memo_frame(_PQ_MODEL_MEMO.pop(oldest)[2])

@@ -69,6 +69,30 @@ def test_pq_model_memo_hits_and_releases(spark):
     registry.release_caches()
 
 
+def test_km_memo_fifo_cap_evicts_oldest(spark, monkeypatch):
+    """r16 (from r15 advice): _KM_CENT_MEMO carries the same FIFO cap +
+    release_memo_frame eviction as _PQ_MODEL_MEMO — a long session over
+    many distinct ev plans must not accumulate unevictable checkpointed
+    frames. With the cap pinned to 1, training over a second sf_dir
+    evicts the first entry (dict size stays 1) and both queries still
+    serve correct, re-derivable rows afterwards."""
+    from hyperloglog_pyspark_spark import registry
+    from hyperloglog_pyspark_spark.operators import similarity
+
+    registry.release_caches()
+    monkeypatch.setattr(similarity, "_KM_CENT_MEMO_CAP", 1)
+    got1 = _rows(ALL["embedding_kmeans_lloyd"](spark, SF))
+    assert len(similarity._KM_CENT_MEMO) == 1
+    key1 = next(iter(similarity._KM_CENT_MEMO))
+    ALL["embedding_kmeans_lloyd"](spark, "/root/testdata/sf0.01").collect()
+    assert len(similarity._KM_CENT_MEMO) == 1  # capped: oldest evicted
+    assert next(iter(similarity._KM_CENT_MEMO)) != key1
+    # the evicted plan retrains cleanly (its blocks were released, not
+    # left dangling) and reproduces the same rows
+    assert _rows(ALL["embedding_kmeans_lloyd"](spark, SF)) == got1
+    registry.release_caches()
+
+
 def test_memos_disabled_in_plan_only_mode(spark):
     from hyperloglog_pyspark_spark import registry
     from hyperloglog_pyspark_spark.operators.similarity import (
