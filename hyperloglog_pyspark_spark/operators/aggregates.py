@@ -51,12 +51,17 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: 4 grouping cells regardless of input size — partial aggregation
     reduces 100 TB to a handful of rows before the single tiny shuffle.
-    (No spread_scan here although the single-row-group testdata serializes
-    the partial aggregate: the query is the plan-identity twin of
-    sql_pricing, and the SQL-view path must stay byte-identical —
-    tests/test_layout.py::test_sql_entry_path_plans_match_dataframe_forms.)
+    Round-16: spread_scan — the single-row-group testdata plans the scan
+    to ONE task, so the whole 600k-row decimal partial aggregate ran
+    serially (guide §2.5 input skew; isolated min 2.01 s, the #3 bench
+    row). ``spread`` stays a no-op on properly-split files, so nothing
+    local-mode-specific ships to production. The plan-identity twin
+    sql_pricing registers its view over the same spread frame, keeping
+    tests/test_layout.py::test_sql_entry_path_plans_match_dataframe_forms
+    byte-identical (the predicate still pushes to the scan: Catalyst
+    moves filters through round-robin repartition).
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem", spread_scan=True).filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(

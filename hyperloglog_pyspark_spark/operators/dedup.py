@@ -1552,9 +1552,103 @@ def _incremental_epochs_frame(
     """Core of ``dedup_incremental_epochs`` over an already-shingled
     corpus ``(doc_id, sh)`` — split out so tests can inject a synthetic
     whale corpus directly (see ``_incremental_probe_frame`` for the
-    bucket-cap contract)."""
+    bucket-cap contract).
+
+    Round-16 (uncapped path, guide §2.4/§5): the two per-epoch probes
+    are ONE multi-epoch pair join. Every pair either flow examines is a
+    band collision with new_epoch > hist_epoch — (1,0), (2,0), (2,1) —
+    so one band join + one exact-Jaccard confirm pass computes the
+    superset once, PERSISTED at pair grain (plan-canonical: built from
+    the persisted docs/bands frames and literals only, so warm reps
+    cache-hit it). Epoch verdicts are then cheap aggregations: epoch 1
+    reads its (1,0) slice; epoch 2 reads (2,·) minus pairs whose
+    epoch-1 hist was rejected — dropping AFTER the shared confirm
+    instead of pruning the index BEFORE the probe touches only pairs
+    against rejected docs (confirmed duplicates, few by construction),
+    and produces the identical candidate/confirm sets the sequential
+    form had. Plan effect: 2 probe joins + 2 corpus-side confirm joins
+    → 1 + 1. The capped path keeps the sequential per-epoch probes: the
+    whale-bucket census is an index-side property that differs per
+    epoch, and that path is the test-only skew-guard contract."""
     docs = tracked_persist(shingled)
     bands = tracked_persist(_band_table(_minhash_sigs(docs)))
+    if bucket_cap is None:
+        ep = F.col("doc_id") % _EPOCHS
+        b = bands.filter(ep > 0).select(
+            F.col("doc_id").alias("new_id"), "band", "band_hash"
+        )
+        h = bands.filter(ep < 2).select(
+            F.col("doc_id").alias("hist_id"), "band", "band_hash"
+        )
+        cand = (
+            h.join(F.broadcast(b), ["band", "band_hash"])
+            .filter(F.col("hist_id") % _EPOCHS < F.col("new_id") % _EPOCHS)
+            .select("new_id", "hist_id")
+            .distinct()
+        )
+        dn = docs.filter(ep > 0).select(
+            F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n")
+        )
+        dh = docs.select(
+            F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_h")
+        )
+        inter = F.size(F.array_intersect("sh_n", "sh_h"))
+        pairs = tracked_persist(
+            cand.join(F.broadcast(dn), "new_id")
+            .join(dh, "hist_id")
+            .select(
+                "new_id",
+                "hist_id",
+                (
+                    inter.cast("double")
+                    / (F.size("sh_n") + F.size("sh_h") - inter)
+                    >= JACCARD_T
+                ).alias("conf"),
+            )
+        )
+
+        def verdicts(e: int, epairs: DataFrame) -> DataFrame:
+            cand_counts = epairs.groupBy("new_id").agg(
+                F.count(F.lit(1)).alias("n_candidates")
+            )
+            conf_counts = (
+                epairs.filter("conf")
+                .groupBy("new_id")
+                .agg(F.count(F.lit(1)).alias("n_confirmed"))
+            )
+            ids = docs.filter(ep == e).select("doc_id")
+            return (
+                ids.join(
+                    F.broadcast(cand_counts),
+                    ids["doc_id"] == cand_counts["new_id"],
+                    "left",
+                )
+                .drop("new_id")
+                .join(
+                    F.broadcast(conf_counts),
+                    ids["doc_id"] == conf_counts["new_id"],
+                    "left",
+                )
+                .drop("new_id")
+                .select(
+                    "doc_id",
+                    F.lit(e).cast("bigint").alias("epoch"),
+                    F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                    F.coalesce("n_confirmed", F.lit(0)).alias("n_confirmed"),
+                    (F.coalesce("n_confirmed", F.lit(0)) == 0).alias("admitted"),
+                )
+            )
+
+        p1 = pairs.filter(F.col("new_id") % _EPOCHS == 1)
+        rejected1 = (
+            p1.filter("conf").select(F.col("new_id").alias("rej_id")).distinct()
+        )
+        p2 = pairs.filter(F.col("new_id") % _EPOCHS == 2).join(
+            F.broadcast(rejected1),
+            F.col("hist_id") == F.col("rej_id"),
+            "left_anti",
+        )
+        return verdicts(1, p1).unionByName(verdicts(2, p2))
 
     def probe(e: int, index_bands: DataFrame) -> DataFrame:
         # One epoch's probe against the accumulated admitted index —

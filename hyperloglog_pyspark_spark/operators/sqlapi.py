@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hyperloglog_pyspark_spark.operators import aggregates, analytics  # noqa: F401  (oracle reuse)
 from hyperloglog_pyspark_spark.registry import REGISTRY, register
-from hyperloglog_pyspark_spark.sources.catalog import register_views
+from hyperloglog_pyspark_spark.sources.catalog import load_table, register_views
 
 # The DataFrame form broadcasts the filtered customer dim explicitly; the
 # SQL form states the same intent as a hint. Everything else is the oracle
@@ -67,8 +67,12 @@ def sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary via the SQL entry path — oracle SQL
     verbatim; Catalyst plans the identical partial+final hash aggregate
-    the DataFrame form gets (asserted in tests/test_layout.py)."""
-    register_views(spark, sf_dir, ["lineitem"])
+    the DataFrame form gets (asserted in tests/test_layout.py). The view
+    rides the same spread_scan frame as agg_pricing_summary (r16): the
+    catalog layer decides physical fan-out, the SQL text is unchanged."""
+    load_table(spark, sf_dir, "lineitem", spread_scan=True).createOrReplaceTempView(
+        "lineitem"
+    )
     return spark.sql(SQL_PRICING)
 
 

@@ -691,10 +691,24 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.col("tf") + BM25_K1 * (
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
+    # Round-16 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): the score aggregation and the rank window used to pay
+    # one exchange EACH — hash(query_id, doc_id) for the groupBy, then
+    # hash(query_id) for the window. Repartitioning by query_id first
+    # satisfies both (hash(query_id) clusters (query_id, doc_id) groups
+    # too), so ONE exchange serves agg + window — in this query and in
+    # every composer (hybrid RRF pair, MRR/NDCG reports). Shuffled rows
+    # are the pre-agg tfq join (bounded at ≤|query terms| per (q, d)
+    # pair = 3 here) instead of the post-agg pairs — worst-case FEWER
+    # bytes than the old two-exchange sum (|tfq| vs |tfq|+|pairs|); the
+    # per-query concentration is the same one the rank window always
+    # had. Values unchanged: same per-group float sums, rounded to 4dp
+    # before ranking as before.
     scored = (
         tfq.join(F.broadcast(dfq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
+        .repartition("query_id")
         .groupBy("query_id", "doc_id")
         .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score"))
     )
